@@ -1,0 +1,1332 @@
+"""The batch query interpreter.
+
+Executes a ``DynamicQueryRequest`` against a :class:`GraphStore`: entries
+run sequentially in one transaction (write batches roll back on failure),
+each ``NamedQuery`` compiles its step list into a stream pipeline over
+:class:`Frame` bags, and variables flow between entries through a batch
+scope (reference execution model: ``sdks/rust/src/dsl.rs:4443-4649``).
+
+Hot paths are vectorized: sources resolve through indexes or label lists,
+expansions are CSR range-gathers (``snapshot.gather_ranges``), filters are
+column masks, and vector/text search delegates to the TPU-backed index
+managers.
+
+Documented engine-semantics decisions (the reference engine is opaque;
+these define this rebuild's contract):
+
+- ``Both``/``BothE`` emit the out-expansion block then the in-expansion
+  block; within each block results are grouped by source traverser in
+  stream order.
+- ``AddE`` links every node in the current stream to every resolved target
+  (cartesian) and leaves the *source-node* stream current (matching the
+  reference builder's typestate, reference ``dsl.py:2018``).
+- ``Union``/``Choose``/``Coalesce`` branch outputs concatenate in branch
+  order; ``Coalesce`` resolves per traverser (first branch with output).
+- ``Repeat`` without ``times``/``until`` loops until the frontier is empty
+  or ``max_depth``.
+- ``ForEach`` iterations share the batch variable scope; later iterations
+  overwrite earlier variables of the same name.
+- ``Group`` keys are the property's plain-JSON rendering as a string.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable
+
+import numpy as np
+
+from .. import wire
+from ..dsl import DateTime
+from . import values as V
+from .errors import ParamError, QueryError, WriteError
+from .expr import Element, EvalContext, eval_expr, eval_predicate, predicate_mask
+from .frame import Frame, concat_frames
+from .snapshot import GraphSnapshot, SnapshotCache, gather_ranges
+from .store import GraphStore
+
+Tagged = Any
+MISSING = V.MISSING
+UINT64 = np.uint64
+
+
+class VarValue:
+    """A batch variable: the payload plus emptiness metadata and, for
+    element streams, the frame for re-seeding (``NodeRef::Var``)."""
+
+    __slots__ = ("payload", "size", "frame")
+
+    def __init__(self, payload: Any, size: int, frame: Frame | None = None):
+        self.payload = payload
+        self.size = size
+        self.frame = frame
+
+
+class Terminal:
+    """Marker wrapper returned by terminal step handlers."""
+
+    __slots__ = ("payload", "size")
+
+    def __init__(self, payload: Any, size: int):
+        self.payload = payload
+        self.size = size
+
+
+def convert_parameters(
+    parameters: dict[str, Any] | None,
+    parameter_types: dict[str, Any] | None,
+) -> dict[str, Tagged]:
+    """Convert plain dynamic-parameter JSON into tagged runtime values,
+    honoring declared types (reference types: query_generator.rs:17-38)."""
+    out: dict[str, Tagged] = {}
+    if not parameters:
+        return out
+    types = parameter_types or {}
+    for name, value in parameters.items():
+        out[name] = _convert_param(value, types.get(name), name)
+    return out
+
+
+def _convert_param(value: Any, ty: Any, path: str) -> Tagged:
+    if ty is None:
+        return V.from_plain(value)
+    tag = ty if isinstance(ty, str) else next(iter(ty))
+    if tag == "Bool":
+        if not isinstance(value, bool):
+            raise ParamError(f"parameter '{path}' must be boolean")
+        return {"Bool": value}
+    if tag == "I64":
+        if isinstance(value, bool) or not isinstance(value, int):
+            raise ParamError(f"parameter '{path}' must be an integer")
+        return {"I64": value}
+    if tag in ("F64", "F32"):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise ParamError(f"parameter '{path}' must be a number")
+        return {tag: float(value)}
+    if tag == "String":
+        if not isinstance(value, str):
+            raise ParamError(f"parameter '{path}' must be a string")
+        return {"String": value}
+    if tag == "DateTime":
+        if isinstance(value, str):
+            return {"DateTime": DateTime.parse_rfc3339(value).millis}
+        if isinstance(value, int) and not isinstance(value, bool):
+            return {"DateTime": value}
+        raise ParamError(f"parameter '{path}' must be an RFC3339 datetime")
+    if tag == "Bytes":
+        raise ParamError(
+            f"parameter '{path}' uses bytes, which the dynamic query JSON "
+            "route cannot represent"
+        )
+    if tag == "Value":
+        return V.from_plain(value)
+    if tag == "Object":
+        if not isinstance(value, dict):
+            raise ParamError(f"parameter '{path}' must be an object")
+        return {"Object": {k: V.from_plain(v) for k, v in value.items()}}
+    if tag == "Array":
+        if not isinstance(value, list):
+            raise ParamError(f"parameter '{path}' must be an array")
+        inner = ty["Array"]
+        inner_tag = inner if isinstance(inner, str) else next(iter(inner))
+        if inner_tag == "F32":
+            return {"F32Array": [float(v) for v in value]}
+        if inner_tag == "F64":
+            return {"F64Array": [float(v) for v in value]}
+        if inner_tag == "I64":
+            return {"I64Array": [int(v) for v in value]}
+        if inner_tag == "String":
+            return {"StringArray": [str(v) for v in value]}
+        return {
+            "Array": [
+                _convert_param(v, inner, f"{path}[{i}]") for i, v in enumerate(value)
+            ]
+        }
+    raise ParamError(f"unknown parameter type: {tag}")
+
+
+class UndoLog:
+    """Reverse-replay transaction log over the store's raw primitives."""
+
+    def __init__(self, store: GraphStore):
+        self.store = store
+        self.ops: list[Callable[[], None]] = []
+        self.counters = store.save_counters()
+
+    def record(self, op: Callable[[], None]) -> None:
+        self.ops.append(op)
+
+    def rollback(self) -> None:
+        for op in reversed(self.ops):
+            op()
+        self.store.restore_counters(self.counters)
+
+
+class Executor:
+    """Executes one request; owns no long-lived state beyond the engine."""
+
+    def __init__(self, engine: Any):
+        self.engine = engine
+        self.store: GraphStore = engine.store
+        self.snapshots: SnapshotCache = engine.snapshots
+
+    # ------------------------------------------------------------------
+    # Request entry point
+    # ------------------------------------------------------------------
+
+    def execute(self, request: dict) -> dict:
+        wire.validate_request(request)
+        params = convert_parameters(
+            request.get("parameters"), request.get("parameter_types")
+        )
+        ctx = EvalContext(params)
+        batch = request["query"]
+        is_write = request["request_type"] == "write"
+        undo = UndoLog(self.store) if is_write else None
+        scope: dict[str, VarValue] = {}
+        order: list[str] = []
+        try:
+            self._run_entries(batch["queries"], ctx, scope, order, undo)
+        except Exception:
+            if undo is not None:
+                undo.rollback()
+            raise
+        returns = batch.get("returns") or order
+        return {name: self._payload_for(scope.get(name)) for name in returns}
+
+    def _payload_for(self, var: VarValue | None) -> Any:
+        if var is None:
+            return None
+        return var.payload
+
+    def _run_entries(
+        self,
+        entries: list,
+        ctx: EvalContext,
+        scope: dict[str, VarValue],
+        order: list[str],
+        undo: UndoLog | None,
+    ) -> None:
+        prev: VarValue | None = None
+        for entry in entries:
+            tag = wire.tag_of(entry, frozenset({"Query", "ForEach"}), "batch entry")
+            body = wire.payload_of(entry)
+            if tag == "ForEach":
+                self._run_foreach(body, ctx, scope, order, undo)
+                prev = None
+                continue
+            name = body.get("name")
+            condition = body.get("condition")
+            if condition is not None and not self._condition(condition, scope, prev):
+                result = VarValue([], 0, Frame.empty())
+            else:
+                result = self._run_query(body["steps"], ctx, scope, undo)
+            if name:
+                if name not in scope:
+                    order.append(name)
+                scope[name] = result
+            prev = result
+
+    def _run_foreach(
+        self,
+        body: dict,
+        ctx: EvalContext,
+        scope: dict[str, VarValue],
+        order: list[str],
+        undo: UndoLog | None,
+    ) -> None:
+        param_name = body["param"]
+        value = ctx.param(param_name)
+        tag = V.tag_of(value)
+        if tag == "Array":
+            items = V.payload_of(value)
+        elif tag in ("I64Array", "F64Array", "F32Array", "StringArray"):
+            base = tag[:-5]
+            items = [{base: v} for v in V.payload_of(value)]
+        else:
+            raise QueryError(
+                f"ForEach parameter '{param_name}' must be an array"
+            )
+        for item in items:
+            child = ctx.child(param_name, item)
+            self._run_entries(body["body"], child, scope, order, undo)
+
+    def _condition(
+        self, condition: Any, scope: dict[str, VarValue], prev: VarValue | None
+    ) -> bool:
+        tag = next(iter(condition)) if isinstance(condition, dict) else condition
+        if tag == "PrevNotEmpty":
+            return prev is not None and prev.size > 0
+        body = condition[tag]
+        if tag == "VarNotEmpty":
+            var = scope.get(body)
+            return var is not None and var.size > 0
+        if tag == "VarEmpty":
+            var = scope.get(body)
+            return var is None or var.size == 0
+        if tag == "VarMinSize":
+            name, size = body
+            var = scope.get(name)
+            return var is not None and var.size >= size
+        raise QueryError(f"unknown batch condition: {tag}")
+
+    # ------------------------------------------------------------------
+    # Query pipeline
+    # ------------------------------------------------------------------
+
+    def _run_query(
+        self,
+        steps: list,
+        ctx: EvalContext,
+        scope: dict[str, VarValue],
+        undo: UndoLog | None,
+    ) -> VarValue:
+        state = _QueryState(self, ctx, scope, undo)
+        frame = Frame.empty()
+        for step in steps:
+            result = state.apply(frame, step)
+            if isinstance(result, Terminal):
+                return VarValue(result.payload, result.size, None)
+            frame = result
+        return VarValue(self.encode_frame(frame), len(frame), frame)
+
+    # ------------------------------------------------------------------
+    # Encoding
+    # ------------------------------------------------------------------
+
+    def encode_frame(self, frame: Frame) -> Any:
+        """Default stream payload: per element, virtual ids + all props."""
+        if frame.kind == "rows":
+            return list(frame.rows or [])
+        out = []
+        for i in range(len(frame)):
+            out.append(self.encode_element(frame, i, None))
+        return out
+
+    def encode_element(
+        self, frame: Frame, i: int, props: list[str] | None
+    ) -> dict:
+        element_id = int(frame.ids[i])
+        if frame.kind == "nodes":
+            record = self.store.node(element_id)
+            row: dict[str, Any] = {"$id": element_id, "$label": record.label}
+        else:
+            record = self.store.edge(element_id)
+            row = {
+                "$id": element_id,
+                "$label": record.label,
+                "$from": record.src,
+                "$to": record.dst,
+            }
+        if frame.dist is not None and not np.isnan(frame.dist[i]):
+            row["$distance"] = float(frame.dist[i])
+        if frame.score is not None and not np.isnan(frame.score[i]):
+            row["$score"] = float(frame.score[i])
+        if props is None:
+            for key, value in record.props.items():
+                row[key] = V.to_plain(value)
+        return row
+
+    def element_at(self, frame: Frame, i: int) -> Element:
+        return Element(
+            frame.kind,
+            int(frame.ids[i]),
+            self.store,
+            None if frame.dist is None else float(frame.dist[i]),
+            None if frame.score is None else float(frame.score[i]),
+        )
+
+
+class _QueryState:
+    """Step dispatch with traversal-local aliases (``As``/``Select``)."""
+
+    def __init__(
+        self,
+        executor: Executor,
+        ctx: EvalContext,
+        scope: dict[str, VarValue],
+        undo: UndoLog | None,
+    ):
+        self.ex = executor
+        self.store = executor.store
+        self.ctx = ctx
+        self.scope = scope
+        self.undo = undo
+        self.aliases: dict[str, Frame] = {}
+
+    @property
+    def snap(self) -> GraphSnapshot:
+        return self.ex.snapshots.get()
+
+    # -- dispatch ------------------------------------------------------
+
+    def apply(self, frame: Frame, step: Any) -> Frame | Terminal:
+        tag = wire.tag_of(step, wire.STEP_STYLE, "step")
+        if tag in wire.RESERVED_NOOP_STEPS:
+            return frame  # parsed, round-tripped, ignored (dsl.rs:3214-3254)
+        handler = getattr(self, f"_step_{tag}", None)
+        if handler is None:
+            raise QueryError(f"step {tag} is not implemented")
+        return handler(frame, wire.payload_of(step))
+
+    def run_sub(self, frame: Frame, sub: dict) -> Frame:
+        """Run a sub-traversal's steps over a frame (read-only steps)."""
+        out = frame
+        for step in sub["steps"]:
+            result = self.apply(out, step)
+            if isinstance(result, Terminal):
+                raise QueryError("terminal steps are not allowed in sub-traversals")
+            out = result
+        return out
+
+    # -- helpers -------------------------------------------------------
+
+    def _resolve_bound(self, bound: Any) -> int:
+        """StreamBound -> int (Literal, or statically resolvable Expr)."""
+        if isinstance(bound, int):
+            return bound
+        tag = next(iter(bound))
+        if tag == "Literal":
+            return bound[tag]
+        value = eval_expr(bound[tag], None, self.ctx)
+        num = V.as_number(value) if value is not MISSING else None
+        if num is None:
+            raise QueryError("stream bound must resolve to an integer")
+        return int(num)
+
+    def _resolve_input(self, node: Any) -> Tagged:
+        """PropertyInput -> tagged value using static context."""
+        tag = next(iter(node))
+        if tag == "Value":
+            return node[tag]
+        value = eval_expr(node[tag], None, self.ctx)
+        if value is MISSING:
+            raise QueryError("expression input did not resolve to a value")
+        return value
+
+    def _input_per_element(self, frame: Frame, node: Any) -> list[Tagged]:
+        tag = next(iter(node))
+        if tag == "Value":
+            return [node[tag]] * len(frame)
+        out = []
+        for i in range(len(frame)):
+            value = eval_expr(node[tag], self.ex.element_at(frame, i), self.ctx)
+            out.append("Null" if value is MISSING else value)
+        return out
+
+    def _var_frame(self, name: str) -> Frame:
+        if name in self.aliases:
+            return self.aliases[name].copy()
+        var = self.scope.get(name)
+        if var is None:
+            raise QueryError(f"unknown variable: {name}")
+        if var.frame is not None:
+            return var.frame.copy()
+        # Terminal payload: row lists with $id fields can re-seed streams
+        # (reference pattern: value_map rows -> NodeRef::var, dsl.rs:247-268).
+        payload = var.payload
+        if isinstance(payload, list):
+            ids = []
+            for row in payload:
+                if isinstance(row, dict) and "$id" in row:
+                    ids.append(int(row["$id"]))
+            return Frame.nodes(np.array(ids, UINT64))
+        raise QueryError(f"variable '{name}' does not hold a re-seedable stream")
+
+    def _node_ids_from_ref(self, ref: Any, strict: bool = False) -> np.ndarray:
+        """Resolve a NodeRef to ids.  Sources silently drop unknown ids
+        (a stale id simply matches nothing); strict resolution (AddE
+        targets) errors on unknown ids."""
+        tag = "All" if ref == "All" else next(iter(ref))
+        if tag == "All":
+            return np.array(self.store.node_order, UINT64)
+        body = ref[tag]
+        if tag == "Ids":
+            if strict:
+                for i in body:
+                    if not self.store.has_node(int(i)):
+                        raise QueryError(f"unknown node id {int(i)}")
+            return np.array(
+                [i for i in body if self.store.has_node(int(i))], UINT64
+            )
+        if tag == "Var":
+            frame = self._var_frame(body)
+            if frame.kind == "edges":
+                raise QueryError(f"variable '{body}' holds edges, not nodes")
+            return frame.ids
+        if tag == "Param":
+            value = self.ctx.param(body)
+            return self._ids_from_tagged(value, node=True)
+        raise QueryError(f"unknown node ref: {tag}")
+
+    def _ids_from_tagged(self, value: Tagged, node: bool) -> np.ndarray:
+        has = self.store.has_node if node else self.store.has_edge
+        tag = V.tag_of(value)
+        if tag in ("I64", "F64", "F32"):
+            candidate = [int(V.payload_of(value))]
+        elif tag in ("I64Array", "F64Array", "F32Array"):
+            candidate = [int(v) for v in V.payload_of(value)]
+        elif tag == "Array":
+            candidate = []
+            for item in V.payload_of(value):
+                num = V.as_number(item)
+                if num is None:
+                    raise QueryError("id parameter array must contain numbers")
+                candidate.append(int(num))
+        else:
+            raise QueryError("id parameter must be an integer or integer array")
+        return np.array([i for i in candidate if has(i)], UINT64)
+
+    # ==================================================================
+    # Sources
+    # ==================================================================
+
+    def _step_N(self, frame: Frame, ref: Any) -> Frame:
+        return Frame.nodes(self._node_ids_from_ref(ref))
+
+    def _step_E(self, frame: Frame, ref: Any) -> Frame:
+        tag = next(iter(ref))
+        body = ref[tag]
+        if tag == "Ids":
+            ids = np.array([i for i in body if self.store.has_edge(int(i))], UINT64)
+        elif tag == "Var":
+            sub = self._var_frame(body)
+            if sub.kind != "edges":
+                raise QueryError(f"variable '{body}' holds nodes, not edges")
+            ids = sub.ids
+        elif tag == "Param":
+            ids = self._ids_from_tagged(self.ctx.param(body), node=False)
+        else:
+            raise QueryError(f"unknown edge ref: {tag}")
+        return Frame.edges(ids)
+
+    def _source_where(self, kind: str, predicate: Any) -> Frame:
+        """NWhere/EWhere with index-backed planning."""
+        snap = self.snap
+        candidates = self._plan_source(kind, predicate)
+        if candidates is None:
+            ids = np.array(
+                self.store.node_order if kind == "nodes" else self.store.edge_order,
+                UINT64,
+            )
+        else:
+            ids = candidates
+        frame = Frame(kind, ids)
+        if len(frame) == 0:
+            return frame
+        slots = (
+            snap.node_slots(frame.ids) if kind == "nodes" else snap.edge_slots(frame.ids)
+        )
+        keep = predicate_mask(snap, self.store, frame, slots, predicate, self.ctx)
+        return frame.mask(keep)
+
+    def _plan_source(self, kind: str, predicate: Any) -> np.ndarray | None:
+        """Pick an index-backed candidate set from a source predicate.
+
+        Handles the common shapes: ``Eq($label, L)`` alone or inside a
+        top-level ``And``, plus property Eq/range over declared indexes.
+        Returns None when no index applies (full scan).
+        """
+        store_kind = "node" if kind == "nodes" else "edge"
+        conjuncts = [predicate]
+        tag = next(iter(predicate)) if isinstance(predicate, dict) else predicate
+        if tag == "And":
+            conjuncts = predicate["And"]
+        best: np.ndarray | None = None
+        for part in conjuncts:
+            ptag = next(iter(part)) if isinstance(part, dict) else part
+            if ptag not in ("Eq", "Gt", "Gte", "Lt", "Lte", "Between"):
+                continue
+            body = part[ptag]
+            prop = body[0]
+            if prop == "$label" and ptag == "Eq":
+                label = V.text_of(body[1])
+                if label is None:
+                    continue
+                table = (
+                    self.store.nodes_by_label
+                    if store_kind == "node"
+                    else self.store.edges_by_label
+                )
+                ids = np.array(table.get(label, ()), UINT64)
+                best = ids if best is None or len(ids) < len(best) else best
+                continue
+            if prop.startswith("$"):
+                continue
+            label = self._conjunct_label(conjuncts)
+            if label is None:
+                continue
+            for idx in self.store.scalar_indexes_for(store_kind, label, prop):
+                if ptag == "Eq" and idx.spec_tag.endswith("Equality"):
+                    ids = np.array(idx.impl.lookup(body[1]), UINT64)
+                elif idx.spec_tag.endswith("Range"):
+                    if ptag == "Eq":
+                        ids = np.array(idx.impl.scan(body[1], body[1]), UINT64)
+                    elif ptag == "Between":
+                        ids = np.array(idx.impl.scan(body[1], body[2]), UINT64)
+                    elif ptag in ("Gt", "Gte"):
+                        ids = np.array(
+                            idx.impl.scan(lo=body[1], lo_strict=(ptag == "Gt")), UINT64
+                        )
+                    else:
+                        ids = np.array(
+                            idx.impl.scan(hi=body[1], hi_strict=(ptag == "Lt")), UINT64
+                        )
+                else:
+                    continue
+                best = ids if best is None or len(ids) < len(best) else best
+        return best
+
+    @staticmethod
+    def _conjunct_label(conjuncts: list) -> str | None:
+        for part in conjuncts:
+            if isinstance(part, dict) and "Eq" in part:
+                prop, value = part["Eq"]
+                if prop == "$label":
+                    return V.text_of(value)
+        return None
+
+    def _step_NWhere(self, frame: Frame, predicate: Any) -> Frame:
+        return self._source_where("nodes", predicate)
+
+    def _step_EWhere(self, frame: Frame, predicate: Any) -> Frame:
+        return self._source_where("edges", predicate)
+
+    def _step_Inject(self, frame: Frame, name: str) -> Frame:
+        return self._var_frame(name)
+
+    def _vector_search(self, body: dict, kind: str) -> Frame:
+        query = self._resolve_input(body["query_vector"])
+        vec = V.f32_vector(query)
+        if vec is None:
+            raise QueryError("query_vector must be a numeric array")
+        k = self._resolve_bound(body["k"])
+        tenant = (
+            self._resolve_input(body["tenant_value"])
+            if "tenant_value" in body and body["tenant_value"] is not None
+            else None
+        )
+        ids, dists = self.ex.engine.vectors.search(
+            kind, body["label"], body["property"], vec, k, tenant
+        )
+        frame = Frame(kind, np.asarray(ids, UINT64), dist=np.asarray(dists, np.float64))
+        return frame
+
+    def _step_VectorSearchNodes(self, frame: Frame, body: dict) -> Frame:
+        return self._vector_search(body, "nodes")
+
+    def _step_VectorSearchEdges(self, frame: Frame, body: dict) -> Frame:
+        return self._vector_search(body, "edges")
+
+    def _text_search(self, body: dict, kind: str) -> Frame:
+        query = self._resolve_input(body["query_text"])
+        text = V.text_of(query)
+        if text is None:
+            raise QueryError("query_text must be a string")
+        k = self._resolve_bound(body["k"])
+        tenant = (
+            self._resolve_input(body["tenant_value"])
+            if "tenant_value" in body and body["tenant_value"] is not None
+            else None
+        )
+        ids, scores = self.ex.engine.texts.search(
+            kind, body["label"], body["property"], text, k, tenant
+        )
+        return Frame(
+            kind, np.asarray(ids, UINT64), score=np.asarray(scores, np.float64)
+        )
+
+    def _step_TextSearchNodes(self, frame: Frame, body: dict) -> Frame:
+        return self._text_search(body, "nodes")
+
+    def _step_TextSearchEdges(self, frame: Frame, body: dict) -> Frame:
+        return self._text_search(body, "edges")
+
+    # ==================================================================
+    # Navigation
+    # ==================================================================
+
+    def _expand_edges(
+        self, frame: Frame, label: str | None, direction: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Returns (src_rows, edge_slot_indices, anchor_node_ids)."""
+        if frame.kind != "nodes":
+            raise QueryError("edge expansion requires a node stream")
+        snap = self.snap
+        slots = snap.node_slots_or_neg(frame.ids)
+        valid = slots >= 0
+        rows = np.nonzero(valid)[0]
+        vslots = slots[rows]
+        indptr = snap.out_indptr if direction == "out" else snap.in_indptr
+        data = snap.out_edges if direction == "out" else snap.in_edges
+        src_local, positions = gather_ranges(indptr, vslots)
+        edge_idx = data[positions]
+        src_rows = rows[src_local]
+        if label is not None:
+            code = snap.edge_label_code.get(label, -1)
+            keep = snap.edge_label_codes[edge_idx] == code
+            src_rows = src_rows[keep]
+            edge_idx = edge_idx[keep]
+        anchor = frame.ids[src_rows]
+        return src_rows, edge_idx, anchor
+
+    def _step_Out(self, frame: Frame, label: Any) -> Frame:
+        src_rows, edge_idx, _ = self._expand_edges(frame, label, "out")
+        dst = self.snap.node_ids[self.snap.edge_dst[edge_idx]]
+        return frame.expand(src_rows, "nodes", dst)
+
+    def _step_In(self, frame: Frame, label: Any) -> Frame:
+        src_rows, edge_idx, _ = self._expand_edges(frame, label, "in")
+        src = self.snap.node_ids[self.snap.edge_src[edge_idx]]
+        return frame.expand(src_rows, "nodes", src)
+
+    def _step_Both(self, frame: Frame, label: Any) -> Frame:
+        return concat_frames([self._step_Out(frame, label), self._step_In(frame, label)])
+
+    def _step_OutE(self, frame: Frame, label: Any) -> Frame:
+        src_rows, edge_idx, anchor = self._expand_edges(frame, label, "out")
+        return frame.expand(src_rows, "edges", self.snap.edge_ids[edge_idx], anchor=anchor)
+
+    def _step_InE(self, frame: Frame, label: Any) -> Frame:
+        src_rows, edge_idx, anchor = self._expand_edges(frame, label, "in")
+        return frame.expand(src_rows, "edges", self.snap.edge_ids[edge_idx], anchor=anchor)
+
+    def _step_BothE(self, frame: Frame, label: Any) -> Frame:
+        return concat_frames([self._step_OutE(frame, label), self._step_InE(frame, label)])
+
+    def _edge_endpoints(self, frame: Frame) -> tuple[np.ndarray, np.ndarray]:
+        if frame.kind != "edges":
+            raise QueryError("endpoint step requires an edge stream")
+        snap = self.snap
+        slots = snap.edge_slots(frame.ids)
+        src = snap.node_ids[snap.edge_src[slots]]
+        dst = snap.node_ids[snap.edge_dst[slots]]
+        return src, dst
+
+    def _step_OutN(self, frame: Frame, _=None) -> Frame:
+        src, _dst = self._edge_endpoints(frame)
+        rows = np.arange(len(frame), dtype=np.int64)
+        return frame.expand(rows, "nodes", src)
+
+    def _step_InN(self, frame: Frame, _=None) -> Frame:
+        _src, dst = self._edge_endpoints(frame)
+        rows = np.arange(len(frame), dtype=np.int64)
+        return frame.expand(rows, "nodes", dst)
+
+    def _step_OtherN(self, frame: Frame, _=None) -> Frame:
+        src, dst = self._edge_endpoints(frame)
+        rows = np.arange(len(frame), dtype=np.int64)
+        if frame.anchor is None:
+            # Direct edge sources carry no traversal anchor; the far side
+            # defaults to the destination endpoint.
+            return frame.expand(rows, "nodes", dst)
+        other = np.where(frame.anchor == src, dst, src)
+        return frame.expand(rows, "nodes", other)
+
+    # ==================================================================
+    # Filters
+    # ==================================================================
+
+    def _mask_step(self, frame: Frame, predicate: Any) -> Frame:
+        if len(frame) == 0:
+            return frame
+        if frame.kind == "rows":
+            raise QueryError("filters require an element stream")
+        snap = self.snap
+        slots = (
+            snap.node_slots_or_neg(frame.ids)
+            if frame.kind == "nodes"
+            else snap.edge_slots_or_neg(frame.ids)
+        )
+        keep_valid = slots >= 0
+        sub = frame.mask(keep_valid)
+        if len(sub) == 0:
+            return sub
+        sub_slots = slots[keep_valid]
+        keep = predicate_mask(snap, self.store, sub, sub_slots, predicate, self.ctx)
+        return sub.mask(keep)
+
+    def _step_Where(self, frame: Frame, predicate: Any) -> Frame:
+        return self._mask_step(frame, predicate)
+
+    def _step_Has(self, frame: Frame, body: list) -> Frame:
+        prop, value = body
+        return self._mask_step(frame, {"Eq": [prop, value]})
+
+    def _step_HasLabel(self, frame: Frame, label: str) -> Frame:
+        return self._mask_step(frame, {"Eq": ["$label", {"String": label}]})
+
+    def _step_HasKey(self, frame: Frame, prop: str) -> Frame:
+        return self._mask_step(frame, {"HasKey": prop})
+
+    def _step_EdgeHas(self, frame: Frame, body: list) -> Frame:
+        prop, input_node = body
+        value = self._resolve_input(input_node)
+        return self._mask_step(frame, {"Eq": [prop, value]})
+
+    def _step_EdgeHasLabel(self, frame: Frame, label: str) -> Frame:
+        return self._step_HasLabel(frame, label)
+
+    def _step_Dedup(self, frame: Frame, _=None) -> Frame:
+        if frame.kind == "rows":
+            seen = set()
+            keep = []
+            for i, row in enumerate(frame.rows or []):
+                key = json.dumps(row, sort_keys=True, default=str)
+                if key not in seen:
+                    seen.add(key)
+                    keep.append(i)
+            return frame.take(np.array(keep, np.int64))
+        _, first = np.unique(frame.ids, return_index=True)
+        return frame.take(np.sort(first))
+
+    def _membership_ids(self, name: str) -> np.ndarray:
+        return self._var_frame(name).ids
+
+    def _step_Within(self, frame: Frame, name: str) -> Frame:
+        members = self._membership_ids(name)
+        return frame.mask(np.isin(frame.ids, members))
+
+    def _step_Without(self, frame: Frame, name: str) -> Frame:
+        members = self._membership_ids(name)
+        return frame.mask(~np.isin(frame.ids, members))
+
+    # ==================================================================
+    # Stream shaping
+    # ==================================================================
+
+    def _step_Limit(self, frame: Frame, n: Any) -> Frame:
+        count = self._resolve_bound(n)
+        return frame.take(np.arange(min(max(count, 0), len(frame)), dtype=np.int64))
+
+    _step_LimitBy = _step_Limit
+
+    def _step_Skip(self, frame: Frame, n: Any) -> Frame:
+        count = self._resolve_bound(n)
+        return frame.take(np.arange(min(max(count, 0), len(frame)), len(frame), dtype=np.int64))
+
+    _step_SkipBy = _step_Skip
+
+    def _step_Range(self, frame: Frame, body: list) -> Frame:
+        start = self._resolve_bound(body[0])
+        end = self._resolve_bound(body[1])
+        start = min(max(start, 0), len(frame))
+        end = min(max(end, start), len(frame))
+        return frame.take(np.arange(start, end, dtype=np.int64))
+
+    _step_RangeBy = _step_Range
+
+    def _sort_keys(self, frame: Frame, prop: str) -> list:
+        keys = []
+        for i in range(len(frame)):
+            value = self.ex.element_at(frame, i).get(prop)
+            comp = None if value is MISSING else V.as_comparable(value)
+            keys.append(comp)
+        return keys
+
+    def _order(self, frame: Frame, orderings: list[tuple[str, str]]) -> Frame:
+        if len(frame) <= 1 or frame.kind == "rows":
+            return frame
+        idx = list(range(len(frame)))
+        # Stable multi-key ordering: apply keys in reverse significance;
+        # missing/incomparable values sort last regardless of direction.
+        for prop, direction in reversed(orderings):
+            keys = self._sort_keys(frame, prop)
+            desc = direction == "Desc"
+
+            def keyfn(i, keys=keys, desc=desc):
+                k = keys[i]
+                if k is None:
+                    return ("~missing", 0)
+                return _neg_key(k) if desc else k
+
+            idx = sorted(idx, key=keyfn)
+        return frame.take(np.array(idx, np.int64))
+
+    def _step_OrderBy(self, frame: Frame, body: list) -> Frame:
+        return self._order(frame, [(body[0], body[1])])
+
+    def _step_OrderByMultiple(self, frame: Frame, body: list) -> Frame:
+        return self._order(frame, [(p, o) for p, o in body])
+
+    # ==================================================================
+    # Variables / bindings
+    # ==================================================================
+
+    def _step_As(self, frame: Frame, name: str) -> Frame:
+        self.aliases[name] = frame.copy()
+        return frame
+
+    def _step_Store(self, frame: Frame, name: str) -> Frame:
+        self.scope[name] = VarValue(self.ex.encode_frame(frame), len(frame), frame.copy())
+        return frame
+
+    def _step_Select(self, frame: Frame, name: str) -> Frame:
+        return self._var_frame(name)
+
+    def _step_Bind(self, frame: Frame, name: str) -> Frame:
+        return frame.with_binding(name)
+
+    # ==================================================================
+    # Terminals
+    # ==================================================================
+
+    def _step_Count(self, frame: Frame, _=None) -> Terminal:
+        return Terminal(len(frame), len(frame))
+
+    def _step_Exists(self, frame: Frame, _=None) -> Terminal:
+        return Terminal(len(frame) > 0, 1 if len(frame) else 0)
+
+    def _step_Id(self, frame: Frame, _=None) -> Terminal:
+        return Terminal([int(i) for i in frame.ids], len(frame))
+
+    def _step_Label(self, frame: Frame, _=None) -> Terminal:
+        labels = []
+        for i in range(len(frame)):
+            record = (
+                self.store.node(int(frame.ids[i]))
+                if frame.kind == "nodes"
+                else self.store.edge(int(frame.ids[i]))
+            )
+            labels.append(record.label)
+        return Terminal(labels, len(frame))
+
+    def _step_Values(self, frame: Frame, props: list[str]) -> Terminal:
+        out = []
+        for i in range(len(frame)):
+            element = self.ex.element_at(frame, i)
+            for prop in props:
+                value = element.get(prop)
+                if value is not MISSING:
+                    out.append(V.to_plain(value))
+        return Terminal(out, len(frame))
+
+    def _value_map_row(self, frame: Frame, i: int, props: list[str] | None) -> dict:
+        if props is None:
+            return self.ex.encode_element(frame, i, None)
+        element = self.ex.element_at(frame, i)
+        row = {}
+        for prop in props:
+            value = element.get(prop)
+            if value is not MISSING:
+                row[prop] = V.to_plain(value)
+        return row
+
+    def _step_ValueMap(self, frame: Frame, props: Any) -> Terminal:
+        rows = [self._value_map_row(frame, i, props) for i in range(len(frame))]
+        return Terminal(rows, len(frame))
+
+    def _step_Project(self, frame: Frame, projections: list) -> Terminal:
+        rows = []
+        for i in range(len(frame)):
+            element = self.ex.element_at(frame, i)
+            row = {}
+            for proj in projections:
+                if "expr" in proj:
+                    value = eval_expr(proj["expr"], element, self.ctx)
+                    row[proj["alias"]] = None if value is MISSING else V.to_plain(value)
+                else:
+                    value = element.get(proj["source"])
+                    if value is not MISSING:
+                        row[proj["alias"]] = V.to_plain(value)
+            # A projection row always appears, even when every source is
+            # missing (the row is simply sparse).
+            rows.append(row)
+        return Terminal(rows, len(frame))
+
+    def _step_ProjectBindings(self, frame: Frame, body: dict) -> Terminal:
+        rows = []
+        for i in range(len(frame)):
+            row: dict[str, Any] = {}
+            for proj in body["projections"]:
+                alias = proj["alias"]
+                if proj["kind"] == "Property":
+                    value = self._binding_value(frame, i, proj["target"], proj["source"])
+                    row[alias] = None if value is MISSING else V.to_plain(value)
+                else:  # Coalesce
+                    row[alias] = None
+                    for ref in proj["refs"]:
+                        value = self._binding_value(
+                            frame, i, ref["target"], ref["source"]
+                        )
+                        if value is not MISSING and not V.is_null(value):
+                            row[alias] = V.to_plain(value)
+                            break
+            rows.append(row)
+        if body.get("distinct"):
+            seen = set()
+            unique_rows = []
+            for row in rows:
+                key = json.dumps(row, sort_keys=True, default=str)
+                if key not in seen:
+                    seen.add(key)
+                    unique_rows.append(row)
+            rows = unique_rows
+        return Terminal(rows, len(rows))
+
+    def _binding_value(self, frame: Frame, i: int, target: Any, source: str) -> Tagged:
+        if target == "Current":
+            return self.ex.element_at(frame, i).get(source)
+        name = target["Binding"]
+        binding = frame.bindings.get(name)
+        if binding is None:
+            raise QueryError(f"unknown row binding: {name}")
+        element = Element(
+            binding.kind,
+            int(binding.ids[i]),
+            self.store,
+            None if binding.dist is None else float(binding.dist[i]),
+            None if binding.score is None else float(binding.score[i]),
+        )
+        return element.get(source)
+
+    def _step_EdgeProperties(self, frame: Frame, _=None) -> Terminal:
+        if frame.kind != "edges":
+            raise QueryError("edge_properties requires an edge stream")
+        rows = [self.ex.encode_element(frame, i, None) for i in range(len(frame))]
+        return Terminal(rows, len(frame))
+
+    def _step_Group(self, frame: Frame, prop: str) -> Terminal:
+        groups: dict[str, list] = {}
+        for i in range(len(frame)):
+            value = self.ex.element_at(frame, i).get(prop)
+            key = _group_key(value)
+            groups.setdefault(key, []).append(self.ex.encode_element(frame, i, None))
+        return Terminal(groups, len(frame))
+
+    def _step_GroupCount(self, frame: Frame, prop: str) -> Terminal:
+        counts: dict[str, int] = {}
+        for i in range(len(frame)):
+            value = self.ex.element_at(frame, i).get(prop)
+            key = _group_key(value)
+            counts[key] = counts.get(key, 0) + 1
+        return Terminal(counts, len(frame))
+
+    def _step_AggregateBy(self, frame: Frame, body: list) -> Terminal:
+        fn, prop = body
+        if fn == "Count":
+            return Terminal(len(frame), len(frame))
+        nums = []
+        for i in range(len(frame)):
+            value = self.ex.element_at(frame, i).get(prop)
+            num = None if value is MISSING else V.as_number(value)
+            if num is not None:
+                nums.append(num)
+        if not nums:
+            return Terminal(None, len(frame))
+        if fn == "Sum":
+            out: Any = sum(nums)
+        elif fn == "Min":
+            out = min(nums)
+        elif fn == "Max":
+            out = max(nums)
+        elif fn == "Mean":
+            out = sum(nums) / len(nums)
+        else:
+            raise QueryError(f"unknown aggregate function: {fn}")
+        return Terminal(out, len(frame))
+
+    # ==================================================================
+    # Index DDL
+    # ==================================================================
+
+    def _require_write(self) -> UndoLog:
+        if self.undo is None:
+            raise QueryError("mutations require a write batch")
+        return self.undo
+
+    def _step_CreateIndex(self, frame: Frame, body: dict) -> Terminal:
+        undo = self._require_write()
+        spec = body["spec"]
+        existed = self._index_exists(spec)
+        self.store.create_index(spec, bool(body.get("if_not_exists", False)))
+        if not existed:
+            undo.record(lambda: self.store.drop_index(spec))
+        return Terminal(True, 1)
+
+    def _index_exists(self, spec: dict) -> bool:
+        tag = next(iter(spec))
+        fields = spec[tag]
+        return (tag, fields["label"], fields["property"]) in self.store.indexes
+
+    def _step_DropIndex(self, frame: Frame, body: dict) -> Terminal:
+        undo = self._require_write()
+        spec = body["spec"]
+        tag = next(iter(spec))
+        fields = spec[tag]
+        existing = self.store.indexes.get((tag, fields["label"], fields["property"]))
+        self.store.drop_index(spec)
+        if existing is not None:
+            undo.record(lambda: self.store.create_index(spec, True))
+        return Terminal(True, 1)
+
+    def _legacy_index(self, frame: Frame, body: dict, tag: str) -> Terminal:
+        spec_fields: dict[str, Any] = {
+            "label": body["label"],
+            "property": body["property"],
+        }
+        if body.get("tenant_property") is not None:
+            spec_fields["tenant_property"] = body["tenant_property"]
+        return self._step_CreateIndex(
+            frame, {"spec": {tag: spec_fields}, "if_not_exists": True}
+        )
+
+    def _step_CreateVectorIndexNodes(self, frame: Frame, body: dict) -> Terminal:
+        return self._legacy_index(frame, body, "NodeVector")
+
+    def _step_CreateVectorIndexEdges(self, frame: Frame, body: dict) -> Terminal:
+        return self._legacy_index(frame, body, "EdgeVector")
+
+    def _step_CreateTextIndexNodes(self, frame: Frame, body: dict) -> Terminal:
+        return self._legacy_index(frame, body, "NodeText")
+
+    def _step_CreateTextIndexEdges(self, frame: Frame, body: dict) -> Terminal:
+        return self._legacy_index(frame, body, "EdgeText")
+
+    # ==================================================================
+    # Mutations
+    # ==================================================================
+
+    def _step_AddN(self, frame: Frame, body: dict) -> Frame:
+        undo = self._require_write()
+        props = {name: self._resolve_input(node) for name, node in body["properties"]}
+        node_id = self.store.add_node(body["label"], props)
+        undo.record(lambda: self.store.raw_remove_node(node_id))
+        return Frame.nodes(np.array([node_id], UINT64))
+
+    def _step_AddE(self, frame: Frame, body: dict) -> Frame:
+        undo = self._require_write()
+        if frame.kind != "nodes":
+            raise QueryError("add_e requires a node stream as the edge source")
+        targets = self._node_ids_from_ref(body["to"], strict=True)
+        props = {name: self._resolve_input(node) for name, node in body["properties"]}
+        for src in frame.ids:
+            for dst in targets:
+                edge_id = self.store.add_edge(body["label"], int(src), int(dst), dict(props))
+                undo.record(lambda eid=edge_id: self.store.raw_remove_edge(eid))
+        return frame
+
+    def _step_SetProperty(self, frame: Frame, body: list) -> Frame:
+        undo = self._require_write()
+        name, input_node = body
+        kind = "node" if frame.kind == "nodes" else "edge"
+        values = self._input_per_element(frame, input_node)
+        for i in range(len(frame)):
+            element_id = int(frame.ids[i])
+            record = (
+                self.store.node(element_id) if kind == "node" else self.store.edge(element_id)
+            )
+            old = record.props.get(name)
+            self.store.set_property(kind, element_id, name, values[i])
+            undo.record(
+                lambda k=kind, e=element_id, n=name, o=old: self.store.raw_restore_prop(
+                    k, e, n, o
+                )
+            )
+        return frame
+
+    def _step_RemoveProperty(self, frame: Frame, name: str) -> Frame:
+        undo = self._require_write()
+        kind = "node" if frame.kind == "nodes" else "edge"
+        for i in range(len(frame)):
+            element_id = int(frame.ids[i])
+            record = (
+                self.store.node(element_id) if kind == "node" else self.store.edge(element_id)
+            )
+            old = record.props.get(name)
+            self.store.remove_property(kind, element_id, name)
+            undo.record(
+                lambda k=kind, e=element_id, n=name, o=old: self.store.raw_restore_prop(
+                    k, e, n, o
+                )
+            )
+        return frame
+
+    def _drop_edge_logged(self, undo: UndoLog, edge_id: int) -> None:
+        edge = self.store.edges.get(edge_id)
+        if edge is None:
+            return
+        self.store.drop_edge(edge_id)
+        undo.record(lambda e=edge: self.store.raw_restore_edge(e))
+
+    def _step_Drop(self, frame: Frame, _=None) -> Frame:
+        undo = self._require_write()
+        if frame.kind == "edges":
+            for eid in frame.ids:
+                self._drop_edge_logged(undo, int(eid))
+        else:
+            for nid in frame.ids:
+                node = self.store.nodes.get(int(nid))
+                if node is None:
+                    continue
+                for eid in list(self.store.out_adj.get(int(nid), ())) + list(
+                    self.store.in_adj.get(int(nid), ())
+                ):
+                    self._drop_edge_logged(undo, eid)
+                self.store.raw_remove_node(int(nid))
+                undo.record(lambda n=node: self.store.raw_restore_node(n))
+        return Frame.empty(frame.kind)
+
+    def _step_DropEdge(self, frame: Frame, to_ref: Any) -> Frame:
+        return self._drop_edges_to(frame, to_ref, label=None)
+
+    def _step_DropEdgeLabeled(self, frame: Frame, body: dict) -> Frame:
+        return self._drop_edges_to(frame, body["to"], label=body["label"])
+
+    def _drop_edges_to(self, frame: Frame, to_ref: Any, label: str | None) -> Frame:
+        undo = self._require_write()
+        targets = set(int(i) for i in self._node_ids_from_ref(to_ref))
+        for nid in frame.ids:
+            for eid in list(self.store.out_adj.get(int(nid), ())):
+                edge = self.store.edges[eid]
+                if edge.dst in targets and (label is None or edge.label == label):
+                    self._drop_edge_logged(undo, eid)
+        return frame
+
+    def _step_DropEdgeById(self, frame: Frame, ref: Any) -> Frame:
+        undo = self._require_write()
+        tag = next(iter(ref))
+        if tag == "Ids":
+            ids = [int(i) for i in ref[tag]]
+        elif tag == "Var":
+            ids = [int(i) for i in self._var_frame(ref[tag]).ids]
+        elif tag == "Param":
+            ids = [int(i) for i in self._ids_from_tagged(self.ctx.param(ref[tag]), node=False)]
+        else:
+            raise QueryError(f"unknown edge ref: {tag}")
+        for eid in ids:
+            self._drop_edge_logged(undo, eid)
+        return frame
+
+    # ==================================================================
+    # Control flow
+    # ==================================================================
+
+    def _step_Union(self, frame: Frame, subs: list) -> Frame:
+        outputs = [self.run_sub(frame.copy(), sub) for sub in subs]
+        outputs = [o for o in outputs if len(o) > 0]
+        if not outputs:
+            return Frame.empty(frame.kind)
+        return concat_frames(outputs)
+
+    def _step_Choose(self, frame: Frame, body: dict) -> Frame:
+        matches = self._elementwise_mask(frame, body["condition"])
+        then_frame = frame.mask(matches)
+        else_frame = frame.mask(~matches)
+        outputs = []
+        if len(then_frame):
+            outputs.append(self.run_sub(then_frame, body["then_traversal"]))
+        if len(else_frame):
+            else_sub = body.get("else_traversal")
+            outputs.append(
+                self.run_sub(else_frame, else_sub) if else_sub is not None else else_frame
+            )
+        outputs = [o for o in outputs if len(o) > 0]
+        return concat_frames(outputs) if outputs else Frame.empty(frame.kind)
+
+    def _step_Coalesce(self, frame: Frame, subs: list) -> Frame:
+        pending = np.arange(len(frame), dtype=np.int64)
+        outputs = []
+        for sub in subs:
+            if len(pending) == 0:
+                break
+            attempt = frame.take(pending).reset_src()
+            out = self.run_sub(attempt, sub)
+            if len(out) == 0:
+                continue
+            covered_local = np.unique(out.src)
+            outputs.append(out)
+            covered_abs = set(int(i) for i in pending[covered_local])
+            pending = np.array(
+                [i for i in pending if int(i) not in covered_abs], np.int64
+            )
+        outputs = [o for o in outputs if len(o) > 0]
+        return concat_frames(outputs) if outputs else Frame.empty(frame.kind)
+
+    def _step_Optional(self, frame: Frame, sub: dict) -> Frame:
+        out = self.run_sub(frame.reset_src(), sub)
+        covered = set(int(i) for i in np.unique(out.src)) if len(out) else set()
+        missing_rows = np.array(
+            [i for i in range(len(frame)) if i not in covered], np.int64
+        )
+        keep = frame.take(missing_rows)
+        parts = [p for p in (out, keep) if len(p) > 0]
+        if not parts:
+            return Frame.empty(frame.kind)
+        return concat_frames(parts)
+
+    def _step_Repeat(self, frame: Frame, config: dict) -> Frame:
+        times = config.get("times")
+        until = config.get("until")
+        emit = config.get("emit", "None")
+        emit_pred = config.get("emit_predicate")
+        max_depth = config.get("max_depth", 100)
+        bound = min(times, max_depth) if times is not None else max_depth
+        traversal = config["traversal"]
+
+        frontier = frame
+        emitted: list[Frame] = []
+        finished: list[Frame] = []
+        for _ in range(bound):
+            if len(frontier) == 0:
+                break
+            if emit in ("Before", "All"):
+                emitted.append(self._emit_filter(frontier, emit_pred))
+            frontier = self.run_sub(frontier, traversal)
+            if emit in ("After", "All"):
+                emitted.append(self._emit_filter(frontier, emit_pred))
+            if until is not None and len(frontier):
+                done = self._elementwise_mask(frontier, until)
+                finished.append(frontier.mask(done))
+                frontier = frontier.mask(~done)
+                if len(frontier) == 0:
+                    break
+        parts = [p for p in emitted + finished + [frontier] if len(p) > 0]
+        if not parts:
+            return Frame.empty(frame.kind)
+        return concat_frames(parts)
+
+    def _emit_filter(self, frame: Frame, emit_pred: Any) -> Frame:
+        if emit_pred is None:
+            return frame.copy()
+        return frame.mask(self._elementwise_mask(frame, emit_pred))
+
+    def _elementwise_mask(self, frame: Frame, predicate: Any) -> np.ndarray:
+        out = np.empty(len(frame), bool)
+        for i in range(len(frame)):
+            out[i] = eval_predicate(predicate, self.ex.element_at(frame, i), self.ctx)
+        return out
+
+
+def _neg_key(key: Any):
+    """Invert a comparable key for descending sorts."""
+    family, value = key
+    if family == "num":
+        return (family, -value)
+    if family in ("str", "bytes"):
+        return (family, _InvertedStr(value))
+    if family == "bool":
+        return (family, not value)
+    return (family, value)
+
+
+class _InvertedStr:
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+    def __lt__(self, other):
+        return self.value > other.value
+
+    def __eq__(self, other):
+        return self.value == other.value
+
+
+def _group_key(value: Tagged) -> str:
+    if value is MISSING or V.is_null(value):
+        return "null"
+    plain = V.to_plain(value)
+    if isinstance(plain, str):
+        return plain
+    return json.dumps(plain, sort_keys=True, default=str)

@@ -1,0 +1,512 @@
+"""Predicate and expression evaluation.
+
+Two execution paths, chosen per predicate:
+
+- **Vectorized**: predicates over stream elements whose right-hand sides
+  are element-independent (constants or parameters) evaluate as NumPy mask
+  ops over snapshot property columns — the scan path for ``Where``/
+  ``NWhere`` full scans.
+- **Elementwise**: anything element-dependent (``Compare`` over property
+  arithmetic, ``Case``) falls back to per-traverser evaluation over the
+  row store.
+
+Virtual fields follow the reference contract (``dsl.rs:129-155``):
+``$id``, ``$label``, ``$from``, ``$to``, ``$distance``, ``$score``, plus
+``$from.prop`` / ``$to.prop`` endpoint reads used by projections.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import numpy as np
+
+from . import values as V
+from .errors import QueryError
+from .frame import Frame
+from .snapshot import GraphSnapshot
+from .store import GraphStore
+
+Tagged = Any
+MISSING = V.MISSING
+
+
+class EvalContext:
+    """Per-request evaluation state: bound parameters + batch clock."""
+
+    __slots__ = ("params", "now_ms")
+
+    def __init__(self, params: dict[str, Tagged] | None = None):
+        self.params = params or {}
+        self.now_ms = int(time.time() * 1000)
+
+    def param(self, path: str) -> Tagged:
+        if path in self.params:
+            return self.params[path]
+        head, _, rest = path.partition(".")
+        if head not in self.params:
+            raise QueryError(f"unknown parameter: {path}")
+        value = self.params[head]
+        for part in rest.split(".") if rest else []:
+            if isinstance(value, dict) and V.tag_of(value) == "Object":
+                inner = V.payload_of(value)
+                if part in inner:
+                    value = inner[part]
+                    continue
+            raise QueryError(f"unknown parameter path: {path}")
+        return value
+
+    def child(self, name: str, value: Tagged) -> "EvalContext":
+        params = dict(self.params)
+        params[name] = value
+        ctx = EvalContext(params)
+        ctx.now_ms = self.now_ms
+        return ctx
+
+
+class Element:
+    """Elementwise accessor for one traverser."""
+
+    __slots__ = ("kind", "id", "store", "dist", "score")
+
+    def __init__(self, kind: str, element_id: int, store: GraphStore,
+                 dist: float | None = None, score: float | None = None):
+        self.kind = kind
+        self.id = element_id
+        self.store = store
+        self.dist = dist
+        self.score = score
+
+    def _record(self):
+        return (
+            self.store.node(self.id) if self.kind == "nodes"
+            else self.store.edge(self.id)
+        )
+
+    def get(self, path: str) -> Tagged:
+        if path.startswith("$"):
+            return self._virtual(path)
+        return V.get_path(self._record().props, path)
+
+    def _virtual(self, path: str) -> Tagged:
+        if path == "$id":
+            return {"I64": self.id}
+        if path == "$label":
+            return {"String": self._record().label}
+        if path == "$distance":
+            return MISSING if self.dist is None or np.isnan(self.dist) else {"F64": float(self.dist)}
+        if path == "$score":
+            return MISSING if self.score is None or np.isnan(self.score) else {"F64": float(self.score)}
+        if path == "$from" or path == "$to":
+            if self.kind != "edges":
+                return MISSING
+            edge = self._record()
+            return {"I64": edge.src if path == "$from" else edge.dst}
+        if path.startswith("$from.") or path.startswith("$to."):
+            if self.kind != "edges":
+                return MISSING
+            edge = self._record()
+            endpoint = edge.src if path.startswith("$from.") else edge.dst
+            sub = path.split(".", 1)[1]
+            return Element("nodes", endpoint, self.store).get(sub)
+        return MISSING
+
+
+def eval_expr(node: Any, element: Element | None, ctx: EvalContext) -> Tagged:
+    """Evaluate an Expr AST node to a tagged value (or MISSING)."""
+    if node == "Id":
+        if element is None:
+            return MISSING
+        return {"I64": element.id}
+    if node == "Timestamp":
+        return {"I64": ctx.now_ms}
+    if node == "DateTimeNow":
+        return {"DateTime": ctx.now_ms}
+    tag = next(iter(node))
+    body = node[tag]
+    if tag == "Property":
+        return element.get(body) if element is not None else MISSING
+    if tag == "Constant":
+        return body
+    if tag == "Param":
+        return ctx.param(body)
+    if tag in ("Add", "Sub", "Mul", "Div", "Mod"):
+        left = eval_expr(body[0], element, ctx)
+        right = eval_expr(body[1], element, ctx)
+        a, b = V.as_number(left) if left is not MISSING else None, (
+            V.as_number(right) if right is not MISSING else None
+        )
+        if a is None or b is None:
+            return MISSING
+        try:
+            if tag == "Add":
+                out = a + b
+            elif tag == "Sub":
+                out = a - b
+            elif tag == "Mul":
+                out = a * b
+            elif tag == "Div":
+                out = a / b if isinstance(a, float) or isinstance(b, float) else a // b
+            else:
+                out = a % b
+        except ZeroDivisionError:
+            raise QueryError("division by zero in expression") from None
+        if isinstance(out, int):
+            return {"I64": out}
+        return {"F64": float(out)}
+    if tag == "Neg":
+        inner = eval_expr(body, element, ctx)
+        n = V.as_number(inner) if inner is not MISSING else None
+        if n is None:
+            return MISSING
+        return {"I64": -n} if isinstance(n, int) else {"F64": -n}
+    if tag == "Case":
+        for pred, expr in body["when_then"]:
+            if eval_predicate(pred, element, ctx):
+                return eval_expr(expr, element, ctx)
+        else_expr = body.get("else_expr")
+        if else_expr is None:
+            return "Null"
+        return eval_expr(else_expr, element, ctx)
+    raise QueryError(f"unknown expression variant: {tag}")
+
+
+def _cmp_tagged(op: str, left: Tagged, right: Tagged) -> bool:
+    if left is MISSING or right is MISSING:
+        return False
+    if op == "Eq":
+        return V.equals(left, right)
+    if op == "Neq":
+        return not V.is_null(left) and not V.is_null(right) and not V.equals(left, right)
+    cmp = V.compare(left, right)
+    if cmp is None:
+        return False
+    if op == "Gt":
+        return cmp > 0
+    if op == "Gte":
+        return cmp >= 0
+    if op == "Lt":
+        return cmp < 0
+    if op == "Lte":
+        return cmp <= 0
+    raise QueryError(f"unknown comparison op: {op}")
+
+
+def eval_predicate(node: Any, element: Element | None, ctx: EvalContext) -> bool:
+    """Elementwise predicate evaluation."""
+    tag = next(iter(node)) if isinstance(node, dict) else node
+    body = node[tag] if isinstance(node, dict) else None
+    if tag in ("Eq", "Neq", "Gt", "Gte", "Lt", "Lte"):
+        prop, value = body
+        return _cmp_tagged(tag, element.get(prop), value)
+    if tag in ("EqExpr", "NeqExpr", "GtExpr", "GteExpr", "LtExpr", "LteExpr"):
+        prop, expr = body
+        return _cmp_tagged(tag[:-4], element.get(prop), eval_expr(expr, element, ctx))
+    if tag == "Between":
+        prop, lo, hi = body
+        got = element.get(prop)
+        return _cmp_tagged("Gte", got, lo) and _cmp_tagged("Lte", got, hi)
+    if tag == "BetweenExpr":
+        prop, lo, hi = body
+        got = element.get(prop)
+        return _cmp_tagged("Gte", got, eval_expr(lo, element, ctx)) and _cmp_tagged(
+            "Lte", got, eval_expr(hi, element, ctx)
+        )
+    if tag == "HasKey":
+        return element.get(body) is not MISSING
+    if tag == "IsNull":
+        got = element.get(body)
+        return got is MISSING or V.is_null(got)
+    if tag == "IsNotNull":
+        got = element.get(body)
+        return got is not MISSING and not V.is_null(got)
+    if tag in ("StartsWith", "EndsWith", "Contains"):
+        prop, needle = body
+        got = element.get(prop)
+        text = V.text_of(got) if got is not MISSING else None
+        if text is None:
+            return False
+        if tag == "StartsWith":
+            return text.startswith(needle)
+        if tag == "EndsWith":
+            return text.endswith(needle)
+        return needle in text
+    if tag == "ContainsExpr":
+        prop, expr = body
+        got = element.get(prop)
+        text = V.text_of(got) if got is not MISSING else None
+        needle = eval_expr(expr, element, ctx)
+        needle_text = V.text_of(needle) if needle is not MISSING else None
+        return text is not None and needle_text is not None and needle_text in text
+    if tag == "IsIn":
+        prop, values = body
+        got = element.get(prop)
+        return got is not MISSING and V.contains_member(values, got)
+    if tag == "IsInExpr":
+        prop, expr = body
+        got = element.get(prop)
+        values = eval_expr(expr, element, ctx)
+        return (
+            got is not MISSING and values is not MISSING
+            and V.contains_member(values, got)
+        )
+    if tag == "And":
+        return all(eval_predicate(p, element, ctx) for p in body)
+    if tag == "Or":
+        return any(eval_predicate(p, element, ctx) for p in body)
+    if tag == "Not":
+        return not eval_predicate(body, element, ctx)
+    if tag == "Compare":
+        left = eval_expr(body["left"], element, ctx)
+        right = eval_expr(body["right"], element, ctx)
+        return _cmp_tagged(body["op"], left, right)
+    raise QueryError(f"unknown predicate variant: {tag}")
+
+
+# ---------------------------------------------------------------------------
+# Vectorized path
+# ---------------------------------------------------------------------------
+
+def _resolve_static(node: Any, ctx: EvalContext) -> Tagged:
+    """Evaluate an element-independent expr; MISSING if element-dependent."""
+    if node == "Timestamp":
+        return {"I64": ctx.now_ms}
+    if node == "DateTimeNow":
+        return {"DateTime": ctx.now_ms}
+    if not isinstance(node, dict):
+        return MISSING
+    tag = next(iter(node))
+    if tag == "Constant":
+        return node[tag]
+    if tag == "Param":
+        return ctx.param(node[tag])
+    return MISSING
+
+
+def predicate_mask(
+    snap: GraphSnapshot,
+    store: GraphStore,
+    frame: Frame,
+    slots: np.ndarray,
+    node: Any,
+    ctx: EvalContext,
+) -> np.ndarray:
+    """Vectorized predicate mask over an element frame, with elementwise
+    fallback for the variants the columnar path cannot express."""
+    kind = "node" if frame.kind == "nodes" else "edge"
+    mask = _try_vector_mask(snap, kind, frame, slots, node, ctx)
+    if mask is not None:
+        return mask
+    out = np.empty(len(frame), bool)
+    for i in range(len(frame)):
+        element = Element(
+            frame.kind,
+            int(frame.ids[i]),
+            store,
+            None if frame.dist is None else float(frame.dist[i]),
+            None if frame.score is None else float(frame.score[i]),
+        )
+        out[i] = eval_predicate(node, element, ctx)
+    return out
+
+
+def _label_codes(snap: GraphSnapshot, kind: str, slots: np.ndarray) -> np.ndarray:
+    if kind == "node":
+        return snap.node_label_codes[slots]
+    return snap.edge_label_codes[slots]
+
+
+def _try_vector_mask(
+    snap: GraphSnapshot,
+    kind: str,
+    frame: Frame,
+    slots: np.ndarray,
+    node: Any,
+    ctx: EvalContext,
+) -> np.ndarray | None:
+    tag = next(iter(node)) if isinstance(node, dict) else node
+    body = node[tag] if isinstance(node, dict) else None
+
+    if tag == "And" or tag == "Or":
+        parts = []
+        for sub in body:
+            m = _try_vector_mask(snap, kind, frame, slots, sub, ctx)
+            if m is None:
+                return None
+            parts.append(m)
+        if not parts:
+            return np.ones(len(slots), bool)
+        out = parts[0]
+        for m in parts[1:]:
+            out = (out & m) if tag == "And" else (out | m)
+        return out
+    if tag == "Not":
+        m = _try_vector_mask(snap, kind, frame, slots, body, ctx)
+        return None if m is None else ~m
+
+    if tag in ("Eq", "Neq", "Gt", "Gte", "Lt", "Lte",
+               "EqExpr", "NeqExpr", "GtExpr", "GteExpr", "LtExpr", "LteExpr"):
+        if tag.endswith("Expr"):
+            op = tag[:-4]
+            prop, expr = body
+            value = _resolve_static(expr, ctx)
+            if value is MISSING:
+                return None
+        else:
+            op = tag
+            prop, value = body
+        return _column_cmp(snap, kind, frame, slots, prop, op, value)
+
+    if tag == "Between" or tag == "BetweenExpr":
+        if tag == "Between":
+            prop, lo, hi = body
+        else:
+            prop, lo_e, hi_e = body
+            lo = _resolve_static(lo_e, ctx)
+            hi = _resolve_static(hi_e, ctx)
+            if lo is MISSING or hi is MISSING:
+                return None
+        m1 = _column_cmp(snap, kind, frame, slots, prop, "Gte", lo)
+        m2 = _column_cmp(snap, kind, frame, slots, prop, "Lte", hi)
+        if m1 is None or m2 is None:
+            return None
+        return m1 & m2
+
+    if tag in ("HasKey", "IsNull", "IsNotNull"):
+        if body.startswith("$"):
+            return None
+        col = snap.column(kind, body)
+        present = col.present[slots]
+        if tag == "HasKey":
+            # present[] misses explicit Nulls; HasKey must also count those.
+            return _haskey_mask(snap, kind, frame, slots, body, present)
+        if tag == "IsNull":
+            return ~present
+        return present
+
+    if tag in ("StartsWith", "EndsWith", "Contains"):
+        prop, needle = body
+        if prop.startswith("$"):
+            return None
+        col = snap.column(kind, prop)
+        if col.strings is None:
+            return np.zeros(len(slots), bool)
+        sub = col.strings[slots]
+        out = np.zeros(len(slots), bool)
+        for i, s in enumerate(sub):
+            if s is None:
+                continue
+            if tag == "StartsWith":
+                out[i] = s.startswith(needle)
+            elif tag == "EndsWith":
+                out[i] = s.endswith(needle)
+            else:
+                out[i] = needle in s
+        return out
+
+    return None
+
+
+def _haskey_mask(snap, kind, frame, slots, prop, present):
+    store_table = snap._store.nodes if kind == "node" else snap._store.edges
+    ids = frame.ids
+    out = present.copy()
+    unknown = np.nonzero(~present)[0]
+    for i in unknown:
+        rec = store_table.get(int(ids[i]))
+        if rec is not None and V.get_path(rec.props, prop) is not MISSING:
+            out[i] = True
+    return out
+
+
+def _column_cmp(
+    snap: GraphSnapshot,
+    kind: str,
+    frame: Frame,
+    slots: np.ndarray,
+    prop: str,
+    op: str,
+    value: Tagged,
+) -> np.ndarray | None:
+    if prop == "$label":
+        text = V.text_of(value)
+        if text is None:
+            return np.zeros(len(slots), bool)
+        code_map = snap.label_code if kind == "node" else snap.edge_label_code
+        code = code_map.get(text, -1)
+        codes = _label_codes(snap, kind, slots)
+        if op == "Eq":
+            return codes == code
+        if op == "Neq":
+            return codes != code
+        return None
+    if prop == "$id":
+        num = V.as_number(value)
+        if num is None:
+            return np.zeros(len(slots), bool)
+        ids = frame.ids.astype(np.float64)
+        return _np_cmp(op, ids, float(num), np.ones(len(slots), bool))
+    if prop == "$distance" or prop == "$score":
+        colv = frame.dist if prop == "$distance" else frame.score
+        if colv is None:
+            return np.zeros(len(slots), bool)
+        num = V.as_number(value)
+        if num is None:
+            return np.zeros(len(slots), bool)
+        return _np_cmp(op, colv, float(num), ~np.isnan(colv))
+    if prop.startswith("$"):
+        return None
+
+    col = snap.column(kind, prop)
+    num = V.as_number(value)
+    if num is not None:
+        data = col.numeric[slots]
+        valid = col.numeric_mask[slots]
+        return _np_cmp(op, data, float(num), valid)
+    text = V.text_of(value)
+    if text is not None:
+        if col.strings is None:
+            return (
+                np.ones(len(slots), bool) if op == "Neq" and False
+                else np.zeros(len(slots), bool)
+            )
+        sub = col.strings[slots]
+        out = np.zeros(len(slots), bool)
+        for i, s in enumerate(sub):
+            if s is None:
+                continue
+            if op == "Eq":
+                out[i] = s == text
+            elif op == "Neq":
+                out[i] = s != text
+            elif op == "Gt":
+                out[i] = s > text
+            elif op == "Gte":
+                out[i] = s >= text
+            elif op == "Lt":
+                out[i] = s < text
+            elif op == "Lte":
+                out[i] = s <= text
+        return out
+    if V.tag_of(value) == "Bool":
+        # Bools live in the numeric column as 0/1 but only when the stored
+        # tag was Bool; fall back elementwise to respect family rules.
+        return None
+    return None
+
+
+def _np_cmp(op: str, data: np.ndarray, rhs: float, valid: np.ndarray) -> np.ndarray:
+    if op == "Eq":
+        out = data == rhs
+    elif op == "Neq":
+        out = data != rhs
+    elif op == "Gt":
+        out = data > rhs
+    elif op == "Gte":
+        out = data >= rhs
+    elif op == "Lt":
+        out = data < rhs
+    else:
+        out = data <= rhs
+    return out & valid

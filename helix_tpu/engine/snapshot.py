@@ -1,0 +1,202 @@
+"""Columnar / CSR snapshots of the graph store.
+
+Rebuilt lazily per mutation epoch, these arrays are the interpreter's (and
+the TPU kernels') view of the graph: packed node/edge id arrays, interned
+label codes, CSR adjacency in both directions, and per-property columns.
+This is the device-ready layout the build plan calls for (SURVEY.md §7.2):
+``indptr/indices`` CSR per direction plus property columns, with only
+predicate-relevant columns promoted to device.
+
+All arrays here are NumPy; JAX device copies are created on demand by the
+ops layer and cached keyed on (epoch, name).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from . import values as V
+from .store import GraphStore
+
+UINT64 = np.uint64
+
+
+def gather_ranges(
+    indptr: np.ndarray, slots: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized CSR range gather.
+
+    For each row ``slots[i]``, yields the positions
+    ``indptr[slot] .. indptr[slot+1]`` flattened, plus ``src_rows`` mapping
+    every output back to its originating input row ``i``.
+    """
+    starts = indptr[slots]
+    degrees = indptr[slots + 1] - starts
+    total = int(degrees.sum())
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    src_rows = np.repeat(np.arange(len(slots), dtype=np.int64), degrees)
+    # positions = starts[src] + intra-range offset
+    cum = np.concatenate(([0], np.cumsum(degrees)))[:-1]
+    offsets = np.arange(total, dtype=np.int64) - np.repeat(cum, degrees)
+    positions = np.repeat(starts, degrees) + offsets
+    return src_rows, positions
+
+
+class PropertyColumn:
+    """One property over all elements of a kind, aligned to snapshot slots."""
+
+    __slots__ = ("numeric", "numeric_mask", "strings", "string_mask", "present")
+
+    def __init__(self, n: int):
+        self.numeric = np.zeros(n, np.float64)
+        self.numeric_mask = np.zeros(n, bool)
+        self.strings: np.ndarray | None = None  # object array, lazily
+        self.string_mask: np.ndarray | None = None
+        self.present = np.zeros(n, bool)
+
+
+class GraphSnapshot:
+    """Immutable columnar view of one store epoch."""
+
+    def __init__(self, store: GraphStore):
+        self.epoch = store.epoch
+        self._store = store
+
+        # ---- nodes ----
+        self.node_ids = np.array(store.node_order, dtype=UINT64)
+        self.n_nodes = len(self.node_ids)
+        self.node_labels: list[str] = []
+        self.label_code: dict[str, int] = {}
+        codes = np.empty(self.n_nodes, np.int32)
+        for i, nid in enumerate(store.node_order):
+            label = store.nodes[nid].label
+            code = self.label_code.get(label)
+            if code is None:
+                code = len(self.node_labels)
+                self.label_code[label] = code
+                self.node_labels.append(label)
+            codes[i] = code
+        self.node_label_codes = codes
+
+        # ---- edges ----
+        self.edge_ids = np.array(store.edge_order, dtype=UINT64)
+        self.n_edges = len(self.edge_ids)
+        self.edge_labels: list[str] = []
+        self.edge_label_code: dict[str, int] = {}
+        e_codes = np.empty(self.n_edges, np.int32)
+        e_src = np.empty(self.n_edges, np.int64)
+        e_dst = np.empty(self.n_edges, np.int64)
+        node_slot = {int(nid): i for i, nid in enumerate(store.node_order)}
+        self._node_slot = node_slot
+        self._edge_slot = {int(eid): i for i, eid in enumerate(store.edge_order)}
+        for i, eid in enumerate(store.edge_order):
+            edge = store.edges[eid]
+            code = self.edge_label_code.get(edge.label)
+            if code is None:
+                code = len(self.edge_labels)
+                self.edge_label_code[edge.label] = code
+                self.edge_labels.append(edge.label)
+            e_codes[i] = code
+            e_src[i] = node_slot[edge.src]
+            e_dst[i] = node_slot[edge.dst]
+        self.edge_label_codes = e_codes
+        self.edge_src = e_src   # node slots
+        self.edge_dst = e_dst
+
+        # ---- CSR adjacency (edge indices sorted by endpoint slot) ----
+        self.out_indptr, self.out_edges = self._build_csr(e_src)
+        self.in_indptr, self.in_edges = self._build_csr(e_dst)
+
+        self._columns: dict[tuple[str, str], PropertyColumn] = {}
+
+    def _build_csr(self, endpoint: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        order = np.argsort(endpoint, kind="stable")
+        counts = np.bincount(endpoint, minlength=self.n_nodes)
+        indptr = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        return indptr, order.astype(np.int64)
+
+    # ---- id <-> slot -----------------------------------------------------
+
+    def node_slots(self, ids: np.ndarray) -> np.ndarray:
+        """Map node ids to slots; raises KeyError on unknown ids."""
+        return np.fromiter(
+            (self._node_slot[int(i)] for i in ids), np.int64, count=len(ids)
+        )
+
+    def node_slots_or_neg(self, ids: np.ndarray) -> np.ndarray:
+        get = self._node_slot.get
+        return np.fromiter(
+            (get(int(i), -1) for i in ids), np.int64, count=len(ids)
+        )
+
+    def edge_slots(self, ids: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (self._edge_slot[int(i)] for i in ids), np.int64, count=len(ids)
+        )
+
+    def edge_slots_or_neg(self, ids: np.ndarray) -> np.ndarray:
+        get = self._edge_slot.get
+        return np.fromiter(
+            (get(int(i), -1) for i in ids), np.int64, count=len(ids)
+        )
+
+    # ---- property columns --------------------------------------------------
+
+    def column(self, kind: str, prop: str) -> PropertyColumn:
+        key = (kind, prop)
+        col = self._columns.get(key)
+        if col is not None:
+            return col
+        if kind == "node":
+            order = self._store.node_order
+            table = self._store.nodes
+            n = self.n_nodes
+        else:
+            order = self._store.edge_order
+            table = self._store.edges
+            n = self.n_edges
+        col = PropertyColumn(n)
+        strings: list[Any] = []
+        any_string = False
+        for i, eid in enumerate(order):
+            value = V.get_path(table[eid].props, prop)
+            if value is V.MISSING or V.is_null(value):
+                strings.append(None)
+                continue
+            col.present[i] = True
+            num = V.as_number(value)
+            if num is not None:
+                col.numeric[i] = float(num)
+                col.numeric_mask[i] = True
+                strings.append(None)
+            elif V.tag_of(value) == "String":
+                strings.append(V.payload_of(value))
+                any_string = True
+            elif V.tag_of(value) == "Bool":
+                col.numeric[i] = 1.0 if V.payload_of(value) else 0.0
+                strings.append(None)
+            else:
+                strings.append(None)
+        if any_string:
+            col.strings = np.array(strings, dtype=object)
+            col.string_mask = np.array([s is not None for s in strings], bool)
+        self._columns[key] = col
+        return col
+
+
+class SnapshotCache:
+    """Epoch-keyed snapshot holder attached to a store."""
+
+    def __init__(self, store: GraphStore):
+        self._store = store
+        self._snapshot: GraphSnapshot | None = None
+
+    def get(self) -> GraphSnapshot:
+        snap = self._snapshot
+        if snap is None or snap.epoch != self._store.epoch:
+            snap = GraphSnapshot(self._store)
+            self._snapshot = snap
+        return snap

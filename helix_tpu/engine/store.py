@@ -1,0 +1,490 @@
+"""Authoritative host-side graph store.
+
+Single-writer, in-memory row store with incremental adjacency, label
+interning, and an index registry.  The TPU never sees this structure —
+the interpreter reads device-ready columnar snapshots built from it by
+:mod:`helix_tpu.engine.snapshot`, refreshed per mutation epoch (the
+TPU-native analog of the reference's LMDB/S3-backed engine storage;
+reference topology: single writer + replicated readers, ``README.md:248``).
+
+Node and edge IDs are u64 counters in separate namespaces (reference
+``sdks/rust/src/dsl.rs:896-900``).
+"""
+
+from __future__ import annotations
+
+import bisect
+import json
+from typing import Any, Iterable
+
+from . import values as V
+from .errors import QueryError, WriteError
+
+Tagged = Any
+
+
+class Node:
+    __slots__ = ("id", "label", "props")
+
+    def __init__(self, node_id: int, label: str, props: dict[str, Tagged]):
+        self.id = node_id
+        self.label = label
+        self.props = props
+
+
+class Edge:
+    __slots__ = ("id", "label", "src", "dst", "props")
+
+    def __init__(self, edge_id: int, label: str, src: int, dst: int, props: dict[str, Tagged]):
+        self.id = edge_id
+        self.label = label
+        self.src = src
+        self.dst = dst
+        self.props = props
+
+
+def index_key(value: Tagged) -> Any:
+    """Hashable index key with cross-tag numeric equality."""
+    comp = V.as_comparable(value)
+    if comp is not None:
+        return comp
+    return ("json", json.dumps(V.to_plain(value), sort_keys=True, default=str))
+
+
+class EqualityIndex:
+    """Hash index over one property of one label; optionally unique."""
+
+    def __init__(self, label: str, prop: str, unique: bool):
+        self.label = label
+        self.prop = prop
+        self.unique = unique
+        self.buckets: dict[Any, list[int]] = {}
+
+    def insert(self, element_id: int, value: Tagged) -> None:
+        key = index_key(value)
+        bucket = self.buckets.setdefault(key, [])
+        if self.unique and bucket:
+            raise WriteError(
+                f"unique index violation on {self.label}.{self.prop}: "
+                f"{V.to_plain(value)!r} already exists"
+            )
+        bucket.append(element_id)
+
+    def remove(self, element_id: int, value: Tagged) -> None:
+        key = index_key(value)
+        bucket = self.buckets.get(key)
+        if bucket and element_id in bucket:
+            bucket.remove(element_id)
+            if not bucket:
+                del self.buckets[key]
+
+    def lookup(self, value: Tagged) -> list[int]:
+        return list(self.buckets.get(index_key(value), ()))
+
+
+class RangeIndex:
+    """Sorted index over one numeric/string property of one label."""
+
+    def __init__(self, label: str, prop: str, direction: str = "Asc"):
+        self.label = label
+        self.prop = prop
+        self.direction = direction
+        self.keys: list[Any] = []       # comparable sort keys
+        self.ids: list[int] = []        # parallel element ids
+
+    @staticmethod
+    def sort_key(value: Tagged) -> Any:
+        comp = V.as_comparable(value)
+        if comp is None:
+            return None
+        return comp
+
+    def insert(self, element_id: int, value: Tagged) -> None:
+        key = self.sort_key(value)
+        if key is None:
+            return
+        pos = bisect.bisect_right(self.keys, key)
+        self.keys.insert(pos, key)
+        self.ids.insert(pos, element_id)
+
+    def remove(self, element_id: int, value: Tagged) -> None:
+        key = self.sort_key(value)
+        if key is None:
+            return
+        lo = bisect.bisect_left(self.keys, key)
+        hi = bisect.bisect_right(self.keys, key)
+        for i in range(lo, hi):
+            if self.ids[i] == element_id:
+                del self.keys[i]
+                del self.ids[i]
+                return
+
+    def scan(
+        self,
+        lo: Tagged | None = None,
+        hi: Tagged | None = None,
+        lo_strict: bool = False,
+        hi_strict: bool = False,
+    ) -> list[int]:
+        start = 0
+        end = len(self.keys)
+        if lo is not None:
+            key = self.sort_key(lo)
+            if key is not None:
+                start = (
+                    bisect.bisect_right(self.keys, key)
+                    if lo_strict
+                    else bisect.bisect_left(self.keys, key)
+                )
+        if hi is not None:
+            key = self.sort_key(hi)
+            if key is not None:
+                end = (
+                    bisect.bisect_left(self.keys, key)
+                    if hi_strict
+                    else bisect.bisect_right(self.keys, key)
+                )
+        out = self.ids[start:end]
+        return out[::-1] if self.direction == "Desc" else out
+
+
+class IndexDef:
+    """A declared index (vector/text carry config, eq/range carry state)."""
+
+    __slots__ = ("spec_tag", "kind", "label", "prop", "unique", "direction",
+                 "tenant_property", "impl")
+
+    def __init__(self, spec_tag: str, fields: dict[str, Any]):
+        self.spec_tag = spec_tag
+        self.kind = "node" if spec_tag.startswith("Node") else "edge"
+        self.label = fields["label"]
+        self.prop = fields["property"]
+        self.unique = bool(fields.get("unique", False))
+        self.direction = fields.get("direction", "Asc")
+        self.tenant_property = fields.get("tenant_property")
+        self.impl: Any = None
+
+    def key(self) -> tuple:
+        return (self.spec_tag, self.label, self.prop)
+
+
+class GraphStore:
+    """The single-writer authoritative store."""
+
+    def __init__(self):
+        self.nodes: dict[int, Node] = {}
+        self.edges: dict[int, Edge] = {}
+        self.node_order: list[int] = []
+        self.edge_order: list[int] = []
+        self.out_adj: dict[int, list[int]] = {}   # node id -> [edge ids]
+        self.in_adj: dict[int, list[int]] = {}
+        self.nodes_by_label: dict[str, list[int]] = {}
+        self.edges_by_label: dict[str, list[int]] = {}
+        self._next_node_id = 1
+        self._next_edge_id = 1
+        self.indexes: dict[tuple, IndexDef] = {}
+        self.epoch = 0
+        # Observers (vector/text index managers) notified on writes.
+        self._write_hooks: list[Any] = []
+
+    # -- epoch / hooks ------------------------------------------------
+
+    def bump(self) -> None:
+        self.epoch += 1
+
+    def add_write_hook(self, hook: Any) -> None:
+        self._write_hooks.append(hook)
+
+    # -- reads ---------------------------------------------------------
+
+    def node(self, node_id: int) -> Node:
+        try:
+            return self.nodes[node_id]
+        except KeyError:
+            raise QueryError(f"unknown node id {node_id}") from None
+
+    def edge(self, edge_id: int) -> Edge:
+        try:
+            return self.edges[edge_id]
+        except KeyError:
+            raise QueryError(f"unknown edge id {edge_id}") from None
+
+    def has_node(self, node_id: int) -> bool:
+        return node_id in self.nodes
+
+    def has_edge(self, edge_id: int) -> bool:
+        return edge_id in self.edges
+
+    def node_count(self) -> int:
+        return len(self.nodes)
+
+    def edge_count(self) -> int:
+        return len(self.edges)
+
+    # -- index registry -------------------------------------------------
+
+    def create_index(self, spec: dict, if_not_exists: bool) -> None:
+        tag = next(iter(spec))
+        idx = IndexDef(tag, spec[tag])
+        key = idx.key()
+        if key in self.indexes:
+            if if_not_exists:
+                return
+            raise WriteError(f"index already exists: {key}")
+        if tag == "NodeEquality" or tag == "EdgeEquality":
+            idx.impl = EqualityIndex(idx.label, idx.prop, idx.unique)
+            self._backfill_scalar(idx)
+        elif tag in ("NodeRange", "EdgeRange"):
+            idx.impl = RangeIndex(idx.label, idx.prop, idx.direction)
+            self._backfill_scalar(idx)
+        # Vector/Text index state lives in their managers (write hooks),
+        # which see the IndexDef through store.indexes.
+        self.indexes[key] = idx
+        for hook in self._write_hooks:
+            hook.on_index_created(self, idx)
+        self.bump()
+
+    def drop_index(self, spec: dict) -> None:
+        tag = next(iter(spec))
+        idx = IndexDef(tag, spec[tag])
+        dropped = self.indexes.pop(idx.key(), None)
+        if dropped is not None:
+            for hook in self._write_hooks:
+                hook.on_index_dropped(self, dropped)
+            self.bump()
+
+    def _backfill_scalar(self, idx: IndexDef) -> None:
+        elements: Iterable = (
+            (self.nodes[i] for i in self.nodes_by_label.get(idx.label, ()))
+            if idx.kind == "node"
+            else (self.edges[i] for i in self.edges_by_label.get(idx.label, ()))
+        )
+        for el in elements:
+            value = el.props.get(idx.prop)
+            if value is not None and not V.is_null(value):
+                idx.impl.insert(el.id, value)
+
+    def find_index(self, spec_tag: str, label: str, prop: str) -> IndexDef | None:
+        return self.indexes.get((spec_tag, label, prop))
+
+    def scalar_indexes_for(self, kind: str, label: str, prop: str) -> list[IndexDef]:
+        tags = ("NodeEquality", "NodeRange") if kind == "node" else ("EdgeEquality", "EdgeRange")
+        out = []
+        for tag in tags:
+            idx = self.indexes.get((tag, label, prop))
+            if idx is not None:
+                out.append(idx)
+        return out
+
+    def _scalar_index_hooks(self, kind: str, label: str):
+        for idx in self.indexes.values():
+            if idx.kind == kind and idx.label == label and idx.impl is not None:
+                yield idx
+
+    # -- writes ----------------------------------------------------------
+
+    def add_node(self, label: str, props: dict[str, Tagged]) -> int:
+        node_id = self._next_node_id
+        self._next_node_id += 1
+        node = Node(node_id, label, dict(props))
+        # Index + hook validation first so a failed write leaves no trace.
+        for idx in self._scalar_index_hooks("node", label):
+            value = node.props.get(idx.prop)
+            if value is not None and not V.is_null(value):
+                idx.impl.insert(node_id, value)
+        try:
+            for hook in self._write_hooks:
+                hook.on_node_added(self, node)
+        except Exception:
+            for idx in self._scalar_index_hooks("node", label):
+                value = node.props.get(idx.prop)
+                if value is not None and not V.is_null(value):
+                    idx.impl.remove(node_id, value)
+            self._next_node_id -= 1
+            raise
+        self.nodes[node_id] = node
+        self.node_order.append(node_id)
+        self.nodes_by_label.setdefault(label, []).append(node_id)
+        self.out_adj[node_id] = []
+        self.in_adj[node_id] = []
+        self.bump()
+        return node_id
+
+    def add_edge(self, label: str, src: int, dst: int, props: dict[str, Tagged]) -> int:
+        if src not in self.nodes:
+            raise QueryError(f"unknown source node id {src}")
+        if dst not in self.nodes:
+            raise QueryError(f"unknown target node id {dst}")
+        edge_id = self._next_edge_id
+        self._next_edge_id += 1
+        edge = Edge(edge_id, label, src, dst, dict(props))
+        for idx in self._scalar_index_hooks("edge", label):
+            value = edge.props.get(idx.prop)
+            if value is not None and not V.is_null(value):
+                idx.impl.insert(edge_id, value)
+        try:
+            for hook in self._write_hooks:
+                hook.on_edge_added(self, edge)
+        except Exception:
+            for idx in self._scalar_index_hooks("edge", label):
+                value = edge.props.get(idx.prop)
+                if value is not None and not V.is_null(value):
+                    idx.impl.remove(edge_id, value)
+            self._next_edge_id -= 1
+            raise
+        self.edges[edge_id] = edge
+        self.edge_order.append(edge_id)
+        self.edges_by_label.setdefault(label, []).append(edge_id)
+        self.out_adj[src].append(edge_id)
+        self.in_adj[dst].append(edge_id)
+        self.bump()
+        return edge_id
+
+    def set_property(self, kind: str, element_id: int, name: str, value: Tagged) -> None:
+        el = self.node(element_id) if kind == "node" else self.edge(element_id)
+        old = el.props.get(name)
+        for idx in self._scalar_index_hooks(kind, el.label):
+            if idx.prop != name:
+                continue
+            if old is not None and not V.is_null(old):
+                idx.impl.remove(element_id, old)
+            if not V.is_null(value):
+                idx.impl.insert(element_id, value)
+        el.props[name] = value
+        for hook in self._write_hooks:
+            hook.on_property_set(self, kind, el, name, old)
+        self.bump()
+
+    def remove_property(self, kind: str, element_id: int, name: str) -> None:
+        el = self.node(element_id) if kind == "node" else self.edge(element_id)
+        old = el.props.pop(name, None)
+        if old is not None and not V.is_null(old):
+            for idx in self._scalar_index_hooks(kind, el.label):
+                if idx.prop == name:
+                    idx.impl.remove(element_id, old)
+        for hook in self._write_hooks:
+            hook.on_property_set(self, kind, el, name, old)
+        self.bump()
+
+    def drop_edge(self, edge_id: int) -> None:
+        edge = self.edges.pop(edge_id, None)
+        if edge is None:
+            return
+        self.edge_order.remove(edge_id)
+        self.edges_by_label[edge.label].remove(edge_id)
+        if edge.src in self.out_adj:
+            self.out_adj[edge.src].remove(edge_id)
+        if edge.dst in self.in_adj:
+            self.in_adj[edge.dst].remove(edge_id)
+        for idx in self._scalar_index_hooks("edge", edge.label):
+            value = edge.props.get(idx.prop)
+            if value is not None and not V.is_null(value):
+                idx.impl.remove(edge_id, value)
+        for hook in self._write_hooks:
+            hook.on_edge_dropped(self, edge)
+        self.bump()
+
+    def drop_node(self, node_id: int) -> None:
+        node = self.nodes.get(node_id)
+        if node is None:
+            return
+        for edge_id in list(self.out_adj.get(node_id, ())) + list(
+            self.in_adj.get(node_id, ())
+        ):
+            self.drop_edge(edge_id)
+        self.nodes.pop(node_id)
+        self.node_order.remove(node_id)
+        self.nodes_by_label[node.label].remove(node_id)
+        self.out_adj.pop(node_id, None)
+        self.in_adj.pop(node_id, None)
+        for idx in self._scalar_index_hooks("node", node.label):
+            value = node.props.get(idx.prop)
+            if value is not None and not V.is_null(value):
+                idx.impl.remove(node_id, value)
+        for hook in self._write_hooks:
+            hook.on_node_dropped(self, node)
+        self.bump()
+
+    # -- transactional undo primitives -----------------------------------
+    #
+    # Write batches execute as one transaction (reference semantics:
+    # dsl.rs:4443-4474).  The executor records an inverse op for every
+    # mutation; on failure it replays them in reverse via these raw
+    # primitives, then restores the id counters.  Restored elements land at
+    # the end of order/adjacency lists, which preserves set semantics (a
+    # rolled-back batch leaves no observable trace since everything newer
+    # was also undone).
+
+    def save_counters(self) -> tuple[int, int]:
+        return (self._next_node_id, self._next_edge_id)
+
+    def restore_counters(self, saved: tuple[int, int]) -> None:
+        self._next_node_id, self._next_edge_id = saved
+
+    def raw_remove_node(self, node_id: int) -> None:
+        node = self.nodes.pop(node_id, None)
+        if node is None:
+            return
+        self.node_order.remove(node_id)
+        self.nodes_by_label[node.label].remove(node_id)
+        self.out_adj.pop(node_id, None)
+        self.in_adj.pop(node_id, None)
+        for idx in self._scalar_index_hooks("node", node.label):
+            value = node.props.get(idx.prop)
+            if value is not None and not V.is_null(value):
+                idx.impl.remove(node_id, value)
+        for hook in self._write_hooks:
+            hook.on_node_dropped(self, node)
+        self.bump()
+
+    def raw_restore_node(self, node: Node) -> None:
+        self.nodes[node.id] = node
+        self.node_order.append(node.id)
+        self.nodes_by_label.setdefault(node.label, []).append(node.id)
+        self.out_adj.setdefault(node.id, [])
+        self.in_adj.setdefault(node.id, [])
+        for idx in self._scalar_index_hooks("node", node.label):
+            value = node.props.get(idx.prop)
+            if value is not None and not V.is_null(value):
+                idx.impl.insert(node.id, value)
+        for hook in self._write_hooks:
+            hook.on_node_added(self, node)
+        self.bump()
+
+    def raw_remove_edge(self, edge_id: int) -> None:
+        self.drop_edge(edge_id)
+
+    def raw_restore_edge(self, edge: Edge) -> None:
+        self.edges[edge.id] = edge
+        self.edge_order.append(edge.id)
+        self.edges_by_label.setdefault(edge.label, []).append(edge.id)
+        self.out_adj.setdefault(edge.src, []).append(edge.id)
+        self.in_adj.setdefault(edge.dst, []).append(edge.id)
+        for idx in self._scalar_index_hooks("edge", edge.label):
+            value = edge.props.get(idx.prop)
+            if value is not None and not V.is_null(value):
+                idx.impl.insert(edge.id, value)
+        for hook in self._write_hooks:
+            hook.on_edge_added(self, edge)
+        self.bump()
+
+    def raw_restore_prop(
+        self, kind: str, element_id: int, name: str, old: Tagged | None
+    ) -> None:
+        """Restore a property to ``old`` (None = was absent)."""
+        el = self.node(element_id) if kind == "node" else self.edge(element_id)
+        current = el.props.get(name)
+        for idx in self._scalar_index_hooks(kind, el.label):
+            if idx.prop != name:
+                continue
+            if current is not None and not V.is_null(current):
+                idx.impl.remove(element_id, current)
+            if old is not None and not V.is_null(old):
+                idx.impl.insert(element_id, old)
+        if old is None:
+            el.props.pop(name, None)
+        else:
+            el.props[name] = old
+        for hook in self._write_hooks:
+            hook.on_property_set(self, kind, el, name, current)
+        self.bump()

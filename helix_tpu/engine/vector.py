@@ -1,0 +1,221 @@
+"""Vector index manager: tenant-partitioned exact (and later ANN) indexes.
+
+Implements the reference vector-search contract (``sdks/rust/src/dsl.rs``
+``:129-155`` result fields, ``:326-330`` multitenancy):
+
+- search returns up to ``k`` hits ascending by ``$distance``
+- multitenant index + missing ``tenant_value`` on search => query error
+- multitenant index + unknown tenant => empty result set
+- write with a vector present but missing tenant property => write error
+
+Each (kind, label, property) index holds one partition per tenant value
+(single partition ``()`` when untenanted).  Partitions are
+:class:`~helix_tpu.ops.distance.PackedMatrix` instances searched exactly
+on the MXU; the ANN (beam-graph) engine plugs in per partition when built.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ..ops.distance import PackedMatrix, search_packed
+from . import values as V
+from .errors import QueryError, WriteError
+from .store import Edge, GraphStore, IndexDef, Node
+
+Tagged = Any
+
+_UNTENANTED = ("",)
+
+
+def _tenant_key(value: Tagged) -> tuple:
+    comp = V.as_comparable(value)
+    if comp is None:
+        raise QueryError("tenant_value must be a scalar value")
+    return comp
+
+
+class Partition:
+    """One tenant partition: packed matrix + id bookkeeping."""
+
+    def __init__(self, metric: str):
+        self.metric = metric
+        self.matrix: PackedMatrix | None = None
+        self.ids: list[int] = []
+        self.pos: dict[int, int] = {}
+        self.live: list[bool] = []
+
+    def add(self, element_id: int, vec: np.ndarray) -> None:
+        if self.matrix is None:
+            self.matrix = PackedMatrix(len(vec), self.metric)
+        elif len(vec) != self.matrix.dim:
+            raise WriteError(
+                f"vector dimension mismatch: index dim {self.matrix.dim}, "
+                f"got {len(vec)}"
+            )
+        if element_id in self.pos:
+            self.matrix.overwrite(self.pos[element_id], vec)
+            self.live[self.pos[element_id]] = True
+            return
+        pos = self.matrix.append(vec)
+        self.pos[element_id] = pos
+        self.ids.append(element_id)
+        self.live.append(True)
+
+    def remove(self, element_id: int) -> None:
+        pos = self.pos.pop(element_id, None)
+        if pos is None or self.matrix is None:
+            return
+        self.live[pos] = False
+        self.matrix.overwrite(pos, None)
+
+    def live_count(self) -> int:
+        return sum(self.live)
+
+    def search(self, query: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        if self.matrix is None or self.live_count() == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        mask = np.array(self.live, bool)
+        dists, positions = search_packed(
+            self.matrix, query[None, :], k, valid_mask=mask
+        )
+        ids = np.array([self.ids[p] for p in positions[0]], np.uint64)
+        return ids, dists[0].astype(np.float64)
+
+
+class VectorIndex:
+    """All partitions of one declared (kind, label, property) index."""
+
+    def __init__(self, defn: IndexDef, metric: str):
+        self.defn = defn
+        self.metric = metric
+        self.partitions: dict[tuple, Partition] = {}
+
+    def partition_for(self, tenant: tuple) -> Partition:
+        part = self.partitions.get(tenant)
+        if part is None:
+            part = Partition(self.metric)
+            self.partitions[tenant] = part
+        return part
+
+    def insert_element(self, element: Node | Edge) -> None:
+        value = element.props.get(self.defn.prop)
+        if value is None or V.is_null(value):
+            return
+        vec = V.f32_vector(value)
+        if vec is None:
+            return  # non-vector value in the indexed property: not indexed
+        if self.defn.tenant_property is not None:
+            tenant_value = element.props.get(self.defn.tenant_property)
+            if tenant_value is None or V.is_null(tenant_value):
+                raise WriteError(
+                    f"write to multitenant vector index {self.defn.label}."
+                    f"{self.defn.prop} requires tenant property "
+                    f"'{self.defn.tenant_property}'"
+                )
+            tenant = _tenant_key(tenant_value)
+        else:
+            tenant = _UNTENANTED
+        self.partition_for(tenant).add(element.id, np.asarray(vec, np.float32))
+
+    def remove_element(self, element_id: int) -> None:
+        for part in self.partitions.values():
+            part.remove(element_id)
+
+    def search(
+        self, query: np.ndarray, k: int, tenant_value: Tagged | None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        if self.defn.tenant_property is not None:
+            if tenant_value is None:
+                raise QueryError(
+                    f"vector index {self.defn.label}.{self.defn.prop} is "
+                    "multitenant; search requires tenant_value"
+                )
+            part = self.partitions.get(_tenant_key(tenant_value))
+            if part is None:
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
+            return part.search(query, k)
+        part = self.partitions.get(_UNTENANTED)
+        if part is None:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        return part.search(query, k)
+
+
+class VectorManager:
+    """Store write-hook + search facade over all vector indexes."""
+
+    def __init__(self, metric: str = "cosine"):
+        self.metric = metric
+        self.indexes: dict[tuple, VectorIndex] = {}
+
+    # -- write hook interface ------------------------------------------
+
+    def on_index_created(self, store: GraphStore, defn: IndexDef) -> None:
+        if defn.spec_tag not in ("NodeVector", "EdgeVector"):
+            return
+        index = VectorIndex(defn, self.metric)
+        self.indexes[defn.key()] = index
+        table = (
+            store.nodes_by_label.get(defn.label, ())
+            if defn.kind == "node"
+            else store.edges_by_label.get(defn.label, ())
+        )
+        records = store.nodes if defn.kind == "node" else store.edges
+        for element_id in table:
+            index.insert_element(records[element_id])
+
+    def on_index_dropped(self, store: GraphStore, defn: IndexDef) -> None:
+        self.indexes.pop(defn.key(), None)
+
+    def _matching(self, kind: str, label: str):
+        for index in self.indexes.values():
+            if index.defn.kind == kind and index.defn.label == label:
+                yield index
+
+    def on_node_added(self, store: GraphStore, node: Node) -> None:
+        for index in self._matching("node", node.label):
+            index.insert_element(node)
+
+    def on_edge_added(self, store: GraphStore, edge: Edge) -> None:
+        for index in self._matching("edge", edge.label):
+            index.insert_element(edge)
+
+    def on_node_dropped(self, store: GraphStore, node: Node) -> None:
+        for index in self._matching("node", node.label):
+            index.remove_element(node.id)
+
+    def on_edge_dropped(self, store: GraphStore, edge: Edge) -> None:
+        for index in self._matching("edge", edge.label):
+            index.remove_element(edge.id)
+
+    def on_property_set(
+        self, store: GraphStore, kind: str, element: Any, name: str, old: Tagged | None
+    ) -> None:
+        for index in self._matching(kind, element.label):
+            if index.defn.prop == name or index.defn.tenant_property == name:
+                index.remove_element(element.id)
+                index.insert_element(element)
+
+    # -- search ----------------------------------------------------------
+
+    def search(
+        self,
+        kind: str,
+        label: str,
+        prop: str,
+        query: list[float],
+        k: int,
+        tenant_value: Tagged | None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        spec_tag = "NodeVector" if kind == "nodes" else "EdgeVector"
+        index = self.indexes.get((spec_tag, label, prop))
+        if index is None:
+            raise QueryError(
+                f"no vector index on {label}.{prop}; create one with "
+                "create_vector_index_nodes/edges first"
+            )
+        if k <= 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        return index.search(np.asarray(query, np.float32), k, tenant_value)

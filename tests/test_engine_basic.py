@@ -1,0 +1,565 @@
+"""Engine end-to-end slice tests: the reference's e2e envelopes plus the
+minimum traversal/mutation surface (SURVEY.md §7 minimum slice)."""
+
+import numpy as np
+import pytest
+
+from helix_tpu.dsl import (
+    BatchCondition, NodeRef, Order, Predicate, SourcePredicate, g,
+    read_batch, write_batch,
+)
+from helix_tpu.engine import Engine, QueryError, WriteError
+
+
+def run_read(engine, batch, params=None, types=None):
+    req = {
+        "request_type": "read",
+        "query_name": None,
+        "query": batch.encode(),
+        "parameters": params or {},
+    }
+    if types:
+        req["parameter_types"] = types
+    return engine.execute(req)
+
+
+def run_write(engine, batch, params=None, types=None):
+    req = {
+        "request_type": "write",
+        "query_name": None,
+        "query": batch.encode(),
+        "parameters": params or {},
+    }
+    if types:
+        req["parameter_types"] = types
+    return engine.execute(req)
+
+
+@pytest.fixture
+def engine():
+    return Engine()
+
+
+@pytest.fixture
+def social(engine):
+    """alice -FOLLOWS-> bob -FOLLOWS-> carol; alice -FOLLOWS-> carol."""
+    run_write(
+        engine,
+        write_batch()
+        .var_as("alice", g().add_n("User", {"name": "alice", "age": 30}))
+        .var_as("bob", g().add_n("User", {"name": "bob", "age": 25}))
+        .var_as("carol", g().add_n("User", {"name": "carol", "age": 41}))
+        .var_as("e1", g().n(NodeRef.var("alice")).add_e("FOLLOWS", NodeRef.var("bob")))
+        .var_as("e2", g().n(NodeRef.var("bob")).add_e("FOLLOWS", NodeRef.var("carol")))
+        .var_as("e3", g().n(NodeRef.var("alice")).add_e("FOLLOWS", NodeRef.var("carol"), {"close": True})),
+    )
+    return engine
+
+
+def test_e2e_write_then_count(engine):
+    # The exact raw envelopes from reference e2e_runtime.rs:96-158.
+    write_req = {
+        "request_type": "write",
+        "query_name": None,
+        "query": {
+            "queries": [{
+                "Query": {
+                    "name": "created",
+                    "steps": [{
+                        "AddN": {
+                            "label": "E2EUser",
+                            "properties": [
+                                ["externalId", {"Value": {"String": "cli-e2e"}}],
+                                ["name", {"Value": {"String": "CI User"}}],
+                            ],
+                        }
+                    }],
+                    "condition": None,
+                }
+            }],
+            "returns": ["created"],
+        },
+        "parameters": {},
+    }
+    out = engine.execute(write_req)
+    assert out["created"][0]["$label"] == "E2EUser"
+    assert out["created"][0]["externalId"] == "cli-e2e"
+
+    read_req = {
+        "request_type": "read",
+        "query_name": None,
+        "query": {
+            "queries": [{
+                "Query": {
+                    "name": "e2e_count",
+                    "steps": [
+                        {"NWhere": {"Eq": ["$label", {"String": "E2EUser"}]}},
+                        "Count",
+                    ],
+                    "condition": None,
+                }
+            }],
+            "returns": ["e2e_count"],
+        },
+        "parameters": {},
+    }
+    assert engine.execute(read_req) == {"e2e_count": 1}
+
+
+def test_readiness_probe_batch(engine):
+    # The readiness probe (local_runtime.rs:584): label scan + count on an
+    # empty engine must return 0, not error.
+    out = run_read(
+        engine,
+        read_batch().var_as(
+            "ready", g().n_with_label("__HelixReadiness__").count()
+        ),
+    )
+    assert out == {"ready": 0}
+
+
+def test_out_traversal(social):
+    out = run_read(
+        social,
+        read_batch().var_as(
+            "friends",
+            g().n_where(SourcePredicate.eq("name", "alice")).out("FOLLOWS").values(["name"]),
+        ),
+    )
+    assert sorted(out["friends"]) == ["bob", "carol"]
+
+
+def test_two_hop_with_filter(social):
+    out = run_read(
+        social,
+        read_batch().var_as(
+            "fof",
+            g()
+            .n_where(SourcePredicate.eq("name", "alice"))
+            .out("FOLLOWS")
+            .out("FOLLOWS")
+            .where(Predicate.gt("age", 30))
+            .values(["name"]),
+        ),
+    )
+    assert out["fof"] == ["carol"]
+
+
+def test_in_and_edge_steps(social):
+    out = run_read(
+        social,
+        read_batch()
+        .var_as(
+            "carol_followers",
+            g().n_where(SourcePredicate.eq("name", "carol")).in_("FOLLOWS").values(["name"]),
+        )
+        .var_as(
+            "close_edges",
+            g().e_with_label("FOLLOWS").where(Predicate.eq("close", True)).count(),
+        ),
+    )
+    assert sorted(out["carol_followers"]) == ["alice", "bob"]
+    assert out["close_edges"] == 1
+
+
+def test_edge_endpoints(social):
+    out = run_read(
+        social,
+        read_batch().var_as(
+            "targets",
+            g()
+            .n_where(SourcePredicate.eq("name", "alice"))
+            .out_e("FOLLOWS")
+            .in_n()
+            .values(["name"]),
+        ),
+    )
+    assert sorted(out["targets"]) == ["bob", "carol"]
+
+
+def test_other_n(social):
+    out = run_read(
+        social,
+        read_batch().var_as(
+            "others",
+            g()
+            .n_where(SourcePredicate.eq("name", "carol"))
+            .both_e("FOLLOWS")
+            .other_n()
+            .values(["name"]),
+        ),
+    )
+    assert sorted(out["others"]) == ["alice", "bob"]
+
+
+def test_dedup_order_limit(social):
+    out = run_read(
+        social,
+        read_batch().var_as(
+            "ordered",
+            g()
+            .n_with_label("User")
+            .order_by("age", Order.Desc)
+            .limit(2)
+            .values(["name"]),
+        ),
+    )
+    assert out["ordered"] == ["carol", "alice"]
+
+    out = run_read(
+        social,
+        read_batch().var_as(
+            "deduped",
+            g()
+            .n_where(SourcePredicate.eq("name", "carol"))
+            .in_("FOLLOWS")
+            .out("FOLLOWS")
+            .dedup()
+            .count(),
+        ),
+    )
+    # alice and bob both follow carol; their follows = {bob, carol} and
+    # {carol} -> deduped {bob, carol}.
+    assert out["deduped"] == 2
+
+
+def test_value_map_and_project(social):
+    out = run_read(
+        social,
+        read_batch().var_as(
+            "rows",
+            g()
+            .n_where(SourcePredicate.eq("name", "alice"))
+            .value_map(["$id", "$label", "name"]),
+        ),
+    )
+    row = out["rows"][0]
+    assert row["$label"] == "User" and row["name"] == "alice" and "$id" in row
+
+    out = run_read(
+        social,
+        read_batch().var_as(
+            "proj",
+            g()
+            .n_where(SourcePredicate.eq("name", "bob"))
+            .project([
+                {"source": "name", "alias": "user"},
+                {"alias": "next_age", "expr": {"Add": [{"Property": "age"}, {"Constant": {"I64": 1}}]}},
+            ]),
+        ),
+    )
+    assert out["proj"] == [{"user": "bob", "next_age": 26}]
+
+
+def test_var_chaining(social):
+    out = run_read(
+        social,
+        read_batch()
+        .var_as("alice", g().n_where(SourcePredicate.eq("name", "alice")))
+        .var_as("friends", g().n(NodeRef.var("alice")).out("FOLLOWS").values(["name"]))
+        .returning(["friends"]),
+    )
+    assert sorted(out["friends"]) == ["bob", "carol"]
+
+
+def test_batch_condition_skips(social):
+    out = run_read(
+        social,
+        read_batch()
+        .var_as("ghosts", g().n_with_label("Ghost"))
+        .var_as_if(
+            "gated",
+            BatchCondition.var_not_empty("ghosts"),
+            g().n_with_label("User").count(),
+        )
+        .var_as_if(
+            "open",
+            BatchCondition.var_empty("ghosts"),
+            g().n_with_label("User").count(),
+        ),
+    )
+    assert out["gated"] == []
+    assert out["open"] == 3
+
+
+def test_set_and_remove_property(social):
+    run_write(
+        social,
+        write_batch().var_as(
+            "updated",
+            g().n_where(SourcePredicate.eq("name", "bob")).set_property("age", 26),
+        ),
+    )
+    out = run_read(
+        social,
+        read_batch().var_as(
+            "bob", g().n_where(SourcePredicate.eq("name", "bob")).values(["age"])
+        ),
+    )
+    assert out["bob"] == [26]
+
+    run_write(
+        social,
+        write_batch().var_as(
+            "removed",
+            g().n_where(SourcePredicate.eq("name", "bob")).remove_property("age"),
+        ),
+    )
+    out = run_read(
+        social,
+        read_batch().var_as(
+            "ages", g().n_with_label("User").where(Predicate.is_null("age")).count()
+        ),
+    )
+    assert out["ages"] == 1
+
+
+def test_drop_cascades(social):
+    run_write(
+        social,
+        write_batch().var_as(
+            "dropped", g().n_where(SourcePredicate.eq("name", "bob")).drop()
+        ),
+    )
+    out = run_read(
+        social,
+        read_batch()
+        .var_as("users", g().n_with_label("User").count())
+        .var_as("edges", g().e_with_label("FOLLOWS").count()),
+    )
+    assert out["users"] == 2
+    assert out["edges"] == 1  # only alice->carol remains
+
+
+def test_write_rollback_on_error(engine):
+    with pytest.raises(QueryError):
+        run_write(
+            engine,
+            write_batch()
+            .var_as("a", g().add_n("User", {"name": "x"}))
+            .var_as("bad", g().n(NodeRef.var("a")).add_e("E", NodeRef.ids([999]))),
+        )
+    out = run_read(engine, read_batch().var_as("n", g().n().count()))
+    assert out["n"] == 0  # the whole batch rolled back
+
+
+def test_unique_index_enforced(engine):
+    run_write(
+        engine,
+        write_batch().var_as(
+            "idx",
+            g().create_index(
+                {"NodeEquality": {"label": "User", "property": "email", "unique": True}}
+            ),
+        ),
+    )
+    run_write(
+        engine,
+        write_batch().var_as("u1", g().add_n("User", {"email": "a@x.com"})),
+    )
+    with pytest.raises(WriteError):
+        run_write(
+            engine,
+            write_batch().var_as("u2", g().add_n("User", {"email": "a@x.com"})),
+        )
+    out = run_read(engine, read_batch().var_as("n", g().n().count()))
+    assert out["n"] == 1
+
+
+def test_equality_index_lookup(engine):
+    run_write(
+        engine,
+        write_batch().var_as(
+            "idx",
+            g().create_index(
+                {"NodeEquality": {"label": "User", "property": "name", "unique": False}}
+            ),
+        ),
+    )
+    for i in range(50):
+        run_write(
+            engine,
+            write_batch().var_as("u", g().add_n("User", {"name": f"user{i}"})),
+        )
+    out = run_read(
+        engine,
+        read_batch().var_as(
+            "hit",
+            g()
+            .n_where(SourcePredicate.and_([
+                SourcePredicate.eq("$label", "User"),
+                SourcePredicate.eq("name", "user7"),
+            ]))
+            .count(),
+        ),
+    )
+    assert out["hit"] == 1
+
+
+def test_vector_search_end_to_end(engine):
+    run_write(
+        engine,
+        write_batch()
+        .var_as("idx", g().create_vector_index_nodes("Doc", "embedding"))
+        .var_as("a", g().add_n("Doc", {"title": "A", "embedding": [1.0, 0.0, 0.0]}))
+        .var_as("b", g().add_n("Doc", {"title": "B", "embedding": [0.9, 0.1, 0.0]}))
+        .var_as("c", g().add_n("Doc", {"title": "C", "embedding": [0.0, 1.0, 0.0]})),
+    )
+    out = run_read(
+        engine,
+        read_batch().var_as(
+            "hits",
+            g()
+            .vector_search_nodes("Doc", "embedding", [1.0, 0.0, 0.0], 2)
+            .value_map(["$id", "$distance", "title"]),
+        ),
+    )
+    hits = out["hits"]
+    assert [h["title"] for h in hits] == ["A", "B"]
+    assert hits[0]["$distance"] == pytest.approx(0.0, abs=1e-5)
+    assert hits[0]["$distance"] <= hits[1]["$distance"]
+
+
+def test_vector_hits_seed_traversal(engine):
+    run_write(
+        engine,
+        write_batch()
+        .var_as("idx", g().create_vector_index_nodes("Doc", "embedding"))
+        .var_as("d", g().add_n("Doc", {"title": "D", "embedding": [1.0, 0.0]}))
+        .var_as("author", g().add_n("Person", {"name": "ann"}))
+        .var_as("e", g().n(NodeRef.var("d")).add_e("AUTHORED_BY", NodeRef.var("author"))),
+    )
+    out = run_read(
+        engine,
+        read_batch()
+        .var_as(
+            "doc_hit_rows",
+            g()
+            .vector_search_nodes("Doc", "embedding", [1.0, 0.0], 5)
+            .value_map(["$id", "$distance", "title"]),
+        )
+        .var_as(
+            "authors",
+            g().n(NodeRef.var("doc_hit_rows")).out("AUTHORED_BY").value_map(["$id", "name"]),
+        ),
+    )
+    assert out["authors"][0]["name"] == "ann"
+
+
+def test_vector_multitenancy(engine):
+    run_write(
+        engine,
+        write_batch()
+        .var_as("idx", g().create_vector_index_nodes("Doc", "embedding", "tenant_id"))
+        .var_as(
+            "a",
+            g().add_n("Doc", {"tenant_id": "acme", "embedding": [1.0, 0.0]}),
+        ),
+    )
+    # Search without tenant -> query error.
+    with pytest.raises(QueryError):
+        run_read(
+            engine,
+            read_batch().var_as(
+                "hits", g().vector_search_nodes("Doc", "embedding", [1.0, 0.0], 5)
+            ),
+        )
+    # Unknown tenant -> empty.
+    out = run_read(
+        engine,
+        read_batch().var_as(
+            "hits",
+            g().vector_search_nodes("Doc", "embedding", [1.0, 0.0], 5, tenant_value="ghost"),
+        ),
+    )
+    assert out["hits"] == []
+    # Matching tenant -> hit.
+    out = run_read(
+        engine,
+        read_batch().var_as(
+            "hits",
+            g().vector_search_nodes("Doc", "embedding", [1.0, 0.0], 5, tenant_value="acme"),
+        ),
+    )
+    assert len(out["hits"]) == 1
+    # Write without tenant property -> write error, rolled back.
+    with pytest.raises(WriteError):
+        run_write(
+            engine,
+            write_batch().var_as(
+                "bad", g().add_n("Doc", {"embedding": [0.5, 0.5]})
+            ),
+        )
+
+
+def test_text_search_bm25(engine):
+    run_write(
+        engine,
+        write_batch()
+        .var_as("idx", g().create_text_index_nodes("Doc", "body"))
+        .var_as("a", g().add_n("Doc", {"title": "A", "body": "the quick brown fox"}))
+        .var_as("b", g().add_n("Doc", {"title": "B", "body": "the lazy dog sleeps"}))
+        .var_as("c", g().add_n("Doc", {"title": "C", "body": "quick quick quick fox runs"})),
+    )
+    out = run_read(
+        engine,
+        read_batch().var_as(
+            "hits",
+            g().text_search_nodes("Doc", "body", "quick fox", 2).value_map(["title", "$score"]),
+        ),
+    )
+    titles = [h["title"] for h in out["hits"]]
+    assert set(titles) <= {"A", "C"} and len(titles) == 2
+    assert out["hits"][0]["$score"] >= out["hits"][1]["$score"]
+
+
+def test_foreach_bulk_ingest(engine):
+    batch = write_batch().for_each_param(
+        "users",
+        write_batch().var_as(
+            "u",
+            g().add_n("User", [("name", {"Expr": {"Param": "users.name"}})]),
+        ),
+    )
+    run_write(
+        engine,
+        batch,
+        params={"users": [{"name": "a"}, {"name": "b"}, {"name": "c"}]},
+        types={"users": {"Array": "Object"}},
+    )
+    out = run_read(engine, read_batch().var_as("n", g().n_with_label("User").count()))
+    assert out["n"] == 3
+
+
+def test_params_in_predicates(social):
+    out = run_read(
+        social,
+        read_batch().var_as(
+            "old",
+            g().n_with_label("User").where(Predicate.gt_param("age", "min_age")).values(["name"]),
+        ),
+        params={"min_age": 28},
+        types={"min_age": "I64"},
+    )
+    assert sorted(out["old"]) == ["alice", "carol"]
+
+
+def test_group_count_and_aggregate(social):
+    out = run_read(
+        social,
+        read_batch()
+        .var_as("by_label", g().n().group_count("$label"))
+        .var_as("mean_age", g().n_with_label("User").aggregate_by("Mean", "age")),
+    )
+    assert out["by_label"] == {"User": 3}
+    assert out["mean_age"] == pytest.approx(32.0)
+
+
+def test_returns_empty_returns_all(social):
+    out = run_read(
+        social,
+        read_batch()
+        .var_as("a", g().n_with_label("User").count())
+        .var_as("b", g().e_with_label("FOLLOWS").count()),
+    )
+    assert out == {"a": 3, "b": 3}
