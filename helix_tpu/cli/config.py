@@ -1,0 +1,113 @@
+"""Project configuration: ``helix.toml`` and instance workspaces.
+
+Mirrors the reference project-config surface (``helix-cli/src/config.rs``):
+``[project]`` with name + queries dir, ``[local.<name>]`` instances with
+port (default 6969) and storage mode (memory | disk), plus the vector/db
+tunables (``VectorConfig``/``DbConfig`` defaults, ``config.rs:148-226``).
+Instance state (pidfile, logs, data) lives under ``.helix/<instance>/``
+next to ``helix.toml`` (``project.rs:49-53``).
+
+TOML is read with ``tomllib`` and written with a minimal emitter (the
+schema is flat enough not to need a dependency).
+"""
+
+from __future__ import annotations
+
+import tomllib
+from pathlib import Path
+from typing import Any
+
+DEFAULT_PORT = 6969
+CONFIG_NAME = "helix.toml"
+STATE_DIR = ".helix"
+
+VECTOR_DEFAULTS = {
+    "m": 16,
+    "ef_construction": 128,
+    "ef_search": 768,
+    "db_max_size_gb": 20,
+    "metric": "cosine",
+}
+
+DB_DEFAULTS = {
+    "bm25": True,
+    "mcp": True,
+    "embedding_model": "text-embedding-ada-002",
+}
+
+
+class ConfigError(ValueError):
+    pass
+
+
+class LocalInstance:
+    def __init__(self, name: str, table: dict[str, Any]):
+        self.name = name
+        self.port = int(table.get("port", DEFAULT_PORT))
+        self.storage = table.get("storage", "memory")
+        if self.storage not in ("memory", "disk"):
+            raise ConfigError(
+                f"instance '{name}': storage must be 'memory' or 'disk'"
+            )
+        self.vector = {**VECTOR_DEFAULTS, **table.get("vector", {})}
+        self.db = {**DB_DEFAULTS, **table.get("db", {})}
+
+
+class ProjectConfig:
+    def __init__(self, root: Path, data: dict[str, Any]):
+        self.root = root
+        project = data.get("project", {})
+        self.name = project.get("name", root.name)
+        self.queries_dir = project.get("queries", "db")
+        self.locals = {
+            name: LocalInstance(name, table)
+            for name, table in data.get("local", {}).items()
+        }
+
+    def instance(self, name: str | None) -> LocalInstance:
+        if not self.locals:
+            raise ConfigError("no local instances defined in helix.toml")
+        if name is None:
+            if len(self.locals) == 1:
+                return next(iter(self.locals.values()))
+            raise ConfigError(
+                f"multiple instances defined ({', '.join(sorted(self.locals))}); "
+                "specify one"
+            )
+        try:
+            return self.locals[name]
+        except KeyError:
+            raise ConfigError(f"unknown instance '{name}'") from None
+
+    def state_dir(self, instance: str) -> Path:
+        return self.root / STATE_DIR / instance
+
+
+def find_project(start: Path | None = None) -> ProjectConfig:
+    """Walk up from ``start`` to find helix.toml (``project.rs:14``)."""
+    current = (start or Path.cwd()).resolve()
+    for candidate in [current, *current.parents]:
+        path = candidate / CONFIG_NAME
+        if path.exists():
+            with open(path, "rb") as fh:
+                return ProjectConfig(candidate, tomllib.load(fh))
+    raise ConfigError(
+        f"no {CONFIG_NAME} found in {current} or any parent; run 'init' first"
+    )
+
+
+def write_default_config(root: Path, project_name: str, instance: str, port: int) -> None:
+    path = root / CONFIG_NAME
+    if path.exists():
+        raise ConfigError(f"{path} already exists")
+    path.write_text(
+        f"""[project]
+name = "{project_name}"
+queries = "db"
+
+[local.{instance}]
+port = {port}
+storage = "memory"
+""",
+        encoding="utf-8",
+    )

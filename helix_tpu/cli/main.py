@@ -1,0 +1,389 @@
+"""CLI entry point: project + instance lifecycle and query dispatch.
+
+Command surface mirrors the reference CLI's local workflow
+(``helix-cli/src/main.rs:61-335``): init, start, stop, restart, status,
+logs, query, prune, delete, deploy.  Instead of pulling a container image,
+``start`` launches the engine server as a local process (SURVEY.md §7.6);
+readiness uses the same real-query probe as the reference
+(``local_runtime.rs:584``: a ``NWhere($label=="__HelixReadiness__")``+Count
+batch against ``/v1/query``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+from ..client import Client, HelixError
+from .config import (
+    DEFAULT_PORT, ConfigError, find_project, write_default_config,
+)
+
+READINESS_REQUEST = {
+    "request_type": "read",
+    "query_name": None,
+    "query": {
+        "queries": [
+            {
+                "Query": {
+                    "name": "ready",
+                    "steps": [
+                        {"NWhere": {"Eq": ["$label", {"String": "__HelixReadiness__"}]}},
+                        "Count",
+                    ],
+                    "condition": None,
+                }
+            }
+        ],
+        "returns": ["ready"],
+    },
+    "parameters": {},
+}
+
+EXAMPLE_REQUEST = {
+    "request_type": "read",
+    "query": {
+        "queries": [
+            {
+                "Query": {
+                    "name": "node_count",
+                    "steps": [
+                        {"NWhere": {"Eq": ["$label", {"String": "User"}]}},
+                        "Count",
+                    ],
+                    "condition": None,
+                }
+            }
+        ],
+        "returns": ["node_count"],
+    },
+    "parameters": {},
+}
+
+
+def _instance_client(project, name: str | None) -> Client:
+    inst = project.instance(name)
+    return Client(f"http://localhost:{inst.port}")
+
+
+def cmd_init(args) -> int:
+    root = Path(args.path).resolve() if args.path else Path.cwd()
+    root.mkdir(parents=True, exist_ok=True)
+    write_default_config(root, args.name or root.name, args.instance, args.port)
+    examples = root / "examples"
+    examples.mkdir(exist_ok=True)
+    request_path = examples / "request.json"
+    if not request_path.exists():
+        request_path.write_text(json.dumps(EXAMPLE_REQUEST, indent=2), encoding="utf-8")
+    gitignore = root / ".gitignore"
+    existing = gitignore.read_text(encoding="utf-8") if gitignore.exists() else ""
+    wanted = [".helix/", "*.log"]
+    additions = [w for w in wanted if w not in existing]
+    if additions:
+        prefix = existing + ("\n" if existing and not existing.endswith("\n") else "")
+        gitignore.write_text(prefix + "\n".join(additions) + "\n", encoding="utf-8")
+    print(f"Initialized helix-tpu project at {root}")
+    print(f"Next: cd {root} && python -m helix_tpu.cli start {args.instance}")
+    return 0
+
+
+def _pidfile(project, instance: str) -> Path:
+    return project.state_dir(instance) / "server.pid"
+
+
+def _logfile(project, instance: str) -> Path:
+    return project.state_dir(instance) / "server.log"
+
+
+def _read_pid(project, instance: str) -> int | None:
+    path = _pidfile(project, instance)
+    if not path.exists():
+        return None
+    try:
+        pid = int(path.read_text().strip())
+    except ValueError:
+        return None
+    try:
+        os.kill(pid, 0)
+    except (ProcessLookupError, PermissionError):
+        return None
+    return pid
+
+
+def _wait_ready(port: int, timeout: float = 30.0) -> bool:
+    """Readiness = the real-query probe succeeding (local_runtime.rs:558-600)."""
+    client = Client(f"http://localhost:{port}")
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        try:
+            out = client.query().dynamic(READINESS_REQUEST).send()
+            if "ready" in out:
+                return True
+        except HelixError:
+            pass
+        time.sleep(0.25)
+    return False
+
+
+def cmd_start(args) -> int:
+    project = find_project()
+    inst = project.instance(args.instance)
+    port = args.port or inst.port
+    if _read_pid(project, inst.name) is not None:
+        print(f"instance '{inst.name}' is already running")
+        return 0
+    state = project.state_dir(inst.name)
+    state.mkdir(parents=True, exist_ok=True)
+
+    if args.foreground:
+        from ..server import serve
+
+        print(f"Serving instance '{inst.name}' on port {port} (Ctrl-C to stop)")
+        serve("0.0.0.0", port)
+        return 0
+
+    log = open(_logfile(project, inst.name), "ab")
+    env = dict(os.environ)
+    package_root = str(Path(__file__).resolve().parents[2])
+    env["PYTHONPATH"] = (
+        package_root + os.pathsep + env["PYTHONPATH"]
+        if env.get("PYTHONPATH")
+        else package_root
+    )
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "helix_tpu.server.http_server",
+            "--port", str(port),
+        ],
+        stdout=log,
+        stderr=subprocess.STDOUT,
+        cwd=project.root,
+        env=env,
+        start_new_session=True,
+    )
+    _pidfile(project, inst.name).write_text(str(proc.pid))
+    if not _wait_ready(port):
+        print(f"instance '{inst.name}' failed to become ready within 30s", file=sys.stderr)
+        return 1
+    print(f"instance '{inst.name}' ready on localhost:{port}")
+    # Auto-deploy the project's queries.json bundle if present.
+    bundle = project.root / project.queries_dir / "queries.json"
+    if bundle.exists():
+        try:
+            Client(f"http://localhost:{port}").deploy_bundle(
+                json.loads(bundle.read_text())
+            )
+            print(f"deployed query bundle from {bundle}")
+        except HelixError as exc:
+            print(f"warning: bundle deploy failed: {exc}", file=sys.stderr)
+    return 0
+
+
+def cmd_stop(args) -> int:
+    project = find_project()
+    inst = project.instance(args.instance)
+    pid = _read_pid(project, inst.name)
+    if pid is None:
+        print(f"instance '{inst.name}' is not running")
+        return 0
+    os.kill(pid, signal.SIGTERM)
+    _pidfile(project, inst.name).unlink(missing_ok=True)
+    print(f"stopped instance '{inst.name}' (in-memory data is lost)")
+    return 0
+
+
+def cmd_restart(args) -> int:
+    cmd_stop(args)
+    time.sleep(0.2)
+    return cmd_start(args)
+
+
+def cmd_status(args) -> int:
+    project = find_project()
+    any_row = False
+    for name, inst in sorted(project.locals.items()):
+        if args.instance and name != args.instance:
+            continue
+        any_row = True
+        pid = _read_pid(project, name)
+        if pid is None:
+            print(f"{name} (local)  stopped")
+            continue
+        try:
+            health = Client(f"http://localhost:{inst.port}").health()
+            print(
+                f"{name} (local)  running  localhost:{inst.port}  "
+                f"pid={pid}  nodes={health['nodes']}  edges={health['edges']}"
+            )
+        except HelixError:
+            print(f"{name} (local)  starting  localhost:{inst.port}  pid={pid}")
+    if not any_row:
+        print("no instances defined")
+    return 0
+
+
+def cmd_logs(args) -> int:
+    project = find_project()
+    inst = project.instance(args.instance)
+    path = _logfile(project, inst.name)
+    if not path.exists():
+        print("no logs yet")
+        return 0
+    text = path.read_text(errors="replace")
+    if args.tail:
+        text = "\n".join(text.splitlines()[-args.tail:])
+    print(text)
+    return 0
+
+
+def cmd_query(args) -> int:
+    project = find_project()
+    inst = project.instance(args.instance)
+    sources = [s for s in (args.file, args.json) if s]
+    if len(sources) != 1:
+        print("provide exactly one of --file or --json", file=sys.stderr)
+        return 2
+    raw = Path(args.file).read_text() if args.file else args.json
+    try:
+        request = json.loads(raw)
+    except json.JSONDecodeError as exc:
+        print(f"invalid request JSON: {exc}", file=sys.stderr)
+        return 2
+    # Preflight validation matching the reference CLI (query.rs:172-187).
+    request_type = request.get("request_type")
+    if request_type not in ("read", "write"):
+        print('request_type must be "read" or "write" (lowercase)', file=sys.stderr)
+        return 2
+    if args.warm and request_type != "read":
+        print("--warm applies to read requests only", file=sys.stderr)
+        return 2
+    if "query" not in request:
+        print("request is missing the query field", file=sys.stderr)
+        return 2
+    builder = Client(f"http://localhost:{args.port or inst.port}").query()
+    if args.warm:
+        builder = builder.warm_only()
+    try:
+        out = builder.dynamic(request).send()
+    except HelixError as exc:
+        print(f"query failed: {exc}", file=sys.stderr)
+        return 1
+    print(json.dumps(out, indent=None if args.compact else 2, ensure_ascii=False))
+    return 0
+
+
+def cmd_deploy(args) -> int:
+    project = find_project()
+    inst = project.instance(args.instance)
+    bundle_path = (
+        Path(args.bundle)
+        if args.bundle
+        else project.root / project.queries_dir / "queries.json"
+    )
+    if not bundle_path.exists():
+        print(f"bundle not found: {bundle_path}", file=sys.stderr)
+        return 1
+    try:
+        out = Client(f"http://localhost:{inst.port}").deploy_bundle(
+            json.loads(bundle_path.read_text())
+        )
+    except HelixError as exc:
+        print(f"deploy failed: {exc}", file=sys.stderr)
+        return 1
+    print(f"installed routes: {', '.join(out['installed']) or '(none)'}")
+    return 0
+
+
+def cmd_prune(args) -> int:
+    project = find_project()
+    inst = project.instance(args.instance)
+    if _read_pid(project, inst.name) is not None:
+        print("stop the instance before pruning", file=sys.stderr)
+        return 1
+    state = project.state_dir(inst.name)
+    if state.exists():
+        import shutil
+
+        shutil.rmtree(state)
+    print(f"pruned instance state for '{inst.name}'")
+    return 0
+
+
+def cmd_delete(args) -> int:
+    return cmd_prune(args)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="helix-tpu",
+        description="helix-tpu: TPU-native graph-vector database",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("init", help="scaffold a project")
+    p.add_argument("--path", default=None)
+    p.add_argument("--name", default=None)
+    p.add_argument("--instance", default="dev")
+    p.add_argument("--port", type=int, default=DEFAULT_PORT)
+    p.set_defaults(fn=cmd_init)
+
+    for name, fn, help_ in (
+        ("start", cmd_start, "start an instance"),
+        ("stop", cmd_stop, "stop an instance"),
+        ("restart", cmd_restart, "restart an instance"),
+    ):
+        p = sub.add_parser(name, help=help_)
+        p.add_argument("instance", nargs="?", default=None)
+        if name in ("start", "restart"):
+            p.add_argument("--port", type=int, default=None)
+            p.add_argument("--foreground", action="store_true")
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("status", help="instance status")
+    p.add_argument("instance", nargs="?", default=None)
+    p.set_defaults(fn=cmd_status)
+
+    p = sub.add_parser("logs", help="instance logs")
+    p.add_argument("instance", nargs="?", default=None)
+    p.add_argument("--tail", type=int, default=None)
+    p.set_defaults(fn=cmd_logs)
+
+    p = sub.add_parser("query", help="send a dynamic query")
+    p.add_argument("instance", nargs="?", default=None)
+    p.add_argument("--file", default=None)
+    p.add_argument("--json", default=None)
+    p.add_argument("--port", type=int, default=None)
+    p.add_argument("--warm", action="store_true")
+    p.add_argument("--compact", action="store_true")
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("deploy", help="install a queries.json bundle")
+    p.add_argument("instance", nargs="?", default=None)
+    p.add_argument("--bundle", default=None)
+    p.set_defaults(fn=cmd_deploy)
+
+    for name, fn, help_ in (
+        ("prune", cmd_prune, "delete instance state"),
+        ("delete", cmd_delete, "delete instance state"),
+    ):
+        p = sub.add_parser(name, help=help_)
+        p.add_argument("instance", nargs="?", default=None)
+        p.add_argument("--yes", action="store_true")
+        p.set_defaults(fn=fn)
+
+    args = parser.parse_args(argv)
+    try:
+        return args.fn(args)
+    except ConfigError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

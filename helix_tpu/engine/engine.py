@@ -38,10 +38,13 @@ class Engine:
 
     def execute(self, request: dict) -> dict:
         executor = Executor(self)
-        if request.get("request_type") == "write":
-            with self._write_lock:
-                return executor.execute(request)
-        return executor.execute(request)
+        try:
+            if isinstance(request, dict) and request.get("request_type") == "write":
+                with self._write_lock:
+                    return executor.execute(request)
+            return executor.execute(request)
+        except wire.WireError as exc:
+            raise QueryError(str(exc)) from exc
 
     # -- stored routes ----------------------------------------------------
 

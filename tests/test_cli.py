@@ -1,0 +1,136 @@
+"""Hermetic CLI tests: init scaffold, start/status/query/stop lifecycle.
+
+Mirrors the reference's e2e CLI tier (``helix-cli/tests/e2e_cli.rs``) but
+against the local-process runtime instead of Docker.
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from helix_tpu.cli.main import main
+
+
+def run_cli(args, cwd=None):
+    import contextlib
+    import io
+    import os
+
+    stdout, stderr = io.StringIO(), io.StringIO()
+    old_cwd = os.getcwd()
+    try:
+        if cwd:
+            os.chdir(cwd)
+        with contextlib.redirect_stdout(stdout), contextlib.redirect_stderr(stderr):
+            code = main(args)
+    finally:
+        os.chdir(old_cwd)
+    return code, stdout.getvalue(), stderr.getvalue()
+
+
+def test_init_scaffold(tmp_path):
+    code, out, _ = run_cli(["init", "--path", str(tmp_path / "proj"), "--instance", "dev"])
+    assert code == 0
+    root = tmp_path / "proj"
+    assert (root / "helix.toml").exists()
+    request = json.loads((root / "examples" / "request.json").read_text())
+    assert request["request_type"] == "read"
+    assert request["query"]["queries"][0]["Query"]["name"] == "node_count"
+    assert ".helix/" in (root / ".gitignore").read_text()
+
+
+def test_init_twice_fails(tmp_path):
+    assert run_cli(["init", "--path", str(tmp_path / "p")])[0] == 0
+    code, _, err = run_cli(["init", "--path", str(tmp_path / "p")])
+    assert code == 1 and "exists" in err
+
+
+def test_query_requires_project(tmp_path):
+    code, _, err = run_cli(
+        ["query", "dev", "--json", "{}"], cwd=tmp_path
+    )
+    assert code == 1 and "helix.toml" in err
+
+
+def test_query_preflight_validation(tmp_path):
+    run_cli(["init", "--path", str(tmp_path / "p")])
+    root = tmp_path / "p"
+    code, _, err = run_cli(
+        ["query", "dev", "--json", '{"request_type": "READ", "query": {}}'], cwd=root
+    )
+    assert code == 2 and "lowercase" in err
+    code, _, err = run_cli(
+        ["query", "dev", "--json", '{"request_type": "write", "query": {"queries": [], "returns": []}}', "--warm"],
+        cwd=root,
+    )
+    assert code == 2 and "read" in err
+    code, _, err = run_cli(
+        ["query", "dev", "--json", '{"request_type": "read"}'], cwd=root
+    )
+    assert code == 2 and "query" in err
+
+
+@pytest.mark.slow
+def test_full_lifecycle(tmp_path):
+    """start -> status -> query(file) -> write -> read count -> stop."""
+    root = tmp_path / "proj"
+    free_port = _free_port()
+    assert run_cli(
+        ["init", "--path", str(root), "--port", str(free_port)]
+    )[0] == 0
+
+    code, out, err = run_cli(["start", "dev"], cwd=root)
+    assert code == 0, err
+    try:
+        code, out, _ = run_cli(["status"], cwd=root)
+        assert "running" in out and f"localhost:{free_port}" in out
+
+        code, out, _ = run_cli(
+            ["query", "dev", "--file", "examples/request.json", "--compact"], cwd=root
+        )
+        assert code == 0 and "node_count" in out
+
+        write_req = root / "write.json"
+        write_req.write_text(json.dumps({
+            "request_type": "write",
+            "query_name": None,
+            "query": {
+                "queries": [{
+                    "Query": {
+                        "name": "created",
+                        "steps": [{"AddN": {"label": "User", "properties": [
+                            ["name", {"Value": {"String": "cli-user"}}]]}}],
+                        "condition": None,
+                    }
+                }],
+                "returns": ["created"],
+            },
+            "parameters": {},
+        }))
+        code, out, _ = run_cli(["query", "dev", "--file", str(write_req)], cwd=root)
+        assert code == 0
+
+        code, out, _ = run_cli(
+            ["query", "dev", "--file", "examples/request.json", "--compact"], cwd=root
+        )
+        assert code == 0
+        assert json.loads(out) == {"node_count": 1}
+    finally:
+        code, out, _ = run_cli(["stop", "dev"], cwd=root)
+        assert code == 0
+
+    code, out, _ = run_cli(["status"], cwd=root)
+    assert "stopped" in out
+    assert run_cli(["prune", "dev", "--yes"], cwd=root)[0] == 0
+    assert not (root / ".helix" / "dev").exists()
+
+
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as sock:
+        sock.bind(("127.0.0.1", 0))
+        return sock.getsockname()[1]

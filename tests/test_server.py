@@ -1,0 +1,183 @@
+"""HTTP gateway + client SDK tests (in-process server, real sockets)."""
+
+import pytest
+
+from helix_tpu.client import Client, HelixError
+from helix_tpu.dsl import (
+    DynamicQueryRequest, Predicate, define_params, define_queries, g, param,
+    read_batch, register_read, register_write, write_batch,
+)
+from helix_tpu.server import HelixHTTPServer
+
+
+@pytest.fixture
+def server():
+    srv = HelixHTTPServer(host="127.0.0.1", port=0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture
+def client(server):
+    return Client(f"http://127.0.0.1:{server.port}")
+
+
+def test_health(client):
+    health = client.health()
+    assert health["status"] == "ok"
+    assert health["nodes"] == 0
+
+
+def test_dynamic_write_and_read(client):
+    out = client.execute(
+        DynamicQueryRequest.write(
+            write_batch()
+            .var_as("created", g().add_n("User", {"name": "ann"}))
+            .returning(["created"])
+        )
+    )
+    assert out["created"][0]["name"] == "ann"
+
+    out = client.execute(
+        DynamicQueryRequest.read(
+            read_batch()
+            .var_as("n", g().n_with_label("User").count())
+            .returning(["n"])
+        )
+    )
+    assert out == {"n": 1}
+
+
+def test_readiness_probe_shape(client):
+    # The probe the CLI/e2e uses (local_runtime.rs:584).
+    out = client.execute(
+        {
+            "request_type": "read",
+            "query_name": None,
+            "query": {
+                "queries": [
+                    {
+                        "Query": {
+                            "name": "ready",
+                            "steps": [
+                                {"NWhere": {"Eq": ["$label", {"String": "__HelixReadiness__"}]}},
+                                "Count",
+                            ],
+                            "condition": None,
+                        }
+                    }
+                ],
+                "returns": ["ready"],
+            },
+            "parameters": {},
+        }
+    )
+    assert out == {"ready": 0}
+
+
+def test_error_is_400_with_taxonomy(client):
+    with pytest.raises(HelixError) as err:
+        client.execute({"request_type": "bogus", "query": {}})
+    assert err.value.status == 400
+    assert err.value.body["error"]["kind"] == "QueryError"
+
+
+def test_warm_header_rejected_on_write(client):
+    req = DynamicQueryRequest.write(
+        write_batch().var_as("x", g().add_n("User"))
+    )
+    with pytest.raises(HelixError, match="warm"):
+        client.query().warm_only().dynamic(req).send()
+
+
+def test_stored_routes_deploy_and_call(client):
+    p = define_params({"name": param.string()})
+    queries = define_queries(
+        {
+            "write": {
+                "add_user": register_write(
+                    lambda pp: write_batch()
+                    .var_as("user", g().add_n("User", [("name", pp.name)]))
+                    .returning(["user"]),
+                    p,
+                ),
+            },
+            "read": {
+                "find_user": register_read(
+                    lambda pp: read_batch()
+                    .var_as(
+                        "users",
+                        g().n_with_label("User").where(Predicate.eq("name", pp.name)).count(),
+                    )
+                    .returning(["users"]),
+                    p,
+                ),
+            },
+        }
+    )
+    installed = client.deploy_bundle(queries.build_query_bundle())
+    assert sorted(installed["installed"]) == ["add_user", "find_user"]
+
+    out = client.call("add_user", {"name": "zoe"})
+    assert out["user"][0]["name"] == "zoe"
+    assert client.call("find_user", {"name": "zoe"}) == {"users": 1}
+    assert client.call("find_user", {"name": "nope"}) == {"users": 0}
+
+    with pytest.raises(HelixError, match="unknown stored query"):
+        client.call("missing_route", {})
+
+
+def test_stored_route_missing_param_is_error(client):
+    p = define_params({"name": param.string()})
+    queries = define_queries(
+        {
+            "read": {
+                "who": register_read(
+                    lambda pp: read_batch().var_as(
+                        "u", g().n_with_label("User").where(Predicate.eq("name", pp.name))
+                    ),
+                    p,
+                )
+            }
+        }
+    )
+    client.deploy_bundle(queries.build_query_bundle())
+    with pytest.raises(HelixError, match="missing required parameter"):
+        client.call("who", {})
+
+
+def test_api_key_auth():
+    srv = HelixHTTPServer(host="127.0.0.1", port=0, api_key="sekret")
+    srv.start()
+    try:
+        no_key = Client(f"http://127.0.0.1:{srv.port}")
+        with pytest.raises(HelixError) as err:
+            no_key.execute({"request_type": "read", "query": {"queries": [], "returns": []}})
+        assert err.value.status == 401
+        with_key = Client(f"http://127.0.0.1:{srv.port}", api_key="sekret")
+        assert with_key.execute(
+            {"request_type": "read", "query": {"queries": [], "returns": []}}
+        ) == {}
+    finally:
+        srv.stop()
+
+
+def test_concurrent_reads(client):
+    import concurrent.futures
+
+    client.execute(
+        DynamicQueryRequest.write(
+            write_batch().var_as("u", g().add_n("User", {"name": "x"}))
+        )
+    )
+    req = DynamicQueryRequest.read(
+        read_batch().var_as("n", g().n_with_label("User").count())
+    )
+
+    def hit(_):
+        return client.execute(req)["n"]
+
+    with concurrent.futures.ThreadPoolExecutor(8) as pool:
+        results = list(pool.map(hit, range(32)))
+    assert results == [1] * 32
