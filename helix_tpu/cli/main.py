@@ -141,11 +141,13 @@ def cmd_start(args) -> int:
     state = project.state_dir(inst.name)
     state.mkdir(parents=True, exist_ok=True)
 
+    disk = args.disk or inst.storage == "disk"
+    data_dir = str(state / "data") if disk else None
     if args.foreground:
         from ..server import serve
 
         print(f"Serving instance '{inst.name}' on port {port} (Ctrl-C to stop)")
-        serve("0.0.0.0", port)
+        serve("0.0.0.0", port, data_dir=data_dir)
         return 0
 
     log = open(_logfile(project, inst.name), "ab")
@@ -160,6 +162,7 @@ def cmd_start(args) -> int:
         [
             sys.executable, "-m", "helix_tpu.server.http_server",
             "--port", str(port),
+            *(["--data-dir", data_dir] if data_dir else []),
         ],
         stdout=log,
         stderr=subprocess.STDOUT,
@@ -193,8 +196,18 @@ def cmd_stop(args) -> int:
         print(f"instance '{inst.name}' is not running")
         return 0
     os.kill(pid, signal.SIGTERM)
+    # Give a disk-mode server time to checkpoint before reporting stopped.
+    for _ in range(100):
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            break
+        time.sleep(0.1)
     _pidfile(project, inst.name).unlink(missing_ok=True)
-    print(f"stopped instance '{inst.name}' (in-memory data is lost)")
+    if inst.storage == "disk" or (project.state_dir(inst.name) / "data").exists():
+        print(f"stopped instance '{inst.name}' (data persisted to disk)")
+    else:
+        print(f"stopped instance '{inst.name}' (in-memory data is lost)")
     return 0
 
 
@@ -343,6 +356,7 @@ def main(argv: list[str] | None = None) -> int:
         if name in ("start", "restart"):
             p.add_argument("--port", type=int, default=None)
             p.add_argument("--foreground", action="store_true")
+            p.add_argument("--disk", action="store_true")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("status", help="instance status")

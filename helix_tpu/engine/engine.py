@@ -1,14 +1,16 @@
 """Engine facade: one database instance.
 
-Wires the store, snapshot cache, vector/text index managers, and the
-executor together, and exposes the two entry points the serving layer
-needs: :meth:`execute` (dynamic requests, ``POST /v1/query``) and
-:meth:`execute_stored` (deployed routes, ``POST /v1/query/<name>``).
+Wires the store, snapshot cache, vector/text index managers, persistence,
+and the executor together, and exposes the entry points the serving layer
+needs: :meth:`execute` (dynamic requests, ``POST /v1/query``),
+:meth:`execute_stored` (deployed routes, ``POST /v1/query/<name>``), and
+:meth:`checkpoint` (disk-mode snapshot + WAL truncation).
 """
 
 from __future__ import annotations
 
 import threading
+import time
 from typing import Any
 
 from .. import wire
@@ -22,7 +24,7 @@ from .vector import VectorManager
 
 
 class Engine:
-    def __init__(self, metric: str = "cosine"):
+    def __init__(self, metric: str = "cosine", data_dir: str | None = None):
         self.store = GraphStore()
         self.snapshots = SnapshotCache(self.store)
         self.vectors = VectorManager(metric=metric)
@@ -33,18 +35,49 @@ class Engine:
         # snapshot of a consistent epoch (reference topology README.md:248).
         self._write_lock = threading.Lock()
         self.routes: dict[str, dict] = {}  # name -> {kind, query, parameters}
+        self.persistence = None
+        if data_dir is not None:
+            from .persist import Persistence
+
+            self.persistence = Persistence(data_dir)
+            self.persistence.recover(self)
+        self._writes_since_checkpoint = 0
+        self.checkpoint_every = 10_000  # write batches between auto-checkpoints
 
     # -- dynamic requests ------------------------------------------------
 
-    def execute(self, request: dict) -> dict:
+    def execute(self, request: dict, await_durable: bool = True) -> dict:
         executor = Executor(self)
         try:
             if isinstance(request, dict) and request.get("request_type") == "write":
+                now_ms = int(time.time() * 1000)
                 with self._write_lock:
-                    return executor.execute(request)
+                    result = executor.execute(request, now_ms=now_ms)
+                    if self.persistence is not None:
+                        self.persistence.log_write(
+                            request, now_ms, sync=await_durable
+                        )
+                        self._writes_since_checkpoint += 1
+                        if self._writes_since_checkpoint >= self.checkpoint_every:
+                            self.checkpoint()
+                    return result
             return executor.execute(request)
         except wire.WireError as exc:
             raise QueryError(str(exc)) from exc
+
+    def apply_logged_write(self, request: dict, now_ms: int) -> None:
+        """Re-execute a WAL record during recovery (no re-logging)."""
+        Executor(self).execute(request, now_ms=now_ms)
+
+    def checkpoint(self) -> None:
+        if self.persistence is not None:
+            self.persistence.checkpoint(self)
+            self._writes_since_checkpoint = 0
+
+    def close(self) -> None:
+        if self.persistence is not None:
+            self.checkpoint()
+            self.persistence.close()
 
     # -- stored routes ----------------------------------------------------
 
@@ -68,7 +101,9 @@ class Engine:
                     "parameters": params_table.get(name, []),
                 }
 
-    def execute_stored(self, name: str, parameters: dict | None) -> dict:
+    def execute_stored(
+        self, name: str, parameters: dict | None, await_durable: bool = True
+    ) -> dict:
         route = self.routes.get(name)
         if route is None:
             raise QueryError(f"unknown stored query: {name}")
@@ -81,4 +116,4 @@ class Engine:
                 p["name"]: p["ty"] for p in route["parameters"]
             },
         }
-        return self.execute(request)
+        return self.execute(request, await_durable=await_durable)

@@ -176,12 +176,14 @@ class Executor:
     # Request entry point
     # ------------------------------------------------------------------
 
-    def execute(self, request: dict) -> dict:
+    def execute(self, request: dict, now_ms: int | None = None) -> dict:
         wire.validate_request(request)
         params = convert_parameters(
             request.get("parameters"), request.get("parameter_types")
         )
         ctx = EvalContext(params)
+        if now_ms is not None:
+            ctx.now_ms = now_ms  # deterministic WAL replay clock
         batch = request["query"]
         is_write = request["request_type"] == "write"
         undo = UndoLog(self.store) if is_write else None

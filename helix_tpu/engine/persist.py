@@ -1,0 +1,148 @@
+"""Durability: snapshot store + logical WAL replay.
+
+Disk mode (the rebuild's analog of the reference's S3-backed engine
+storage, ``local_runtime.rs:20-26``, ``:773-786``): the authoritative
+store checkpoints to a snapshot file, and every committed write batch is
+appended to the native WAL (``helix_tpu/native/wal.cpp``) as a *logical*
+record — the serialized write request plus its evaluation clock, so
+``Timestamp``/``DateTimeNow`` expressions replay deterministically.
+
+Startup: load the newest snapshot, then re-execute surviving WAL records.
+Checkpoint: atomically replace the snapshot, then truncate the WAL.
+
+Write-path ordering: the record is appended *after* the batch commits in
+memory but *before* the client is acknowledged; a crash in the window
+loses only unacknowledged writes.  ``x-helix-await-durable: false``
+(reference ``lib.rs:292-298``) skips the per-record fsync.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from pathlib import Path
+from typing import Any
+
+from ..native import Wal, replay
+
+SNAPSHOT_NAME = "snapshot.bin"
+WAL_NAME = "wal.log"
+SNAPSHOT_VERSION = 1
+
+
+class Persistence:
+    def __init__(self, data_dir: str | Path):
+        self.dir = Path(data_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.snapshot_path = self.dir / SNAPSHOT_NAME
+        self.wal_path = self.dir / WAL_NAME
+        self.wal: Wal | None = None
+
+    # -- startup -----------------------------------------------------------
+
+    def recover(self, engine: Any) -> int:
+        """Load snapshot + replay WAL into the engine.  Returns the number
+        of replayed write batches."""
+        if self.snapshot_path.exists():
+            with open(self.snapshot_path, "rb") as fh:
+                payload = pickle.load(fh)
+            if payload.get("version") != SNAPSHOT_VERSION:
+                raise RuntimeError(
+                    f"unsupported snapshot version {payload.get('version')}"
+                )
+            self._restore_store(engine, payload)
+        replayed = 0
+        if self.wal_path.exists():
+            for record in replay(self.wal_path):
+                entry = json.loads(record)
+                engine.apply_logged_write(entry["request"], entry["now_ms"])
+                replayed += 1
+        self.wal = Wal(self.wal_path)
+        return replayed
+
+    def _restore_store(self, engine: Any, payload: dict) -> None:
+        from .store import Edge, Node
+
+        store = engine.store
+        for node_data in payload["nodes"]:
+            node_id, label, props = node_data
+            store.nodes[node_id] = Node(node_id, label, props)
+            store.node_order.append(node_id)
+            store.nodes_by_label.setdefault(label, []).append(node_id)
+            store.out_adj[node_id] = []
+            store.in_adj[node_id] = []
+        for edge_data in payload["edges"]:
+            edge_id, label, src, dst, props = edge_data
+            store.edges[edge_id] = Edge(edge_id, label, src, dst, props)
+            store.edge_order.append(edge_id)
+            store.edges_by_label.setdefault(label, []).append(edge_id)
+            store.out_adj[src].append(edge_id)
+            store.in_adj[dst].append(edge_id)
+        store._next_node_id, store._next_edge_id = payload["counters"]
+        # Index specs re-create through the normal path so scalar state is
+        # rebuilt and vector/text managers backfill via their hooks.
+        for spec in payload["index_specs"]:
+            store.create_index(spec, if_not_exists=True)
+        store.bump()
+
+    # -- write path ---------------------------------------------------------
+
+    def log_write(self, request: dict, now_ms: int, sync: bool = True) -> None:
+        assert self.wal is not None, "recover() must run before writes"
+        record = json.dumps(
+            {"now_ms": now_ms, "request": request},
+            ensure_ascii=False, separators=(",", ":"),
+        ).encode("utf-8")
+        self.wal.append(record, sync=sync)
+
+    # -- checkpoint ---------------------------------------------------------
+
+    def checkpoint(self, engine: Any) -> None:
+        store = engine.store
+        payload = {
+            "version": SNAPSHOT_VERSION,
+            "nodes": [
+                (nid, store.nodes[nid].label, store.nodes[nid].props)
+                for nid in store.node_order
+            ],
+            "edges": [
+                (
+                    eid,
+                    store.edges[eid].label,
+                    store.edges[eid].src,
+                    store.edges[eid].dst,
+                    store.edges[eid].props,
+                )
+                for eid in store.edge_order
+            ],
+            "counters": store.save_counters(),
+            "index_specs": [
+                {defn.spec_tag: _spec_fields(defn)}
+                for defn in store.indexes.values()
+            ],
+        }
+        tmp = self.snapshot_path.with_suffix(".tmp")
+        with open(tmp, "wb") as fh:
+            pickle.dump(payload, fh, protocol=5)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self.snapshot_path)
+        if self.wal is not None:
+            self.wal.reset()
+
+    def close(self) -> None:
+        if self.wal is not None:
+            self.wal.close()
+            self.wal = None
+
+
+def _spec_fields(defn: Any) -> dict:
+    fields: dict[str, Any] = {"label": defn.label, "property": defn.prop}
+    if defn.spec_tag.endswith("Equality") and defn.kind == "node":
+        fields["unique"] = defn.unique
+    if defn.spec_tag.endswith("Range") and defn.direction != "Asc":
+        fields["direction"] = defn.direction
+    if defn.tenant_property is not None:
+        fields["tenant_property"] = defn.tenant_property
+    return fields

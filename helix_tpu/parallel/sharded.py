@@ -1,0 +1,186 @@
+"""Sharded vector search over a JAX device mesh.
+
+The multi-chip design from SURVEY.md §2.3/§7.7 (the structural analog of
+the reference's reader scale-out, ``README.md:248``): the packed vector
+matrix is sharded row-wise across the ``shard`` mesh axis, each device
+runs the exact/beam search over its rows, and an ICI ``all_gather``
+merges per-shard top-k candidates into the global top-k.  Queries can
+additionally be data-parallel over a ``data`` axis.
+
+Collective cost per query batch: one all-gather of ``[n_shard, B, k]``
+floats + indices over ICI — tiny next to the per-shard distance scan, so
+scaling is near-linear in shard count.
+
+Everything is ``shard_map`` over a ``Mesh`` with static shapes; the same
+code runs on a real TPU slice or on the CPU virtual-device mesh used in
+tests and the driver's multi-chip dry run.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: int | None = None, data: int = 1
+) -> Mesh:
+    """Build a (data, shard) mesh over the available devices."""
+    devices = np.array(jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % data != 0:
+        raise ValueError(f"cannot split {n} devices into data={data}")
+    return Mesh(devices.reshape(data, n // data), ("data", "shard"))
+
+
+def _local_topk(xs, qs, n_valid, sq_norms, k, chunk, metric):
+    """Per-shard chunked scan + running top-k (same scheme as ops.distance)."""
+    from ..ops.distance import pick_chunk
+
+    n, _ = xs.shape
+    b = qs.shape[0]
+    chunk = pick_chunk(n, min(chunk, n))
+    num_chunks = n // chunk
+    col_base = jnp.arange(chunk, dtype=jnp.int32)
+
+    approx = xs.dtype == jnp.bfloat16
+
+    def body(carry, start):
+        best_s, best_i = carry
+        block = jax.lax.dynamic_slice_in_dim(xs, start, chunk, axis=0)
+        sims = jnp.dot(qs, block.T, preferred_element_type=jnp.float32)
+        cols = start + col_base
+        if metric == "l2":
+            sq = jax.lax.dynamic_slice_in_dim(sq_norms, start, chunk, axis=0)
+            sims = 2.0 * sims - sq[None, :]
+        sims = jnp.where((cols < n_valid)[None, :], sims, -jnp.inf)
+        if approx:
+            s_chunk, i_local = jax.lax.approx_max_k(sims, k, recall_target=0.99)
+        else:
+            s_chunk, i_local = jax.lax.top_k(sims, k)
+        i_chunk = cols[i_local]
+        cat_s = jnp.concatenate([best_s, s_chunk], axis=1)
+        cat_i = jnp.concatenate([best_i, i_chunk], axis=1)
+        new_s, pos = jax.lax.top_k(cat_s, k)
+        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        return (new_s, new_i), None
+
+    init = (
+        jnp.full((b, k), -jnp.inf, jnp.float32),
+        jnp.zeros((b, k), jnp.int32),
+    )
+    starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+    (best_s, best_i), _ = jax.lax.scan(body, init, starts)
+    return best_s, best_i
+
+
+class ShardedVectorSearch:
+    """Compiled sharded search over a fixed mesh + matrix shape.
+
+    ``xs`` is laid out ``[n_shard * rows_per_shard, D]`` and sharded along
+    rows; queries are replicated across ``shard`` and sharded across
+    ``data``.  Returns global row indices.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        k: int,
+        metric: str = "cosine",
+        chunk: int = 65536,
+        bf16: bool | None = None,
+    ):
+        self.mesh = mesh
+        self.k = k
+        self.metric = metric
+        self.chunk = chunk
+        self.bf16 = bf16 if bf16 is not None else jax.default_backend() == "tpu"
+        self.n_shard = mesh.shape["shard"]
+        self._fn = self._build()
+
+    def _build(self):
+        mesh = self.mesh
+        k = self.k
+        metric = self.metric
+        chunk = self.chunk
+        bf16 = self.bf16
+        n_shard = self.n_shard
+
+        def shard_fn(xs, qs, n_valid, sq_norms):
+            # xs: [rows_per_shard, D] local block; qs: [B_local, D]
+            shard_id = jax.lax.axis_index("shard")
+            rows = xs.shape[0]
+            if bf16:
+                xs_c, qs_c = xs.astype(jnp.bfloat16), qs.astype(jnp.bfloat16)
+            else:
+                xs_c, qs_c = xs, qs
+            local_valid = jnp.clip(n_valid - shard_id * rows, 0, rows)
+            best_s, best_i = _local_topk(
+                xs_c, qs_c, local_valid, sq_norms, k, chunk, metric
+            )
+            global_i = best_i + shard_id * rows
+            # ICI merge: gather every shard's candidates, re-select top-k.
+            all_s = jax.lax.all_gather(best_s, "shard", axis=0)   # [S, B, k]
+            all_i = jax.lax.all_gather(global_i, "shard", axis=0)
+            b = qs.shape[0]
+            flat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(b, n_shard * k)
+            flat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, n_shard * k)
+            top_s, pos = jax.lax.top_k(flat_s, k)
+            top_i = jnp.take_along_axis(flat_i, pos, axis=1)
+            if metric == "cosine":
+                dists = 1.0 - top_s
+            else:
+                q_sq = jnp.sum(qs.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+                dists = -top_s + q_sq
+            return dists, top_i
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                P("shard", None),    # xs rows sharded
+                P("data", None),     # queries data-parallel, replicated on shard
+                P(),                 # n_valid replicated
+                P("shard"),          # sq_norms sharded with rows
+            ),
+            out_specs=(P("data", None), P("data", None)),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    def shard_arrays(
+        self, data: np.ndarray, sq_norms: np.ndarray
+    ) -> tuple[jax.Array, jax.Array, int]:
+        """Pad + device_put the packed matrix with row sharding.
+
+        Returns (xs, sq, n_valid).
+        """
+        n, d = data.shape
+        rows_per_shard = -(-n // self.n_shard)
+        # Keep each shard MXU-aligned.
+        rows_per_shard = ((rows_per_shard + 127) // 128) * 128
+        total = rows_per_shard * self.n_shard
+        if total != n:
+            padded = np.zeros((total, d), data.dtype)
+            padded[:n] = data
+            sq = np.zeros(total, sq_norms.dtype)
+            sq[:n] = sq_norms
+        else:
+            padded, sq = data, sq_norms
+        xs = jax.device_put(
+            padded, NamedSharding(self.mesh, P("shard", None))
+        )
+        sqd = jax.device_put(sq, NamedSharding(self.mesh, P("shard")))
+        return xs, sqd, n
+
+    def __call__(self, xs, qs, n_valid, sq_norms):
+        qs_sharded = jax.device_put(
+            qs, NamedSharding(self.mesh, P("data", None))
+        )
+        return self._fn(xs, qs_sharded, jnp.int32(n_valid), sq_norms)

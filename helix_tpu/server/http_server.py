@@ -36,8 +36,9 @@ class HelixHTTPServer:
         host: str = "0.0.0.0",
         port: int = 6969,
         api_key: str | None = None,
+        data_dir: str | None = None,
     ):
-        self.engine = engine or Engine()
+        self.engine = engine or Engine(data_dir=data_dir)
         self.host = host
         self.port = port
         self.api_key = api_key
@@ -123,11 +124,17 @@ class HelixHTTPServer:
                         {"error": {"kind": "Internal", "message": str(exc)}},
                     )
 
+            def _await_durable(self) -> bool:
+                return self.headers.get("x-helix-await-durable", "true").lower() != "false"
+
             def _handle_dynamic(self, body: Any) -> None:
                 warm = self.headers.get("x-helix-warm", "").lower() == "true"
                 if warm and isinstance(body, dict) and body.get("request_type") == "write":
                     raise QueryError("x-helix-warm applies to read requests only")
-                self._reply(200, server.engine.execute(body))
+                self._reply(
+                    200,
+                    server.engine.execute(body, await_durable=self._await_durable()),
+                )
 
             def _handle_stored(self, name: str, body: Any) -> None:
                 # Stored-route bodies are the bare parameters object
@@ -138,7 +145,12 @@ class HelixHTTPServer:
                     params = body.get("parameters") or {}
                 if not isinstance(params, dict):
                     raise QueryError("stored query body must be a parameters object")
-                self._reply(200, server.engine.execute_stored(name, params))
+                self._reply(
+                    200,
+                    server.engine.execute_stored(
+                        name, params, await_durable=self._await_durable()
+                    ),
+                )
 
         return Handler
 
@@ -161,6 +173,7 @@ class HelixHTTPServer:
             self._httpd.shutdown()
             self._httpd.server_close()
             self._httpd = None
+        self.engine.close()
 
 
 def serve(
@@ -168,8 +181,21 @@ def serve(
     port: int = 6969,
     api_key: str | None = None,
     engine: Engine | None = None,
+    data_dir: str | None = None,
 ) -> None:
-    HelixHTTPServer(engine, host, port, api_key).serve_forever()
+    import signal
+    import sys
+
+    server = HelixHTTPServer(engine, host, port, api_key, data_dir=data_dir)
+
+    def _shutdown(signum, frame):
+        # Disk mode: checkpoint before exit so restart is snapshot-fast.
+        server.engine.close()
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, _shutdown)
+    signal.signal(signal.SIGINT, _shutdown)
+    server.serve_forever()
 
 
 if __name__ == "__main__":
@@ -179,5 +205,6 @@ if __name__ == "__main__":
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=6969)
     parser.add_argument("--api-key", default=None)
+    parser.add_argument("--data-dir", default=None)
     args = parser.parse_args()
-    serve(args.host, args.port, args.api_key)
+    serve(args.host, args.port, args.api_key, data_dir=args.data_dir)

@@ -1,0 +1,159 @@
+"""Durability tests: native WAL, snapshot checkpoint, crash recovery."""
+
+import json
+
+import pytest
+
+from helix_tpu.dsl import NodeRef, SourcePredicate, g, read_batch, write_batch
+from helix_tpu.engine import Engine
+from helix_tpu.native import Wal, replay
+
+
+def wreq(batch):
+    return {
+        "request_type": "write",
+        "query_name": None,
+        "query": batch.encode(),
+        "parameters": {},
+    }
+
+
+def rreq(batch):
+    return {
+        "request_type": "read",
+        "query_name": None,
+        "query": batch.encode(),
+        "parameters": {},
+    }
+
+
+def test_wal_roundtrip(tmp_path):
+    path = tmp_path / "test.wal"
+    wal = Wal(path)
+    records = [b"alpha", b"beta" * 1000, b"", b'{"json": true}']
+    for rec in records:
+        wal.append(rec, sync=False)
+    wal.flush()
+    wal.close()
+    assert list(replay(path)) == records
+
+
+def test_wal_torn_tail_ignored(tmp_path):
+    path = tmp_path / "torn.wal"
+    wal = Wal(path)
+    wal.append(b"good-record")
+    wal.close()
+    # Simulate a crash mid-append: garbage half-frame at the tail.
+    with open(path, "ab") as fh:
+        fh.write(b"\xff\xff\xff")
+    assert list(replay(path)) == [b"good-record"]
+
+
+def test_wal_reset(tmp_path):
+    path = tmp_path / "reset.wal"
+    wal = Wal(path)
+    wal.append(b"one")
+    wal.reset()
+    wal.append(b"two")
+    wal.close()
+    assert list(replay(path)) == [b"two"]
+
+
+def test_engine_recovers_from_wal(tmp_path):
+    data = tmp_path / "data"
+    eng = Engine(data_dir=str(data))
+    eng.execute(wreq(
+        write_batch()
+        .var_as("a", g().add_n("User", {"name": "ann"}))
+        .var_as("b", g().add_n("User", {"name": "bob"}))
+        .var_as("e", g().n(NodeRef.var("a")).add_e("KNOWS", NodeRef.var("b")))
+    ))
+    eng.persistence.close()  # simulate crash WITHOUT checkpoint
+
+    eng2 = Engine(data_dir=str(data))
+    out = eng2.execute(rreq(
+        read_batch()
+        .var_as("users", g().n_with_label("User").count())
+        .var_as(
+            "friends",
+            g().n_where(SourcePredicate.eq("name", "ann")).out("KNOWS").values(["name"]),
+        )
+    ))
+    assert out["users"] == 2
+    assert out["friends"] == ["bob"]
+
+
+def test_engine_checkpoint_then_recover(tmp_path):
+    data = tmp_path / "data"
+    eng = Engine(data_dir=str(data))
+    eng.execute(wreq(
+        write_batch()
+        .var_as("idx", g().create_vector_index_nodes("Doc", "embedding"))
+        .var_as("d1", g().add_n("Doc", {"title": "X", "embedding": [1.0, 0.0]}))
+    ))
+    eng.checkpoint()
+    eng.execute(wreq(
+        write_batch().var_as("d2", g().add_n("Doc", {"title": "Y", "embedding": [0.0, 1.0]}))
+    ))
+    eng.persistence.close()
+
+    eng2 = Engine(data_dir=str(data))
+    out = eng2.execute(rreq(
+        read_batch().var_as(
+            "hits",
+            g().vector_search_nodes("Doc", "embedding", [0.0, 1.0], 1).value_map(["title"]),
+        )
+    ))
+    # Snapshot restored d1 + index; WAL replayed d2; index backfilled both.
+    assert out["hits"] == [{"title": "Y"}]
+
+
+def test_ids_stable_across_recovery(tmp_path):
+    data = tmp_path / "data"
+    eng = Engine(data_dir=str(data))
+    out1 = eng.execute(wreq(
+        write_batch().var_as("u", g().add_n("User", {"name": "a"}))
+    ))
+    first_id = out1["u"][0]["$id"]
+    eng.persistence.close()
+
+    eng2 = Engine(data_dir=str(data))
+    out2 = eng2.execute(wreq(
+        write_batch().var_as("u", g().add_n("User", {"name": "b"}))
+    ))
+    assert out2["u"][0]["$id"] == first_id + 1  # counter recovered
+
+
+def test_failed_write_not_logged(tmp_path):
+    data = tmp_path / "data"
+    eng = Engine(data_dir=str(data))
+    with pytest.raises(Exception):
+        eng.execute(wreq(
+            write_batch()
+            .var_as("a", g().add_n("User", {"name": "x"}))
+            .var_as("bad", g().n(NodeRef.var("a")).add_e("E", NodeRef.ids([999])))
+        ))
+    eng.persistence.close()
+    eng2 = Engine(data_dir=str(data))
+    out = eng2.execute(rreq(read_batch().var_as("n", g().n().count())))
+    assert out["n"] == 0
+
+
+def test_unique_index_survives_recovery(tmp_path):
+    data = tmp_path / "data"
+    eng = Engine(data_dir=str(data))
+    eng.execute(wreq(
+        write_batch().var_as(
+            "idx",
+            g().create_index(
+                {"NodeEquality": {"label": "U", "property": "email", "unique": True}}
+            ),
+        )
+    ))
+    eng.execute(wreq(write_batch().var_as("u", g().add_n("U", {"email": "a@x"}))))
+    eng.checkpoint()
+    eng.persistence.close()
+
+    eng2 = Engine(data_dir=str(data))
+    with pytest.raises(Exception, match="unique"):
+        eng2.execute(wreq(write_batch().var_as("u", g().add_n("U", {"email": "a@x"}))))

@@ -1,0 +1,77 @@
+"""Sharded search over the 8-device virtual CPU mesh: correctness vs the
+single-device exact kernel."""
+
+import jax
+import numpy as np
+import pytest
+
+from helix_tpu.ops.distance import PackedMatrix, search_packed
+from helix_tpu.parallel import ShardedVectorSearch, make_mesh
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(4000, 64)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    queries = rng.normal(size=(16, 64)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    return data, queries
+
+
+def brute_force_ids(data, queries, k):
+    sims = queries @ data.T
+    return np.argsort(-sims, axis=1)[:, :k]
+
+
+def test_eight_way_shard_matches_exact(dataset):
+    data, queries = dataset
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    search = ShardedVectorSearch(mesh, k=10, chunk=512, bf16=False)
+    sq = np.sum(data * data, axis=1)
+    xs, sqd, n_valid = search.shard_arrays(data, sq)
+    dists, idx = search(xs, queries, n_valid, sqd)
+    expected = brute_force_ids(data, queries, 10)
+    idx = np.asarray(idx)
+    agree = np.mean([
+        len(set(idx[i]) & set(expected[i])) / 10 for i in range(len(queries))
+    ])
+    assert agree >= 0.999
+    dists = np.asarray(dists)
+    assert np.all(np.diff(dists, axis=1) >= -1e-6)  # ascending
+
+
+def test_two_by_four_mesh(dataset):
+    data, queries = dataset
+    mesh = make_mesh(data=2)
+    assert mesh.shape == {"data": 2, "shard": 4}
+    search = ShardedVectorSearch(mesh, k=5, chunk=512, bf16=False)
+    sq = np.sum(data * data, axis=1)
+    xs, sqd, n_valid = search.shard_arrays(data, sq)
+    dists, idx = search(xs, queries, n_valid, sqd)
+    expected = brute_force_ids(data, queries, 5)
+    assert np.array_equal(np.sort(np.asarray(idx), axis=1), np.sort(expected, axis=1))
+
+
+def test_l2_metric_sharded(dataset):
+    data, queries = dataset
+    mesh = make_mesh()
+    search = ShardedVectorSearch(mesh, k=7, metric="l2", chunk=512, bf16=False)
+    sq = np.sum(data * data, axis=1)
+    xs, sqd, n_valid = search.shard_arrays(data, sq)
+    dists, idx = search(xs, queries, n_valid, sqd)
+    d2 = ((queries[:, None, :] - data[None, :, :]) ** 2).sum(-1)
+    expected = np.argsort(d2, axis=1)[:, :7]
+    assert np.array_equal(np.sort(np.asarray(idx), axis=1), np.sort(expected, axis=1))
+
+
+def test_single_device_kernel_matches_numpy(dataset):
+    data, queries = dataset
+    matrix = PackedMatrix(64, "cosine")
+    for row in data:
+        matrix.append(row)
+    dists, idx = search_packed(matrix, queries, 10, use_device=True)
+    expected = brute_force_ids(data, queries, 10)
+    assert np.array_equal(np.sort(idx, axis=1), np.sort(expected, axis=1))
+    assert np.all(np.diff(dists, axis=1) >= -1e-6)
