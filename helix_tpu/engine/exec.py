@@ -386,13 +386,19 @@ class _QueryState:
     # -- helpers -------------------------------------------------------
 
     def _resolve_bound(self, bound: Any) -> int:
-        """StreamBound -> int (Literal, or statically resolvable Expr)."""
+        """Bound -> int.  Accepts a literal int, a StreamBound dict
+        (``{"Literal": n}`` / ``{"Expr": node}``), or a bare Expr node
+        (``LimitBy``/``SkipBy`` carry the expr directly)."""
         if isinstance(bound, int):
             return bound
-        tag = next(iter(bound))
-        if tag == "Literal":
-            return bound[tag]
-        value = eval_expr(bound[tag], None, self.ctx)
+        node = bound
+        if isinstance(bound, dict) and len(bound) == 1:
+            tag = next(iter(bound))
+            if tag == "Literal":
+                return bound[tag]
+            if tag == "Expr":
+                node = bound[tag]
+        value = eval_expr(node, None, self.ctx)
         num = V.as_number(value) if value is not MISSING else None
         if num is None:
             raise QueryError("stream bound must resolve to an integer")
@@ -1268,13 +1274,19 @@ class _QueryState:
         bound = min(times, max_depth) if times is not None else max_depth
         traversal = config["traversal"]
 
+        # Emit semantics: every frontier state is emitted at most once.
+        # Before = frontier before each body application (includes initial);
+        # After  = frontier after each application (includes final);
+        # All    = initial + after each application (every distinct state).
         frontier = frame
         emitted: list[Frame] = []
         finished: list[Frame] = []
+        if emit == "All" and len(frontier):
+            emitted.append(self._emit_filter(frontier, emit_pred))
         for _ in range(bound):
             if len(frontier) == 0:
                 break
-            if emit in ("Before", "All"):
+            if emit == "Before":
                 emitted.append(self._emit_filter(frontier, emit_pred))
             frontier = self.run_sub(frontier, traversal)
             if emit in ("After", "All"):
@@ -1285,7 +1297,13 @@ class _QueryState:
                 frontier = frontier.mask(~done)
                 if len(frontier) == 0:
                     break
-        parts = [p for p in emitted + finished + [frontier] if len(p) > 0]
+        # After/All already emitted post-iteration frontiers, which include
+        # both until-finishers and the final frontier; adding them again
+        # would double-count.
+        parts = list(emitted)
+        if emit in ("None", None, "Before"):
+            parts += finished + [frontier]
+        parts = [p for p in parts if len(p) > 0]
         if not parts:
             return Frame.empty(frame.kind)
         return concat_frames(parts)
