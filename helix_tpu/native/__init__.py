@@ -1,8 +1,9 @@
 """Native runtime components (C++), loaded via ctypes.
 
-Currently: the write-ahead log (``wal.cpp``).  The shared library is
-compiled on first use with g++ (cached next to the source, keyed on
-source mtime) so no build step is required for pure-Python use.
+Currently: the write-ahead log (``wal.cpp``) and the exact re-rank pass
+(``rerank.cpp``).  The shared library is compiled on first use with g++
+(cached next to the sources, keyed on source mtimes) so no build step is
+required for pure-Python use.
 """
 
 from __future__ import annotations
@@ -11,6 +12,8 @@ import ctypes
 import subprocess
 import threading
 from pathlib import Path
+
+import numpy as np
 
 _HERE = Path(__file__).resolve().parent
 _LOCK = threading.Lock()
@@ -22,13 +25,15 @@ class NativeBuildError(RuntimeError):
 
 
 def _build_library() -> Path:
-    src = _HERE / "wal.cpp"
+    sources = [_HERE / "wal.cpp", _HERE / "rerank.cpp"]
     out = _HERE / "libhxnative.so"
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    if out.exists() and all(
+        out.stat().st_mtime >= s.stat().st_mtime for s in sources
+    ):
         return out
     cmd = [
-        "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-        "-o", str(out), str(src),
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        "-o", str(out), *[str(s) for s in sources],
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
@@ -65,6 +70,16 @@ def load() -> ctypes.CDLL:
         ]
         lib.hxwal_reader_close.restype = None
         lib.hxwal_reader_close.argtypes = [ctypes.c_void_p]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.hx_rerank.restype = None
+        lib.hx_rerank.argtypes = [
+            f32p, f32p, ctypes.c_int64, ctypes.c_int64,
+            f32p, ctypes.c_int64,
+            i64p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int,
+            i64p, f32p,
+        ]
         _LIB = lib
         return lib
 
@@ -114,3 +129,39 @@ def replay(path: str | Path):
             yield ctypes.string_at(out, n) if n else b""
     finally:
         lib.hxwal_reader_close(handle)
+
+
+def rerank(
+    data: "np.ndarray",
+    sq_norms: "np.ndarray",
+    queries: "np.ndarray",
+    candidates: "np.ndarray",
+    k: int,
+    metric: str = "cosine",
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Exact float32 re-rank of per-query candidate rows (C++).
+
+    data [n,d] f32 C-contiguous, queries [b,d] f32, candidates [b,kc]
+    int64 (pad with -1).  Returns (dists [b,k] ascending, idx [b,k],
+    -1-padded when fewer than k valid candidates).
+    """
+    lib = load()
+    data = np.ascontiguousarray(data, np.float32)
+    sq_norms = np.ascontiguousarray(sq_norms, np.float32)
+    queries = np.ascontiguousarray(queries, np.float32)
+    candidates = np.ascontiguousarray(candidates, np.int64)
+    b, kc = candidates.shape
+    n, d = data.shape
+    out_idx = np.empty((b, k), np.int64)
+    out_dist = np.empty((b, k), np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.hx_rerank(
+        data.ctypes.data_as(f32p), sq_norms.ctypes.data_as(f32p),
+        n, d,
+        queries.ctypes.data_as(f32p), b,
+        candidates.ctypes.data_as(i64p), kc,
+        k, 1 if metric == "l2" else 0,
+        out_idx.ctypes.data_as(i64p), out_dist.ctypes.data_as(f32p),
+    )
+    return out_dist, out_idx

@@ -1,22 +1,24 @@
-"""MXU-tiled batched distance + top-k.
+"""MXU-tiled batched distance + top-k: the exact-search core.
 
-The exact-search core (and the recall oracle for the ANN index): scores a
-query batch against the packed vector matrix with an MXU matmul, scanning
-over column chunks with a running top-k merge so the full ``[B, N]`` score
-matrix never materializes in HBM (HBM traffic = one pass over the matrix
-per query batch).
+Replaces the reference engine's CPU HNSW distance evaluations (HelixDB
+vector search contract: ``sdks/rust/src/dsl.rs:129-155`` — top-k,
+ascending ``$distance``).  Two-phase design measured on a real v5e chip:
 
-This replaces the reference engine's CPU HNSW distance evaluations
-(HelixDB vector search contract: ``sdks/rust/src/dsl.rs:129-155`` — top-k,
-ascending ``$distance``).  Design notes:
+1. **Coarse phase (TPU)** — one bfloat16 MXU matmul of the query batch
+   against the HBM-resident packed matrix, feeding
+   ``jax.lax.approx_max_k`` (the TPU partial-reduce top-k).  Single-shot
+   over the whole matrix when the ``[B, N]`` score buffer fits the HBM
+   budget (a ``lax.scan`` over chunks measured 4x slower); chunked scan
+   with a running merge otherwise.
+2. **Exact re-rank (host, C++)** — bfloat16 input rounding shuffles ranks
+   among near-ties (recall@10 drops to ~0.62 on clustered data), so the
+   coarse top-k' candidates are re-scored in float32 by
+   ``native/rerank.cpp`` against the host-resident matrix (a few MFLOPs).
+   Measured end-to-end recall@10 ~1.0 vs a float32 oracle.
 
-- matmul in bfloat16 with float32 accumulation by default on TPU (MXU
-  native); ``precision="f32"`` for exact CPU tests
-- similarity is maximized internally (cosine: dot of normalized vectors;
-  l2: ``-|x-q|^2``); distances returned ascending
-- padded/invalid columns are masked to -inf before the merge
-- static shapes: ``k`` and chunk size are compile-time constants; the
-  chunk scan is a ``lax.scan`` (no dynamic shapes under jit)
+Static shapes throughout: ``k``/chunk are compile-time constants and
+chunk sizes always divide N (XLA *clamps* out-of-bounds dynamic-slice
+starts, which silently mislabels columns otherwise).
 """
 
 from __future__ import annotations
@@ -33,19 +35,17 @@ def _round_up(x: int, m: int) -> int:
 
 
 def pick_chunk(n: int, target: int) -> int:
-    """Largest divisor of ``n`` that is <= target.
-
-    The chunk scan uses ``dynamic_slice`` over row blocks; XLA *clamps*
-    out-of-bounds slice starts, so a chunk that does not divide N silently
-    re-reads shifted rows under mislabeled column indices.  Chunk sizes
-    must therefore divide the (static) row count exactly.
-    """
+    """Largest divisor of ``n`` that is <= target (see module docstring)."""
     if n <= target:
         return n
     for c in range(target, 0, -1):
         if n % c == 0:
             return c
     return n
+
+
+# [B, N] f32 score-buffer budget for the single-shot coarse phase.
+SINGLE_SHOT_BYTES = 2 << 30
 
 
 @functools.partial(
@@ -63,86 +63,73 @@ def topk_scores(
     bf16: bool = True,
     rerank: int = 8,
 ) -> tuple[jax.Array, jax.Array]:
-    """Top-k most-similar rows of ``xs`` for each query.
+    """Self-contained jittable top-k (device-only re-rank).
 
-    Returns ``(neg_similarity_as_distance [B, k], indices [B, k])`` with
-    distances ascending.  For cosine, inputs must be pre-normalized and
-    distance = 1 - dot; for l2, distance = |x|^2 - 2 x.q + |q|^2.
-
-    With ``bf16``, the full-matrix scan runs on the MXU in bfloat16 (the
-    fast path) which shuffles ranks among near-ties (~0.4% relative sim
-    error).  The ``rerank`` multiplier fixes this: the scan keeps
-    ``rerank*k`` candidates, then a tiny exact float32 pass re-scores just
-    those rows and selects the final k (measured on clustered SIFT-shaped
-    data: recall@10 0.62 without re-ranking, ~1.0 with).
+    Returns ``(distance [B, k], indices [B, k])`` ascending.  Used by the
+    driver entry point and anywhere a single jittable function is needed;
+    the serving path uses :func:`coarse_topk` + the native re-rank.
     """
-    n, d = xs.shape
+    n, _ = xs.shape
     b = qs.shape[0]
-    chunk = pick_chunk(n, min(chunk, n))
-    num_chunks = n // chunk
     k_scan = min(max(k, rerank * k if (bf16 and rerank > 1) else k), n)
+    single_shot = b * n * 4 <= SINGLE_SHOT_BYTES
 
-    if bf16:
-        xs_c = xs.astype(jnp.bfloat16)
-        qs_c = qs.astype(jnp.bfloat16)
-    else:
-        xs_c = xs
-        qs_c = qs
+    xs_c = xs.astype(jnp.bfloat16) if bf16 else xs
+    qs_c = qs.astype(jnp.bfloat16) if bf16 else qs
 
-    col_base = jnp.arange(chunk, dtype=jnp.int32)
-
-    def score_chunk(start):
-        block = jax.lax.dynamic_slice_in_dim(xs_c, start, chunk, axis=0)
-        sims = jnp.dot(
-            qs_c, block.T, preferred_element_type=jnp.float32
-        )  # [B, chunk]
-        cols = start + col_base
+    if single_shot:
+        sims = jnp.dot(qs_c, xs_c.T, preferred_element_type=jnp.float32)
         if metric == "l2":
-            sq = jax.lax.dynamic_slice_in_dim(sq_norms, start, chunk, axis=0)
-            # similarity = -(|x|^2 - 2 x.q); |q|^2 added at the end.
-            sims = 2.0 * sims - sq[None, :]
-        valid = cols < n_valid
-        sims = jnp.where(valid[None, :], sims, -jnp.inf)
-        return sims, cols
-
-    def body(carry, start):
-        best_s, best_i = carry
-        sims, cols = score_chunk(start)
+            sims = 2.0 * sims - sq_norms[None, :]
+        cols = jnp.arange(n, dtype=jnp.int32)
+        sims = jnp.where((cols < n_valid)[None, :], sims, -jnp.inf)
         if bf16:
-            # TPU-optimized partial-reduce top-k over the chunk (exact
-            # sort-based top_k over 100k+ columns dominates the scan
-            # otherwise); the f32 re-rank below restores exact order.
-            s_chunk, i_local = jax.lax.approx_max_k(
+            best_s, best_i = jax.lax.approx_max_k(
                 sims, k_scan, recall_target=0.99
             )
         else:
-            s_chunk, i_local = jax.lax.top_k(sims, k_scan)
-        i_chunk = cols[i_local]
-        cat_s = jnp.concatenate([best_s, s_chunk], axis=1)
-        cat_i = jnp.concatenate([best_i, i_chunk], axis=1)
-        new_s, pos = jax.lax.top_k(cat_s, k_scan)
-        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
-        return (new_s, new_i), None
+            best_s, best_i = jax.lax.top_k(sims, k_scan)
+    else:
+        chunk = pick_chunk(n, min(chunk, n))
+        col_base = jnp.arange(chunk, dtype=jnp.int32)
 
-    init = (
-        jnp.full((b, k_scan), -jnp.inf, jnp.float32),
-        jnp.zeros((b, k_scan), jnp.int32),
-    )
-    starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
-    (best_s, best_i), _ = jax.lax.scan(body, init, starts)
+        def body(carry, start):
+            cs, ci = carry
+            block = jax.lax.dynamic_slice_in_dim(xs_c, start, chunk, axis=0)
+            sims = jnp.dot(qs_c, block.T, preferred_element_type=jnp.float32)
+            cols = start + col_base
+            if metric == "l2":
+                sq = jax.lax.dynamic_slice_in_dim(sq_norms, start, chunk, axis=0)
+                sims = 2.0 * sims - sq[None, :]
+            sims = jnp.where((cols < n_valid)[None, :], sims, -jnp.inf)
+            if bf16:
+                s_chunk, i_local = jax.lax.approx_max_k(
+                    sims, k_scan, recall_target=0.99
+                )
+            else:
+                s_chunk, i_local = jax.lax.top_k(sims, k_scan)
+            i_chunk = cols[i_local]
+            cat_s = jnp.concatenate([cs, s_chunk], axis=1)
+            cat_i = jnp.concatenate([ci, i_chunk], axis=1)
+            new_s, pos = jax.lax.top_k(cat_s, k_scan)
+            return (new_s, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+        init = (
+            jnp.full((b, k_scan), -jnp.inf, jnp.float32),
+            jnp.zeros((b, k_scan), jnp.int32),
+        )
+        starts = jnp.arange(n // chunk, dtype=jnp.int32) * chunk
+        (best_s, best_i), _ = jax.lax.scan(body, init, starts)
 
     if k_scan > k:
-        # Exact float32 re-rank of the candidate set: [B, k_scan, D] gather
-        # + einsum — negligible next to the full scan.
-        cand = jnp.take(xs, best_i, axis=0)              # [B, k_scan, D]
-        qs32 = qs.astype(jnp.float32)
+        # Device re-rank: exact f32 re-score of the candidate rows.
+        cand = jnp.take(xs, best_i, axis=0)
         exact = jnp.einsum(
-            "bkd,bd->bk", cand.astype(jnp.float32), qs32,
+            "bkd,bd->bk", cand.astype(jnp.float32), qs.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
         if metric == "l2":
-            cand_sq = jnp.take(sq_norms, best_i, axis=0)
-            exact = 2.0 * exact - cand_sq
+            exact = 2.0 * exact - jnp.take(sq_norms, best_i, axis=0)
         exact = jnp.where(jnp.isfinite(best_s), exact, -jnp.inf)
         best_s, pos = jax.lax.top_k(exact, k)
         best_i = jnp.take_along_axis(best_i, pos, axis=1)
@@ -155,12 +142,142 @@ def topk_scores(
     return dists, best_i
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "rerank", "chunk")
+)
+def topk_resident(
+    xs16: jax.Array,        # [N, D] bfloat16 resident matrix (coarse phase)
+    xs32: jax.Array,        # [N, D] float32 resident matrix (re-rank)
+    qs: jax.Array,          # [B, D] float32 query batch
+    n_valid: jax.Array,
+    sq_norms: jax.Array,
+    *,
+    k: int,
+    metric: str = "cosine",
+    rerank: int = 8,
+    chunk: int = 131072,
+) -> tuple[jax.Array, jax.Array]:
+    """Serving-path top-k over resident device matrices (no per-call cast).
+
+    bfloat16 single-shot matmul + approx_max_k for candidates, exact f32
+    re-rank on device.  One H2D (queries) and one D2H (results) per call.
+    """
+    n, _ = xs16.shape
+    b = qs.shape[0]
+    k_scan = min(max(k, rerank * k), n)
+    qs16 = qs.astype(jnp.bfloat16)
+    if b * n * 4 <= SINGLE_SHOT_BYTES:
+        sims = jnp.dot(qs16, xs16.T, preferred_element_type=jnp.float32)
+        if metric == "l2":
+            sims = 2.0 * sims - sq_norms[None, :]
+        cols = jnp.arange(n, dtype=jnp.int32)
+        sims = jnp.where((cols < n_valid)[None, :], sims, -jnp.inf)
+        best_s, best_i = jax.lax.approx_max_k(sims, k_scan, recall_target=0.99)
+    else:
+        chunk = pick_chunk(n, min(chunk, n))
+        col_base = jnp.arange(chunk, dtype=jnp.int32)
+
+        def body(carry, start):
+            cs, ci = carry
+            block = jax.lax.dynamic_slice_in_dim(xs16, start, chunk, axis=0)
+            sims = jnp.dot(qs16, block.T, preferred_element_type=jnp.float32)
+            cols = start + col_base
+            if metric == "l2":
+                sq = jax.lax.dynamic_slice_in_dim(sq_norms, start, chunk, axis=0)
+                sims = 2.0 * sims - sq[None, :]
+            sims = jnp.where((cols < n_valid)[None, :], sims, -jnp.inf)
+            s_chunk, i_local = jax.lax.approx_max_k(
+                sims, k_scan, recall_target=0.99
+            )
+            i_chunk = cols[i_local]
+            cat_s = jnp.concatenate([cs, s_chunk], axis=1)
+            cat_i = jnp.concatenate([ci, i_chunk], axis=1)
+            new_s, pos = jax.lax.top_k(cat_s, k_scan)
+            return (new_s, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+        init = (
+            jnp.full((b, k_scan), -jnp.inf, jnp.float32),
+            jnp.zeros((b, k_scan), jnp.int32),
+        )
+        starts = jnp.arange(n // chunk, dtype=jnp.int32) * chunk
+        (best_s, best_i), _ = jax.lax.scan(body, init, starts)
+
+    cand = jnp.take(xs32, best_i, axis=0)
+    exact = jnp.einsum(
+        "bkd,bd->bk", cand, qs, preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        exact = 2.0 * exact - jnp.take(sq_norms, best_i, axis=0)
+    exact = jnp.where(jnp.isfinite(best_s), exact, -jnp.inf)
+    best_s, pos = jax.lax.top_k(exact, k)
+    best_i = jnp.take_along_axis(best_i, pos, axis=1)
+
+    if metric == "cosine":
+        dists = 1.0 - best_s
+    else:
+        q_sq = jnp.sum(qs * qs, axis=1, keepdims=True)
+        dists = -best_s + q_sq
+    return dists, best_i
+
+
+@functools.partial(jax.jit, static_argnames=("k_scan", "chunk", "metric"))
+def coarse_topk(
+    xs16: jax.Array,        # [N, D] bfloat16 resident matrix
+    qs: jax.Array,          # [B, D] float32 query batch
+    n_valid: jax.Array,
+    sq_norms: jax.Array,
+    *,
+    k_scan: int,
+    chunk: int = 131072,
+    metric: str = "cosine",
+) -> jax.Array:
+    """Coarse candidate indices ``[B, k_scan]`` (device phase only)."""
+    n, _ = xs16.shape
+    b = qs.shape[0]
+    qs_c = qs.astype(jnp.bfloat16)
+    if b * n * 4 <= SINGLE_SHOT_BYTES:
+        sims = jnp.dot(qs_c, xs16.T, preferred_element_type=jnp.float32)
+        if metric == "l2":
+            sims = 2.0 * sims - sq_norms[None, :]
+        cols = jnp.arange(n, dtype=jnp.int32)
+        sims = jnp.where((cols < n_valid)[None, :], sims, -jnp.inf)
+        _, idx = jax.lax.approx_max_k(sims, k_scan, recall_target=0.99)
+        return idx
+    chunk = pick_chunk(n, min(chunk, n))
+    col_base = jnp.arange(chunk, dtype=jnp.int32)
+
+    def body(carry, start):
+        cs, ci = carry
+        block = jax.lax.dynamic_slice_in_dim(xs16, start, chunk, axis=0)
+        sims = jnp.dot(qs_c, block.T, preferred_element_type=jnp.float32)
+        cols = start + col_base
+        if metric == "l2":
+            sq = jax.lax.dynamic_slice_in_dim(sq_norms, start, chunk, axis=0)
+            sims = 2.0 * sims - sq[None, :]
+        sims = jnp.where((cols < n_valid)[None, :], sims, -jnp.inf)
+        s_chunk, i_local = jax.lax.approx_max_k(sims, k_scan, recall_target=0.99)
+        i_chunk = cols[i_local]
+        cat_s = jnp.concatenate([cs, s_chunk], axis=1)
+        cat_i = jnp.concatenate([ci, i_chunk], axis=1)
+        new_s, pos = jax.lax.top_k(cat_s, k_scan)
+        return (new_s, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    init = (
+        jnp.full((b, k_scan), -jnp.inf, jnp.float32),
+        jnp.zeros((b, k_scan), jnp.int32),
+    )
+    starts = jnp.arange(n // chunk, dtype=jnp.int32) * chunk
+    (_, best_i), _ = jax.lax.scan(body, init, starts)
+    return best_i
+
+
 class PackedMatrix:
     """Host-managed packed vector matrix with a cached device copy.
 
-    Rows are appended host-side (amortized growth); the device copy is
-    refreshed only when stale (epoch check) so repeated searches never
-    re-upload.  Rows are padded to MXU-friendly multiples.
+    Rows are appended host-side (amortized growth); the bfloat16 device
+    copy is refreshed only when stale (version check) so repeated
+    searches never re-upload.  Rows are padded to MXU-friendly multiples.
+    The float32 rows stay host-side for the native exact re-rank.
     """
 
     ROW_PAD = 512
@@ -176,6 +293,7 @@ class PackedMatrix:
         self.n = 0
         self.version = 0
         self._device: tuple[int, jax.Array, jax.Array] | None = None
+        self._device32: tuple[int, jax.Array] | None = None
 
     def append(self, vec: np.ndarray) -> int:
         if self.n == self.capacity:
@@ -199,6 +317,29 @@ class PackedMatrix:
         self.version += 1
         return pos
 
+    def extend(self, vecs: np.ndarray) -> int:
+        """Bulk append; returns the first assigned position."""
+        count = len(vecs)
+        while self.n + count > self.capacity:
+            self.capacity *= 2
+            grown = np.zeros((self.capacity, self.dim_pad), np.float32)
+            grown[: self.n] = self.data[: self.n]
+            self.data = grown
+            sq = np.zeros(self.capacity, np.float32)
+            sq[: self.n] = self.sq_norms[: self.n]
+            self.sq_norms = sq
+        block = np.zeros((count, self.dim_pad), np.float32)
+        block[:, : self.dim] = vecs
+        if self.metric == "cosine":
+            norms = np.linalg.norm(block, axis=1, keepdims=True)
+            np.divide(block, norms, out=block, where=norms > 0)
+        self.data[self.n : self.n + count] = block
+        self.sq_norms[self.n : self.n + count] = np.einsum("nd,nd->n", block, block)
+        first = self.n
+        self.n += count
+        self.version += 1
+        return first
+
     def overwrite(self, pos: int, vec: np.ndarray | None) -> None:
         """Replace a row (None zeroes it; paired with external tombstoning)."""
         row = np.zeros(self.dim_pad, np.float32)
@@ -213,14 +354,27 @@ class PackedMatrix:
         self.version += 1
 
     def device_arrays(self) -> tuple[jax.Array, jax.Array]:
+        """(bfloat16 matrix, f32 squared norms), refreshed when stale."""
         n_rows = _round_up(max(self.n, 1), self.ROW_PAD)
         cached = self._device
         if cached is not None and cached[0] == self.version:
             return cached[1], cached[2]
-        xs = jnp.asarray(self.data[:n_rows])
+        xs16 = jnp.asarray(self.data[:n_rows]).astype(jnp.bfloat16)
         sq = jnp.asarray(self.sq_norms[:n_rows])
-        self._device = (self.version, xs, sq)
-        return xs, sq
+        xs16.block_until_ready()
+        self._device = (self.version, xs16, sq)
+        return xs16, sq
+
+    def data_device(self) -> jax.Array:
+        """Cached float32 device copy (re-rank operand)."""
+        n_rows = _round_up(max(self.n, 1), self.ROW_PAD)
+        cached = self._device32
+        if cached is not None and cached[0] == self.version:
+            return cached[1]
+        xs32 = jnp.asarray(self.data[:n_rows])
+        xs32.block_until_ready()
+        self._device32 = (self.version, xs32)
+        return xs32
 
     def prepare_query(self, q: np.ndarray) -> np.ndarray:
         out = np.zeros(self.dim_pad, np.float32)
@@ -239,13 +393,14 @@ def search_packed(
     valid_mask: np.ndarray | None = None,   # [n] bool over live rows
     *,
     use_device: bool | None = None,
+    rerank: int = 8,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact top-k over a packed matrix.
+    """Exact top-k over a packed matrix: TPU coarse phase + native C++
+    float32 re-rank.
 
-    Returns ``(dists [B, k'], positions [B, k'])`` with ``k' <= k`` columns,
-    distances ascending; invalid rows excluded.  Small partitions run
-    host-side (device round-trip would dominate); large ones run the
-    jitted chunked kernel.
+    Returns ``(dists [B, k'], positions [B, k'])`` with ``k' <= k``
+    columns, distances ascending; invalid rows excluded.  Small
+    partitions run entirely host-side (device round-trip would dominate).
     """
     if matrix.n == 0:
         b = queries.shape[0]
@@ -261,11 +416,11 @@ def search_packed(
 
     if use_device is None:
         use_device = matrix.n >= 4096
+
     if not use_device:
         data = matrix.data[: matrix.n]
         if matrix.metric == "cosine":
-            sims = qs @ data.T
-            dists = 1.0 - sims
+            dists = 1.0 - qs @ data.T
         else:
             dists = (
                 matrix.sq_norms[: matrix.n][None, :]
@@ -278,34 +433,37 @@ def search_packed(
         part_d = np.take_along_axis(dists, part, axis=1)
         order = np.argsort(part_d, axis=1, kind="stable")
         idx = np.take_along_axis(part, order, axis=1)
-        return np.take_along_axis(dists, idx, axis=1).astype(np.float32), idx.astype(np.int64)
+        return (
+            np.take_along_axis(dists, idx, axis=1).astype(np.float32),
+            idx.astype(np.int64),
+        )
 
-    xs, sq = matrix.device_arrays()
-    n_valid = matrix.n
-    if valid_mask is not None and valid_mask[: matrix.n].sum() < matrix.n:
-        # Tombstoned rows: zeroed rows score poorly for cosine but must be
-        # hard-masked; push them out by overwriting sq_norm/no — instead we
-        # post-filter by requesting extra candidates.
-        extra = int(matrix.n - valid_mask[: matrix.n].sum())
-        k_query = min(matrix.n, k_eff + extra)
-    else:
-        k_query = k_eff
-    dists, idx = topk_scores(
-        xs,
+    # ---- all-device path: one jit, one H2D (queries) + one D2H (top-k).
+    # The chip sits behind a tunnel, so extra round trips (host re-rank,
+    # separate coarse jits) cost more than they save; the device re-rank
+    # inside topk_scores keeps recall at ~1.0.
+    dead = 0 if valid_mask is None else int(matrix.n - n_live)
+    k_query = min(matrix.n, k_eff + dead)
+    xs16, sq = matrix.device_arrays()
+    dists, idx = topk_resident(
+        xs16,
+        matrix.data_device(),
         jnp.asarray(qs),
-        jnp.int32(n_valid),
+        jnp.int32(matrix.n),
         sq,
         k=int(k_query),
         metric=matrix.metric,
-        bf16=jax.default_backend() == "tpu",
+        rerank=max(rerank, 1),
     )
-    dists = np.asarray(dists)
+    dists = np.asarray(dists, np.float32)
     idx = np.asarray(idx, np.int64)
-    if valid_mask is not None:
+    if valid_mask is not None and dead:
         out_d = np.full((dists.shape[0], k_eff), np.inf, np.float32)
         out_i = np.zeros((dists.shape[0], k_eff), np.int64)
         for row in range(dists.shape[0]):
-            cols = [j for j in range(idx.shape[1]) if valid_mask[idx[row, j]]][:k_eff]
+            cols = [
+                j for j in range(idx.shape[1]) if valid_mask[idx[row, j]]
+            ][:k_eff]
             out_d[row, : len(cols)] = dists[row, cols]
             out_i[row, : len(cols)] = idx[row, cols]
         return out_d, out_i
