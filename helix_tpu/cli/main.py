@@ -163,6 +163,7 @@ def cmd_start(args) -> int:
             sys.executable, "-m", "helix_tpu.server.http_server",
             "--port", str(port),
             *(["--data-dir", data_dir] if data_dir else []),
+            "--telemetry-path", str(state / "metrics.jsonl"),
         ],
         stdout=log,
         stderr=subprocess.STDOUT,

@@ -14,6 +14,7 @@ import time
 from typing import Any
 
 from .. import wire
+from ..telemetry import NullTelemetry, Telemetry
 from ..dsl import load_query_bundle
 from .errors import QueryError
 from .exec import Executor
@@ -35,6 +36,7 @@ class Engine:
         # snapshot of a consistent epoch (reference topology README.md:248).
         self._write_lock = threading.Lock()
         self.routes: dict[str, dict] = {}  # name -> {kind, query, parameters}
+        self.telemetry: Telemetry = NullTelemetry()
         self.persistence = None
         if data_dir is not None:
             from .persist import Persistence
@@ -46,13 +48,23 @@ class Engine:
 
     # -- dynamic requests ------------------------------------------------
 
-    def execute(self, request: dict, await_durable: bool = True) -> dict:
+    def execute(
+        self, request: dict, await_durable: bool = True, trace: bool = False
+    ) -> dict:
         executor = Executor(self)
+        steps_trace: list | None = [] if trace else None
+        query_name = request.get("query_name") if isinstance(request, dict) else None
+        request_type = (
+            request.get("request_type", "?") if isinstance(request, dict) else "?"
+        )
+        start = time.perf_counter()
         try:
             if isinstance(request, dict) and request.get("request_type") == "write":
                 now_ms = int(time.time() * 1000)
                 with self._write_lock:
-                    result = executor.execute(request, now_ms=now_ms)
+                    result = executor.execute(
+                        request, now_ms=now_ms, trace=steps_trace
+                    )
                     if self.persistence is not None:
                         self.persistence.log_write(
                             request, now_ms, sync=await_durable
@@ -60,10 +72,29 @@ class Engine:
                         self._writes_since_checkpoint += 1
                         if self._writes_since_checkpoint >= self.checkpoint_every:
                             self.checkpoint()
-                    return result
-            return executor.execute(request)
+            else:
+                result = executor.execute(request, trace=steps_trace)
         except wire.WireError as exc:
+            self.telemetry.query_event(
+                False, query_name, request_type,
+                int((time.perf_counter() - start) * 1e6), error=str(exc),
+            )
             raise QueryError(str(exc)) from exc
+        except Exception as exc:
+            self.telemetry.query_event(
+                False, query_name, request_type,
+                int((time.perf_counter() - start) * 1e6), error=str(exc),
+            )
+            raise
+        elapsed_us = int((time.perf_counter() - start) * 1e6)
+        self.telemetry.query_event(True, query_name, request_type, elapsed_us)
+        if steps_trace is not None:
+            result["$trace"] = {
+                "time_taken_usec": elapsed_us,
+                "query_name": query_name,
+                "steps": steps_trace,
+            }
+        return result
 
     def apply_logged_write(self, request: dict, now_ms: int) -> None:
         """Re-execute a WAL record during recovery (no re-logging)."""
@@ -78,6 +109,7 @@ class Engine:
         if self.persistence is not None:
             self.checkpoint()
             self.persistence.close()
+        self.telemetry.close()
 
     # -- stored routes ----------------------------------------------------
 

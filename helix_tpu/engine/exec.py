@@ -176,7 +176,12 @@ class Executor:
     # Request entry point
     # ------------------------------------------------------------------
 
-    def execute(self, request: dict, now_ms: int | None = None) -> dict:
+    def execute(
+        self,
+        request: dict,
+        now_ms: int | None = None,
+        trace: list | None = None,
+    ) -> dict:
         wire.validate_request(request)
         params = convert_parameters(
             request.get("parameters"), request.get("parameter_types")
@@ -189,6 +194,7 @@ class Executor:
         undo = UndoLog(self.store) if is_write else None
         scope: dict[str, VarValue] = {}
         order: list[str] = []
+        self.trace = trace
         try:
             self._run_entries(batch["queries"], ctx, scope, order, undo)
         except Exception:
@@ -287,11 +293,26 @@ class Executor:
     ) -> VarValue:
         state = _QueryState(self, ctx, scope, undo)
         frame = Frame.empty()
+        trace = getattr(self, "trace", None)
+        if trace is None:
+            for step in steps:
+                result = state.apply(frame, step)
+                if isinstance(result, Terminal):
+                    return VarValue(result.payload, result.size, None)
+                frame = result
+            return VarValue(self.encode_frame(frame), len(frame), frame)
+        import time as _time
+
         for step in steps:
+            tag = wire.tag_of(step, wire.STEP_STYLE, "step")
+            start = _time.perf_counter()
             result = state.apply(frame, step)
+            elapsed_us = int((_time.perf_counter() - start) * 1e6)
             if isinstance(result, Terminal):
+                trace.append({"step": tag, "us": elapsed_us, "rows": result.size})
                 return VarValue(result.payload, result.size, None)
             frame = result
+            trace.append({"step": tag, "us": elapsed_us, "rows": len(frame)})
         return VarValue(self.encode_frame(frame), len(frame), frame)
 
     # ------------------------------------------------------------------

@@ -37,8 +37,14 @@ class HelixHTTPServer:
         port: int = 6969,
         api_key: str | None = None,
         data_dir: str | None = None,
+        telemetry_path: str | None = None,
     ):
         self.engine = engine or Engine(data_dir=data_dir)
+        if telemetry_path:
+            from ..telemetry import Telemetry
+
+            self.engine.telemetry = Telemetry(telemetry_path)
+            self.engine.telemetry.log_event("instance_start")
         self.host = host
         self.port = port
         self.api_key = api_key
@@ -127,13 +133,20 @@ class HelixHTTPServer:
             def _await_durable(self) -> bool:
                 return self.headers.get("x-helix-await-durable", "true").lower() != "false"
 
+            def _trace(self) -> bool:
+                return self.headers.get("x-helix-trace", "").lower() == "true"
+
             def _handle_dynamic(self, body: Any) -> None:
                 warm = self.headers.get("x-helix-warm", "").lower() == "true"
                 if warm and isinstance(body, dict) and body.get("request_type") == "write":
                     raise QueryError("x-helix-warm applies to read requests only")
                 self._reply(
                     200,
-                    server.engine.execute(body, await_durable=self._await_durable()),
+                    server.engine.execute(
+                        body,
+                        await_durable=self._await_durable(),
+                        trace=self._trace(),
+                    ),
                 )
 
             def _handle_stored(self, name: str, body: Any) -> None:
@@ -182,11 +195,15 @@ def serve(
     api_key: str | None = None,
     engine: Engine | None = None,
     data_dir: str | None = None,
+    telemetry_path: str | None = None,
 ) -> None:
     import signal
     import sys
 
-    server = HelixHTTPServer(engine, host, port, api_key, data_dir=data_dir)
+    server = HelixHTTPServer(
+        engine, host, port, api_key,
+        data_dir=data_dir, telemetry_path=telemetry_path,
+    )
 
     def _shutdown(signum, frame):
         # Disk mode: checkpoint before exit so restart is snapshot-fast.
@@ -206,5 +223,9 @@ if __name__ == "__main__":
     parser.add_argument("--port", type=int, default=6969)
     parser.add_argument("--api-key", default=None)
     parser.add_argument("--data-dir", default=None)
+    parser.add_argument("--telemetry-path", default=None)
     args = parser.parse_args()
-    serve(args.host, args.port, args.api_key, data_dir=args.data_dir)
+    serve(
+        args.host, args.port, args.api_key,
+        data_dir=args.data_dir, telemetry_path=args.telemetry_path,
+    )
