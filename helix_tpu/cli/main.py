@@ -256,19 +256,48 @@ def cmd_logs(args) -> int:
     return 0
 
 
+def _eval_dsl_snippet(snippet: str):
+    """Evaluate a Python DSL expression into a request (the analog of the
+    reference's TS-eval bridge, ``helix-cli/src/ts_query.rs``, using our
+    native SDK language instead of Node)."""
+    from .. import dsl as _dsl
+
+    prelude = {
+        name: getattr(_dsl, name)
+        for name in _dsl.__all__
+        if hasattr(_dsl, name)
+    }
+    value = eval(snippet, {"__builtins__": {}}, prelude)  # noqa: S307
+    if isinstance(value, _dsl.DynamicQueryRequest):
+        return value.encode()
+    if hasattr(value, "to_dynamic_request"):
+        return value.to_dynamic_request().encode()
+    raise ValueError(
+        "snippet must evaluate to a read_batch()/write_batch() chain or a "
+        "DynamicQueryRequest"
+    )
+
+
 def cmd_query(args) -> int:
     project = find_project()
     inst = project.instance(args.instance)
-    sources = [s for s in (args.file, args.json) if s]
+    sources = [s for s in (args.file, args.json, args.expr) if s]
     if len(sources) != 1:
-        print("provide exactly one of --file or --json", file=sys.stderr)
+        print("provide exactly one of --file, --json, or -e", file=sys.stderr)
         return 2
-    raw = Path(args.file).read_text() if args.file else args.json
-    try:
-        request = json.loads(raw)
-    except json.JSONDecodeError as exc:
-        print(f"invalid request JSON: {exc}", file=sys.stderr)
-        return 2
+    if args.expr:
+        try:
+            request = _eval_dsl_snippet(args.expr)
+        except Exception as exc:
+            print(f"invalid DSL expression: {exc}", file=sys.stderr)
+            return 2
+    else:
+        raw = Path(args.file).read_text() if args.file else args.json
+        try:
+            request = json.loads(raw)
+        except json.JSONDecodeError as exc:
+            print(f"invalid request JSON: {exc}", file=sys.stderr)
+            return 2
     # Preflight validation matching the reference CLI (query.rs:172-187).
     request_type = request.get("request_type")
     if request_type not in ("read", "write"):
@@ -373,6 +402,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("instance", nargs="?", default=None)
     p.add_argument("--file", default=None)
     p.add_argument("--json", default=None)
+    p.add_argument("-e", "--expr", default=None,
+                   help="evaluate a Python DSL expression as the request")
     p.add_argument("--port", type=int, default=None)
     p.add_argument("--warm", action="store_true")
     p.add_argument("--compact", action="store_true")

@@ -134,3 +134,18 @@ def _free_port() -> int:
     with socket.socket() as sock:
         sock.bind(("127.0.0.1", 0))
         return sock.getsockname()[1]
+
+
+def test_query_eval_expression(tmp_path):
+    """-e evaluates a Python DSL snippet (the reference's -e TS analog)."""
+    from helix_tpu.cli.main import _eval_dsl_snippet
+
+    req = _eval_dsl_snippet(
+        'read_batch().var_as("c", g().n_with_label("User").count()).returning(["c"])'
+    )
+    assert req["request_type"] == "read"
+    assert req["query"]["returns"] == ["c"]
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        _eval_dsl_snippet("__import__('os')")
