@@ -119,6 +119,57 @@ def main() -> None:
     e2e_elapsed = time.perf_counter() - start
     e2e_qps = e2e_rounds * batch / e2e_elapsed
 
+    # ---- BASELINE config[2]: 2-hop traversal with where_ filter --------
+    print("# traversal + hybrid configs...", file=sys.stderr)
+    import jax.numpy as jnp2
+
+    from helix_tpu.ops.csr import PaddedGraph, hybrid_expand, khop_count
+
+    deg = 16
+    edge_dst = rng.integers(0, n, size=n * deg).astype(np.int32)
+    indptr = np.arange(n + 1, dtype=np.int64) * deg
+    edge_lab = rng.integers(0, 4, size=n * deg).astype(np.int32)
+    padded = PaddedGraph.from_csr(indptr, edge_dst, edge_lab, n)
+    keep = jnp2.asarray(rng.random(n) < 0.5)  # where_ predicate mask
+    start_hosts = [rng.random(n) < 0.001 for _ in range(4)]
+    starts = [jnp2.asarray(s) for s in start_hosts]
+    count = khop_count(
+        padded.neighbors, padded.edge_labels, starts[0], jnp2.int32(1), 2, keep
+    )
+    jax.block_until_ready(count)
+    t0 = time.perf_counter()
+    for r in range(8):
+        count = khop_count(
+            padded.neighbors, padded.edge_labels, starts[r % 4],
+            jnp2.int32(1), 2, keep,
+        )
+    jax.block_until_ready(count)
+    traversal_ms = (time.perf_counter() - t0) / 8 * 1000
+
+    # ---- BASELINE config[3]: hybrid vector seed -> graph expansion -----
+    seed_pads = []
+    for r in range(4):
+        _, idx = topk_resident(
+            xs16, xs32, query_batches[r], n_valid, sq, k=k, metric="cosine"
+        )
+        seed_pads.append(idx[0].astype(jnp2.int32))
+    out = hybrid_expand(
+        padded.neighbors, padded.edge_labels, seed_pads[0],
+        jnp2.int32(-1), 1, keep, k=k,
+    )
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for r in range(8):
+        _, idx = topk_resident(
+            xs16, xs32, query_batches[r % 4], n_valid, sq, k=k, metric="cosine"
+        )
+        mask, cnt = hybrid_expand(
+            padded.neighbors, padded.edge_labels, idx[0].astype(jnp2.int32),
+            jnp2.int32(-1), 1, keep, k=k,
+        )
+    jax.block_until_ready(cnt)
+    hybrid_ms = (time.perf_counter() - t0) / 8 * 1000
+
     result = {
         "metric": (
             f"vector search QPS/chip (N={n}, d={d}, k=10, exact+rerank, "
@@ -133,6 +184,8 @@ def main() -> None:
         "device_batch_ms": round(device_elapsed / rounds * 1000, 3),
         "e2e_tunnel_qps": round(e2e_qps, 1),
         "build_upload_s": round(build_s, 2),
+        "traversal_2hop_ms": round(traversal_ms, 3),
+        "hybrid_seed_expand_ms": round(hybrid_ms, 3),
     }
     assert recall >= 0.95, f"recall gate failed: {recall}"
     print(json.dumps(result))
