@@ -164,6 +164,7 @@ def cmd_start(args) -> int:
             "--port", str(port),
             *(["--data-dir", data_dir] if data_dir else []),
             "--telemetry-path", str(state / "metrics.jsonl"),
+            "--metric", str(inst.vector.get("metric", "cosine")),
         ],
         stdout=log,
         stderr=subprocess.STDOUT,

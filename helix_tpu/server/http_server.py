@@ -38,8 +38,9 @@ class HelixHTTPServer:
         api_key: str | None = None,
         data_dir: str | None = None,
         telemetry_path: str | None = None,
+        metric: str = "cosine",
     ):
-        self.engine = engine or Engine(data_dir=data_dir)
+        self.engine = engine or Engine(metric=metric, data_dir=data_dir)
         if telemetry_path:
             from ..telemetry import Telemetry
 
@@ -196,13 +197,14 @@ def serve(
     engine: Engine | None = None,
     data_dir: str | None = None,
     telemetry_path: str | None = None,
+    metric: str = "cosine",
 ) -> None:
     import signal
     import sys
 
     server = HelixHTTPServer(
         engine, host, port, api_key,
-        data_dir=data_dir, telemetry_path=telemetry_path,
+        data_dir=data_dir, telemetry_path=telemetry_path, metric=metric,
     )
 
     def _shutdown(signum, frame):
@@ -224,8 +226,10 @@ if __name__ == "__main__":
     parser.add_argument("--api-key", default=None)
     parser.add_argument("--data-dir", default=None)
     parser.add_argument("--telemetry-path", default=None)
+    parser.add_argument("--metric", default="cosine", choices=["cosine", "l2"])
     args = parser.parse_args()
     serve(
         args.host, args.port, args.api_key,
         data_dir=args.data_dir, telemetry_path=args.telemetry_path,
+        metric=args.metric,
     )
