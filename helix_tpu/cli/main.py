@@ -21,6 +21,7 @@ import time
 from pathlib import Path
 
 from ..client import Client, HelixError
+from . import cloud
 from .config import (
     DEFAULT_PORT, ConfigError, find_project, write_default_config,
 )
@@ -423,6 +424,36 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("instance", nargs="?", default=None)
         p.add_argument("--yes", action="store_true")
         p.set_defaults(fn=fn)
+
+    p = sub.add_parser("auth", help="credentials management")
+    p.add_argument("action", choices=["login", "status", "logout"])
+    p.add_argument("--user-id", default=None)
+    p.add_argument("--user-key", default=None)
+    p.set_defaults(fn=cloud.cmd_auth)
+
+    p = sub.add_parser("workspace", help="select the active workspace")
+    p.add_argument("action", nargs="?", default="show", choices=["show", "use"])
+    p.add_argument("name", nargs="?", default=None)
+    p.set_defaults(fn=cloud.cmd_workspace)
+
+    p = sub.add_parser("cluster", help="cluster registry")
+    p.add_argument("action", nargs="?", default="list",
+                   choices=["list", "add", "remove"])
+    p.add_argument("name", nargs="?", default=None)
+    p.add_argument("--gateway", default=None)
+    p.add_argument("--auth-env", default=None)
+    p.add_argument("--format", default=None, choices=[None, "json"])
+    p.set_defaults(fn=cloud.cmd_cluster)
+
+    p = sub.add_parser("push", help="compile + deploy queries to a cluster")
+    p.add_argument("cluster")
+    p.set_defaults(fn=cloud.cmd_push)
+
+    p = sub.add_parser("sync", help="reconcile local sources with a cluster")
+    p.add_argument("cluster")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--yes", action="store_true")
+    p.set_defaults(fn=cloud.cmd_sync)
 
     args = parser.parse_args(argv)
     try:

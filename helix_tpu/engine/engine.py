@@ -36,6 +36,8 @@ class Engine:
         # snapshot of a consistent epoch (reference topology README.md:248).
         self._write_lock = threading.Lock()
         self.routes: dict[str, dict] = {}  # name -> {kind, query, parameters}
+        # Deployed source snapshot for push/sync reconciliation.
+        self.source_snapshot: dict = {"files": {}}
         self.telemetry: Telemetry = NullTelemetry()
         self.persistence = None
         if data_dir is not None:

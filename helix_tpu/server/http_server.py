@@ -88,6 +88,13 @@ class HelixHTTPServer:
                     raise QueryError(f"invalid JSON body: {exc}") from exc
 
             def do_GET(self) -> None:  # noqa: N802
+                if self.path == "/v1/source":
+                    if not self._authorized():
+                        self._reply(401, {"error": {"kind": "Unauthorized",
+                                                    "message": "invalid api key"}})
+                        return
+                    self._reply(200, server.engine.source_snapshot)
+                    return
                 if self.path == "/v1/health":
                     self._reply(
                         200,
@@ -119,6 +126,12 @@ class HelixHTTPServer:
                     elif self.path == "/v1/bundle":
                         server.engine.load_bundle(body)
                         self._reply(200, {"installed": sorted(server.engine.routes)})
+                    elif self.path == "/v1/source":
+                        # Deployed source snapshot (push/sync reconciliation).
+                        if not isinstance(body, dict) or "files" not in body:
+                            raise QueryError("source payload must carry files")
+                        server.engine.source_snapshot = body
+                        self._reply(200, {"stored": len(body["files"])})
                     else:
                         self._reply(
                             404, {"error": {"kind": "NotFound", "message": self.path}}
