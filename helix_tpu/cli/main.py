@@ -47,6 +47,40 @@ READINESS_REQUEST = {
     "parameters": {},
 }
 
+AGENTS_MD = """# Working with this helix-tpu project
+
+This project uses helix-tpu, a TPU-native graph-vector database speaking
+the HelixDB dynamic-query wire protocol.  `helix.toml` holds the project
+config; `.helix/` holds instance state (gitignored).
+
+## Workflow
+
+```bash
+python -m helix_tpu.cli start {instance}       # start the local engine
+python -m helix_tpu.cli query {instance} --file examples/request.json
+python -m helix_tpu.cli query {instance} -e 'read_batch().var_as("users", g().n_with_label("User")).returning(["users"])'
+python -m helix_tpu.cli status                 # instance state
+python -m helix_tpu.cli logs {instance}        # server logs
+python -m helix_tpu.cli stop {instance}        # stop (memory mode loses data; use --disk)
+```
+
+Queries are validated by the running instance; `-e` evaluates a Python
+DSL expression against the SDK prelude (g, read_batch, write_batch,
+Predicate, define_params, param, ...).
+
+## Query shapes
+
+- Dynamic JSON request: POST /v1/query with
+  {{"request_type": "read"|"write", "query": {{"queries": [...], "returns": [...]}}}}
+- Stored routes: deploy a queries.json bundle (python -m helix_tpu.cli
+  deploy) then POST /v1/query/<name> with bare parameters.
+- Vector search: create_vector_index_nodes(label, property) then
+  vector_search_nodes(label, property, query_vector, k); hits are
+  ascending by $distance.
+- Full-text: create_text_index_nodes then text_search_nodes; hits are
+  descending by $score.
+"""
+
 EXAMPLE_REQUEST = {
     "request_type": "read",
     "query": {
@@ -82,6 +116,9 @@ def cmd_init(args) -> int:
     request_path = examples / "request.json"
     if not request_path.exists():
         request_path.write_text(json.dumps(EXAMPLE_REQUEST, indent=2), encoding="utf-8")
+    agents = root / "AGENTS.md"
+    if not agents.exists():
+        agents.write_text(AGENTS_MD.format(instance=args.instance), encoding="utf-8")
     gitignore = root / ".gitignore"
     existing = gitignore.read_text(encoding="utf-8") if gitignore.exists() else ""
     wanted = [".helix/", "*.log"]
