@@ -96,18 +96,30 @@ def main() -> None:
     )
 
     print(f"# timing {rounds} device rounds of {batch} queries...", file=sys.stderr)
-    # Serialize rounds through a data dependency (each round's queries
-    # depend on the previous round's distances) so asynchronous dispatch
-    # under the tunnel cannot overstate throughput.
+    # All rounds run inside ONE jitted lax.scan with a carry chain, so
+    # they execute strictly sequentially on device and a single dispatch
+    # is timed — immune to both async-dispatch overstatement and the dev
+    # tunnel's per-RPC noise.
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def timed_rounds(xs16, xs32, qstack, n_valid, sq, k):
+        def body(carry, qbatch):
+            dists, idx = topk_resident(
+                xs16, xs32, qbatch + carry, n_valid, sq, k=k, metric="cosine"
+            )
+            return dists[0, 0] * 0.0, (dists[0, 0], idx[0, 0])
+        carry, outs = jax.lax.scan(body, jnp.float32(0.0), qstack)
+        return outs
+
+    qstack = jnp.stack(
+        [query_batches[r % n_batches] for r in range(rounds)]
+    )
+    out = timed_rounds(xs16, xs32, qstack, n_valid, sq, k)  # compile
+    jax.block_until_ready(out)
     start = time.perf_counter()
-    carry = jnp.float32(0.0)
-    for r in range(rounds):
-        dists, idx = topk_resident(
-            xs16, xs32, query_batches[r % n_batches] + carry, n_valid, sq,
-            k=k, metric="cosine",
-        )
-        carry = dists[0, 0] * 0.0
-    jax.block_until_ready((dists, idx))
+    out = timed_rounds(xs16, xs32, qstack + 1e-7, n_valid, sq, k)
+    jax.block_until_ready(out)
     device_elapsed = time.perf_counter() - start
     device_qps = rounds * batch / device_elapsed
 

@@ -1,0 +1,99 @@
+"""Dynamic micro-batching for vector search.
+
+TPU serving economics are dominated by per-dispatch cost (and, under a
+tunneled dev chip, per-RPC cost): a single query and a 256-query batch
+take nearly the same wall time on the MXU.  The batcher coalesces
+concurrent searches against the same index partition into one device
+dispatch — the serving-layer analog of the reference's reader-node
+concurrency (``README.md:248``), restated for accelerator hardware.
+
+Requests enqueue under a lock; a daemon drain thread wakes on the first
+request, waits ``window_s`` for stragglers, groups the queue by
+partition, and runs one stacked search per group.  Callers block on an
+event and receive their slice.  Window latency is bounded (default 2 ms)
+and single-caller workloads pay at most one window.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any
+
+import numpy as np
+
+
+class _Pending:
+    __slots__ = ("partition", "query", "k", "event", "result", "error")
+
+    def __init__(self, partition: Any, query: np.ndarray, k: int):
+        self.partition = partition
+        self.query = query
+        self.k = k
+        self.event = threading.Event()
+        self.result: tuple[np.ndarray, np.ndarray] | None = None
+        self.error: Exception | None = None
+
+
+class DynamicBatcher:
+    """Coalesces concurrent partition searches into stacked dispatches."""
+
+    def __init__(self, window_s: float = 0.002):
+        self.window_s = window_s
+        self._lock = threading.Lock()
+        self._queue: list[_Pending] = []
+        self._wake = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.dispatches = 0       # observability: device calls issued
+        self.coalesced = 0        # requests served by shared dispatches
+
+    def _ensure_thread(self) -> None:
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+
+    def submit(
+        self, partition: Any, query: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        entry = _Pending(partition, query, k)
+        with self._lock:
+            self._queue.append(entry)
+            self._ensure_thread()
+            self._wake.set()
+        entry.event.wait()
+        if entry.error is not None:
+            raise entry.error
+        assert entry.result is not None
+        return entry.result
+
+    def _run(self) -> None:
+        while True:
+            self._wake.wait()
+            # Collect stragglers for one window, then drain everything.
+            threading.Event().wait(self.window_s)
+            with self._lock:
+                batch, self._queue = self._queue, []
+                self._wake.clear()
+            if not batch:
+                continue
+            groups: dict[int, list[_Pending]] = {}
+            for entry in batch:
+                groups.setdefault(id(entry.partition), []).append(entry)
+            for entries in groups.values():
+                self._dispatch(entries)
+
+    def _dispatch(self, entries: list[_Pending]) -> None:
+        partition = entries[0].partition
+        try:
+            queries = np.stack([e.query for e in entries])
+            k_max = max(e.k for e in entries)
+            ids, dists = partition.search_many(queries, k_max)
+            self.dispatches += 1
+            self.coalesced += len(entries) - 1
+            for row, entry in enumerate(entries):
+                width = min(entry.k, ids.shape[1])
+                entry.result = (ids[row, :width], dists[row, :width])
+                entry.event.set()
+        except Exception as exc:  # propagate to every waiter
+            for entry in entries:
+                entry.error = exc
+                entry.event.set()

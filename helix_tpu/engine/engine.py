@@ -25,10 +25,15 @@ from .vector import VectorManager
 
 
 class Engine:
-    def __init__(self, metric: str = "cosine", data_dir: str | None = None):
+    def __init__(
+        self,
+        metric: str = "cosine",
+        data_dir: str | None = None,
+        batch_window_ms: float | None = None,
+    ):
         self.store = GraphStore()
         self.snapshots = SnapshotCache(self.store)
-        self.vectors = VectorManager(metric=metric)
+        self.vectors = VectorManager(metric=metric, batch_window_ms=batch_window_ms)
         self.texts = TextManager()
         self.store.add_write_hook(self.vectors)
         self.store.add_write_hook(self.texts)

@@ -75,14 +75,24 @@ class Partition:
         return sum(self.live)
 
     def search(self, query: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        ids, dists = self.search_many(query[None, :], k)
+        return ids[0], dists[0]
+
+    def search_many(
+        self, queries: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched search: (ids [B, k'], dists [B, k']) ascending."""
+        b = len(queries)
         if self.matrix is None or self.live_count() == 0:
-            return np.empty(0, np.uint64), np.empty(0, np.float64)
+            return (
+                np.empty((b, 0), np.uint64),
+                np.empty((b, 0), np.float64),
+            )
         mask = np.array(self.live, bool)
-        dists, positions = search_packed(
-            self.matrix, query[None, :], k, valid_mask=mask
-        )
-        ids = np.array([self.ids[p] for p in positions[0]], np.uint64)
-        return ids, dists[0].astype(np.float64)
+        dists, positions = search_packed(self.matrix, queries, k, valid_mask=mask)
+        id_table = np.array(self.ids, np.uint64)
+        ids = id_table[np.clip(positions, 0, len(id_table) - 1)]
+        return ids, dists.astype(np.float64)
 
 
 class VectorIndex:
@@ -127,28 +137,33 @@ class VectorIndex:
     def search(
         self, query: np.ndarray, k: int, tenant_value: Tagged | None
     ) -> tuple[np.ndarray, np.ndarray]:
+        part = self.partition_for_search(tenant_value)
+        if part is None:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        return part.search(query, k)
+
+    def partition_for_search(self, tenant_value: Tagged | None) -> "Partition | None":
         if self.defn.tenant_property is not None:
             if tenant_value is None:
                 raise QueryError(
                     f"vector index {self.defn.label}.{self.defn.prop} is "
                     "multitenant; search requires tenant_value"
                 )
-            part = self.partitions.get(_tenant_key(tenant_value))
-            if part is None:
-                return np.empty(0, np.uint64), np.empty(0, np.float64)
-            return part.search(query, k)
-        part = self.partitions.get(_UNTENANTED)
-        if part is None:
-            return np.empty(0, np.uint64), np.empty(0, np.float64)
-        return part.search(query, k)
+            return self.partitions.get(_tenant_key(tenant_value))
+        return self.partitions.get(_UNTENANTED)
 
 
 class VectorManager:
     """Store write-hook + search facade over all vector indexes."""
 
-    def __init__(self, metric: str = "cosine"):
+    def __init__(self, metric: str = "cosine", batch_window_ms: float | None = None):
         self.metric = metric
         self.indexes: dict[tuple, VectorIndex] = {}
+        self.batcher = None
+        if batch_window_ms is not None:
+            from .batching import DynamicBatcher
+
+            self.batcher = DynamicBatcher(window_s=batch_window_ms / 1000.0)
 
     # -- write hook interface ------------------------------------------
 
@@ -218,4 +233,20 @@ class VectorManager:
             )
         if k <= 0:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
-        return index.search(np.asarray(query, np.float32), k, tenant_value)
+        vec = np.asarray(query, np.float32)
+        if self.batcher is not None:
+            part = index.partition_for_search(tenant_value)
+            if part is None or part.matrix is None or part.live_count() == 0:
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
+            if len(vec) != part.matrix.dim:
+                from .errors import QueryError as _QE
+
+                raise _QE(
+                    f"query_vector dimension {len(vec)} does not match index "
+                    f"dimension {part.matrix.dim}"
+                )
+            # Coalesce concurrent searches against the same partition into
+            # one device dispatch (see engine/batching.py).
+            ids, dists = self.batcher.submit(part, vec, k)
+            return ids, dists
+        return index.search(vec, k, tenant_value)

@@ -39,8 +39,11 @@ class HelixHTTPServer:
         data_dir: str | None = None,
         telemetry_path: str | None = None,
         metric: str = "cosine",
+        batch_window_ms: float | None = 2.0,
     ):
-        self.engine = engine or Engine(metric=metric, data_dir=data_dir)
+        self.engine = engine or Engine(
+            metric=metric, data_dir=data_dir, batch_window_ms=batch_window_ms
+        )
         if telemetry_path:
             from ..telemetry import Telemetry
 

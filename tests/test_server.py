@@ -181,3 +181,41 @@ def test_concurrent_reads(client):
     with concurrent.futures.ThreadPoolExecutor(8) as pool:
         results = list(pool.map(hit, range(32)))
     assert results == [1] * 32
+
+
+def test_dynamic_batching_coalesces_concurrent_searches():
+    """Concurrent vector searches against one partition share dispatches."""
+    import concurrent.futures
+
+    from helix_tpu.dsl import DynamicQueryRequest, g, read_batch, write_batch
+    from helix_tpu.engine import Engine
+
+    engine = Engine(batch_window_ms=5.0)
+    seed = write_batch().var_as(
+        "idx", g().create_vector_index_nodes("Doc", "emb")
+    )
+    for i in range(20):
+        seed = seed.var_as(
+            f"d{i}", g().add_n("Doc", {"n": i, "emb": [float(i), 1.0]})
+        )
+    engine.execute(DynamicQueryRequest.write(seed).encode())
+
+    def search(i):
+        out = engine.execute(
+            DynamicQueryRequest.read(
+                read_batch().var_as(
+                    "hits",
+                    g().vector_search_nodes("Doc", "emb", [float(i), 1.0], 3)
+                    .value_map(["n"]),
+                )
+            ).encode()
+        )
+        return out["hits"][0]["n"]
+
+    with concurrent.futures.ThreadPoolExecutor(16) as pool:
+        results = list(pool.map(search, range(16)))
+    assert results == list(range(16))  # every caller got its own answer
+    batcher = engine.vectors.batcher
+    assert batcher.dispatches >= 1
+    assert batcher.dispatches + batcher.coalesced == 16
+    assert batcher.coalesced > 0  # at least some coalescing happened
