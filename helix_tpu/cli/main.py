@@ -401,6 +401,107 @@ def cmd_delete(args) -> int:
     return cmd_prune(args)
 
 
+def cmd_metrics(args) -> int:
+    """Telemetry level get/set (reference: metrics_sender.rs Full/Basic/Off)."""
+    from .cloud import _credentials_path, _read_kv, _write_kv
+
+    creds = _read_kv(_credentials_path())
+    if args.level is None:
+        level = creds.get("metrics_level", "basic")
+        opted_out = creds.get("metrics", "true").lower() == "false"
+        print(f"metrics level: {'off' if opted_out else level}")
+        return 0
+    if args.level == "off":
+        creds["metrics"] = "false"
+    else:
+        creds["metrics"] = "true"
+        creds["metrics_level"] = args.level
+    _write_kv(_credentials_path(), creds)
+    print(f"metrics level set to {args.level}")
+    return 0
+
+
+def cmd_version(args) -> int:
+    from .. import __version__
+
+    print(f"helix-tpu {__version__}")
+    return 0
+
+
+def cmd_feedback(args) -> int:
+    """Record feedback locally (the reference posts to its cloud)."""
+    from .cloud import STATE_HOME
+
+    path = STATE_HOME / "feedback.jsonl"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "a", encoding="utf-8") as fh:
+        fh.write(json.dumps({"ts": time.time(), "message": args.message}) + chr(10))
+    print(f"thanks! feedback recorded at {path}")
+    return 0
+
+
+CHEF_PROMPT = """# helix-tpu chef build prompt
+
+You are building an application on helix-tpu (a TPU-native graph-vector
+database speaking the HelixDB wire protocol).  The instance '{instance}'
+is running on localhost:{port}.
+
+## Query the database
+
+```python
+from helix_tpu import g, read_batch, write_batch, Predicate, define_params, param
+from helix_tpu.client import Client
+
+client = Client("http://localhost:{port}")
+```
+
+## Patterns
+
+- Schema-free writes:
+  `write_batch().var_as("u", g().add_n("User", {{"name": "ann"}}))`
+- Relations:
+  `g().n(NodeRef.var("u")).add_e("FOLLOWS", NodeRef.var("v"))`
+- Semantic search (create the index first):
+  `g().create_vector_index_nodes("Doc", "embedding")` then
+  `g().vector_search_nodes("Doc", "embedding", vector, k)` — hits carry
+  `$id` and `$distance` (ascending).
+- Full-text (BM25):
+  `g().create_text_index_nodes("Contact", "bio")` then
+  `g().text_search_nodes("Contact", "bio", "query text", k)` — hits
+  carry `$score` (descending).
+- Hybrid RAG: vector top-k -> `g().n(NodeRef.var("hits")).out("AUTHORED_BY")`.
+- Stored routes: put `define_queries(...)` in db/queries.py and run
+  `python -m helix_tpu.cli push <cluster>` or `deploy`.
+"""
+
+
+def cmd_chef(args) -> int:
+    """Project bootstrapper: scaffold, start, and write the agent prompt
+    (a lean take on the reference's chef, helix-cli/src/commands/chef.rs)."""
+    root = Path(args.path).resolve() if args.path else Path.cwd()
+    if not (root / "helix.toml").exists():
+        init_args = argparse.Namespace(
+            path=str(root), name=None, instance=args.instance, port=args.port
+        )
+        cmd_init(init_args)
+    prompt_path = root / "HELIX_CHEF_PROMPT.md"
+    prompt_path.write_text(
+        CHEF_PROMPT.format(instance=args.instance, port=args.port),
+        encoding="utf-8",
+    )
+    print(f"wrote {prompt_path}")
+    if args.start:
+        import os as _os
+
+        _os.chdir(root)
+        start_args = argparse.Namespace(
+            instance=args.instance, port=args.port, foreground=False, disk=False
+        )
+        return cmd_start(start_args)
+    print(f"next: cd {root} && python -m helix_tpu.cli start {args.instance}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(
         prog="helix-tpu",
@@ -491,6 +592,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--yes", action="store_true")
     p.set_defaults(fn=cloud.cmd_sync)
+
+    p = sub.add_parser("metrics", help="telemetry level get/set")
+    p.add_argument("level", nargs="?", default=None, choices=[None, "full", "basic", "off"])
+    p.set_defaults(fn=cmd_metrics)
+
+    p = sub.add_parser("version", help="print the version")
+    p.set_defaults(fn=cmd_version)
+
+    p = sub.add_parser("feedback", help="record feedback")
+    p.add_argument("message")
+    p.set_defaults(fn=cmd_feedback)
+
+    p = sub.add_parser("chef", help="bootstrap a project with an agent prompt")
+    p.add_argument("--path", default=None)
+    p.add_argument("--instance", default="dev")
+    p.add_argument("--port", type=int, default=DEFAULT_PORT)
+    p.add_argument("--start", action="store_true")
+    p.set_defaults(fn=cmd_chef)
 
     args = parser.parse_args(argv)
     try:

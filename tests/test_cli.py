@@ -149,3 +149,33 @@ def test_query_eval_expression(tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception):
         _eval_dsl_snippet("__import__('os')")
+
+
+def test_version_metrics_feedback_chef(tmp_path, monkeypatch):
+    monkeypatch.setenv("HELIX_TPU_HOME", str(tmp_path / "home"))
+    import importlib
+
+    from helix_tpu.cli import cloud as cloud_mod
+
+    importlib.reload(cloud_mod)
+    try:
+        code, out, _ = run_cli(["version"])
+        assert code == 0 and "helix-tpu" in out
+
+        code, out, _ = run_cli(["metrics"])
+        assert "metrics level: basic" in out
+        assert run_cli(["metrics", "off"])[0] == 0
+        code, out, _ = run_cli(["metrics"])
+        assert "metrics level: off" in out
+
+        assert run_cli(["feedback", "great engine"])[0] == 0
+        feedback = (tmp_path / "home" / "feedback.jsonl").read_text()
+        assert "great engine" in feedback
+
+        code, out, _ = run_cli(["chef", "--path", str(tmp_path / "app")])
+        assert code == 0
+        prompt = (tmp_path / "app" / "HELIX_CHEF_PROMPT.md").read_text()
+        assert "vector_search_nodes" in prompt
+        assert (tmp_path / "app" / "helix.toml").exists()
+    finally:
+        importlib.reload(cloud_mod)
