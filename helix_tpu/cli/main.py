@@ -139,6 +139,22 @@ def _logfile(project, instance: str) -> Path:
     return project.state_dir(instance) / "server.log"
 
 
+def _portfile(project, instance: str) -> Path:
+    return project.state_dir(instance) / "server.port"
+
+
+def _active_port(project, inst) -> int:
+    """Configured port, overridden by the running server's recorded port
+    (start may have fallen forward past a busy port)."""
+    path = _portfile(project, inst.name)
+    if path.exists():
+        try:
+            return int(path.read_text().strip())
+        except ValueError:
+            pass
+    return inst.port
+
+
 def _read_pid(project, instance: str) -> int | None:
     path = _pidfile(project, instance)
     if not path.exists():
@@ -169,6 +185,21 @@ def _wait_ready(port: int, timeout: float = 30.0) -> bool:
     return False
 
 
+def _probe_port(port: int, fallback_scan: int = 100) -> int:
+    """Return ``port`` if free, else the first free port in the next 100
+    (the reference's fall-forward scan, ``helix-cli/src/port.rs:11-31``)."""
+    import socket
+
+    for candidate in range(port, port + fallback_scan):
+        with socket.socket() as sock:
+            try:
+                sock.bind(("127.0.0.1", candidate))
+            except OSError:
+                continue
+            return candidate
+    raise ConfigError(f"no free port in {port}..{port + fallback_scan}")
+
+
 def cmd_start(args) -> int:
     project = find_project()
     inst = project.instance(args.instance)
@@ -179,6 +210,10 @@ def cmd_start(args) -> int:
     state = project.state_dir(inst.name)
     state.mkdir(parents=True, exist_ok=True)
 
+    free = _probe_port(port)
+    if free != port:
+        print(f"port {port} is busy; using {free}")
+        port = free
     disk = args.disk or inst.storage == "disk"
     data_dir = str(state / "data") if disk else None
     if args.foreground:
@@ -211,6 +246,7 @@ def cmd_start(args) -> int:
         start_new_session=True,
     )
     _pidfile(project, inst.name).write_text(str(proc.pid))
+    _portfile(project, inst.name).write_text(str(port))
     if not _wait_ready(port):
         print(f"instance '{inst.name}' failed to become ready within 30s", file=sys.stderr)
         return 1
@@ -244,6 +280,7 @@ def cmd_stop(args) -> int:
             break
         time.sleep(0.1)
     _pidfile(project, inst.name).unlink(missing_ok=True)
+    _portfile(project, inst.name).unlink(missing_ok=True)
     if inst.storage == "disk" or (project.state_dir(inst.name) / "data").exists():
         print(f"stopped instance '{inst.name}' (data persisted to disk)")
     else:
@@ -268,14 +305,15 @@ def cmd_status(args) -> int:
         if pid is None:
             print(f"{name} (local)  stopped")
             continue
+        port = _active_port(project, inst)
         try:
-            health = Client(f"http://localhost:{inst.port}").health()
+            health = Client(f"http://localhost:{port}").health()
             print(
-                f"{name} (local)  running  localhost:{inst.port}  "
+                f"{name} (local)  running  localhost:{port}  "
                 f"pid={pid}  nodes={health['nodes']}  edges={health['edges']}"
             )
         except HelixError:
-            print(f"{name} (local)  starting  localhost:{inst.port}  pid={pid}")
+            print(f"{name} (local)  starting  localhost:{port}  pid={pid}")
     if not any_row:
         print("no instances defined")
     return 0
@@ -348,7 +386,7 @@ def cmd_query(args) -> int:
     if "query" not in request:
         print("request is missing the query field", file=sys.stderr)
         return 2
-    builder = Client(f"http://localhost:{args.port or inst.port}").query()
+    builder = Client(f"http://localhost:{args.port or _active_port(project, inst)}").query()
     if args.warm:
         builder = builder.warm_only()
     try:

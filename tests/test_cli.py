@@ -179,3 +179,16 @@ def test_version_metrics_feedback_chef(tmp_path, monkeypatch):
         assert (tmp_path / "app" / "helix.toml").exists()
     finally:
         importlib.reload(cloud_mod)
+
+
+def test_port_fallback_scan():
+    import socket
+
+    from helix_tpu.cli.main import _probe_port
+
+    with socket.socket() as sock:
+        sock.bind(("127.0.0.1", 0))
+        sock.listen(1)
+        busy = sock.getsockname()[1]
+        free = _probe_port(busy)
+        assert free != busy and busy < free <= busy + 100
