@@ -30,10 +30,13 @@ class Engine:
         metric: str = "cosine",
         data_dir: str | None = None,
         batch_window_ms: float | None = None,
+        ann_config: dict | None = None,
     ):
         self.store = GraphStore()
         self.snapshots = SnapshotCache(self.store)
-        self.vectors = VectorManager(metric=metric, batch_window_ms=batch_window_ms)
+        self.vectors = VectorManager(
+            metric=metric, batch_window_ms=batch_window_ms, ann_config=ann_config
+        )
         self.texts = TextManager()
         self.store.add_write_hook(self.vectors)
         self.store.add_write_hook(self.texts)

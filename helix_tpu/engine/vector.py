@@ -38,14 +38,27 @@ def _tenant_key(value: Tagged) -> tuple:
 
 
 class Partition:
-    """One tenant partition: packed matrix + id bookkeeping."""
+    """One tenant partition: packed matrix + id bookkeeping.
 
-    def __init__(self, metric: str):
+    Above ``ann_threshold`` live vectors the partition maintains a
+    graph-based ANN index (``ops/beam.py``) over a build snapshot, plus
+    an exact scan over the *delta* (rows appended since the build);
+    results merge by distance.  The index rebuilds lazily once the delta
+    outgrows ``ann_rebuild_fraction`` of the snapshot.  ``ann_config``
+    carries the reference's HNSW tunables: ``degree`` ~ 2*m, ``ef`` ~
+    ef_search (helix-cli/src/config.rs:191-201).
+    """
+
+    def __init__(self, metric: str, ann_config: dict | None = None):
         self.metric = metric
         self.matrix: PackedMatrix | None = None
         self.ids: list[int] = []
         self.pos: dict[int, int] = {}
         self.live: list[bool] = []
+        self.ann_config = ann_config
+        self.ann = None
+        self.ann_rows = 0          # rows covered by the current ANN build
+        self.ann_rebuild_fraction = 0.1
 
     def add(self, element_id: int, vec: np.ndarray) -> None:
         if self.matrix is None:
@@ -88,25 +101,92 @@ class Partition:
                 np.empty((b, 0), np.uint64),
                 np.empty((b, 0), np.float64),
             )
-        mask = np.array(self.live, bool)
-        dists, positions = search_packed(self.matrix, queries, k, valid_mask=mask)
+        if self._use_ann():
+            dists, positions = self._search_ann(queries, k)
+        else:
+            mask = np.array(self.live, bool)
+            dists, positions = search_packed(
+                self.matrix, queries, k, valid_mask=mask
+            )
         id_table = np.array(self.ids, np.uint64)
         ids = id_table[np.clip(positions, 0, len(id_table) - 1)]
         return ids, dists.astype(np.float64)
+
+    # -- ANN tier ----------------------------------------------------------
+
+    def _use_ann(self) -> bool:
+        return (
+            self.ann_config is not None
+            and self.metric == "cosine"
+            and self.live_count() >= self.ann_config.get("threshold", 100_000)
+        )
+
+    def _ensure_ann(self) -> None:
+        from ..ops.beam import BeamIndex
+
+        n = self.matrix.n
+        stale = (
+            self.ann is None
+            or (n - self.ann_rows) > self.ann_rebuild_fraction * max(self.ann_rows, 1)
+        )
+        if not stale:
+            return
+        config = self.ann_config or {}
+        self.ann = BeamIndex.build(
+            self.matrix.data[:n],
+            degree=config.get("degree", 32),
+            kmeans_iters=config.get("kmeans_iters", 6),
+        )
+        self.ann_rows = n
+
+    def _search_ann(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """ANN over the build snapshot + exact scan over the delta rows."""
+        self._ensure_ann()
+        config = self.ann_config or {}
+        ef = max(k, config.get("ef", 96))
+        # Pad + normalize queries to the matrix layout (the ANN was built
+        # over the padded rows).
+        qs = np.stack([self.matrix.prepare_query(q) for q in queries])
+        dists, positions = self.ann.search(
+            qs, min(k, self.ann_rows), ef=ef,
+            iters=config.get("iters", 8),
+        )
+        n = self.matrix.n
+        if n > self.ann_rows:
+            # Exact scan of rows appended after the ANN build.
+            delta = self.matrix.data[self.ann_rows:n]
+            sims = qs @ delta.T
+            delta_d = (1.0 - sims).astype(np.float32)
+            delta_i = np.arange(self.ann_rows, n)[None, :].repeat(len(queries), 0)
+            merged_d = np.concatenate([dists, delta_d], axis=1)
+            merged_i = np.concatenate([positions, delta_i], axis=1)
+            order = np.argsort(merged_d, axis=1, kind="stable")[:, :k]
+            dists = np.take_along_axis(merged_d, order, axis=1)
+            positions = np.take_along_axis(merged_i, order, axis=1)
+        # Tombstones: drop dead rows (rare; slots backfill from overflow).
+        live = np.array(self.live, bool)
+        dead = ~live[np.clip(positions, 0, len(live) - 1)]
+        if dead.any():
+            dists = np.where(dead, np.inf, dists)
+            order = np.argsort(dists, axis=1, kind="stable")
+            dists = np.take_along_axis(dists, order, axis=1)
+            positions = np.take_along_axis(positions, order, axis=1)
+        return dists, positions
 
 
 class VectorIndex:
     """All partitions of one declared (kind, label, property) index."""
 
-    def __init__(self, defn: IndexDef, metric: str):
+    def __init__(self, defn: IndexDef, metric: str, ann_config: dict | None = None):
         self.defn = defn
         self.metric = metric
+        self.ann_config = ann_config
         self.partitions: dict[tuple, Partition] = {}
 
     def partition_for(self, tenant: tuple) -> Partition:
         part = self.partitions.get(tenant)
         if part is None:
-            part = Partition(self.metric)
+            part = Partition(self.metric, ann_config=self.ann_config)
             self.partitions[tenant] = part
         return part
 
@@ -156,8 +236,14 @@ class VectorIndex:
 class VectorManager:
     """Store write-hook + search facade over all vector indexes."""
 
-    def __init__(self, metric: str = "cosine", batch_window_ms: float | None = None):
+    def __init__(
+        self,
+        metric: str = "cosine",
+        batch_window_ms: float | None = None,
+        ann_config: dict | None = None,
+    ):
         self.metric = metric
+        self.ann_config = ann_config
         self.indexes: dict[tuple, VectorIndex] = {}
         self.batcher = None
         if batch_window_ms is not None:
@@ -170,7 +256,7 @@ class VectorManager:
     def on_index_created(self, store: GraphStore, defn: IndexDef) -> None:
         if defn.spec_tag not in ("NodeVector", "EdgeVector"):
             return
-        index = VectorIndex(defn, self.metric)
+        index = VectorIndex(defn, self.metric, ann_config=self.ann_config)
         self.indexes[defn.key()] = index
         table = (
             store.nodes_by_label.get(defn.label, ())
