@@ -238,6 +238,15 @@ def cmd_start(args) -> int:
             *(["--data-dir", data_dir] if data_dir else []),
             "--telemetry-path", str(state / "metrics.jsonl"),
             "--metric", str(inst.vector.get("metric", "cosine")),
+            *(
+                [
+                    "--ann-threshold", str(inst.vector["ann_threshold"]),
+                    "--ann-m", str(inst.vector.get("m", 16)),
+                    "--ann-ef-search", str(inst.vector.get("ef_search", 768)),
+                ]
+                if inst.vector.get("ann_threshold") is not None
+                else []
+            ),
         ],
         stdout=log,
         stderr=subprocess.STDOUT,

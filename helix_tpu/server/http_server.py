@@ -40,9 +40,11 @@ class HelixHTTPServer:
         telemetry_path: str | None = None,
         metric: str = "cosine",
         batch_window_ms: float | None = 2.0,
+        ann_config: dict | None = None,
     ):
         self.engine = engine or Engine(
-            metric=metric, data_dir=data_dir, batch_window_ms=batch_window_ms
+            metric=metric, data_dir=data_dir, batch_window_ms=batch_window_ms,
+            ann_config=ann_config,
         )
         if telemetry_path:
             from ..telemetry import Telemetry
@@ -214,6 +216,7 @@ def serve(
     data_dir: str | None = None,
     telemetry_path: str | None = None,
     metric: str = "cosine",
+    ann_config: dict | None = None,
 ) -> None:
     import signal
     import sys
@@ -221,6 +224,7 @@ def serve(
     server = HelixHTTPServer(
         engine, host, port, api_key,
         data_dir=data_dir, telemetry_path=telemetry_path, metric=metric,
+        ann_config=ann_config,
     )
 
     def _shutdown(signum, frame):
@@ -243,9 +247,21 @@ if __name__ == "__main__":
     parser.add_argument("--data-dir", default=None)
     parser.add_argument("--telemetry-path", default=None)
     parser.add_argument("--metric", default="cosine", choices=["cosine", "l2"])
+    parser.add_argument("--ann-threshold", type=int, default=None,
+                        help="live-vector count above which partitions use "
+                             "the graph ANN index")
+    parser.add_argument("--ann-m", type=int, default=16)
+    parser.add_argument("--ann-ef-search", type=int, default=768)
     args = parser.parse_args()
+    ann_config = None
+    if args.ann_threshold is not None:
+        ann_config = {
+            "threshold": args.ann_threshold,
+            "degree": 2 * args.ann_m,
+            "ef": min(args.ann_ef_search, 256),
+        }
     serve(
         args.host, args.port, args.api_key,
         data_dir=args.data_dir, telemetry_path=args.telemetry_path,
-        metric=args.metric,
+        metric=args.metric, ann_config=ann_config,
     )
