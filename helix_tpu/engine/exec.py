@@ -291,6 +291,9 @@ class Executor:
         scope: dict[str, VarValue],
         undo: UndoLog | None,
     ) -> VarValue:
+        device_result = self._try_device_traversal(steps, ctx, scope)
+        if device_result is not None:
+            return device_result
         state = _QueryState(self, ctx, scope, undo)
         frame = Frame.empty()
         trace = getattr(self, "trace", None)
@@ -314,6 +317,98 @@ class Executor:
             frame = result
             trace.append({"step": tag, "us": elapsed_us, "rows": len(frame)})
         return VarValue(self.encode_frame(frame), len(frame), frame)
+
+    # ------------------------------------------------------------------
+    # Device traversal planner
+    # ------------------------------------------------------------------
+
+    # Node count below which the host CSR gather path is always used
+    # (device dispatch overhead dominates tiny graphs).
+    device_traversal_min_nodes = 10_000
+
+    def _try_device_traversal(
+        self, steps: list, ctx: EvalContext, scope: dict[str, VarValue]
+    ):
+        """Compile ``source -> k x (Out|In) -> [Where] -> Dedup -> Count``
+        onto the padded-adjacency BFS kernels (ops/csr.py).
+
+        Dedup is required: the mask kernels compute set semantics, which
+        only matches the bag interpreter after deduplication.  Returns a
+        VarValue, or None to fall back to the host pipeline.
+        """
+        if len(steps) < 4:
+            return None
+        snap = self.snapshots.get()
+        if snap.n_nodes < self.device_traversal_min_nodes:
+            return None
+        tags = [wire.tag_of(s, wire.STEP_STYLE, "step") for s in steps]
+        if tags[0] not in ("NWhere", "N") or tags[-1] != "Count" or tags[-2] != "Dedup":
+            return None
+        hops: list[tuple[str, Any]] = []
+        i = 1
+        while i < len(steps) and tags[i] in ("Out", "In"):
+            hops.append((tags[i].lower(), wire.payload_of(steps[i])))
+            i += 1
+        if not hops:
+            return None
+        where_pred = None
+        if tags[i] == "Where":
+            where_pred = wire.payload_of(steps[i])
+            i += 1
+        if i != len(steps) - 2:  # only Dedup + Count may remain
+            return None
+
+        import jax.numpy as jnp
+
+        from ..ops.csr import khop_mask
+
+        # Per-hop padded graphs + label codes.
+        plans = []
+        for direction, label in hops:
+            graph = snap.padded_graph(direction)
+            if graph is None:
+                return None
+            if label is None:
+                code = -1
+            else:
+                code = snap.edge_label_code.get(label)
+                if code is None:
+                    zero = VarValue(0, 0, None)
+                    return zero  # unknown edge label: empty frontier
+            plans.append((graph, code))
+
+        # Optional where_: must vectorize over all node slots.
+        keep = None
+        if where_pred is not None:
+            from .expr import _try_vector_mask
+
+            all_nodes = Frame("nodes", snap.node_ids)
+            slots = np.arange(snap.n_nodes, dtype=np.int64)
+            keep = _try_vector_mask(
+                snap, "node", all_nodes, slots, where_pred, ctx
+            )
+            if keep is None:
+                return None
+
+        # Source frame through the normal pipeline (index-backed).
+        state = _QueryState(self, ctx, scope, None)
+        source_frame = state.apply(Frame.empty(), steps[0])
+        if not isinstance(source_frame, Frame) or source_frame.kind != "nodes":
+            return None
+        slots = snap.node_slots_or_neg(source_frame.ids)
+        slots = slots[slots >= 0]
+        start = np.zeros(snap.n_nodes, bool)
+        start[slots] = True
+
+        mask = jnp.asarray(start)
+        for graph, code in plans:
+            mask = khop_mask(
+                graph.neighbors, graph.edge_labels, mask, jnp.int32(code), 1
+            )
+        if keep is not None:
+            mask = mask & jnp.asarray(keep)
+        count = int(jnp.sum(mask))
+        return VarValue(count, count, None)
 
     # ------------------------------------------------------------------
     # Encoding

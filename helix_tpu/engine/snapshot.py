@@ -111,12 +111,39 @@ class GraphSnapshot:
         self.in_indptr, self.in_edges = self._build_csr(e_dst)
 
         self._columns: dict[tuple[str, str], PropertyColumn] = {}
+        self._padded: dict[str, object] = {}
 
     def _build_csr(self, endpoint: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         order = np.argsort(endpoint, kind="stable")
         counts = np.bincount(endpoint, minlength=self.n_nodes)
         indptr = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
         return indptr, order.astype(np.int64)
+
+    # ---- device padded adjacency ----------------------------------------
+
+    def padded_graph(self, direction: str, max_degree_cap: int = 256):
+        """Device-ready padded adjacency for ``out``/``in`` expansion
+        (ops/csr.py layout); None when the max degree exceeds the cap.
+        Cached per snapshot (epoch)."""
+        if direction in self._padded:
+            return self._padded[direction]
+        from ..ops.csr import PaddedGraph
+
+        if direction == "out":
+            indptr, order = self.out_indptr, self.out_edges
+            endpoint = self.edge_dst
+        else:
+            indptr, order = self.in_indptr, self.in_edges
+            endpoint = self.edge_src
+        graph = PaddedGraph.from_csr(
+            indptr,
+            endpoint[order].astype(np.int32),
+            self.edge_label_codes[order],
+            self.n_nodes,
+            max_degree_cap=max_degree_cap,
+        )
+        self._padded[direction] = graph
+        return graph
 
     # ---- id <-> slot -----------------------------------------------------
 

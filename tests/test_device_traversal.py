@@ -1,0 +1,95 @@
+"""Device traversal planner: k-hop+dedup+count queries route through the
+BFS mask kernels and match the host pipeline exactly."""
+
+import numpy as np
+import pytest
+
+from helix_tpu.dsl import (
+    DynamicQueryRequest, Predicate, SourcePredicate, g, read_batch, write_batch,
+)
+from helix_tpu.engine import Engine
+from helix_tpu.engine.exec import Executor
+
+
+@pytest.fixture(scope="module")
+def engine():
+    eng = Engine()
+    rng = np.random.default_rng(2)
+    n = 300
+    batch = write_batch()
+    for i in range(n):
+        batch = batch.var_as(
+            f"u{i}",
+            g().add_n("User", {"i": int(i), "vip": bool(i % 7 == 0)}),
+        )
+    eng.execute(DynamicQueryRequest.write(batch).encode())
+    edges = write_batch()
+    node_ids = list(range(1, n + 1))
+    for j in range(n * 4):
+        src = int(rng.choice(node_ids))
+        dst = int(rng.choice(node_ids))
+        label = "FOLLOWS" if j % 3 else "BLOCKS"
+        edges = edges.var_as(
+            f"e{j}", g().n({"Ids": [src]}).add_e(label, {"Ids": [dst]})
+        )
+    eng.execute(DynamicQueryRequest.write(edges).encode())
+    return eng
+
+
+def khop_query(hops, label, where=None, seed_pred=None):
+    t = g().n_where(seed_pred or SourcePredicate.lt("i", 5))
+    for _ in range(hops):
+        t = t.out(label)
+    if where is not None:
+        t = t.where(where)
+    t = t.dedup().count()
+    return DynamicQueryRequest.read(
+        read_batch().var_as("n", t).returning(["n"])
+    ).encode()
+
+
+@pytest.mark.parametrize("hops,label,where", [
+    (1, "FOLLOWS", None),
+    (2, "FOLLOWS", None),
+    (2, None, None),
+    (3, "FOLLOWS", Predicate.gt("i", 100)),
+    (2, "FOLLOWS", Predicate.eq("vip", True)),
+    (1, "NOPE", None),
+])
+def test_device_matches_host(engine, hops, label, where, monkeypatch):
+    request = khop_query(hops, label, where)
+    host = engine.execute(request)
+
+    # Force the device planner on for this graph size.
+    monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
+    device = engine.execute(request)
+    assert device == host, (hops, label)
+
+
+def test_planner_engages(engine, monkeypatch):
+    monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
+    calls = []
+    original = Executor._try_device_traversal
+
+    def spy(self, steps, ctx, scope):
+        out = original(self, steps, ctx, scope)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(Executor, "_try_device_traversal", spy)
+    engine.execute(khop_query(2, "FOLLOWS"))
+    assert any(calls)
+
+
+def test_bag_semantics_query_stays_on_host(engine, monkeypatch):
+    """Without Dedup the planner must NOT engage (bag counts differ)."""
+    monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
+    request = DynamicQueryRequest.read(
+        read_batch().var_as(
+            "n",
+            g().n_where(SourcePredicate.lt("i", 5)).out("FOLLOWS").count(),
+        )
+    ).encode()
+    bag = engine.execute(request)["n"]
+    dedup = engine.execute(khop_query(1, "FOLLOWS"))["n"]
+    assert bag >= dedup  # duplicates preserved on the host path
