@@ -31,11 +31,13 @@ class Engine:
         data_dir: str | None = None,
         batch_window_ms: float | None = None,
         ann_config: dict | None = None,
+        shard_threshold: int | None = None,
     ):
         self.store = GraphStore()
         self.snapshots = SnapshotCache(self.store)
         self.vectors = VectorManager(
-            metric=metric, batch_window_ms=batch_window_ms, ann_config=ann_config
+            metric=metric, batch_window_ms=batch_window_ms,
+            ann_config=ann_config, shard_threshold=shard_threshold,
         )
         self.texts = TextManager()
         self.store.add_write_hook(self.vectors)

@@ -49,7 +49,12 @@ class Partition:
     ef_search (helix-cli/src/config.rs:191-201).
     """
 
-    def __init__(self, metric: str, ann_config: dict | None = None):
+    def __init__(
+        self,
+        metric: str,
+        ann_config: dict | None = None,
+        shard_threshold: int | None = None,
+    ):
         self.metric = metric
         self.matrix: PackedMatrix | None = None
         self.ids: list[int] = []
@@ -59,6 +64,9 @@ class Partition:
         self.ann = None
         self.ann_rows = 0          # rows covered by the current ANN build
         self.ann_rebuild_fraction = 0.1
+        # Multi-chip: shard the matrix across the mesh above this size.
+        self.shard_threshold = shard_threshold
+        self._shard_state: dict | None = None
 
     def add(self, element_id: int, vec: np.ndarray) -> None:
         if self.matrix is None:
@@ -101,7 +109,9 @@ class Partition:
                 np.empty((b, 0), np.uint64),
                 np.empty((b, 0), np.float64),
             )
-        if self._use_ann():
+        if self._use_shard():
+            dists, positions = self._search_sharded(queries, k)
+        elif self._use_ann():
             dists, positions = self._search_ann(queries, k)
         else:
             mask = np.array(self.live, bool)
@@ -111,6 +121,63 @@ class Partition:
         id_table = np.array(self.ids, np.uint64)
         ids = id_table[np.clip(positions, 0, len(id_table) - 1)]
         return ids, dists.astype(np.float64)
+
+    # -- sharded tier ------------------------------------------------------
+
+    def _use_shard(self) -> bool:
+        if self.shard_threshold is None or self.live_count() < self.shard_threshold:
+            return False
+        import jax
+
+        return len(jax.devices()) > 1
+
+    def _search_sharded(
+        self, queries: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Row-sharded search over the device mesh + ICI top-k merge,
+        followed by an exact native re-rank of the merged candidates."""
+        import jax
+
+        from ..native import rerank as native_rerank
+        from ..parallel import ShardedVectorSearch, make_mesh
+
+        n = self.matrix.n
+        state = self._shard_state
+        if state is None or state["version"] != self.matrix.version:
+            mesh = make_mesh()
+            state = {
+                "version": self.matrix.version,
+                "mesh": mesh,
+                "searchers": {},
+                "arrays": None,
+            }
+            self._shard_state = state
+        k_scan = min(n, max(32, 8 * k))
+        searcher = state["searchers"].get(k_scan)
+        if searcher is None:
+            searcher = ShardedVectorSearch(
+                state["mesh"], k=k_scan, metric=self.metric,
+                bf16=jax.default_backend() == "tpu",
+            )
+            state["searchers"][k_scan] = searcher
+            state["arrays"] = None
+        if state["arrays"] is None:
+            state["arrays"] = searcher.shard_arrays(
+                self.matrix.data[:n], self.matrix.sq_norms[:n]
+            )
+        xs, sqd, n_valid = state["arrays"]
+        qs = np.stack([self.matrix.prepare_query(q) for q in queries])
+        _, cand = searcher(xs, qs, n_valid, sqd)
+        cand = np.asarray(cand, np.int64)
+        live = np.array(self.live, bool)
+        cand = np.where(
+            (cand < n) & live[np.clip(cand, 0, n - 1)], cand, -1
+        )
+        dists, positions = native_rerank(
+            self.matrix.data[:n], self.matrix.sq_norms[:n], qs, cand, k,
+            self.metric,
+        )
+        return dists, positions
 
     # -- ANN tier ----------------------------------------------------------
 
@@ -177,16 +244,26 @@ class Partition:
 class VectorIndex:
     """All partitions of one declared (kind, label, property) index."""
 
-    def __init__(self, defn: IndexDef, metric: str, ann_config: dict | None = None):
+    def __init__(
+        self,
+        defn: IndexDef,
+        metric: str,
+        ann_config: dict | None = None,
+        shard_threshold: int | None = None,
+    ):
         self.defn = defn
         self.metric = metric
         self.ann_config = ann_config
+        self.shard_threshold = shard_threshold
         self.partitions: dict[tuple, Partition] = {}
 
     def partition_for(self, tenant: tuple) -> Partition:
         part = self.partitions.get(tenant)
         if part is None:
-            part = Partition(self.metric, ann_config=self.ann_config)
+            part = Partition(
+                self.metric, ann_config=self.ann_config,
+                shard_threshold=self.shard_threshold,
+            )
             self.partitions[tenant] = part
         return part
 
@@ -241,9 +318,11 @@ class VectorManager:
         metric: str = "cosine",
         batch_window_ms: float | None = None,
         ann_config: dict | None = None,
+        shard_threshold: int | None = None,
     ):
         self.metric = metric
         self.ann_config = ann_config
+        self.shard_threshold = shard_threshold
         self.indexes: dict[tuple, VectorIndex] = {}
         self.batcher = None
         if batch_window_ms is not None:
@@ -256,7 +335,10 @@ class VectorManager:
     def on_index_created(self, store: GraphStore, defn: IndexDef) -> None:
         if defn.spec_tag not in ("NodeVector", "EdgeVector"):
             return
-        index = VectorIndex(defn, self.metric, ann_config=self.ann_config)
+        index = VectorIndex(
+            defn, self.metric, ann_config=self.ann_config,
+            shard_threshold=self.shard_threshold,
+        )
         self.indexes[defn.key()] = index
         table = (
             store.nodes_by_label.get(defn.label, ())

@@ -75,3 +75,52 @@ def test_single_device_kernel_matches_numpy(dataset):
     expected = brute_force_ids(data, queries, 10)
     assert np.array_equal(np.sort(idx, axis=1), np.sort(expected, axis=1))
     assert np.all(np.diff(dists, axis=1) >= -1e-6)
+
+
+def test_engine_sharded_serving_matches_exact():
+    """Engine partitions above shard_threshold serve from the mesh-sharded
+    path (8 virtual devices) with exact results via the native re-rank."""
+    import numpy as np
+
+    from helix_tpu.dsl import DynamicQueryRequest, g, read_batch, write_batch
+    from helix_tpu.engine import Engine
+
+    rng = np.random.default_rng(9)
+    data = rng.normal(size=(800, 24)).astype(np.float32)
+
+    def build(**kwargs):
+        eng = Engine(**kwargs)
+        rows = [{"i": int(i), "emb": [float(x) for x in data[i]]} for i in range(len(data))]
+        eng.execute(DynamicQueryRequest.write(
+            write_batch().var_as("idx", g().create_vector_index_nodes("Doc", "emb"))
+        ).encode())
+        eng.execute(
+            {
+                "request_type": "write",
+                "query": write_batch().for_each_param(
+                    "docs",
+                    write_batch().var_as("d", g().add_n("Doc", [
+                        ("i", {"Expr": {"Param": "docs.i"}}),
+                        ("emb", {"Expr": {"Param": "docs.emb"}}),
+                    ])),
+                ).encode(),
+                "parameters": {"docs": rows},
+                "parameter_types": {"docs": {"Array": "Object"}},
+            }
+        )
+        return eng
+
+    def hits(eng, q):
+        out = eng.execute(DynamicQueryRequest.read(
+            read_batch().var_as(
+                "hits", g().vector_search_nodes("Doc", "emb", [float(x) for x in q], 5).value_map(["i"])
+            )
+        ).encode())
+        return [h["i"] for h in out["hits"]]
+
+    sharded = build(shard_threshold=100)
+    exact = build()
+    for qi in (3, 77, 400):
+        assert hits(sharded, data[qi]) == hits(exact, data[qi])
+    part = next(iter(sharded.vectors.indexes.values())).partitions[("",)]
+    assert part._shard_state is not None  # the sharded path actually ran
