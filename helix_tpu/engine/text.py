@@ -43,11 +43,18 @@ def _tenant_key(value: Tagged) -> tuple:
     return comp
 
 
+# Corpus size above which scoring moves to the device postings kernel.
+DEVICE_THRESHOLD = 10_000
+
+
 class TextPartition:
-    def __init__(self):
+    def __init__(self, device_threshold: int = DEVICE_THRESHOLD):
         self.postings: dict[str, dict[int, int]] = {}
         self.doc_len: dict[int, int] = {}
         self.total_len = 0
+        self.device_threshold = device_threshold
+        self.version = 0
+        self._device = None          # (version, DevicePostings)
 
     def add(self, doc_id: int, text: str) -> None:
         self.remove(doc_id)
@@ -57,6 +64,7 @@ class TextPartition:
         for token in tokens:
             bucket = self.postings.setdefault(token, {})
             bucket[doc_id] = bucket.get(doc_id, 0) + 1
+        self.version += 1
 
     def remove(self, doc_id: int) -> None:
         length = self.doc_len.pop(doc_id, None)
@@ -65,11 +73,26 @@ class TextPartition:
         self.total_len -= length
         for bucket in self.postings.values():
             bucket.pop(doc_id, None)
+        self.version += 1
+
+    def _device_postings(self):
+        from ..ops.bm25 import DevicePostings
+
+        cached = self._device
+        if cached is not None and cached[0] == self.version:
+            return cached[1]
+        built = DevicePostings.build(self.postings, self.doc_len)
+        self._device = (self.version, built)
+        return built
 
     def search(self, query: str, k: int) -> tuple[np.ndarray, np.ndarray]:
         n_docs = len(self.doc_len)
         if n_docs == 0:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
+        if n_docs >= self.device_threshold:
+            device = self._device_postings()
+            if device is not None:
+                return device.search(tokenize(query), k)
         avgdl = self.total_len / n_docs if n_docs else 1.0
         scores: dict[int, float] = {}
         for token in tokenize(query):

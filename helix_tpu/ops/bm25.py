@@ -1,0 +1,150 @@
+"""Device BM25 scoring: padded postings + scatter-add accumulation.
+
+The device path for large text corpora (the host inverted index in
+``engine/text.py`` stays authoritative and serves small partitions).
+Layout mirrors the traversal kernels: postings become a padded
+``[T, P]`` doc-slot matrix with a parallel term-frequency matrix, and a
+query scores by scatter-adding each query term's weighted contributions
+into a dense ``[N]`` score vector — static shapes throughout (query
+terms padded to ``MAX_QUERY_TERMS``).
+
+Okapi BM25 with the same constants as the host index (k1=1.2, b=0.75),
+so device and host scores match bit-for-bit in float32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+K1 = 1.2
+B = 0.75
+MAX_QUERY_TERMS = 16
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def bm25_scores(
+    post_docs: jax.Array,    # [T, P] int32 doc slots, pad = N
+    post_tf: jax.Array,      # [T, P] float32 term frequencies
+    doc_len: jax.Array,      # [N] float32
+    avgdl: jax.Array,        # scalar float32
+    query_terms: jax.Array,  # [Q] int32 term rows, pad = -1
+    query_idf: jax.Array,    # [Q] float32 (0 for pads)
+    *,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k (scores desc, doc slots) for one query."""
+    n = doc_len.shape[0]
+    safe_terms = jnp.clip(query_terms, 0, post_docs.shape[0] - 1)
+    docs = post_docs[safe_terms]                     # [Q, P]
+    tf = post_tf[safe_terms]                         # [Q, P]
+    term_valid = (query_terms >= 0)[:, None]
+    doc_valid = docs < n
+    safe_docs = jnp.where(doc_valid, docs, 0)
+    dl = doc_len[safe_docs]
+    denom = tf + K1 * (1.0 - B + B * dl / jnp.maximum(avgdl, 1e-9))
+    contrib = query_idf[:, None] * (tf * (K1 + 1.0)) / jnp.maximum(denom, 1e-9)
+    contrib = jnp.where(term_valid & doc_valid, contrib, 0.0)
+    target = jnp.where(term_valid & doc_valid, docs, n)
+    scores = jnp.zeros(n + 1, jnp.float32).at[target.reshape(-1)].add(
+        contrib.reshape(-1)
+    )[:n]
+    top, idx = jax.lax.top_k(scores, min(k, n))
+    return top, idx
+
+
+class DevicePostings:
+    """Device-ready postings built from the host inverted index."""
+
+    def __init__(
+        self,
+        vocab: dict[str, int],
+        post_docs: jax.Array,
+        post_tf: jax.Array,
+        doc_len: jax.Array,
+        avgdl: float,
+        slot_to_doc: np.ndarray,
+        n_docs: int,
+        df: np.ndarray,
+    ):
+        self.vocab = vocab
+        self.post_docs = post_docs
+        self.post_tf = post_tf
+        self.doc_len = doc_len
+        self.avgdl = avgdl
+        self.slot_to_doc = slot_to_doc
+        self.n_docs = n_docs
+        self.df = df
+
+    @staticmethod
+    def build(
+        postings: dict[str, dict[int, int]],
+        doc_len: dict[int, int],
+        max_postings_cap: int = 1 << 16,
+    ) -> "DevicePostings | None":
+        """Pack the host index; None when a term's postings exceed the cap
+        (ultra-common terms — callers keep the host path)."""
+        n = len(doc_len)
+        if n == 0:
+            return None
+        slot_to_doc = np.fromiter(doc_len.keys(), np.int64, count=n)
+        doc_to_slot = {int(d): i for i, d in enumerate(slot_to_doc)}
+        lengths = np.fromiter(doc_len.values(), np.float32, count=n)
+        terms = sorted(postings.keys())
+        widths = [len(postings[t]) for t in terms]
+        p = max(widths) if widths else 1
+        if p > max_postings_cap:
+            return None
+        t = max(len(terms), 1)
+        docs = np.full((t, p), n, np.int32)
+        tf = np.zeros((t, p), np.float32)
+        df = np.zeros(t, np.int64)
+        for row, term in enumerate(terms):
+            bucket = postings[term]
+            df[row] = len(bucket)
+            for col, (doc, freq) in enumerate(bucket.items()):
+                docs[row, col] = doc_to_slot[doc]
+                tf[row, col] = freq
+        return DevicePostings(
+            {term: i for i, term in enumerate(terms)},
+            jnp.asarray(docs),
+            jnp.asarray(tf),
+            jnp.asarray(lengths),
+            float(lengths.sum() / n),
+            slot_to_doc,
+            n,
+            df,
+        )
+
+    def search(self, tokens: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+        """(doc ids, scores desc) for tokenized query text."""
+        import math
+
+        rows, idfs = [], []
+        for token in tokens[:MAX_QUERY_TERMS]:
+            row = self.vocab.get(token)
+            if row is None:
+                continue
+            rows.append(row)
+            df = self.df[row]
+            idfs.append(math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
+        if not rows:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        pad = MAX_QUERY_TERMS - len(rows)
+        terms = np.array(rows + [-1] * pad, np.int32)
+        idf = np.array(idfs + [0.0] * pad, np.float32)
+        scores, slots = bm25_scores(
+            self.post_docs, self.post_tf, self.doc_len,
+            jnp.float32(self.avgdl),
+            jnp.asarray(terms), jnp.asarray(idf), k=k,
+        )
+        scores = np.asarray(scores, np.float64)
+        slots = np.asarray(slots)
+        keep = scores > 0
+        return (
+            self.slot_to_doc[slots[keep]].astype(np.uint64),
+            scores[keep],
+        )
