@@ -549,6 +549,49 @@ def cmd_chef(args) -> int:
     return 0
 
 
+SKILL_MD = """---
+name: helix-tpu
+description: Query and manage a helix-tpu graph-vector database from this project.
+---
+
+# Working with helix-tpu
+
+Start/stop: `python -m helix_tpu.cli start {instance}` / `stop {instance}`.
+Query: `python -m helix_tpu.cli query {instance} --file <request.json>` or
+`-e '<python dsl expression>'`.
+
+## DSL cheatsheet
+
+```python
+from helix_tpu import g, read_batch, write_batch, Predicate, NodeRef
+
+write_batch().var_as("u", g().add_n("User", {{"name": "ann"}}))
+read_batch().var_as("n", g().n_with_label("User").count()).returning(["n"])
+g().n_with_label("User").where(Predicate.gt("age", 21)).order_by("age", "Desc").limit(10)
+g().vector_search_nodes("Doc", "embedding", vector, k)   # $distance ascending
+g().text_search_nodes("Doc", "body", "query text", k)    # $score descending
+g().n(NodeRef.var("hits")).out("AUTHORED_BY").value_map(["$id", "name"])
+```
+
+Responses map each returned variable name to its payload.  Errors come
+back as `{{"error": {{"kind", "message"}}}}` with HTTP 400.
+"""
+
+
+def cmd_skills(args) -> int:
+    """Install the helix-tpu agent skill into the project (the local
+    analog of the reference's npx-based skills installer)."""
+    from .config import find_project
+
+    project = find_project()
+    target = project.root / ".claude" / "skills" / "helix-tpu" / "SKILL.md"
+    target.parent.mkdir(parents=True, exist_ok=True)
+    instance = args.instance or next(iter(project.locals), "dev")
+    target.write_text(SKILL_MD.format(instance=instance), encoding="utf-8")
+    print(f"installed agent skill at {target}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(
         prog="helix-tpu",
@@ -650,6 +693,11 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("feedback", help="record feedback")
     p.add_argument("message")
     p.set_defaults(fn=cmd_feedback)
+
+    p = sub.add_parser("skills", help="install the agent skill into the project")
+    p.add_argument("action", nargs="?", default="add", choices=["add", "update"])
+    p.add_argument("--instance", default=None)
+    p.set_defaults(fn=cmd_skills)
 
     p = sub.add_parser("chef", help="bootstrap a project with an agent prompt")
     p.add_argument("--path", default=None)

@@ -192,3 +192,11 @@ def test_port_fallback_scan():
         busy = sock.getsockname()[1]
         free = _probe_port(busy)
         assert free != busy and busy < free <= busy + 100
+
+
+def test_skills_install(tmp_path):
+    run_cli(["init", "--path", str(tmp_path / "p")])
+    code, out, _ = run_cli(["skills", "add"], cwd=tmp_path / "p")
+    assert code == 0
+    skill = tmp_path / "p" / ".claude" / "skills" / "helix-tpu" / "SKILL.md"
+    assert skill.exists() and "vector_search_nodes" in skill.read_text()
