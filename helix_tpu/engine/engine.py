@@ -144,6 +144,9 @@ class Engine:
                     "query": query,
                     "parameters": params_table.get(name, []),
                 }
+        # Deployed routes survive disk-mode restarts.
+        if self.persistence is not None:
+            self.checkpoint()
 
     def execute_stored(
         self, name: str, parameters: dict | None, await_durable: bool = True

@@ -52,6 +52,10 @@ class Persistence:
                     f"unsupported snapshot version {payload.get('version')}"
                 )
             self._restore_store(engine, payload)
+            engine.routes = payload.get("routes", {})
+            engine.source_snapshot = payload.get(
+                "source_snapshot", {"files": {}}
+            )
         replayed = 0
         if self.wal_path.exists():
             for record in replay(self.wal_path):
@@ -102,6 +106,8 @@ class Persistence:
         store = engine.store
         payload = {
             "version": SNAPSHOT_VERSION,
+            "routes": engine.routes,
+            "source_snapshot": engine.source_snapshot,
             "nodes": [
                 (nid, store.nodes[nid].label, store.nodes[nid].props)
                 for nid in store.node_order

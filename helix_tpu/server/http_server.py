@@ -136,6 +136,8 @@ class HelixHTTPServer:
                         if not isinstance(body, dict) or "files" not in body:
                             raise QueryError("source payload must carry files")
                         server.engine.source_snapshot = body
+                        if server.engine.persistence is not None:
+                            server.engine.checkpoint()
                         self._reply(200, {"stored": len(body["files"])})
                     else:
                         self._reply(

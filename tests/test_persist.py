@@ -157,3 +157,27 @@ def test_unique_index_survives_recovery(tmp_path):
     eng2 = Engine(data_dir=str(data))
     with pytest.raises(Exception, match="unique"):
         eng2.execute(wreq(write_batch().var_as("u", g().add_n("U", {"email": "a@x"}))))
+
+
+def test_routes_and_source_survive_recovery(tmp_path):
+    from helix_tpu.dsl import define_params, define_queries, param, register_read
+
+    data = tmp_path / "data"
+    eng = Engine(data_dir=str(data))
+    p = define_params({})
+    queries = define_queries({
+        "read": {
+            "count_all": register_read(
+                lambda pp: read_batch().var_as("n", g().n().count()).returning(["n"]),
+                p,
+            )
+        }
+    })
+    eng.load_bundle(queries.build_query_bundle())
+    eng.source_snapshot = {"files": {"queries.py": {"sha256": "abc"}}}
+    eng.checkpoint()
+    eng.persistence.close()
+
+    eng2 = Engine(data_dir=str(data))
+    assert eng2.execute_stored("count_all", {}) == {"n": 0}
+    assert eng2.source_snapshot["files"]["queries.py"]["sha256"] == "abc"
