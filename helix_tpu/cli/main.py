@@ -192,6 +192,9 @@ def _probe_port(port: int, fallback_scan: int = 100) -> int:
 
     for candidate in range(port, port + fallback_scan):
         with socket.socket() as sock:
+            # TIME_WAIT remnants of a just-stopped instance are not "busy"
+            # (the server binds with SO_REUSEADDR too).
+            sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
             try:
                 sock.bind(("127.0.0.1", candidate))
             except OSError:
