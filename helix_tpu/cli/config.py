@@ -37,6 +37,7 @@ DB_DEFAULTS = {
     "bm25": True,
     "mcp": True,
     "embedding_model": "text-embedding-ada-002",
+    "graph_config": {"secondary_indices": []},
 }
 
 

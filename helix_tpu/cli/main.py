@@ -250,6 +250,14 @@ def cmd_start(args) -> int:
                 if inst.vector.get("ann_threshold") is not None
                 else []
             ),
+            *([] if inst.db.get("bm25", True) else ["--no-bm25"]),
+            *(
+                arg
+                for entry in inst.db.get("graph_config", {}).get(
+                    "secondary_indices", []
+                )
+                for arg in ("--secondary-index", str(entry))
+            ),
         ],
         stdout=log,
         stderr=subprocess.STDOUT,

@@ -32,6 +32,8 @@ class Engine:
         batch_window_ms: float | None = None,
         ann_config: dict | None = None,
         shard_threshold: int | None = None,
+        bm25: bool = True,
+        secondary_indices: list[str] | None = None,
     ):
         self.store = GraphStore()
         self.snapshots = SnapshotCache(self.store)
@@ -57,6 +59,18 @@ class Engine:
             self.persistence.recover(self)
         self._writes_since_checkpoint = 0
         self.checkpoint_every = 10_000  # write batches between auto-checkpoints
+        self.bm25_enabled = bm25
+        # DbConfig.graph_config.secondary_indices (reference
+        # config.rs:148-226): "Label.property" equality indexes created
+        # at boot.
+        for entry in secondary_indices or []:
+            label, _, prop = entry.partition(".")
+            if label and prop:
+                self.store.create_index(
+                    {"NodeEquality": {"label": label, "property": prop,
+                                      "unique": False}},
+                    if_not_exists=True,
+                )
 
     # -- dynamic requests ------------------------------------------------
 

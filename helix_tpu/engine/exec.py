@@ -1164,6 +1164,14 @@ class _QueryState:
     def _step_CreateIndex(self, frame: Frame, body: dict) -> Terminal:
         undo = self._require_write()
         spec = body["spec"]
+        tag = next(iter(spec))
+        if tag in ("NodeText", "EdgeText") and not getattr(
+            self.ex.engine, "bm25_enabled", True
+        ):
+            raise QueryError(
+                "BM25 full-text search is disabled for this instance "
+                "(db.bm25 = false in helix.toml)"
+            )
         existed = self._index_exists(spec)
         self.store.create_index(spec, bool(body.get("if_not_exists", False)))
         if not existed:

@@ -41,10 +41,13 @@ class HelixHTTPServer:
         metric: str = "cosine",
         batch_window_ms: float | None = 2.0,
         ann_config: dict | None = None,
+        bm25: bool = True,
+        secondary_indices: list[str] | None = None,
     ):
         self.engine = engine or Engine(
             metric=metric, data_dir=data_dir, batch_window_ms=batch_window_ms,
-            ann_config=ann_config,
+            ann_config=ann_config, bm25=bm25,
+            secondary_indices=secondary_indices,
         )
         if telemetry_path:
             from ..telemetry import Telemetry
@@ -219,6 +222,8 @@ def serve(
     telemetry_path: str | None = None,
     metric: str = "cosine",
     ann_config: dict | None = None,
+    bm25: bool = True,
+    secondary_indices: list[str] | None = None,
 ) -> None:
     import signal
     import sys
@@ -226,7 +231,8 @@ def serve(
     server = HelixHTTPServer(
         engine, host, port, api_key,
         data_dir=data_dir, telemetry_path=telemetry_path, metric=metric,
-        ann_config=ann_config,
+        ann_config=ann_config, bm25=bm25,
+        secondary_indices=secondary_indices,
     )
 
     def _shutdown(signum, frame):
@@ -254,6 +260,9 @@ if __name__ == "__main__":
                              "the graph ANN index")
     parser.add_argument("--ann-m", type=int, default=16)
     parser.add_argument("--ann-ef-search", type=int, default=768)
+    parser.add_argument("--no-bm25", action="store_true")
+    parser.add_argument("--secondary-index", action="append", default=[],
+                        help="Label.property equality index to create at boot")
     args = parser.parse_args()
     ann_config = None
     if args.ann_threshold is not None:
@@ -266,4 +275,5 @@ if __name__ == "__main__":
         args.host, args.port, args.api_key,
         data_dir=args.data_dir, telemetry_path=args.telemetry_path,
         metric=args.metric, ann_config=ann_config,
+        bm25=not args.no_bm25, secondary_indices=args.secondary_index,
     )

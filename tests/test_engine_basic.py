@@ -634,3 +634,33 @@ def test_ann_tier_with_delta_merge():
     )
     assert out["hits"][0]["i"] == 620  # found via the delta scan
     assert part.ann_rows == 600        # delta below rebuild threshold
+
+
+def test_bm25_disabled_rejects_text_index():
+    eng = Engine(bm25=False)
+    with pytest.raises(QueryError, match="BM25"):
+        run_write(
+            eng, write_batch().var_as("idx", g().create_text_index_nodes("Doc", "body"))
+        )
+    # Vector indexes unaffected.
+    run_write(
+        eng, write_batch().var_as("idx", g().create_vector_index_nodes("Doc", "emb"))
+    )
+
+
+def test_secondary_indices_bootstrap():
+    eng = Engine(secondary_indices=["User.email", "Post.slug"])
+    assert ("NodeEquality", "User", "email") in eng.store.indexes
+    assert ("NodeEquality", "Post", "slug") in eng.store.indexes
+    run_write(eng, write_batch().var_as("u", g().add_n("User", {"email": "a@x"})))
+    out = run_read(
+        eng,
+        read_batch().var_as(
+            "hit",
+            g().n_where(SourcePredicate.and_([
+                SourcePredicate.eq("$label", "User"),
+                SourcePredicate.eq("email", "a@x"),
+            ])).count(),
+        ),
+    )
+    assert out["hit"] == 1
