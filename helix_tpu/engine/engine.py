@@ -18,6 +18,7 @@ from ..telemetry import NullTelemetry, Telemetry
 from ..dsl import load_query_bundle
 from .errors import QueryError
 from .exec import Executor
+from .rwlock import RWLock
 from .snapshot import SnapshotCache
 from .store import GraphStore
 from .text import TextManager
@@ -44,9 +45,9 @@ class Engine:
         self.texts = TextManager()
         self.store.add_write_hook(self.vectors)
         self.store.add_write_hook(self.texts)
-        # Single-writer semantics: one writer at a time, readers see the
-        # snapshot of a consistent epoch (reference topology README.md:248).
-        self._write_lock = threading.Lock()
+        # Single-writer semantics with shared readers (reference topology
+        # README.md:248): reads run concurrently, write batches exclusive.
+        self._rwlock = RWLock()
         self.routes: dict[str, dict] = {}  # name -> {kind, query, parameters}
         # Deployed source snapshot for push/sync reconciliation.
         self.source_snapshot: dict = {"files": {}}
@@ -87,7 +88,7 @@ class Engine:
         try:
             if isinstance(request, dict) and request.get("request_type") == "write":
                 now_ms = int(time.time() * 1000)
-                with self._write_lock:
+                with self._rwlock.write():
                     result = executor.execute(
                         request, now_ms=now_ms, trace=steps_trace
                     )
@@ -99,7 +100,8 @@ class Engine:
                         if self._writes_since_checkpoint >= self.checkpoint_every:
                             self.checkpoint()
             else:
-                result = executor.execute(request, trace=steps_trace)
+                with self._rwlock.read():
+                    result = executor.execute(request, trace=steps_trace)
         except wire.WireError as exc:
             self.telemetry.query_event(
                 False, query_name, request_type,

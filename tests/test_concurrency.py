@@ -1,0 +1,79 @@
+"""Concurrency hammer: concurrent reads and writes must never observe
+torn state or crash (single-writer + shared-readers discipline)."""
+
+import concurrent.futures
+import threading
+
+from helix_tpu.dsl import DynamicQueryRequest, NodeRef, g, read_batch, write_batch
+from helix_tpu.engine import Engine
+from helix_tpu.engine.rwlock import RWLock
+
+
+def test_rwlock_mutual_exclusion():
+    lock = RWLock()
+    state = {"readers": 0, "writing": False}
+    errors = []
+    guard = threading.Lock()
+
+    def reader():
+        for _ in range(200):
+            with lock.read():
+                with guard:
+                    state["readers"] += 1
+                    if state["writing"]:
+                        errors.append("read during write")
+                with guard:
+                    state["readers"] -= 1
+
+    def writer():
+        for _ in range(50):
+            with lock.write():
+                with guard:
+                    if state["writing"] or state["readers"]:
+                        errors.append("writer not exclusive")
+                    state["writing"] = True
+                with guard:
+                    state["writing"] = False
+
+    threads = [threading.Thread(target=reader) for _ in range(4)] + [
+        threading.Thread(target=writer) for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+
+
+def test_concurrent_reads_and_writes_consistent():
+    engine = Engine()
+
+    def write(i):
+        engine.execute(DynamicQueryRequest.write(
+            write_batch()
+            .var_as("u", g().add_n("User", {"i": i}))
+            .var_as("e", g().n(NodeRef.var("u")).add_e("SELF", NodeRef.var("u")))
+        ).encode())
+        return True
+
+    read_req = DynamicQueryRequest.read(
+        read_batch()
+        .var_as("users", g().n_with_label("User").count())
+        .var_as("edges", g().e_with_label("SELF").count())
+    ).encode()
+
+    def read(_):
+        out = engine.execute(read_req)
+        # Invariant: every committed user has exactly one self edge, and
+        # reads never observe a half-applied batch.
+        assert out["users"] == out["edges"], out
+        return out["users"]
+
+    with concurrent.futures.ThreadPoolExecutor(12) as pool:
+        futures = [pool.submit(write, i) for i in range(60)]
+        futures += [pool.submit(read, i) for i in range(120)]
+        for future in concurrent.futures.as_completed(futures):
+            future.result()
+
+    final = engine.execute(read_req)
+    assert final == {"users": 60, "edges": 60}
