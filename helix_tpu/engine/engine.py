@@ -16,7 +16,7 @@ from typing import Any
 from .. import wire
 from ..telemetry import NullTelemetry, Telemetry
 from ..dsl import load_query_bundle
-from .errors import QueryError
+from .errors import EngineError, QueryError
 from .exec import Executor
 from .rwlock import RWLock
 from .snapshot import SnapshotCache
@@ -108,6 +108,22 @@ class Engine:
                 int((time.perf_counter() - start) * 1e6), error=str(exc),
             )
             raise QueryError(str(exc)) from exc
+        except EngineError as exc:
+            self.telemetry.query_event(
+                False, query_name, request_type,
+                int((time.perf_counter() - start) * 1e6), error=str(exc),
+            )
+            raise
+        except (TypeError, KeyError, IndexError, ValueError, AttributeError) as exc:
+            # Malformed payload shapes that slip past wire validation must
+            # surface as 400-class query errors, not internal crashes.
+            self.telemetry.query_event(
+                False, query_name, request_type,
+                int((time.perf_counter() - start) * 1e6), error=str(exc),
+            )
+            raise QueryError(
+                f"malformed query: {type(exc).__name__}: {exc}"
+            ) from exc
         except Exception as exc:
             self.telemetry.query_event(
                 False, query_name, request_type,
