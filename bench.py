@@ -74,8 +74,10 @@ def main() -> None:
     build_s = time.perf_counter() - build_start
     n_valid = jnp.int32(matrix.n)
 
+    # Pad queries to the matrix layout (dims pad to multiples of 128).
+    padded_queries = np.stack([matrix.prepare_query(q) for q in all_queries])
     query_batches = [
-        jax.device_put(all_queries[i * batch:(i + 1) * batch])
+        jax.device_put(padded_queries[i * batch:(i + 1) * batch])
         for i in range(n_batches)
     ]
     jax.block_until_ready(query_batches)
@@ -140,7 +142,9 @@ def main() -> None:
     for r in range(e2e_rounds):
         dists, idx = topk_resident(
             xs16, xs32,
-            jax.device_put(all_queries[(r % n_batches) * batch:(r % n_batches + 1) * batch]),
+            jax.device_put(
+                padded_queries[(r % n_batches) * batch:(r % n_batches + 1) * batch]
+            ),
             n_valid, sq, k=k, metric="cosine",
         )
         np.asarray(idx)
