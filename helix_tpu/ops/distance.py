@@ -166,7 +166,21 @@ def topk_resident(
     b = qs.shape[0]
     k_scan = min(max(k, rerank * k), n)
     qs16 = qs.astype(jnp.bfloat16)
-    if b * n * 4 <= SINGLE_SHOT_BYTES:
+    if metric == "cosine" and b * n * 2 <= SINGLE_SHOT_BYTES:
+        # Selection-only coarse phase: the score buffer stays bfloat16
+        # end-to-end (halves the dominant HBM traffic) — only the indices
+        # matter, since the f32 re-rank below re-scores the candidates.
+        sims = jnp.dot(qs16, xs16.T, preferred_element_type=jnp.bfloat16)
+        cols = jnp.arange(n, dtype=jnp.int32)
+        sims = jnp.where(
+            (cols < n_valid)[None, :], sims, jnp.bfloat16(-3.0e38)
+        )
+        best_s16, best_i = jax.lax.approx_max_k(
+            sims, k_scan, recall_target=0.99
+        )
+        best_s = best_s16.astype(jnp.float32)
+        best_s = jnp.where(best_s <= -1.0e38, -jnp.inf, best_s)
+    elif b * n * 4 <= SINGLE_SHOT_BYTES:
         sims = jnp.dot(qs16, xs16.T, preferred_element_type=jnp.float32)
         if metric == "l2":
             sims = 2.0 * sims - sq_norms[None, :]
