@@ -406,7 +406,10 @@ def cmd_query(args) -> int:
     if "query" not in request:
         print("request is missing the query field", file=sys.stderr)
         return 2
-    builder = Client(f"http://localhost:{args.port or _active_port(project, inst)}").query()
+    host = args.host or "localhost"
+    builder = Client(
+        f"http://{host}:{args.port or _active_port(project, inst)}"
+    ).query()
     if args.warm:
         builder = builder.warm_only()
     try:
@@ -457,6 +460,20 @@ def cmd_prune(args) -> int:
 
 def cmd_delete(args) -> int:
     return cmd_prune(args)
+
+
+def cmd_add(args) -> int:
+    """Add a [local.<name>] instance to helix.toml (reference: helix add)."""
+    project = find_project()
+    if args.name in project.locals:
+        print(f"instance '{args.name}' already exists", file=sys.stderr)
+        return 1
+    path = project.root / "helix.toml"
+    block = f"\n[local.{args.name}]\nport = {args.port}\nstorage = \"{args.storage}\"\n"
+    with open(path, "a", encoding="utf-8") as fh:
+        fh.write(block)
+    print(f"added instance '{args.name}' (port {args.port}, {args.storage})")
+    return 0
 
 
 def cmd_metrics(args) -> int:
@@ -608,6 +625,10 @@ def main(argv: list[str] | None = None) -> int:
         prog="helix-tpu",
         description="helix-tpu: TPU-native graph-vector database",
     )
+    parser.add_argument("--quiet", "-q", action="store_true",
+                        help="suppress non-essential output")
+    parser.add_argument("--verbose", "-v", action="store_true",
+                        help="print operation details and timings")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("init", help="scaffold a project")
@@ -630,6 +651,12 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--disk", action="store_true")
         p.set_defaults(fn=fn)
 
+    p = sub.add_parser("add", help="add an instance to helix.toml")
+    p.add_argument("name")
+    p.add_argument("--port", type=int, default=DEFAULT_PORT)
+    p.add_argument("--storage", default="memory", choices=["memory", "disk"])
+    p.set_defaults(fn=cmd_add)
+
     p = sub.add_parser("status", help="instance status")
     p.add_argument("instance", nargs="?", default=None)
     p.set_defaults(fn=cmd_status)
@@ -645,6 +672,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--json", default=None)
     p.add_argument("-e", "--expr", default=None,
                    help="evaluate a Python DSL expression as the request")
+    p.add_argument("--host", default=None)
     p.add_argument("--port", type=int, default=None)
     p.add_argument("--warm", action="store_true")
     p.add_argument("--compact", action="store_true")
@@ -718,11 +746,27 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_chef)
 
     args = parser.parse_args(argv)
+    if getattr(args, "quiet", False):
+        import builtins
+        import contextlib
+        import io
+
+        # Quiet tier: stdout chatter suppressed, errors still surface.
+        with contextlib.redirect_stdout(io.StringIO()):
+            try:
+                return args.fn(args)
+            except ConfigError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 1
+    start = time.perf_counter()
     try:
-        return args.fn(args)
+        code = args.fn(args)
     except ConfigError as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 1
+    if getattr(args, "verbose", False):
+        print(f"[{args.command} finished in {time.perf_counter() - start:.2f}s]")
+    return code
 
 
 if __name__ == "__main__":

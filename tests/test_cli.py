@@ -200,3 +200,22 @@ def test_skills_install(tmp_path):
     assert code == 0
     skill = tmp_path / "p" / ".claude" / "skills" / "helix-tpu" / "SKILL.md"
     assert skill.exists() and "vector_search_nodes" in skill.read_text()
+
+
+def test_add_instance(tmp_path):
+    run_cli(["init", "--path", str(tmp_path / "p")])
+    code, out, _ = run_cli(["add", "staging", "--port", "7001", "--storage", "disk"],
+                           cwd=tmp_path / "p")
+    assert code == 0
+    text = (tmp_path / "p" / "helix.toml").read_text()
+    assert "[local.staging]" in text and "7001" in text
+    # duplicate rejected
+    code, _, err = run_cli(["add", "staging"], cwd=tmp_path / "p")
+    assert code == 1 and "already exists" in err
+
+
+def test_quiet_and_verbose_flags(tmp_path):
+    code, out, _ = run_cli(["--quiet", "version"])
+    assert code == 0 and out == ""
+    code, out, _ = run_cli(["--verbose", "version"])
+    assert "helix-tpu" in out and "finished in" in out
