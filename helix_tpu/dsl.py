@@ -240,13 +240,24 @@ class PropertyValue:
             return PropertyValue.object(value)
         if isinstance(value, (list, tuple)):
             seq = list(value)
-            if seq and all(isinstance(v, str) for v in seq):
+            # Single-pass type sniffing (hot on bulk vector ingest).
+            all_str = all_int = all_num = bool(seq)
+            for v in seq:
+                kind = type(v)
+                if kind is str:
+                    all_int = all_num = False
+                elif kind is int:
+                    all_str = False
+                elif kind is float:
+                    all_str = all_int = False
+                else:
+                    all_str = all_int = all_num = False
+                    break
+            if all_str:
                 return {"StringArray": seq}
-            if seq and all(isinstance(v, int) and not isinstance(v, bool) for v in seq):
+            if all_int:
                 return {"I64Array": seq}
-            if seq and all(
-                isinstance(v, (int, float)) and not isinstance(v, bool) for v in seq
-            ):
+            if all_num:
                 return {"F64Array": [float(v) for v in seq]}
             return PropertyValue.array(seq)
         raise DslError(f"unsupported property value {type(value).__name__}")
