@@ -71,3 +71,11 @@ def test_combo_replay_matches_goldens():
         name for name in expected if not approx_equal(actual[name], expected[name])
     ]
     assert not mismatches, f"combo mismatches: {mismatches[:10]}"
+
+
+def test_three_fresh_instances_agree():
+    """The reference parity harness replays fixtures against three fresh
+    engine instances and diffs their outputs (run-helix.ts:16-48); the
+    engine must be deterministic across instances."""
+    runs = [replay.replay_runtime() for _ in range(3)]
+    assert runs[0] == runs[1] == runs[2]
