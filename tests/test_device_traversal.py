@@ -93,3 +93,34 @@ def test_bag_semantics_query_stays_on_host(engine, monkeypatch):
     bag = engine.execute(request)["n"]
     dedup = engine.execute(khop_query(1, "FOLLOWS"))["n"]
     assert bag >= dedup  # duplicates preserved on the host path
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_planner_fuzz_matches_host(seed, monkeypatch):
+    """Random graphs x random khop-count queries: device == host."""
+    rng = np.random.default_rng(100 + seed)
+    eng = Engine()
+    n = int(rng.integers(20, 120))
+    batch = write_batch()
+    for i in range(n):
+        batch = batch.var_as(f"u{i}", g().add_n("N", {"i": int(i)}))
+    eng.execute(DynamicQueryRequest.write(batch).encode())
+    edges = write_batch()
+    for j in range(int(rng.integers(0, n * 5))):
+        edges = edges.var_as(
+            f"e{j}",
+            g().n({"Ids": [int(rng.integers(1, n + 1))]}).add_e(
+                str(rng.choice(["A", "B"])), {"Ids": [int(rng.integers(1, n + 1))]}
+            ),
+        )
+    if edges.queries:
+        eng.execute(DynamicQueryRequest.write(edges).encode())
+
+    hops = int(rng.integers(1, 4))
+    label = str(rng.choice(["A", "B"])) if rng.random() < 0.7 else None
+    where = Predicate.lt("i", int(rng.integers(1, n))) if rng.random() < 0.5 else None
+    request = khop_query(hops, label, where, seed_pred=SourcePredicate.lt("i", 10))
+
+    host = eng.execute(request)
+    monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
+    assert eng.execute(request) == host
