@@ -181,3 +181,39 @@ def test_routes_and_source_survive_recovery(tmp_path):
     eng2 = Engine(data_dir=str(data))
     assert eng2.execute_stored("count_all", {}) == {"n": 0}
     assert eng2.source_snapshot["files"]["queries.py"]["sha256"] == "abc"
+
+
+def test_vector_checkpoint_blocks_roundtrip(tmp_path):
+    """Long vector props checkpoint as stacked matrices and rehydrate."""
+    import numpy as np
+
+    data = tmp_path / "data"
+    eng = Engine(data_dir=str(data))
+    rng = np.random.default_rng(8)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    batch = write_batch().var_as("idx", g().create_vector_index_nodes("Doc", "emb"))
+    for i in range(50):
+        batch = batch.var_as(
+            f"d{i}",
+            g().add_n("Doc", {
+                "i": i,
+                "emb": [float(x) for x in vecs[i]],
+                "short": [1.0, 2.0],          # below extraction threshold
+            }),
+        )
+    eng.execute(wreq(batch))
+    eng.checkpoint()
+    eng.persistence.close()
+
+    eng2 = Engine(data_dir=str(data))
+    out = eng2.execute(rreq(
+        read_batch().var_as(
+            "hit",
+            g().vector_search_nodes("Doc", "emb", [float(x) for x in vecs[7]], 1)
+            .value_map(["i", "emb", "short"]),
+        )
+    ))
+    row = out["hit"][0]
+    assert row["i"] == 7
+    assert row["short"] == [1.0, 2.0]
+    assert np.allclose(row["emb"], vecs[7], rtol=1e-6)  # f32-exact
