@@ -219,3 +219,59 @@ def test_quiet_and_verbose_flags(tmp_path):
     assert code == 0 and out == ""
     code, out, _ = run_cli(["--verbose", "version"])
     assert "helix-tpu" in out and "finished in" in out
+
+
+@pytest.mark.slow
+def test_crash_recovery_kill9(tmp_path):
+    """Disk mode: kill -9 (no checkpoint) must lose no acknowledged write."""
+    import os
+    import signal
+    import time as _time
+
+    from helix_tpu.client import Client
+
+    root = tmp_path / "proj"
+    port = _free_port()
+    run_cli(["init", "--path", str(root), "--port", str(port)])
+    code, _, err = run_cli(["start", "dev", "--disk"], cwd=root)
+    assert code == 0, err
+    client = Client(f"http://127.0.0.1:{port}")
+    acked = 0
+    for i in range(25):
+        client.execute({
+            "request_type": "write",
+            "query": {
+                "queries": [{"Query": {"name": "u", "steps": [
+                    {"AddN": {"label": "User", "properties": [
+                        ["i", {"Value": {"I64": i}}]]}}
+                ], "condition": None}}],
+                "returns": [],
+            },
+        })
+        acked += 1
+
+    pid = int((root / ".helix" / "dev" / "server.pid").read_text())
+    os.kill(pid, signal.SIGKILL)  # crash: no checkpoint, no clean close
+    for _ in range(50):
+        try:
+            os.kill(pid, 0)
+            _time.sleep(0.1)
+        except ProcessLookupError:
+            break
+    (root / ".helix" / "dev" / "server.pid").unlink()
+
+    code, _, err = run_cli(["start", "dev", "--disk"], cwd=root)
+    assert code == 0, err
+    try:
+        out = client.execute({
+            "request_type": "read",
+            "query": {
+                "queries": [{"Query": {"name": "n", "steps": [
+                    {"NWhere": {"Eq": ["$label", {"String": "User"}]}}, "Count"
+                ], "condition": None}}],
+                "returns": ["n"],
+            },
+        })
+        assert out["n"] == acked, f"lost writes: {out['n']} != {acked}"
+    finally:
+        run_cli(["stop", "dev"], cwd=root)
