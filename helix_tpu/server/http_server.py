@@ -96,6 +96,9 @@ class HelixHTTPServer:
                     raise QueryError(f"invalid JSON body: {exc}") from exc
 
             def do_GET(self) -> None:  # noqa: N802
+                if self.path.startswith("/v1/events"):
+                    self._handle_events()
+                    return
                 if self.path == "/v1/source":
                     if not self._authorized():
                         self._reply(401, {"error": {"kind": "Unauthorized",
@@ -132,7 +135,14 @@ class HelixHTTPServer:
                         name = self.path[len("/v1/query/"):]
                         self._handle_stored(name, body)
                     elif self.path == "/v1/bundle":
+                        server.engine.telemetry.log_event(
+                            "deploying", routes=len(body.get("read_routes", {}))
+                            + len(body.get("write_routes", {})),
+                        )
                         server.engine.load_bundle(body)
+                        server.engine.telemetry.log_event(
+                            "deployed", routes=sorted(server.engine.routes)
+                        )
                         self._reply(200, {"installed": sorted(server.engine.routes)})
                     elif self.path == "/v1/source":
                         # Deployed source snapshot (push/sync reconciliation).
@@ -153,6 +163,40 @@ class HelixHTTPServer:
                         500,
                         {"error": {"kind": "Internal", "message": str(exc)}},
                     )
+
+            def _handle_events(self) -> None:
+                """Server-Sent Events stream of telemetry (the local analog
+                of the reference's SSE deploy/progress channel,
+                sse_client.rs:11-91).  ?after=<seq> resumes."""
+                from urllib.parse import parse_qs, urlparse
+
+                if not self._authorized():
+                    self._reply(401, {"error": {"kind": "Unauthorized",
+                                                "message": "invalid api key"}})
+                    return
+                query = parse_qs(urlparse(self.path).query)
+                after = int(query.get("after", ["-1"])[0])
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                telemetry = server.engine.telemetry
+                try:
+                    while True:
+                        events = telemetry.events_since(after, timeout=5.0)
+                        if not events:
+                            self.wfile.write(b": keepalive\n\n")
+                            self.wfile.flush()
+                            continue
+                        for event in events:
+                            after = max(after, event.get("seq", after))
+                            payload = json.dumps(event, ensure_ascii=False)
+                            self.wfile.write(
+                                f"id: {event.get('seq')}\ndata: {payload}\n\n".encode()
+                            )
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    return
 
             def _await_durable(self) -> bool:
                 return self.headers.get("x-helix-await-durable", "true").lower() != "false"

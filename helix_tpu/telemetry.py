@@ -73,6 +73,8 @@ def resolve_level(explicit: str | None = None) -> str:
 class Telemetry:
     """Buffered event collector with a background flusher."""
 
+    RING_CAP = 1024
+
     def __init__(
         self,
         sink_path: str | Path | None = None,
@@ -86,6 +88,11 @@ class Telemetry:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        # Live-subscriber ring (SSE event stream): monotonically numbered
+        # events, condition-signaled on append.
+        self._ring: list[dict] = []
+        self._ring_start = 0
+        self._ring_cond = threading.Condition()
         if self.level != LEVEL_OFF and self.sink_path is not None:
             self._thread = threading.Thread(target=self._run, daemon=True)
             self._thread.start()
@@ -98,6 +105,14 @@ class Telemetry:
         if self.level == LEVEL_BASIC and kind not in BASIC_EVENTS:
             return
         event = {"event": kind, "ts_ms": int(self._clock() * 1000), **fields}
+        with self._ring_cond:
+            event["seq"] = self._ring_start + len(self._ring)
+            self._ring.append(event)
+            if len(self._ring) > self.RING_CAP:
+                drop = len(self._ring) - self.RING_CAP
+                self._ring = self._ring[drop:]
+                self._ring_start += drop
+            self._ring_cond.notify_all()
         flush_now = False
         with self._lock:
             if len(self._buffer) >= BUFFER_CAP:
@@ -157,6 +172,21 @@ class Telemetry:
             self._thread.join(timeout=2)
             self._thread = None
         self.flush()
+
+
+    # -- live subscription (SSE) ------------------------------------------
+
+    def events_since(self, after_seq: int, timeout: float = 10.0) -> list[dict]:
+        """Events with seq > after_seq; blocks up to ``timeout`` when none."""
+        with self._ring_cond:
+            def pending():
+                last = self._ring_start + len(self._ring) - 1
+                return last > after_seq
+
+            if not pending():
+                self._ring_cond.wait(timeout)
+            start = max(after_seq + 1 - self._ring_start, 0)
+            return list(self._ring[start:])
 
 
 class NullTelemetry(Telemetry):

@@ -18,6 +18,7 @@ def test_events_flush_to_sink(tmp_path):
     assert events[1] == {
         "event": "query_success",
         "ts_ms": events[1]["ts_ms"],
+        "seq": events[1]["seq"],
         "query_name": "find_users",
         "request_type": "read",
         "time_taken_usec": 1234,
@@ -91,3 +92,51 @@ def test_trace_surfaces_per_step_timings():
     assert [s["step"] for s in trace["steps"]] == ["NWhere", "Dedup", "Count"]
     assert all(s["us"] >= 0 for s in trace["steps"])
     assert trace["steps"][-1]["rows"] == 1
+
+
+def test_sse_event_stream(tmp_path):
+    """GET /v1/events streams telemetry as SSE (deploy + query events)."""
+    import http.client
+    import threading
+
+    from helix_tpu.server import HelixHTTPServer
+
+    srv = HelixHTTPServer(host="127.0.0.1", port=0)
+    srv.engine.telemetry = Telemetry(tmp_path / "m.jsonl", level="full")
+    srv.start()
+    try:
+        received = []
+
+        def consume():
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=10)
+            conn.request("GET", "/v1/events?after=-1")
+            resp = conn.getresponse()
+            assert resp.headers["Content-Type"] == "text/event-stream"
+            while len(received) < 2:
+                line = resp.fp.readline()
+                if line.startswith(b"data: "):
+                    received.append(json.loads(line[6:]))
+            conn.close()
+
+        consumer = threading.Thread(target=consume, daemon=True)
+        consumer.start()
+
+        from helix_tpu.client import Client
+        from helix_tpu.dsl import g as _g, read_batch as _rb
+
+        client = Client(f"http://127.0.0.1:{srv.port}")
+        client.execute({
+            "request_type": "read", "query_name": "probe",
+            "query": _rb().var_as("n", _g().n().count()).encode(),
+        })
+        client.execute({
+            "request_type": "read", "query_name": "probe2",
+            "query": _rb().var_as("n", _g().n().count()).encode(),
+        })
+        consumer.join(timeout=10)
+        assert not consumer.is_alive(), "SSE consumer never got 2 events"
+        kinds = [e["event"] for e in received]
+        assert all(k == "query_success" for k in kinds)
+        assert received[0]["seq"] < received[1]["seq"]
+    finally:
+        srv.stop()
