@@ -342,6 +342,8 @@ def cmd_status(args) -> int:
 def cmd_logs(args) -> int:
     project = find_project()
     inst = project.instance(args.instance)
+    if getattr(args, "events", False):
+        return _follow_events(project, inst)
     path = _logfile(project, inst.name)
     if not path.exists():
         print("no logs yet")
@@ -349,7 +351,39 @@ def cmd_logs(args) -> int:
     text = path.read_text(errors="replace")
     if args.tail:
         text = "\n".join(text.splitlines()[-args.tail:])
-    print(text)
+    print(text, end="" if text.endswith("\n") else "\n")
+    if getattr(args, "follow", False):
+        with open(path, "r", errors="replace") as fh:
+            fh.seek(0, 2)
+            try:
+                while True:
+                    line = fh.readline()
+                    if line:
+                        print(line, end="")
+                    else:
+                        time.sleep(0.5)
+            except KeyboardInterrupt:
+                return 0
+    return 0
+
+
+def _follow_events(project, inst) -> int:
+    """Stream live engine events over SSE (logs --events)."""
+    import urllib.request
+
+    port = _active_port(project, inst)
+    url = f"http://localhost:{port}/v1/events?after=-1"
+    try:
+        with urllib.request.urlopen(url) as resp:
+            for raw in resp:
+                line = raw.decode(errors="replace").rstrip()
+                if line.startswith("data: "):
+                    print(line[6:], flush=True)
+    except KeyboardInterrupt:
+        return 0
+    except OSError as exc:
+        print(f"event stream unavailable: {exc}", file=sys.stderr)
+        return 1
     return 0
 
 
@@ -664,6 +698,9 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("logs", help="instance logs")
     p.add_argument("instance", nargs="?", default=None)
     p.add_argument("--tail", type=int, default=None)
+    p.add_argument("-f", "--follow", action="store_true")
+    p.add_argument("--events", action="store_true",
+                   help="stream live engine events (SSE) instead of the log file")
     p.set_defaults(fn=cmd_logs)
 
     p = sub.add_parser("query", help="send a dynamic query")
