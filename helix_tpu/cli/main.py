@@ -258,6 +258,11 @@ def cmd_start(args) -> int:
                 )
                 for arg in ("--secondary-index", str(entry))
             ),
+            *(
+                ["--replica-of", args.replica_of]
+                if getattr(args, "replica_of", None)
+                else []
+            ),
         ],
         stdout=log,
         stderr=subprocess.STDOUT,
@@ -683,6 +688,8 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--port", type=int, default=None)
             p.add_argument("--foreground", action="store_true")
             p.add_argument("--disk", action="store_true")
+            p.add_argument("--replica-of", default=None,
+                           help="primary gateway URL; start as a read replica")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("add", help="add an instance to helix.toml")

@@ -60,6 +60,10 @@ class Engine:
             self.persistence.recover(self)
         self._writes_since_checkpoint = 0
         self.checkpoint_every = 10_000  # write batches between auto-checkpoints
+        # Primary-side replication ring (read-replica shipping).
+        from .replication import ReplicationLog
+
+        self.replication = ReplicationLog()
         self.bm25_enabled = bm25
         # DbConfig.graph_config.secondary_indices (reference
         # config.rs:148-226): "Label.property" equality indexes created
@@ -92,6 +96,7 @@ class Engine:
                     result = executor.execute(
                         request, now_ms=now_ms, trace=steps_trace
                     )
+                    self.replication.append(request, now_ms)
                     if self.persistence is not None:
                         self.persistence.log_write(
                             request, now_ms, sync=await_durable
@@ -143,6 +148,13 @@ class Engine:
     def apply_logged_write(self, request: dict, now_ms: int) -> None:
         """Re-execute a WAL record during recovery (no re-logging)."""
         Executor(self).execute(request, now_ms=now_ms)
+        self.replication.append(request, now_ms)
+
+    def apply_replicated(self, request: dict, now_ms: int) -> None:
+        """Apply a primary's record on a replica (exclusive, no re-log)."""
+        with self._rwlock.write():
+            Executor(self).execute(request, now_ms=now_ms)
+            self.replication.append(request, now_ms)
 
     def checkpoint(self) -> None:
         if self.persistence is not None:

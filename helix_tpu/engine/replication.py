@@ -1,0 +1,118 @@
+"""Read-replica replication: logical write-record shipping.
+
+The reference topology is a single writer with autoscaled read replicas
+(``README.md:248``; the client's ``x-helix-require-writer`` header exists
+to route writes, ``lib.rs:274-281``).  helix-tpu replicates the same way
+it persists: every committed write batch is a deterministic logical
+record (request + evaluation clock), so a replica is just an engine that
+re-executes the primary's record stream in order.
+
+- The primary keeps a sequence-numbered ring of committed write records
+  (``RING_CAP``; a replica further behind than the ring must re-seed —
+  round-1 limitation, snapshot bootstrap is a round-2 item) and serves
+  it at ``GET /v1/replication?after=<seq>``.
+- A replica runs a follower thread polling the primary and applying
+  records under the engine's writer lock; its gateway rejects client
+  writes with a pointer to the primary.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+from typing import Any
+
+RING_CAP = 65536
+POLL_INTERVAL_S = 0.25
+
+
+class ReplicationLog:
+    """Primary-side ring of committed write records."""
+
+    def __init__(self, cap: int = RING_CAP):
+        self.cap = cap
+        self._records: list[dict] = []
+        self._start_seq = 0
+        self._lock = threading.Lock()
+
+    def append(self, request: dict, now_ms: int) -> int:
+        with self._lock:
+            seq = self._start_seq + len(self._records)
+            self._records.append(
+                {"seq": seq, "now_ms": now_ms, "request": request}
+            )
+            if len(self._records) > self.cap:
+                drop = len(self._records) - self.cap
+                self._records = self._records[drop:]
+                self._start_seq += drop
+            return seq
+
+    def since(self, after_seq: int, limit: int = 512) -> tuple[list[dict], bool]:
+        """(records with seq > after_seq, caller_is_too_far_behind)."""
+        with self._lock:
+            if after_seq + 1 < self._start_seq:
+                return [], True
+            start = max(after_seq + 1 - self._start_seq, 0)
+            return list(self._records[start:start + limit]), False
+
+    def head_seq(self) -> int:
+        with self._lock:
+            return self._start_seq + len(self._records) - 1
+
+
+class Follower:
+    """Replica-side thread applying the primary's record stream."""
+
+    def __init__(self, engine: Any, primary_url: str, api_key: str | None = None):
+        self.engine = engine
+        self.primary_url = primary_url.rstrip("/")
+        self.api_key = api_key
+        self.applied_seq = -1
+        self.last_error: str | None = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _fetch(self) -> dict:
+        url = f"{self.primary_url}/v1/replication?after={self.applied_seq}"
+        req = urllib.request.Request(url, method="GET")
+        if self.api_key:
+            req.add_header("Authorization", f"Bearer {self.api_key}")
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return json.loads(resp.read())
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                payload = self._fetch()
+            except (urllib.error.URLError, OSError, json.JSONDecodeError) as exc:
+                self.last_error = str(exc)
+                self._stop.wait(POLL_INTERVAL_S * 4)
+                continue
+            if payload.get("reseed_required"):
+                self.last_error = (
+                    "replica fell behind the primary's replication ring; "
+                    "re-seed required"
+                )
+                self._stop.wait(POLL_INTERVAL_S * 4)
+                continue
+            records = payload.get("records", [])
+            for record in records:
+                try:
+                    self.engine.apply_replicated(
+                        record["request"], record["now_ms"]
+                    )
+                    self.applied_seq = record["seq"]
+                except Exception as exc:  # keep following despite one bad record
+                    self.last_error = f"apply failed at seq {record['seq']}: {exc}"
+                    self.applied_seq = record["seq"]
+            if not records:
+                self._stop.wait(POLL_INTERVAL_S)

@@ -43,12 +43,20 @@ class HelixHTTPServer:
         ann_config: dict | None = None,
         bm25: bool = True,
         secondary_indices: list[str] | None = None,
+        replica_of: str | None = None,
     ):
+        self.replica_of = replica_of
+        self.follower = None
         self.engine = engine or Engine(
             metric=metric, data_dir=data_dir, batch_window_ms=batch_window_ms,
             ann_config=ann_config, bm25=bm25,
             secondary_indices=secondary_indices,
         )
+        if replica_of:
+            from ..engine.replication import Follower
+
+            self.follower = Follower(self.engine, replica_of, api_key=api_key)
+            self.follower.start()
         if telemetry_path:
             from ..telemetry import Telemetry
 
@@ -96,6 +104,9 @@ class HelixHTTPServer:
                     raise QueryError(f"invalid JSON body: {exc}") from exc
 
             def do_GET(self) -> None:  # noqa: N802
+                if self.path.startswith("/v1/replication"):
+                    self._handle_replication()
+                    return
                 if self.path.startswith("/v1/events"):
                     self._handle_events()
                     return
@@ -164,6 +175,23 @@ class HelixHTTPServer:
                         {"error": {"kind": "Internal", "message": str(exc)}},
                     )
 
+            def _handle_replication(self) -> None:
+                """Primary-side record feed for read replicas."""
+                from urllib.parse import parse_qs, urlparse
+
+                if not self._authorized():
+                    self._reply(401, {"error": {"kind": "Unauthorized",
+                                                "message": "invalid api key"}})
+                    return
+                query = parse_qs(urlparse(self.path).query)
+                after = int(query.get("after", ["-1"])[0])
+                records, reseed = server.engine.replication.since(after)
+                self._reply(200, {
+                    "records": records,
+                    "reseed_required": reseed,
+                    "head_seq": server.engine.replication.head_seq(),
+                })
+
             def _handle_events(self) -> None:
                 """Server-Sent Events stream of telemetry (the local analog
                 of the reference's SSE deploy/progress channel,
@@ -208,6 +236,16 @@ class HelixHTTPServer:
                 warm = self.headers.get("x-helix-warm", "").lower() == "true"
                 if warm and isinstance(body, dict) and body.get("request_type") == "write":
                     raise QueryError("x-helix-warm applies to read requests only")
+                if (
+                    server.replica_of
+                    and isinstance(body, dict)
+                    and body.get("request_type") == "write"
+                ):
+                    raise QueryError(
+                        "this instance is a read-only replica; route writes "
+                        f"to the primary at {server.replica_of} "
+                        "(x-helix-require-writer)"
+                    )
                 self._reply(
                     200,
                     server.engine.execute(
@@ -250,6 +288,8 @@ class HelixHTTPServer:
         self._httpd.serve_forever()
 
     def stop(self) -> None:
+        if self.follower is not None:
+            self.follower.stop()
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd.server_close()
@@ -268,6 +308,7 @@ def serve(
     ann_config: dict | None = None,
     bm25: bool = True,
     secondary_indices: list[str] | None = None,
+    replica_of: str | None = None,
 ) -> None:
     import signal
     import sys
@@ -276,7 +317,7 @@ def serve(
         engine, host, port, api_key,
         data_dir=data_dir, telemetry_path=telemetry_path, metric=metric,
         ann_config=ann_config, bm25=bm25,
-        secondary_indices=secondary_indices,
+        secondary_indices=secondary_indices, replica_of=replica_of,
     )
 
     def _shutdown(signum, frame):
@@ -307,6 +348,8 @@ if __name__ == "__main__":
     parser.add_argument("--no-bm25", action="store_true")
     parser.add_argument("--secondary-index", action="append", default=[],
                         help="Label.property equality index to create at boot")
+    parser.add_argument("--replica-of", default=None,
+                        help="primary gateway URL; serve as a read-only replica")
     args = parser.parse_args()
     ann_config = None
     if args.ann_threshold is not None:
@@ -320,4 +363,5 @@ if __name__ == "__main__":
         data_dir=args.data_dir, telemetry_path=args.telemetry_path,
         metric=args.metric, ann_config=ann_config,
         bm25=not args.no_bm25, secondary_indices=args.secondary_index,
+        replica_of=args.replica_of,
     )

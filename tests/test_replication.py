@@ -1,0 +1,98 @@
+"""Read-replica replication: primary record shipping, follower catch-up,
+write rejection on replicas."""
+
+import time
+
+import pytest
+
+from helix_tpu.client import Client, HelixError
+from helix_tpu.dsl import DynamicQueryRequest, NodeRef, g, read_batch, write_batch
+from helix_tpu.server import HelixHTTPServer
+
+
+@pytest.fixture
+def pair():
+    primary = HelixHTTPServer(host="127.0.0.1", port=0)
+    primary.start()
+    replica = HelixHTTPServer(
+        host="127.0.0.1", port=0,
+        replica_of=f"http://127.0.0.1:{primary.port}",
+    )
+    replica.start()
+    yield primary, replica
+    replica.stop()
+    primary.stop()
+
+
+def wait_for(predicate, timeout=10.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if predicate():
+            return True
+        time.sleep(0.1)
+    return False
+
+
+def count_users(client):
+    return client.execute(DynamicQueryRequest.read(
+        read_batch().var_as("n", g().n_with_label("User").count())
+    ).encode())["n"]
+
+
+def test_replica_follows_primary(pair):
+    primary, replica = pair
+    pclient = Client(f"http://127.0.0.1:{primary.port}")
+    rclient = Client(f"http://127.0.0.1:{replica.port}")
+
+    for i in range(5):
+        pclient.execute(DynamicQueryRequest.write(
+            write_batch()
+            .var_as("u", g().add_n("User", {"i": i}))
+            .var_as("e", g().n(NodeRef.var("u")).add_e("SELF", NodeRef.var("u")))
+        ).encode())
+
+    assert wait_for(lambda: count_users(rclient) == 5), (
+        f"replica saw {count_users(rclient)} users, follower error: "
+        f"{replica.follower.last_error}"
+    )
+    # Deterministic replay: same ids on both sides.
+    ids_p = pclient.execute(DynamicQueryRequest.read(
+        read_batch().var_as("ids", g().n_with_label("User").id())
+    ).encode())["ids"]
+    ids_r = rclient.execute(DynamicQueryRequest.read(
+        read_batch().var_as("ids", g().n_with_label("User").id())
+    ).encode())["ids"]
+    assert ids_p == ids_r
+
+    # Late writes also flow.
+    pclient.execute(DynamicQueryRequest.write(
+        write_batch().var_as("u", g().add_n("User", {"i": 99}))
+    ).encode())
+    assert wait_for(lambda: count_users(rclient) == 6)
+
+
+def test_replica_rejects_writes(pair):
+    primary, replica = pair
+    rclient = Client(f"http://127.0.0.1:{replica.port}")
+    with pytest.raises(HelixError, match="read-only replica"):
+        rclient.execute(DynamicQueryRequest.write(
+            write_batch().var_as("u", g().add_n("User"))
+        ).encode())
+
+
+def test_replication_feed_shape(pair):
+    primary, _ = pair
+    pclient = Client(f"http://127.0.0.1:{primary.port}")
+    pclient.execute(DynamicQueryRequest.write(
+        write_batch().var_as("u", g().add_n("User", {"i": 1}))
+    ).encode())
+    import json
+    import urllib.request
+
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{primary.port}/v1/replication?after=-1"
+    ) as resp:
+        feed = json.loads(resp.read())
+    assert feed["reseed_required"] is False
+    assert feed["head_seq"] == 0
+    assert feed["records"][0]["request"]["request_type"] == "write"
