@@ -52,6 +52,11 @@ class Engine:
         # Deployed source snapshot for push/sync reconciliation.
         self.source_snapshot: dict = {"files": {}}
         self.telemetry: Telemetry = NullTelemetry()
+        # Primary-side replication ring (read-replica shipping); must exist
+        # before recovery, which re-feeds recovered writes into it.
+        from .replication import ReplicationLog
+
+        self.replication = ReplicationLog()
         self.persistence = None
         if data_dir is not None:
             from .persist import Persistence
@@ -60,10 +65,6 @@ class Engine:
             self.persistence.recover(self)
         self._writes_since_checkpoint = 0
         self.checkpoint_every = 10_000  # write batches between auto-checkpoints
-        # Primary-side replication ring (read-replica shipping).
-        from .replication import ReplicationLog
-
-        self.replication = ReplicationLog()
         self.bm25_enabled = bm25
         # DbConfig.graph_config.secondary_indices (reference
         # config.rs:148-226): "Label.property" equality indexes created
