@@ -96,3 +96,56 @@ def test_replication_feed_shape(pair):
     assert feed["reseed_required"] is False
     assert feed["head_seq"] == 0
     assert feed["records"][0]["request"]["request_type"] == "write"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_replication_fuzz_state_equivalence(seed):
+    """Random write streams: replaying the primary's record ring into a
+    fresh engine reproduces the exact store state (ids, props, edges)."""
+    import numpy as np
+
+    from helix_tpu.engine import Engine
+
+    rng = np.random.default_rng(200 + seed)
+    primary = Engine()
+    for step in range(int(rng.integers(3, 15))):
+        batch = write_batch()
+        roll = rng.random()
+        if roll < 0.5 or primary.store.node_count() == 0:
+            batch = batch.var_as(
+                "u",
+                g().add_n(str(rng.choice(["A", "B"])), {
+                    "x": int(rng.integers(0, 100)),
+                    "v": [float(v) for v in rng.normal(size=4)],
+                }),
+            )
+        elif roll < 0.75:
+            ids = primary.store.node_order
+            src = int(rng.choice(ids))
+            dst = int(rng.choice(ids))
+            batch = batch.var_as(
+                "e", g().n({"Ids": [src]}).add_e("R", {"Ids": [dst]})
+            )
+        else:
+            batch = batch.var_as(
+                "m",
+                g().n_with_label(str(rng.choice(["A", "B"])))
+                .set_property("x", int(rng.integers(0, 100))),
+            )
+        primary.execute(DynamicQueryRequest.write(batch).encode())
+
+    replica = Engine()
+    records, reseed = primary.replication.since(-1, limit=10_000)
+    assert not reseed
+    for record in records:
+        replica.apply_replicated(record["request"], record["now_ms"])
+
+    def dump(engine):
+        return engine.execute(DynamicQueryRequest.read(
+            read_batch()
+            .var_as("nodes", g().n().value_map())
+            .var_as("edges", g().e_with_label("R").edge_properties())
+        ).encode())
+
+    assert dump(replica) == dump(primary)
+    assert replica.store.save_counters() == primary.store.save_counters()
