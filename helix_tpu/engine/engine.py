@@ -104,7 +104,7 @@ class Engine:
                         )
                         self._writes_since_checkpoint += 1
                         if self._writes_since_checkpoint >= self.checkpoint_every:
-                            self.checkpoint()
+                            self._checkpoint_unlocked()
             else:
                 with self._rwlock.read():
                     result = executor.execute(request, trace=steps_trace)
@@ -158,6 +158,14 @@ class Engine:
             self.replication.append(request, now_ms)
 
     def checkpoint(self) -> None:
+        """Snapshot + truncate the WAL.  Takes the writer lock so the
+        snapshot never observes a half-applied batch."""
+        if self.persistence is not None:
+            with self._rwlock.write():
+                self._checkpoint_unlocked()
+
+    def _checkpoint_unlocked(self) -> None:
+        """Checkpoint body; caller holds the writer lock."""
         if self.persistence is not None:
             self.persistence.checkpoint(self)
             self._writes_since_checkpoint = 0
