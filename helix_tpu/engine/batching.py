@@ -37,12 +37,18 @@ class _Pending:
 class DynamicBatcher:
     """Coalesces concurrent partition searches into stacked dispatches."""
 
+    # A dispatch within this horizon means traffic is bursty: wait the
+    # full window for stragglers.  Otherwise (sporadic traffic) dispatch
+    # immediately so lone requests do not pay the window as latency.
+    BURST_HORIZON_S = 0.025
+
     def __init__(self, window_s: float = 0.002):
         self.window_s = window_s
         self._lock = threading.Lock()
         self._queue: list[_Pending] = []
         self._wake = threading.Event()
         self._thread: threading.Thread | None = None
+        self._last_dispatch = 0.0
         self.dispatches = 0       # observability: device calls issued
         self.coalesced = 0        # requests served by shared dispatches
 
@@ -66,10 +72,14 @@ class DynamicBatcher:
         return entry.result
 
     def _run(self) -> None:
+        import time
+
         while True:
             self._wake.wait()
-            # Collect stragglers for one window, then drain everything.
-            threading.Event().wait(self.window_s)
+            # Bursty traffic: collect stragglers for one window.  Sporadic
+            # traffic: drain immediately (adaptive latency).
+            if time.monotonic() - self._last_dispatch < self.BURST_HORIZON_S:
+                threading.Event().wait(self.window_s)
             with self._lock:
                 batch, self._queue = self._queue, []
                 self._wake.clear()
@@ -80,6 +90,7 @@ class DynamicBatcher:
                 groups.setdefault(id(entry.partition), []).append(entry)
             for entries in groups.values():
                 self._dispatch(entries)
+            self._last_dispatch = time.monotonic()
 
     def _dispatch(self, entries: list[_Pending]) -> None:
         partition = entries[0].partition

@@ -77,3 +77,28 @@ def test_concurrent_reads_and_writes_consistent():
 
     final = engine.execute(read_req)
     assert final == {"users": 60, "edges": 60}
+
+
+def test_batcher_adaptive_window_skips_wait_for_lone_request():
+    """A lone request after an idle period must not pay the straggler
+    window as latency (adaptive dispatch)."""
+    import time
+
+    import numpy as np
+
+    from helix_tpu.engine.batching import DynamicBatcher
+
+    class FakePartition:
+        def search_many(self, queries, k):
+            n = queries.shape[0]
+            return (np.zeros((n, k), dtype=np.int64),
+                    np.zeros((n, k), dtype=np.float32))
+
+    batcher = DynamicBatcher(window_s=0.5)  # punitive window
+    q = np.zeros(4, dtype=np.float32)
+    t0 = time.perf_counter()
+    batcher.submit(FakePartition(), q, 3)
+    lone_latency = time.perf_counter() - t0
+    assert lone_latency < 0.25, (
+        f"lone request paid the straggler window: {lone_latency:.3f}s"
+    )
