@@ -157,6 +157,36 @@ class Engine:
             Executor(self).execute(request, now_ms=now_ms)
             self.replication.append(request, now_ms)
 
+    def export_replica_seed(self) -> dict:
+        """Consistent snapshot + replication watermark for seeding a
+        replica that is behind the primary's record ring.  Shared lock:
+        writes are exclusive, so the seq and the payload agree."""
+        from .persist import build_snapshot_payload
+
+        with self._rwlock.read():
+            return {
+                "seed_seq": self.replication.head_seq(),
+                "payload": build_snapshot_payload(self),
+            }
+
+    def load_replica_seed(self, seed: dict) -> None:
+        """Replace all engine state with a primary's seed snapshot and
+        align the local replication ring so cascaded replicas keep the
+        primary's sequence numbering."""
+        from .persist import restore_snapshot_payload
+        from .snapshot import SnapshotCache
+        from .store import GraphStore
+
+        with self._rwlock.write():
+            self.store = GraphStore()
+            self.snapshots = SnapshotCache(self.store)
+            self.vectors.indexes = {}
+            self.texts.indexes = {}
+            self.store.add_write_hook(self.vectors)
+            self.store.add_write_hook(self.texts)
+            restore_snapshot_payload(self, seed["payload"])
+            self.replication.reset_to(seed["seed_seq"] + 1)
+
     def checkpoint(self) -> None:
         """Snapshot + truncate the WAL.  Takes the writer lock so the
         snapshot never observes a half-applied batch."""

@@ -47,15 +47,7 @@ class Persistence:
         if self.snapshot_path.exists():
             with open(self.snapshot_path, "rb") as fh:
                 payload = pickle.load(fh)
-            if payload.get("version") != SNAPSHOT_VERSION:
-                raise RuntimeError(
-                    f"unsupported snapshot version {payload.get('version')}"
-                )
-            self._restore_store(engine, payload)
-            engine.routes = payload.get("routes", {})
-            engine.source_snapshot = payload.get(
-                "source_snapshot", {"files": {}}
-            )
+            restore_snapshot_payload(engine, payload)
         replayed = 0
         if self.wal_path.exists():
             for record in replay(self.wal_path):
@@ -64,34 +56,6 @@ class Persistence:
                 replayed += 1
         self.wal = Wal(self.wal_path)
         return replayed
-
-    def _restore_store(self, engine: Any, payload: dict) -> None:
-        from .store import Edge, Node
-
-        rehydrate = _VectorRehydrator(payload.get("vector_blocks", {}))
-        store = engine.store
-        for node_data in payload["nodes"]:
-            node_id, label, props = node_data
-            props = rehydrate.props(props)
-            store.nodes[node_id] = Node(node_id, label, props)
-            store.node_order.append(node_id)
-            store.nodes_by_label.setdefault(label, []).append(node_id)
-            store.out_adj[node_id] = []
-            store.in_adj[node_id] = []
-        for edge_data in payload["edges"]:
-            edge_id, label, src, dst, props = edge_data
-            props = rehydrate.props(props)
-            store.edges[edge_id] = Edge(edge_id, label, src, dst, props)
-            store.edge_order.append(edge_id)
-            store.edges_by_label.setdefault(label, []).append(edge_id)
-            store.out_adj[src].append(edge_id)
-            store.in_adj[dst].append(edge_id)
-        store._next_node_id, store._next_edge_id = payload["counters"]
-        # Index specs re-create through the normal path so scalar state is
-        # rebuilt and vector/text managers backfill via their hooks.
-        for spec in payload["index_specs"]:
-            store.create_index(spec, if_not_exists=True)
-        store.bump()
 
     # -- write path ---------------------------------------------------------
 
@@ -106,34 +70,7 @@ class Persistence:
     # -- checkpoint ---------------------------------------------------------
 
     def checkpoint(self, engine: Any) -> None:
-        store = engine.store
-        extractor = _VectorExtractor()
-        payload = {
-            "version": SNAPSHOT_VERSION,
-            "routes": engine.routes,
-            "source_snapshot": engine.source_snapshot,
-            "nodes": [
-                (nid, store.nodes[nid].label,
-                 extractor.strip(store.nodes[nid].props))
-                for nid in store.node_order
-            ],
-            "edges": [
-                (
-                    eid,
-                    store.edges[eid].label,
-                    store.edges[eid].src,
-                    store.edges[eid].dst,
-                    extractor.strip(store.edges[eid].props),
-                )
-                for eid in store.edge_order
-            ],
-            "vector_blocks": extractor.blocks(),
-            "counters": store.save_counters(),
-            "index_specs": [
-                {defn.spec_tag: _spec_fields(defn)}
-                for defn in store.indexes.values()
-            ],
-        }
+        payload = build_snapshot_payload(engine)
         tmp = self.snapshot_path.with_suffix(".tmp")
         with open(tmp, "wb") as fh:
             pickle.dump(payload, fh, protocol=5)
@@ -147,6 +84,80 @@ class Persistence:
         if self.wal is not None:
             self.wal.close()
             self.wal = None
+
+
+def build_snapshot_payload(engine: Any) -> dict:
+    """Serializable snapshot of the engine's authoritative state.
+
+    Used both for disk checkpoints and for replica seeding over
+    ``GET /v1/snapshot``.  The caller must hold a lock that excludes
+    writers (either side of the engine's RW lock works)."""
+    store = engine.store
+    extractor = _VectorExtractor()
+    return {
+        "version": SNAPSHOT_VERSION,
+        "routes": engine.routes,
+        "source_snapshot": engine.source_snapshot,
+        "nodes": [
+            (nid, store.nodes[nid].label,
+             extractor.strip(store.nodes[nid].props))
+            for nid in store.node_order
+        ],
+        "edges": [
+            (
+                eid,
+                store.edges[eid].label,
+                store.edges[eid].src,
+                store.edges[eid].dst,
+                extractor.strip(store.edges[eid].props),
+            )
+            for eid in store.edge_order
+        ],
+        "vector_blocks": extractor.blocks(),
+        "counters": store.save_counters(),
+        "index_specs": [
+            {defn.spec_tag: _spec_fields(defn)}
+            for defn in store.indexes.values()
+        ],
+    }
+
+
+def restore_snapshot_payload(engine: Any, payload: dict) -> None:
+    """Rebuild engine state from :func:`build_snapshot_payload` output.
+
+    The engine's store must be empty; index specs re-create through the
+    normal path so scalar index state is rebuilt and the vector/text
+    managers backfill via their write hooks."""
+    from .store import Edge, Node
+
+    if payload.get("version") != SNAPSHOT_VERSION:
+        raise RuntimeError(
+            f"unsupported snapshot version {payload.get('version')}"
+        )
+    rehydrate = _VectorRehydrator(payload.get("vector_blocks", {}))
+    store = engine.store
+    for node_data in payload["nodes"]:
+        node_id, label, props = node_data
+        props = rehydrate.props(props)
+        store.nodes[node_id] = Node(node_id, label, props)
+        store.node_order.append(node_id)
+        store.nodes_by_label.setdefault(label, []).append(node_id)
+        store.out_adj[node_id] = []
+        store.in_adj[node_id] = []
+    for edge_data in payload["edges"]:
+        edge_id, label, src, dst, props = edge_data
+        props = rehydrate.props(props)
+        store.edges[edge_id] = Edge(edge_id, label, src, dst, props)
+        store.edge_order.append(edge_id)
+        store.edges_by_label.setdefault(label, []).append(edge_id)
+        store.out_adj[src].append(edge_id)
+        store.in_adj[dst].append(edge_id)
+    store._next_node_id, store._next_edge_id = payload["counters"]
+    for spec in payload["index_specs"]:
+        store.create_index(spec, if_not_exists=True)
+    store.bump()
+    engine.routes = payload.get("routes", {})
+    engine.source_snapshot = payload.get("source_snapshot", {"files": {}})
 
 
 # Vector properties at/above this length are extracted into stacked

@@ -8,9 +8,11 @@ record (request + evaluation clock), so a replica is just an engine that
 re-executes the primary's record stream in order.
 
 - The primary keeps a sequence-numbered ring of committed write records
-  (``RING_CAP``; a replica further behind than the ring must re-seed —
-  round-1 limitation, snapshot bootstrap is a round-2 item) and serves
-  it at ``GET /v1/replication?after=<seq>``.
+  (``RING_CAP``) and serves it at ``GET /v1/replication?after=<seq>``.
+  A replica further behind than the ring (or joining fresh after a
+  trim) bootstraps from ``GET /v1/snapshot`` — a consistent seed
+  snapshot tagged with the replication watermark it was taken at —
+  then resumes tailing the ring from that watermark.
 - A replica runs a follower thread polling the primary and applying
   records under the engine's writer lock; its gateway rejects client
   writes with a pointer to the primary.
@@ -62,6 +64,48 @@ class ReplicationLog:
         with self._lock:
             return self._start_seq + len(self._records) - 1
 
+    def reset_to(self, next_seq: int) -> None:
+        """Drop all records and continue numbering at ``next_seq``
+        (replica seeded from a snapshot watermark)."""
+        with self._lock:
+            self._records = []
+            self._start_seq = next_seq
+
+
+class _SeedUnpickler:
+    """Restricted unpickler for seed snapshots fetched over the wire.
+
+    The seed payload only ever contains plain containers, scalars, and
+    numpy arrays, so only numpy's array-reconstruction globals are
+    allowed — a malicious or corrupted primary response cannot smuggle
+    arbitrary callables through pickle."""
+
+    _ALLOWED = {
+        ("numpy.core.multiarray", "_reconstruct"),
+        ("numpy._core.multiarray", "_reconstruct"),
+        ("numpy.core.numeric", "_frombuffer"),
+        ("numpy._core.numeric", "_frombuffer"),
+        ("numpy", "ndarray"),
+        ("numpy", "dtype"),
+    }
+
+    @classmethod
+    def loads(cls, data: bytes):
+        import io
+        import pickle
+
+        allowed = cls._ALLOWED
+
+        class Restricted(pickle.Unpickler):
+            def find_class(self, module, name):
+                if (module, name) in allowed:
+                    return super().find_class(module, name)
+                raise pickle.UnpicklingError(
+                    f"seed snapshot contains forbidden global {module}.{name}"
+                )
+
+        return Restricted(io.BytesIO(data)).load()
+
 
 class Follower:
     """Replica-side thread applying the primary's record stream."""
@@ -89,6 +133,22 @@ class Follower:
         with urllib.request.urlopen(req, timeout=30) as resp:
             return json.loads(resp.read())
 
+    def _reseed(self) -> None:
+        """Bootstrap from the primary's seed snapshot when this replica
+        is behind the record ring (fresh replica, or ring trimmed past
+        our position).  ``GET /v1/snapshot`` returns a consistent
+        snapshot plus the replication watermark it was taken at; we
+        replace local state wholesale and resume tailing from there."""
+        url = f"{self.primary_url}/v1/snapshot"
+        req = urllib.request.Request(url, method="GET")
+        if self.api_key:
+            req.add_header("Authorization", f"Bearer {self.api_key}")
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            seed = _SeedUnpickler.loads(resp.read())
+        self.engine.load_replica_seed(seed)
+        self.applied_seq = seed["seed_seq"]
+        self.last_error = None
+
     def _run(self) -> None:
         while not self._stop.is_set():
             try:
@@ -98,11 +158,11 @@ class Follower:
                 self._stop.wait(POLL_INTERVAL_S * 4)
                 continue
             if payload.get("reseed_required"):
-                self.last_error = (
-                    "replica fell behind the primary's replication ring; "
-                    "re-seed required"
-                )
-                self._stop.wait(POLL_INTERVAL_S * 4)
+                try:
+                    self._reseed()
+                except Exception as exc:
+                    self.last_error = f"reseed failed: {exc}"
+                    self._stop.wait(POLL_INTERVAL_S * 4)
                 continue
             records = payload.get("records", [])
             for record in records:

@@ -8,6 +8,10 @@ Routes (reference contract, ``sdks/rust/src/lib.rs:160-173``, ``:380-381``):
 - ``POST /v1/bundle`` — install a queries.json bundle (wire v5/v4); the
   rebuild's local stand-in for the reference's cloud deploy path
 - ``GET /v1/health`` — liveness; returns engine stats
+- ``GET /v1/replication?after=<seq>`` — primary-side record ring tail
+  for read replicas
+- ``GET /v1/snapshot`` — replica seed: consistent snapshot + replication
+  watermark (bootstrap for replicas behind the ring)
 
 Behavior headers (``lib.rs:274-298``): ``x-helix-require-writer`` (accepted;
 single-process serving is always the writer), ``x-helix-warm`` (reads only —
@@ -47,6 +51,12 @@ class HelixHTTPServer:
     ):
         self.replica_of = replica_of
         self.follower = None
+        if replica_of and data_dir and engine is None:
+            # Replicas are stateless followers: disk state of unknown
+            # replication position cannot be safely re-tailed, so disk
+            # mode is ignored and the replica bootstraps from the
+            # primary's ring / seed snapshot instead.
+            data_dir = None
         self.engine = engine or Engine(
             metric=metric, data_dir=data_dir, batch_window_ms=batch_window_ms,
             ann_config=ann_config, bm25=bm25,
@@ -116,6 +126,25 @@ class HelixHTTPServer:
                                                     "message": "invalid api key"}})
                         return
                     self._reply(200, server.engine.source_snapshot)
+                    return
+                if self.path == "/v1/snapshot":
+                    if not self._authorized():
+                        self._reply(401, {"error": {"kind": "Unauthorized",
+                                                    "message": "invalid api key"}})
+                        return
+                    # Replica seed: consistent snapshot + replication
+                    # watermark (pickled; followers decode through a
+                    # numpy-only restricted unpickler).
+                    import pickle
+
+                    body = pickle.dumps(
+                        server.engine.export_replica_seed(), protocol=5
+                    )
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/octet-stream")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                     return
                 if self.path == "/v1/health":
                     self._reply(

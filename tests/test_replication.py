@@ -149,3 +149,111 @@ def test_replication_fuzz_state_equivalence(seed):
 
     assert dump(replica) == dump(primary)
     assert replica.store.save_counters() == primary.store.save_counters()
+
+
+def test_replica_bootstraps_from_seed_snapshot():
+    """A replica joining after the primary's ring has trimmed must
+    bootstrap from GET /v1/snapshot and then tail normally."""
+    primary = HelixHTTPServer(host="127.0.0.1", port=0)
+    primary.engine.replication.cap = 4  # force early ring trim
+    primary.start()
+    try:
+        pclient = Client(f"http://127.0.0.1:{primary.port}")
+        pclient.execute(DynamicQueryRequest.write(
+            write_batch().var_as(
+                "idx", g().create_vector_index_nodes("User", "emb"))
+        ).encode())
+        for i in range(12):
+            pclient.execute(DynamicQueryRequest.write(
+                write_batch().var_as("u", g().add_n("User", {
+                    "i": i, "emb": [float(i), 1.0, 0.0, 0.5]}))
+            ).encode())
+        records, reseed = primary.engine.replication.since(-1)
+        assert reseed, "precondition: ring must have trimmed"
+
+        replica = HelixHTTPServer(
+            host="127.0.0.1", port=0,
+            replica_of=f"http://127.0.0.1:{primary.port}",
+        )
+        replica.start()
+        try:
+            rclient = Client(f"http://127.0.0.1:{replica.port}")
+            assert wait_for(lambda: count_users(rclient) == 12), (
+                f"replica saw {count_users(rclient)} users, follower "
+                f"error: {replica.follower.last_error}"
+            )
+            # Vector index survived the seed (hooks backfilled).
+            hit = rclient.execute(DynamicQueryRequest.read(
+                read_batch().var_as("h", g().vector_search_nodes(
+                    "User", "emb", [11.0, 1.0, 0.0, 0.5], 1).value_map(["i"]))
+            ).encode())["h"][0]["i"]
+            assert hit == 11
+            # Post-seed writes flow through normal tailing.
+            pclient.execute(DynamicQueryRequest.write(
+                write_batch().var_as("u", g().add_n("User", {
+                    "i": 99, "emb": [0.0, 0.0, 1.0, 0.0]}))
+            ).encode())
+            assert wait_for(lambda: count_users(rclient) == 13)
+            # Deterministic ids across seed + tail.
+            ids_p = pclient.execute(DynamicQueryRequest.read(
+                read_batch().var_as("ids", g().n_with_label("User").id())
+            ).encode())["ids"]
+            ids_r = rclient.execute(DynamicQueryRequest.read(
+                read_batch().var_as("ids", g().n_with_label("User").id())
+            ).encode())["ids"]
+            assert ids_p == ids_r
+        finally:
+            replica.stop()
+    finally:
+        primary.stop()
+
+
+def test_seed_unpickler_rejects_forbidden_globals():
+    import pickle
+
+    import pytest as _pytest
+
+    from helix_tpu.engine.replication import _SeedUnpickler
+
+    import numpy as np
+    ok = {"seed_seq": 3, "payload": {"vector_blocks": {
+        ("F32Array", 4): np.ones((2, 4), dtype=np.float32)}}}
+    out = _SeedUnpickler.loads(pickle.dumps(ok, protocol=5))
+    assert out["seed_seq"] == 3
+    assert out["payload"]["vector_blocks"][("F32Array", 4)].shape == (2, 4)
+
+    evil = pickle.dumps(pickle.loads)  # any non-numpy global
+    with _pytest.raises(pickle.UnpicklingError, match="forbidden global"):
+        _SeedUnpickler.loads(evil)
+
+
+def test_seed_roundtrip_preserves_counters_and_routes():
+    from helix_tpu.engine import Engine
+
+    primary = Engine()
+    primary.execute(DynamicQueryRequest.write(
+        write_batch()
+        .var_as("idx", g().create_vector_index_nodes("Doc", "v"))
+        .var_as("d", g().add_n("Doc", {"v": [1.0] * 8, "t": "x"}))
+        .var_as("e", g().n_with_label("Doc").add_e("SELF", NodeRef.var("d")))
+    ).encode())
+    primary.routes = {"q1": {"kind": "read", "query": {}, "parameters": []}}
+
+    seed = primary.export_replica_seed()
+    assert seed["seed_seq"] == 0
+
+    replica = Engine()
+    # Pre-seed garbage state must be replaced wholesale.
+    replica.execute(DynamicQueryRequest.write(
+        write_batch().var_as("junk", g().add_n("Junk"))
+    ).encode())
+    replica.load_replica_seed(seed)
+    assert replica.store.save_counters() == primary.store.save_counters()
+    assert replica.routes == primary.routes
+    assert replica.replication.head_seq() == 0
+    out = replica.execute(DynamicQueryRequest.read(
+        read_batch()
+        .var_as("labels", g().n().label())
+        .var_as("edges", g().e_with_label("SELF").count())
+    ).encode())
+    assert out == {"labels": ["Doc"], "edges": 1}
