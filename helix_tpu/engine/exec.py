@@ -329,12 +329,19 @@ class Executor:
     def _try_device_traversal(
         self, steps: list, ctx: EvalContext, scope: dict[str, VarValue]
     ):
-        """Compile ``source -> k x (Out|In) -> [Where] -> Dedup -> Count``
-        onto the padded-adjacency BFS kernels (ops/csr.py).
+        """Compile set-reduced node traversals onto the padded-adjacency
+        BFS kernels (ops/csr.py).
 
-        Dedup is required: the mask kernels compute set semantics, which
-        only matches the bag interpreter after deduplication.  Returns a
-        VarValue, or None to fall back to the host pipeline.
+        Grammar: ``(N|NWhere) -> body* -> Dedup -> (Count|Exists)`` where
+        body steps are hops (``Out``/``In``/``Both``), vectorizable
+        elementwise filters (``Where``/``Has``/``HasLabel``), or interior
+        ``Dedup`` s.  The trailing Dedup is required: the mask kernels
+        compute set semantics, which only matches the bag interpreter
+        after deduplication — and under that final set reduction,
+        per-element filters commute with dedup (they are pure functions
+        of the node) and interior Dedups are no-ops, so the whole body
+        evaluates as alternating frontier expansion and masking.
+        Returns a VarValue, or None to fall back to the host pipeline.
         """
         if len(steps) < 4:
             return None
@@ -342,53 +349,73 @@ class Executor:
         if snap.n_nodes < self.device_traversal_min_nodes:
             return None
         tags = [wire.tag_of(s, wire.STEP_STYLE, "step") for s in steps]
-        if tags[0] not in ("NWhere", "N") or tags[-1] != "Count" or tags[-2] != "Dedup":
+        if tags[0] not in ("NWhere", "N"):
             return None
-        hops: list[tuple[str, Any]] = []
-        i = 1
-        while i < len(steps) and tags[i] in ("Out", "In"):
-            hops.append((tags[i].lower(), wire.payload_of(steps[i])))
-            i += 1
-        if not hops:
+        if tags[-1] not in ("Count", "Exists") or tags[-2] != "Dedup":
             return None
-        where_pred = None
-        if tags[i] == "Where":
-            where_pred = wire.payload_of(steps[i])
-            i += 1
-        if i != len(steps) - 2:  # only Dedup + Count may remain
+        body: list[tuple] = []  # ("hop", directions, label) | ("filter", pred)
+        for tag, step in zip(tags[1:-2], steps[1:-2]):
+            payload = wire.payload_of(step)
+            if tag in ("Out", "In"):
+                body.append(("hop", (tag.lower(),), payload))
+            elif tag == "Both":
+                body.append(("hop", ("out", "in"), payload))
+            elif tag == "Where":
+                body.append(("filter", payload))
+            elif tag == "Has":
+                prop, value = payload
+                body.append(("filter", {"Eq": [prop, value]}))
+            elif tag == "HasLabel":
+                body.append(("filter", {"Eq": ["$label", {"String": payload}]}))
+            elif tag == "Dedup":
+                continue
+            else:
+                return None
+        if not any(op[0] == "hop" for op in body):
             return None
 
         import jax.numpy as jnp
 
         from ..ops.csr import khop_mask
+        from .expr import _try_vector_mask
 
-        # Per-hop padded graphs + label codes.
-        plans = []
-        for direction, label in hops:
-            graph = snap.padded_graph(direction)
-            if graph is None:
-                return None
-            if label is None:
-                code = -1
+        def finish(count: int):
+            if tags[-1] == "Exists":
+                return VarValue(count > 0, 1 if count else 0, None)
+            return VarValue(count, count, None)
+
+        # Resolve every body op up front; any non-vectorizable filter or
+        # missing padded graph falls back to the host pipeline before any
+        # device work is issued.
+        all_nodes = None
+        slots_all = None
+        plan: list[tuple] = []  # ("hop", [(graph, code)...]) | ("mask", arr)
+        for op in body:
+            if op[0] == "hop":
+                _, directions, label = op
+                expansions = []
+                for direction in directions:
+                    graph = snap.padded_graph(direction)
+                    if graph is None:
+                        return None
+                    if label is None:
+                        code = -1
+                    else:
+                        code = snap.edge_label_code.get(label)
+                        if code is None:
+                            return finish(0)  # unknown edge label
+                    expansions.append((graph, code))
+                plan.append(("hop", expansions))
             else:
-                code = snap.edge_label_code.get(label)
-                if code is None:
-                    zero = VarValue(0, 0, None)
-                    return zero  # unknown edge label: empty frontier
-            plans.append((graph, code))
-
-        # Optional where_: must vectorize over all node slots.
-        keep = None
-        if where_pred is not None:
-            from .expr import _try_vector_mask
-
-            all_nodes = Frame("nodes", snap.node_ids)
-            slots = np.arange(snap.n_nodes, dtype=np.int64)
-            keep = _try_vector_mask(
-                snap, "node", all_nodes, slots, where_pred, ctx
-            )
-            if keep is None:
-                return None
+                if all_nodes is None:
+                    all_nodes = Frame("nodes", snap.node_ids)
+                    slots_all = np.arange(snap.n_nodes, dtype=np.int64)
+                keep = _try_vector_mask(
+                    snap, "node", all_nodes, slots_all, op[1], ctx
+                )
+                if keep is None:
+                    return None
+                plan.append(("mask", keep))
 
         # Source frame through the normal pipeline (index-backed).
         state = _QueryState(self, ctx, scope, None)
@@ -401,14 +428,19 @@ class Executor:
         start[slots] = True
 
         mask = jnp.asarray(start)
-        for graph, code in plans:
-            mask = khop_mask(
-                graph.neighbors, graph.edge_labels, mask, jnp.int32(code), 1
-            )
-        if keep is not None:
-            mask = mask & jnp.asarray(keep)
-        count = int(jnp.sum(mask))
-        return VarValue(count, count, None)
+        for op in plan:
+            if op[0] == "hop":
+                frontier = None
+                for graph, code in op[1]:
+                    image = khop_mask(
+                        graph.neighbors, graph.edge_labels, mask,
+                        jnp.int32(code), 1,
+                    )
+                    frontier = image if frontier is None else frontier | image
+                mask = frontier
+            else:
+                mask = mask & jnp.asarray(op[1])
+        return finish(int(jnp.sum(mask)))
 
     # ------------------------------------------------------------------
     # Encoding

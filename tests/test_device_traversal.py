@@ -95,6 +95,38 @@ def test_bag_semantics_query_stays_on_host(engine, monkeypatch):
     assert bag >= dedup  # duplicates preserved on the host path
 
 
+def test_widened_grammar_matches_host(engine, monkeypatch):
+    """Both hops, interleaved filters, interior Dedups, Exists tails."""
+    from helix_tpu.dsl import g as _g
+
+    def run(traversal):
+        request = DynamicQueryRequest.read(
+            read_batch().var_as("n", traversal)
+        ).encode()
+        host = engine.execute(request)
+        monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
+        device = engine.execute(request)
+        monkeypatch.setattr(Executor, "device_traversal_min_nodes", 10_000)
+        assert device == host
+        return host["n"]
+
+    seed = SourcePredicate.lt("i", 5)
+    # Both-hop set reach
+    assert run(_g().n_where(seed).both("FOLLOWS").dedup().count()) > 0
+    # Filter between hops
+    run(_g().n_where(seed).out("FOLLOWS").where(Predicate.gt("i", 50))
+        .out("FOLLOWS").dedup().count())
+    # Has / HasLabel sugar as filters
+    run(_g().n_where(seed).out().has("vip", True).dedup().count())
+    run(_g().n_where(seed).both().has_label("User").dedup().count())
+    # Interior Dedup is a no-op under the final set reduction
+    run(_g().n_where(seed).out("FOLLOWS").dedup().in_("FOLLOWS")
+        .dedup().count())
+    # Exists tail (both outcomes)
+    assert run(_g().n_where(seed).out("FOLLOWS").dedup().exists()) is True
+    assert run(_g().n_where(seed).out("NOPE").dedup().exists()) is False
+
+
 @pytest.mark.parametrize("seed", range(10))
 def test_planner_fuzz_matches_host(seed, monkeypatch):
     """Random graphs x random khop-count queries: device == host."""
@@ -116,10 +148,28 @@ def test_planner_fuzz_matches_host(seed, monkeypatch):
     if edges.queries:
         eng.execute(DynamicQueryRequest.write(edges).encode())
 
-    hops = int(rng.integers(1, 4))
-    label = str(rng.choice(["A", "B"])) if rng.random() < 0.7 else None
-    where = Predicate.lt("i", int(rng.integers(1, n))) if rng.random() < 0.5 else None
-    request = khop_query(hops, label, where, seed_pred=SourcePredicate.lt("i", 10))
+    t = g().n_where(SourcePredicate.lt("i", 10))
+    for _ in range(int(rng.integers(1, 4))):
+        hop = rng.random()
+        label = str(rng.choice(["A", "B"])) if rng.random() < 0.7 else None
+        if hop < 0.4:
+            t = t.out(label)
+        elif hop < 0.7:
+            t = t.in_(label)
+        else:
+            t = t.both(label)
+        roll = rng.random()
+        if roll < 0.25:
+            t = t.where(Predicate.lt("i", int(rng.integers(1, n))))
+        elif roll < 0.35:
+            t = t.has_label("N")
+        elif roll < 0.45:
+            t = t.dedup()
+    t = t.dedup()
+    t = t.exists() if rng.random() < 0.3 else t.count()
+    request = DynamicQueryRequest.read(
+        read_batch().var_as("n", t).returning(["n"])
+    ).encode()
 
     host = eng.execute(request)
     monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
