@@ -38,6 +38,9 @@ DB_DEFAULTS = {
     "mcp": True,
     "embedding_model": "text-embedding-ada-002",
     "graph_config": {"secondary_indices": []},
+    # Object store url (s3://, file://, memory://) disk-mode checkpoints
+    # mirror to and fresh nodes bootstrap from; None = local-only.
+    "snapshot_store": None,
 }
 
 

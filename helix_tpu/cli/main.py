@@ -239,6 +239,11 @@ def cmd_start(args) -> int:
             sys.executable, "-m", "helix_tpu.server.http_server",
             "--port", str(port),
             *(["--data-dir", data_dir] if data_dir else []),
+            *(
+                ["--snapshot-store", str(inst.db["snapshot_store"])]
+                if data_dir and inst.db.get("snapshot_store")
+                else []
+            ),
             "--telemetry-path", str(state / "metrics.jsonl"),
             "--metric", str(inst.vector.get("metric", "cosine")),
             *(

@@ -35,6 +35,7 @@ class Engine:
         shard_threshold: int | None = None,
         bm25: bool = True,
         secondary_indices: list[str] | None = None,
+        snapshot_store: str | None = None,
     ):
         self.store = GraphStore()
         self.snapshots = SnapshotCache(self.store)
@@ -61,7 +62,7 @@ class Engine:
         if data_dir is not None:
             from .persist import Persistence
 
-            self.persistence = Persistence(data_dir)
+            self.persistence = Persistence(data_dir, snapshot_store=snapshot_store)
             self.persistence.recover(self)
         self._writes_since_checkpoint = 0
         self.checkpoint_every = 10_000  # write batches between auto-checkpoints

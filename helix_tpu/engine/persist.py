@@ -32,12 +32,20 @@ SNAPSHOT_VERSION = 1
 
 
 class Persistence:
-    def __init__(self, data_dir: str | Path):
+    def __init__(self, data_dir: str | Path, snapshot_store: Any = None):
         self.dir = Path(data_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.snapshot_path = self.dir / SNAPSHOT_NAME
         self.wal_path = self.dir / WAL_NAME
         self.wal: Wal | None = None
+        # Optional object-store mirror (reference: S3-backed engine
+        # storage, local_runtime.rs:20-26).  Checkpoints upload there;
+        # a node with no local snapshot bootstraps from it.
+        if isinstance(snapshot_store, str):
+            from .objstore import open_store
+
+            snapshot_store = open_store(snapshot_store)
+        self.snapshot_store = snapshot_store
 
     # -- startup -----------------------------------------------------------
 
@@ -48,6 +56,12 @@ class Persistence:
             with open(self.snapshot_path, "rb") as fh:
                 payload = pickle.load(fh)
             restore_snapshot_payload(engine, payload)
+        elif self.snapshot_store is not None:
+            from .objstore import SNAPSHOT_KEY
+
+            blob = self.snapshot_store.get(SNAPSHOT_KEY)
+            if blob is not None:
+                restore_snapshot_payload(engine, pickle.loads(blob))
         replayed = 0
         if self.wal_path.exists():
             for record in replay(self.wal_path):
@@ -71,12 +85,22 @@ class Persistence:
 
     def checkpoint(self, engine: Any) -> None:
         payload = build_snapshot_payload(engine)
+        blob = pickle.dumps(payload, protocol=5)
         tmp = self.snapshot_path.with_suffix(".tmp")
         with open(tmp, "wb") as fh:
-            pickle.dump(payload, fh, protocol=5)
+            fh.write(blob)
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, self.snapshot_path)
+        if self.snapshot_store is not None:
+            from .objstore import SNAPSHOT_KEY
+
+            try:
+                self.snapshot_store.put(SNAPSHOT_KEY, blob)
+            except Exception:
+                # The local checkpoint is authoritative; a flaky mirror
+                # must not fail the write path.
+                pass
         if self.wal is not None:
             self.wal.reset()
 

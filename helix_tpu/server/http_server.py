@@ -48,6 +48,7 @@ class HelixHTTPServer:
         bm25: bool = True,
         secondary_indices: list[str] | None = None,
         replica_of: str | None = None,
+        snapshot_store: str | None = None,
     ):
         self.replica_of = replica_of
         self.follower = None
@@ -60,7 +61,7 @@ class HelixHTTPServer:
         self.engine = engine or Engine(
             metric=metric, data_dir=data_dir, batch_window_ms=batch_window_ms,
             ann_config=ann_config, bm25=bm25,
-            secondary_indices=secondary_indices,
+            secondary_indices=secondary_indices, snapshot_store=snapshot_store,
         )
         if replica_of:
             from ..engine.replication import Follower
@@ -338,6 +339,7 @@ def serve(
     bm25: bool = True,
     secondary_indices: list[str] | None = None,
     replica_of: str | None = None,
+    snapshot_store: str | None = None,
 ) -> None:
     import signal
     import sys
@@ -347,6 +349,7 @@ def serve(
         data_dir=data_dir, telemetry_path=telemetry_path, metric=metric,
         ann_config=ann_config, bm25=bm25,
         secondary_indices=secondary_indices, replica_of=replica_of,
+        snapshot_store=snapshot_store,
     )
 
     def _shutdown(signum, frame):
@@ -379,6 +382,10 @@ if __name__ == "__main__":
                         help="Label.property equality index to create at boot")
     parser.add_argument("--replica-of", default=None,
                         help="primary gateway URL; serve as a read-only replica")
+    parser.add_argument("--snapshot-store", default=None,
+                        help="object store url (s3://, file://, memory://) "
+                             "checkpoints mirror to and fresh nodes "
+                             "bootstrap from")
     args = parser.parse_args()
     ann_config = None
     if args.ann_threshold is not None:
@@ -392,5 +399,5 @@ if __name__ == "__main__":
         data_dir=args.data_dir, telemetry_path=args.telemetry_path,
         metric=args.metric, ann_config=ann_config,
         bm25=not args.no_bm25, secondary_indices=args.secondary_index,
-        replica_of=args.replica_of,
+        replica_of=args.replica_of, snapshot_store=args.snapshot_store,
     )
