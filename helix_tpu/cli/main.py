@@ -547,6 +547,44 @@ def cmd_version(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    """Self-update (reference: helix-cli/src/update.rs pulls GitHub
+    releases).  This environment has no egress, so the command resolves
+    the release source from config, reports the installed version, and
+    degrades gracefully when the source is unreachable."""
+    import urllib.error
+    import urllib.request
+
+    from .. import __version__
+
+    source = os.environ.get(
+        "HELIX_TPU_RELEASE_URL",
+        "https://github.com/helix-tpu/helix-tpu/releases/latest",
+    )
+    print(f"installed: helix-tpu {__version__}")
+    try:
+        with urllib.request.urlopen(source, timeout=5) as resp:
+            resp.read(0)
+        print(f"release source reachable: {source}")
+        print("re-run install.sh to fetch and install the latest release")
+        return 0
+    except (urllib.error.URLError, OSError, ValueError) as exc:
+        print(f"could not reach release source ({exc}); "
+              "you are offline or the source is down — no changes made")
+        return 0
+
+
+_REMOVED_COMMANDS = {
+    # old command -> replacement hint (reference traps these the same
+    # way: main.rs removed-command errors).
+    "compile": "queries compile automatically on `deploy` and `push`",
+    "check": "use `helix-tpu query --file <req> --warm` to validate "
+             "against a running instance",
+    "run": "use `helix-tpu start`",
+    "instances": "use `helix-tpu status`",
+}
+
+
 def cmd_feedback(args) -> int:
     """Record feedback locally (the reference posts to its cloud)."""
     from .cloud import STATE_HOME
@@ -793,6 +831,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--port", type=int, default=DEFAULT_PORT)
     p.add_argument("--start", action="store_true")
     p.set_defaults(fn=cmd_chef)
+
+    p = sub.add_parser("update", help="self-update from the release source")
+    p.set_defaults(fn=cmd_update)
+
+    # Removed-command traps: fail with a pointer, not an argparse error.
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] in _REMOVED_COMMANDS:
+        print(
+            f"`{argv[0]}` was removed: {_REMOVED_COMMANDS[argv[0]]}",
+            file=sys.stderr,
+        )
+        return 1
 
     args = parser.parse_args(argv)
     if getattr(args, "quiet", False):

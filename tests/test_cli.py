@@ -275,3 +275,21 @@ def test_crash_recovery_kill9(tmp_path):
         assert out["n"] == acked, f"lost writes: {out['n']} != {acked}"
     finally:
         run_cli(["stop", "dev"], cwd=root)
+
+
+def test_update_command_degrades_offline(monkeypatch):
+    monkeypatch.setenv("HELIX_TPU_RELEASE_URL", "https://127.0.0.1:1/nope")
+    code, out, err = run_cli(["update"])
+    assert code == 0
+    assert "installed: helix-tpu" in out
+    assert "no changes made" in out
+
+
+def test_removed_commands_trap_with_hint():
+    for cmd, hint_word in [
+        ("compile", "deploy"), ("check", "query"),
+        ("run", "start"), ("instances", "status"),
+    ]:
+        code, out, err = run_cli([cmd])
+        assert code == 1, cmd
+        assert "was removed" in err and hint_word in err, (cmd, err)
