@@ -731,3 +731,255 @@ func (r *DynamicQueryRequest) WithParameter(name string, ty J, value J) *Dynamic
 func (r *DynamicQueryRequest) ToJSON() ([]byte, error) {
 	return json.Marshal(r)
 }
+
+// ---------------------------------------------------------------------------
+// Ordered properties (parity generators need deterministic wire output;
+// Go map iteration is randomized)
+// ---------------------------------------------------------------------------
+
+// PropPair is one (name, value) property entry with stable order.
+type PropPair struct {
+	Key   string
+	Value interface{}
+}
+
+// AddNOrdered is AddN with deterministic property order.
+func (t Traversal) AddNOrdered(label string, pairs []PropPair) Traversal {
+	entries := make([]J, 0, len(pairs))
+	for _, p := range pairs {
+		entries = append(entries, []J{p.Key, asInput(p.Value)})
+	}
+	return t.pushWrite(map[string]J{"AddN": map[string]J{
+		"label": label, "properties": entries,
+	}})
+}
+
+// AddEOrdered is AddE with deterministic property order.
+func (t Traversal) AddEOrdered(label string, to J, pairs []PropPair) Traversal {
+	entries := make([]J, 0, len(pairs))
+	for _, p := range pairs {
+		entries = append(entries, []J{p.Key, asInput(p.Value)})
+	}
+	return t.pushWrite(map[string]J{"AddE": map[string]J{
+		"label": label, "to": to, "properties": entries,
+	}})
+}
+
+// ---------------------------------------------------------------------------
+// Case expression
+// ---------------------------------------------------------------------------
+
+// WhenThen is one (predicate, result) arm of a Case expression.
+type WhenThen struct {
+	When Predicate
+	Then Expr
+}
+
+// Case builds a conditional expression with an else arm.
+func Case(arms []WhenThen, elseExpr Expr) Expr {
+	whenThen := make([]J, 0, len(arms))
+	for _, arm := range arms {
+		whenThen = append(whenThen, []J{arm.When.Node, arm.Then.Node})
+	}
+	return Expr{map[string]J{"Case": map[string]J{
+		"when_then": whenThen, "else_expr": elseExpr.Node,
+	}}}
+}
+
+// ---------------------------------------------------------------------------
+// Control flow: sub-traversals, Union/Coalesce/Choose/Optional/Repeat
+// ---------------------------------------------------------------------------
+
+func subTraversal(t Traversal) J { return map[string]J{"steps": t.Steps} }
+
+// Union runs every branch over the current stream and concatenates.
+func (t Traversal) Union(branches ...Traversal) Traversal {
+	subs := make([]J, 0, len(branches))
+	for _, branch := range branches {
+		subs = append(subs, subTraversal(branch))
+	}
+	return t.push(map[string]J{"Union": subs})
+}
+
+// Coalesce takes the first branch that yields any results.
+func (t Traversal) Coalesce(branches ...Traversal) Traversal {
+	subs := make([]J, 0, len(branches))
+	for _, branch := range branches {
+		subs = append(subs, subTraversal(branch))
+	}
+	return t.push(map[string]J{"Coalesce": subs})
+}
+
+// Choose branches per element on a predicate; elseBranch may be nil.
+func (t Traversal) Choose(condition Predicate, then Traversal, elseBranch *Traversal) Traversal {
+	var elseNode J
+	if elseBranch != nil {
+		elseNode = subTraversal(*elseBranch)
+	}
+	return t.push(map[string]J{"Choose": map[string]J{
+		"condition":       condition.Node,
+		"then_traversal":  subTraversal(then),
+		"else_traversal":  elseNode,
+	}})
+}
+
+// Optional runs the branch, keeping the input element when it is empty.
+func (t Traversal) Optional(branch Traversal) Traversal {
+	return t.push(map[string]J{"Optional": subTraversal(branch)})
+}
+
+// RepeatConfig configures a Repeat step; zero value = unbounded with
+// the default max depth.
+type RepeatConfig struct {
+	Traversal     Traversal
+	TimesVal      *int
+	UntilVal      *Predicate
+	Emit          string // "None", "All", "Before", "After"
+	EmitPredicate *Predicate
+	MaxDepthVal   int
+}
+
+// NewRepeat starts a RepeatConfig over a sub-traversal.
+func NewRepeat(t Traversal) RepeatConfig {
+	return RepeatConfig{Traversal: t, Emit: "None", MaxDepthVal: 100}
+}
+
+// Times fixes the iteration count.
+func (c RepeatConfig) Times(n int) RepeatConfig { c.TimesVal = &n; return c }
+
+// Until stops when the predicate holds.
+func (c RepeatConfig) Until(p Predicate) RepeatConfig { c.UntilVal = &p; return c }
+
+// EmitAll emits every intermediate frontier.
+func (c RepeatConfig) EmitAll() RepeatConfig { c.Emit = "All"; return c }
+
+// EmitIf emits frontiers matching the predicate.
+func (c RepeatConfig) EmitIf(p Predicate) RepeatConfig {
+	c.Emit = "After"
+	c.EmitPredicate = &p
+	return c
+}
+
+// MaxDepth caps the iteration depth.
+func (c RepeatConfig) MaxDepth(n int) RepeatConfig { c.MaxDepthVal = n; return c }
+
+// Repeat appends the configured repeat step.
+func (t Traversal) Repeat(c RepeatConfig) Traversal {
+	var times, until, emitPredicate J
+	if c.TimesVal != nil {
+		times = *c.TimesVal
+	}
+	if c.UntilVal != nil {
+		until = c.UntilVal.Node
+	}
+	if c.EmitPredicate != nil {
+		emitPredicate = c.EmitPredicate.Node
+	}
+	return t.push(map[string]J{"Repeat": map[string]J{
+		"traversal":      subTraversal(c.Traversal),
+		"times":          times,
+		"until":          until,
+		"emit":           c.Emit,
+		"emit_predicate": emitPredicate,
+		"max_depth":      c.MaxDepthVal,
+	}})
+}
+
+// ---------------------------------------------------------------------------
+// Ordering and row bindings
+// ---------------------------------------------------------------------------
+
+// OrderByMultiple sorts by several (property, "Asc"|"Desc") keys.
+func (t Traversal) OrderByMultiple(keys [][2]string) Traversal {
+	encoded := make([]J, 0, len(keys))
+	for _, key := range keys {
+		encoded = append(encoded, []J{key[0], key[1]})
+	}
+	return t.push(map[string]J{"OrderByMultiple": encoded})
+}
+
+// Current targets the row's current element in binding projections.
+var Current J = "Current"
+
+// Binding targets a named row binding in binding projections.
+func Binding(name string) J { return map[string]J{"Binding": name} }
+
+// BindingProp projects target.source under alias.
+func BindingProp(target J, source, alias string) J {
+	return map[string]J{
+		"kind": "Property", "target": target,
+		"source": source, "alias": alias,
+	}
+}
+
+// BindingRefOf is one (target, source) pair for BindingCoalesce.
+func BindingRefOf(target J, source string) J {
+	return map[string]J{"target": target, "source": source}
+}
+
+// BindingCoalesce projects the first non-null ref under alias.
+func BindingCoalesce(refs []J, alias string) J {
+	return map[string]J{"kind": "Coalesce", "refs": refs, "alias": alias}
+}
+
+// ProjectBindings terminates a Bind()-mode traversal into rows.
+func (t Traversal) ProjectBindings(projections []J, distinct bool) Traversal {
+	return t.push(map[string]J{"ProjectBindings": map[string]J{
+		"projections": projections, "distinct": distinct,
+	}})
+}
+
+// ---------------------------------------------------------------------------
+// Reserved no-op steps (serialize; the engine ignores them)
+// ---------------------------------------------------------------------------
+
+// Fold is a reserved no-op step.
+func (t Traversal) Fold() Traversal { return t.push("Fold") }
+
+// Unfold is a reserved no-op step.
+func (t Traversal) Unfold() Traversal { return t.push("Unfold") }
+
+// Path is a reserved no-op step.
+func (t Traversal) Path() Traversal { return t.push("Path") }
+
+// SimplePath is a reserved no-op step.
+func (t Traversal) SimplePath() Traversal { return t.push("SimplePath") }
+
+// WithSack is a reserved no-op step carrying an initial value.
+func (t Traversal) WithSack(value interface{}) Traversal {
+	return t.push(map[string]J{"WithSack": EncodePropertyValue(value)})
+}
+
+// SackSet is a reserved no-op step.
+func (t Traversal) SackSet(name string) Traversal {
+	return t.push(map[string]J{"SackSet": name})
+}
+
+// SackAdd is a reserved no-op step.
+func (t Traversal) SackAdd(name string) Traversal {
+	return t.push(map[string]J{"SackAdd": name})
+}
+
+// SackGet is a reserved no-op step.
+func (t Traversal) SackGet() Traversal { return t.push("SackGet") }
+
+// ---------------------------------------------------------------------------
+// Edge-drop mutations
+// ---------------------------------------------------------------------------
+
+// DropEdge deletes all edges from the current nodes to the targets.
+func (t Traversal) DropEdge(to J) Traversal {
+	return t.pushWrite(map[string]J{"DropEdge": to})
+}
+
+// DropEdgeLabeled deletes matching-label edges to the targets.
+func (t Traversal) DropEdgeLabeled(to J, label string) Traversal {
+	return t.pushWrite(map[string]J{"DropEdgeLabeled": map[string]J{
+		"to": to, "label": label,
+	}})
+}
+
+// DropEdgeByID deletes edges by edge id (multigraph-safe).
+func (t Traversal) DropEdgeByID(ref J) Traversal {
+	return t.pushWrite(map[string]J{"DropEdgeById": ref})
+}
