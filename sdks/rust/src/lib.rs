@@ -12,11 +12,13 @@
 //! engine, and batch read/write discipline is enforced at runtime.
 
 pub mod dsl;
+pub mod query_generator;
 
 #[cfg(feature = "client")]
 pub mod client;
 
 pub use dsl::*;
+pub use query_generator::{QueryBundle, QueryParamType, QUERY_BUNDLE_VERSION};
 
 #[cfg(feature = "client")]
 pub use client::{Client, HelixError, QueryBuilder};
