@@ -219,6 +219,20 @@ def cmd_start(args) -> int:
         port = free
     disk = args.disk or inst.storage == "disk"
     data_dir = str(state / "data") if disk else None
+    # Storage-mode notices (reference start.rs:64-82): disk mode gets a
+    # one-line note every run; memory mode warns about data loss only on
+    # the instance's first start (marker file).
+    if disk:
+        print(f"storage: disk ({data_dir})")
+    else:
+        marker = state / ".warned-memory"
+        if not marker.exists():
+            print(
+                "warning: in-memory storage — data is lost when the "
+                "instance stops (use --disk or storage = \"disk\" in "
+                "helix.toml to persist)"
+            )
+            marker.write_text("")
     if args.foreground:
         from ..server import serve
 
@@ -256,6 +270,7 @@ def cmd_start(args) -> int:
                 else []
             ),
             *([] if inst.db.get("bm25", True) else ["--no-bm25"]),
+            *([] if inst.db.get("mcp", True) else ["--no-mcp"]),
             *(
                 arg
                 for entry in inst.db.get("graph_config", {}).get(

@@ -12,6 +12,8 @@ Routes (reference contract, ``sdks/rust/src/lib.rs:160-173``, ``:380-381``):
   for read replicas
 - ``GET /v1/snapshot`` — replica seed: consistent snapshot + replication
   watermark (bootstrap for replicas behind the ring)
+- ``POST /mcp`` — Model Context Protocol endpoint (JSON-RPC 2.0) exposing
+  the query surface as agent tools (``DbConfig.mcp``, config.rs:173)
 
 Behavior headers (``lib.rs:274-298``): ``x-helix-require-writer`` (accepted;
 single-process serving is always the writer), ``x-helix-warm`` (reads only —
@@ -49,6 +51,7 @@ class HelixHTTPServer:
         secondary_indices: list[str] | None = None,
         replica_of: str | None = None,
         snapshot_store: str | None = None,
+        mcp: bool = True,
     ):
         self.replica_of = replica_of
         self.follower = None
@@ -73,6 +76,7 @@ class HelixHTTPServer:
 
             self.engine.telemetry = Telemetry(telemetry_path)
             self.engine.telemetry.log_event("instance_start")
+        self.mcp_enabled = mcp
         self.host = host
         self.port = port
         self.api_key = api_key
@@ -170,7 +174,9 @@ class HelixHTTPServer:
                     return
                 try:
                     body = self._read_body()
-                    if self.path == "/v1/query":
+                    if self.path == "/mcp":
+                        self._handle_mcp(body)
+                    elif self.path == "/v1/query":
                         self._handle_dynamic(body)
                     elif self.path.startswith("/v1/query/"):
                         name = self.path[len("/v1/query/"):]
@@ -204,6 +210,25 @@ class HelixHTTPServer:
                         500,
                         {"error": {"kind": "Internal", "message": str(exc)}},
                     )
+
+            def _handle_mcp(self, body: Any) -> None:
+                if not server.mcp_enabled:
+                    self._reply(404, {"error": {
+                        "kind": "NotFound",
+                        "message": "MCP is disabled ([db] mcp = false)"}})
+                    return
+                from .mcp import handle_mcp
+
+                response = handle_mcp(
+                    server.engine, body,
+                    read_only=server.replica_of is not None,
+                )
+                if response is None:  # notification: no body
+                    self.send_response(202)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                self._reply(200, response)
 
             def _handle_replication(self) -> None:
                 """Primary-side record feed for read replicas."""
@@ -340,6 +365,7 @@ def serve(
     secondary_indices: list[str] | None = None,
     replica_of: str | None = None,
     snapshot_store: str | None = None,
+    mcp: bool = True,
 ) -> None:
     import signal
     import sys
@@ -349,7 +375,7 @@ def serve(
         data_dir=data_dir, telemetry_path=telemetry_path, metric=metric,
         ann_config=ann_config, bm25=bm25,
         secondary_indices=secondary_indices, replica_of=replica_of,
-        snapshot_store=snapshot_store,
+        snapshot_store=snapshot_store, mcp=mcp,
     )
 
     def _shutdown(signum, frame):
@@ -378,6 +404,8 @@ if __name__ == "__main__":
     parser.add_argument("--ann-m", type=int, default=16)
     parser.add_argument("--ann-ef-search", type=int, default=768)
     parser.add_argument("--no-bm25", action="store_true")
+    parser.add_argument("--no-mcp", action="store_true",
+                        help="disable the POST /mcp JSON-RPC endpoint")
     parser.add_argument("--secondary-index", action="append", default=[],
                         help="Label.property equality index to create at boot")
     parser.add_argument("--replica-of", default=None,
@@ -400,4 +428,5 @@ if __name__ == "__main__":
         metric=args.metric, ann_config=ann_config,
         bm25=not args.no_bm25, secondary_indices=args.secondary_index,
         replica_of=args.replica_of, snapshot_store=args.snapshot_store,
+        mcp=not args.no_mcp,
     )
