@@ -37,8 +37,42 @@ import numpy as np
 
 ASSUMED_CPU_HNSW_QPS = 10_000.0
 
+# The dev TPU is reached through a tunnel that occasionally wedges: the
+# backend enumerates but every device op hangs forever.  Probe it in a
+# subprocess (a hung RPC cannot be interrupted in-process) and fall back
+# to CPU when the chip is unreachable, so the bench always produces a
+# result line.
+PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "180"))
+
+
+def _device_backend_alive() -> bool:
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return False
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "assert jax.default_backend() != 'cpu';"
+        "x = jnp.arange(64.0).sum();"
+        "assert float(x) == 2016.0"
+    )
+    try:
+        result = subprocess.run(
+            [sys.executable, "-c", probe],
+            timeout=PROBE_TIMEOUT_S, capture_output=True,
+        )
+        return result.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
 
 def main() -> None:
+    if not _device_backend_alive():
+        print(
+            "# accelerator backend missing or unresponsive; "
+            "falling back to CPU", file=sys.stderr,
+        )
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     import jax.numpy as jnp
 
