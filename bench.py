@@ -9,12 +9,13 @@ engine's serving kernel (``topk_resident``: resident bfloat16 matrix ->
 MXU matmul -> approx_max_k -> exact f32 device re-rank).  Recall@10 is
 measured against a float32 NumPy oracle and gated at >=0.95.
 
-``value`` is sustained on-device throughput: query batches staged in HBM,
-dispatches pipelined, one synchronization at the end.  This is the number
-that transfers to production serving, where the engine is colocated with
-the chip.  This dev environment reaches the TPU through a tunnel with
-~30-50 ms per host<->device transfer RPC; ``e2e_tunnel_qps`` reports
-throughput when every batch pays that tunnel round trip.
+``value`` is sustained on-device throughput: a lax.scan over independent
+pre-staged query batches inside one jit, so the chip runs search after
+search with no host dispatch in between — the number that transfers to
+production serving, where the engine is colocated with the chip.
+``per_dispatch_qps`` shows the same loop paying one host dispatch per
+batch, and ``e2e_tunnel_qps`` one full tunnel round trip per batch
+(~30-50 ms RPC in this dev environment).
 
 ``vs_baseline``: the reference engine publishes no numbers and its binary
 is a closed container image (BASELINE.md), so the baseline is the
@@ -76,7 +77,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from helix_tpu.ops.distance import PackedMatrix, topk_resident
+    from helix_tpu.ops.distance import PackedMatrix, resident_topk_auto as topk_resident
 
     backend = jax.default_backend()
     n = int(os.environ.get("BENCH_N", 1_000_000 if backend == "tpu" else 100_000))
@@ -131,10 +132,63 @@ def main() -> None:
         np.mean([len(set(got[i]) & set(oracle[i])) / k for i in range(sample)])
     )
 
-    print(f"# timing {rounds} pipelined device rounds...", file=sys.stderr)
-    # Offline throughput: rotating pre-staged batches dispatched back to
-    # back (multiple batches in flight, the realistic serving regime) with
-    # one final synchronization.
+    import functools
+
+    print(f"# timing on-device throughput ({rounds} batches in one jit)...",
+          file=sys.stderr)
+    # Device throughput: scan over independent pre-staged query batches
+    # inside ONE jit — each step is a full search, no host dispatch in
+    # between.  This is what the chip sustains with the engine colocated
+    # (production serving); the per-dispatch loop below shows what this
+    # dev tunnel adds.  The scan's one RPC amortizes to noise.
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def scan_batches(xs16, xs32, qstack, n_valid, sq, k):
+        def body(_, qbatch):
+            dists, idx = topk_resident(
+                xs16, xs32, qbatch, n_valid, sq, k=k, metric="cosine"
+            )
+            return 0, (dists[:, 0], idx[:, 0])
+        _, outs = jax.lax.scan(body, 0, qstack)
+        return outs
+
+    qstack = jnp.stack([query_batches[r % n_batches] for r in range(rounds)])
+    out = scan_batches(xs16, xs32, qstack, n_valid, sq, k)  # compile
+    jax.block_until_ready(out)
+    device_elapsed = 1e30
+    for _ in range(3):
+        start = time.perf_counter()
+        out = scan_batches(xs16, xs32, qstack, n_valid, sq, k)
+        jax.block_until_ready(out)
+        device_elapsed = min(device_elapsed, time.perf_counter() - start)
+    device_qps = rounds * batch / device_elapsed
+
+    print("# timing serialized latency (lax.scan carry chain)...", file=sys.stderr)
+    # Per-batch latency: rounds chained through a REAL data dependency
+    # (a tiny perturbation of the next query by the previous result —
+    # a zero-scaled carry would constant-fold and sever the chain),
+    # strictly sequential on device.
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def timed_rounds(xs16, xs32, qstack, n_valid, sq, k):
+        def body(carry, qbatch):
+            dists, idx = topk_resident(
+                xs16, xs32, qbatch + carry, n_valid, sq, k=k, metric="cosine"
+            )
+            return dists[0, 0] * jnp.float32(1e-12), (dists[0, 0], idx[0, 0])
+        carry, outs = jax.lax.scan(body, jnp.float32(0.0), qstack)
+        return outs
+
+    out = timed_rounds(xs16, xs32, qstack, n_valid, sq, k)  # compile
+    jax.block_until_ready(out)
+    lat_elapsed = 1e30
+    for _ in range(3):
+        start = time.perf_counter()
+        out = timed_rounds(xs16, xs32, qstack + 1e-7, n_valid, sq, k)
+        jax.block_until_ready(out)
+        lat_elapsed = min(lat_elapsed, time.perf_counter() - start)
+    latency_ms = lat_elapsed / rounds * 1000
+
+    print("# timing per-dispatch loop (tunnel overhead diagnostic)...",
+          file=sys.stderr)
     start = time.perf_counter()
     for r in range(rounds):
         dists, idx = topk_resident(
@@ -142,33 +196,7 @@ def main() -> None:
             k=k, metric="cosine",
         )
     jax.block_until_ready((dists, idx))
-    device_elapsed = time.perf_counter() - start
-    device_qps = rounds * batch / device_elapsed
-
-    print("# timing serialized latency (lax.scan carry chain)...", file=sys.stderr)
-    # Per-batch latency: rounds chained through a carry inside one jit,
-    # strictly sequential on device — a conservative latency bound immune
-    # to async-dispatch overstatement.
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def timed_rounds(xs16, xs32, qstack, n_valid, sq, k):
-        def body(carry, qbatch):
-            dists, idx = topk_resident(
-                xs16, xs32, qbatch + carry, n_valid, sq, k=k, metric="cosine"
-            )
-            return dists[0, 0] * 0.0, (dists[0, 0], idx[0, 0])
-        carry, outs = jax.lax.scan(body, jnp.float32(0.0), qstack)
-        return outs
-
-    lat_rounds = min(rounds, 8)
-    qstack = jnp.stack([query_batches[r % n_batches] for r in range(lat_rounds)])
-    out = timed_rounds(xs16, xs32, qstack, n_valid, sq, k)  # compile
-    jax.block_until_ready(out)
-    start = time.perf_counter()
-    out = timed_rounds(xs16, xs32, qstack + 1e-7, n_valid, sq, k)
-    jax.block_until_ready(out)
-    latency_ms = (time.perf_counter() - start) / lat_rounds * 1000
+    dispatch_qps = rounds * batch / (time.perf_counter() - start)
 
     print("# timing end-to-end (per-batch tunnel round trip)...", file=sys.stderr)
     e2e_rounds = min(rounds, 8)
@@ -249,6 +277,7 @@ def main() -> None:
         "batch": batch,
         "device_batch_ms": round(device_elapsed / rounds * 1000, 3),
         "serialized_latency_ms": round(latency_ms, 3),
+        "per_dispatch_qps": round(dispatch_qps, 1),
         "e2e_tunnel_qps": round(e2e_qps, 1),
         "build_upload_s": round(build_s, 2),
         "traversal_2hop_ms": round(traversal_ms, 3),

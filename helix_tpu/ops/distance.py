@@ -285,6 +285,9 @@ def coarse_topk(
     return best_i
 
 
+FUSED_ROW_THRESHOLD = 65536
+
+
 class PackedMatrix:
     """Host-managed packed vector matrix with a cached device copy.
 
@@ -367,14 +370,32 @@ class PackedMatrix:
         self.sq_norms[pos] = float(np.dot(row, row))
         self.version += 1
 
+    def _device_rows(self) -> int:
+        """Device-array row padding.  Large cosine matrices pad to the
+        fused kernel's tile so the Pallas path can engage (<= 8191 junk
+        rows, ~2 MB bf16 at 128-d — noise at that scale)."""
+        n_rows = _round_up(max(self.n, 1), self.ROW_PAD)
+        if self.metric == "cosine" and self.n >= FUSED_ROW_THRESHOLD:
+            from .fused_topk import pad_rows_for_fused
+
+            n_rows = pad_rows_for_fused(self.n)
+        return n_rows
+
+    def _rows_view(self, source: np.ndarray, n_rows: int) -> np.ndarray:
+        if n_rows <= source.shape[0]:
+            return source[:n_rows]
+        padded = np.zeros((n_rows,) + source.shape[1:], source.dtype)
+        padded[: self.n] = source[: self.n]
+        return padded
+
     def device_arrays(self) -> tuple[jax.Array, jax.Array]:
         """(bfloat16 matrix, f32 squared norms), refreshed when stale."""
-        n_rows = _round_up(max(self.n, 1), self.ROW_PAD)
+        n_rows = self._device_rows()
         cached = self._device
         if cached is not None and cached[0] == self.version:
             return cached[1], cached[2]
-        xs16 = jnp.asarray(self.data[:n_rows]).astype(jnp.bfloat16)
-        sq = jnp.asarray(self.sq_norms[:n_rows])
+        xs16 = jnp.asarray(self._rows_view(self.data, n_rows)).astype(jnp.bfloat16)
+        sq = jnp.asarray(self._rows_view(self.sq_norms, n_rows))
         xs16.block_until_ready()
         self._device = (self.version, xs16, sq)
         return xs16, sq
@@ -390,6 +411,7 @@ class PackedMatrix:
         self._device32 = (self.version, xs32)
         return xs32
 
+
     def prepare_query(self, q: np.ndarray) -> np.ndarray:
         out = np.zeros(self.dim_pad, np.float32)
         out[: self.dim] = q
@@ -398,6 +420,31 @@ class PackedMatrix:
             if norm > 0:
                 out /= norm
         return out
+
+
+def resident_topk_auto(
+    xs16: jax.Array,
+    xs32: jax.Array,
+    qs: jax.Array,
+    n_valid: jax.Array,
+    sq: jax.Array,
+    *,
+    k: int,
+    metric: str,
+    rerank: int = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """Route a resident search to the fastest supported kernel: the
+    fused Pallas path (TPU + cosine + fused-padded rows, ~1.3x the XLA
+    single shot at matched recall) or the XLA path otherwise."""
+    from .fused_topk import fused_topk, supports_fused
+
+    if supports_fused(
+        int(xs16.shape[0]), int(xs16.shape[1]), metric, jax.default_backend()
+    ):
+        return fused_topk(xs16, xs32, qs, n_valid, sq, k=k, rerank=rerank)
+    return topk_resident(
+        xs16, xs32, qs, n_valid, sq, k=k, metric=metric, rerank=rerank
+    )
 
 
 def search_packed(
@@ -459,7 +506,7 @@ def search_packed(
     dead = 0 if valid_mask is None else int(matrix.n - n_live)
     k_query = min(matrix.n, k_eff + dead)
     xs16, sq = matrix.device_arrays()
-    dists, idx = topk_resident(
+    dists, idx = resident_topk_auto(
         xs16,
         matrix.data_device(),
         jnp.asarray(qs),

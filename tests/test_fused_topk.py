@@ -1,4 +1,4 @@
-"""Fused Pallas candidate kernel: correctness in interpret mode (CPU)."""
+"""Fused Pallas packed-bucket kernel: correctness in interpret mode (CPU)."""
 
 import numpy as np
 import pytest
@@ -17,66 +17,80 @@ def interpret_mode(monkeypatch):
         return original(*args, **kwargs)
 
     monkeypatch.setattr(pl, "pallas_call", interpreted)
-    try:
-        F._bucket_candidates.clear_cache()
-    except AttributeError:
-        pass
+    for fn in (F._bucket_scores, F.fused_topk):
+        try:
+            fn.clear_cache()
+        except AttributeError:
+            pass
     yield
-    try:
-        F._bucket_candidates.clear_cache()
-    except AttributeError:
-        pass
+    for fn in (F._bucket_scores, F.fused_topk):
+        try:
+            fn.clear_cache()
+        except AttributeError:
+            pass
 
 
-def test_fused_topk_matches_oracle():
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(0)
-    n, d, b, k = F.TILE * 2, 128, 8, 5
+def make_data(n, d, b, seed=0):
+    rng = np.random.default_rng(seed)
     data = rng.normal(size=(n, d)).astype(np.float32)
     data /= np.linalg.norm(data, axis=1, keepdims=True)
     queries = rng.normal(size=(b, d)).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    return data, queries
 
-    xs32 = jnp.asarray(data)
-    xs16 = xs32.astype(jnp.bfloat16)
-    sq = jnp.sum(xs32 * xs32, axis=1)
-    dists, idx = F.fused_topk(
-        xs16, xs32, jnp.asarray(queries), jnp.int32(n), sq, k=k
+
+def run_fused(data, queries, n_valid, k):
+    import jax.numpy as jnp
+
+    n_pad = F.pad_rows_for_fused(data.shape[0])
+    xs32 = np.zeros((n_pad, data.shape[1]), np.float32)
+    xs32[: data.shape[0]] = data
+    xs16 = jnp.asarray(xs32, jnp.bfloat16)
+    sq = jnp.sum(jnp.asarray(xs32) ** 2, axis=1)
+    return F.fused_topk(
+        xs16, jnp.asarray(xs32), jnp.asarray(queries),
+        jnp.int32(n_valid), sq, k=k,
     )
-    idx = np.asarray(idx)
-    dists = np.asarray(dists)
+
+
+def test_fused_topk_matches_oracle():
+    n, d, b, k = F.TILE, 128, 4, 5
+    data, queries = make_data(n, d, b)
+    dists, ids = run_fused(data, queries, n, k)
+    dists, ids = np.asarray(dists), np.asarray(ids)
 
     sims = queries @ data.T
     oracle = np.argsort(-sims, axis=1)[:, :k]
-    # Bucketed selection can only lose a top-k item to a colliding top-k
-    # item; with random data and n/64 buckets the overlap is ~1.0.
-    overlap = np.mean(
-        [len(set(idx[i]) & set(oracle[i])) / k for i in range(b)]
-    )
-    assert overlap >= 0.9
-    assert np.all(np.diff(dists, axis=1) >= -1e-5)
+    for row in range(b):
+        got, want = set(ids[row]), set(oracle[row])
+        # bf16-selection window loss tolerated; ranking must be sane
+        assert len(got & want) >= k - 1, (row, got, want)
+        assert np.all(np.diff(dists[row]) >= -1e-6)  # ascending
+    # Exact re-rank: distances agree with f32 oracle for matched ids
+    for row in range(b):
+        for col in range(k):
+            idx = ids[row, col]
+            if idx in set(oracle[row]):
+                expected = 1.0 - float(sims[row, idx])
+                assert abs(dists[row, col] - expected) < 1e-3
 
 
-def test_n_valid_masks_padding():
-    import jax.numpy as jnp
+def test_fused_topk_masks_padding_rows():
+    n_valid, d, b, k = F.TILE - 100, 128, 4, 5
+    data, queries = make_data(F.TILE, d, b, seed=1)
+    # poison the padding region with perfect matches
+    data[n_valid:] = queries[0]
+    dists, ids = run_fused(data, queries, n_valid, k)
+    assert np.all(np.asarray(ids) < n_valid)
 
-    rng = np.random.default_rng(1)
-    n_valid = 100
-    n = F.TILE
-    data = np.zeros((n, 128), np.float32)
-    data[:n_valid] = rng.normal(size=(n_valid, 128))
-    data[:n_valid] /= np.linalg.norm(data[:n_valid], axis=1, keepdims=True)
-    # Padding rows are zero but would win cosine ties; n_valid must
-    # exclude them.
-    queries = data[:4] + 0.0
-    xs32 = jnp.asarray(data)
-    dists, idx = F.fused_topk(
-        xs32.astype(jnp.bfloat16), xs32, jnp.asarray(queries),
-        jnp.int32(n_valid), jnp.sum(xs32 * xs32, axis=1), k=3,
-    )
-    idx = np.asarray(idx)
-    # Valid slots point inside the live rows; unfillable slots are -1
-    # (only 2 buckets contain live rows, so at most 2 candidates).
-    assert np.all((idx < n_valid) | (idx == -1))
-    assert np.all(idx[:, 0] == np.arange(4))
+
+def test_packed_index_bits_recover_row_ids():
+    """The low-mantissa packing must round-trip the bucket-local argmax."""
+    n, d, b, k = F.TILE, 128, 4, 1
+    data, queries = make_data(n, d, b, seed=2)
+    # Plant an unambiguous best match for query 0 at a known row
+    target = 5431
+    data[target] = queries[0]
+    dists, ids = run_fused(data, queries, n, k)
+    assert int(np.asarray(ids)[0, 0]) == target
+    assert float(np.asarray(dists)[0, 0]) < 1e-2
