@@ -70,13 +70,18 @@ def _device_backend_alive() -> bool:
 
 
 def main() -> None:
-    if not _device_backend_alive():
+    want_cpu = not _device_backend_alive()
+    if want_cpu:
         print(
             "# accelerator backend missing or unresponsive; "
             "falling back to CPU", file=sys.stderr,
         )
-        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+
+    if want_cpu:
+        # The site preset overrides the JAX_PLATFORMS env var, so pin
+        # the platform through the config API instead.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from helix_tpu.ops.distance import PackedMatrix, resident_topk_auto as topk_resident
@@ -85,7 +90,9 @@ def main() -> None:
     n = int(os.environ.get("BENCH_N", 1_000_000 if backend == "tpu" else 100_000))
     d = int(os.environ.get("BENCH_D", 128))
     batch = int(os.environ.get("BENCH_BATCH", 256))
-    rounds = int(os.environ.get("BENCH_ROUNDS", 128))
+    rounds = int(
+        os.environ.get("BENCH_ROUNDS", 128 if backend == "tpu" else 8)
+    )
     k = 10
 
     rng = np.random.default_rng(42)
@@ -255,6 +262,21 @@ def main() -> None:
             jnp2.int32(1), 2, keep,
         )
     jax.block_until_ready(count)
+    traversal_device_ms = (time.perf_counter() - t0) / 8 * 1000
+
+    # The serving path (engine traversal planner) runs the native
+    # multithreaded CSR sweep (native/bfs.cpp); the device kernel above
+    # remains the multi-chip fallback.
+    from helix_tpu.native import bfs_khop
+
+    keep_host = np.asarray(keep, np.uint8)
+    t0 = time.perf_counter()
+    for r in range(8):
+        fmask, _ = bfs_khop(
+            indptr, edge_dst, edge_lab, start_hosts[r % 4].astype(np.uint8),
+            1, 2,
+        )
+        native_count = int((fmask & keep_host).sum())
     traversal_ms = (time.perf_counter() - t0) / 8 * 1000
 
     # ---- BASELINE config[3]: hybrid vector seed -> graph expansion -----
@@ -299,6 +321,7 @@ def main() -> None:
         "e2e_tunnel_qps": round(e2e_qps, 1),
         "build_upload_s": round(build_s, 2),
         "traversal_2hop_ms": round(traversal_ms, 3),
+        "traversal_2hop_device_ms": round(traversal_device_ms, 3),
         "hybrid_seed_expand_ms": round(hybrid_ms, 3),
     }
     assert recall >= 0.95, f"recall gate failed: {recall}"

@@ -145,6 +145,26 @@ class GraphSnapshot:
         self._padded[direction] = graph
         return graph
 
+    def csr_arrays(self, direction: str):
+        """(indptr int64, target slots int32, label codes int32) for the
+        native BFS kernel (native/bfs.cpp).  Cached per snapshot."""
+        key = f"csr:{direction}"
+        if key in self._padded:
+            return self._padded[key]
+        if direction == "out":
+            indptr, order = self.out_indptr, self.out_edges
+            endpoint = self.edge_dst
+        else:
+            indptr, order = self.in_indptr, self.in_edges
+            endpoint = self.edge_src
+        arrays = (
+            indptr,
+            np.ascontiguousarray(endpoint[order], np.int32),
+            np.ascontiguousarray(self.edge_label_codes[order], np.int32),
+        )
+        self._padded[key] = arrays
+        return arrays
+
     # ---- id <-> slot -----------------------------------------------------
 
     def node_slots(self, ids: np.ndarray) -> np.ndarray:

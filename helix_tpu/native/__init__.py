@@ -1,7 +1,8 @@
 """Native runtime components (C++), loaded via ctypes.
 
-Currently: the write-ahead log (``wal.cpp``) and the exact re-rank pass
-(``rerank.cpp``).  The shared library is compiled on first use with g++
+Currently: the write-ahead log (``wal.cpp``), the exact re-rank pass
+(``rerank.cpp``), and the multithreaded CSR BFS frontier expansion
+(``bfs.cpp``).  The shared library is compiled on first use with g++
 (cached next to the sources, keyed on source mtimes) so no build step is
 required for pure-Python use.
 """
@@ -25,7 +26,7 @@ class NativeBuildError(RuntimeError):
 
 
 def _build_library() -> Path:
-    sources = [_HERE / "wal.cpp", _HERE / "rerank.cpp"]
+    sources = [_HERE / "wal.cpp", _HERE / "rerank.cpp", _HERE / "bfs.cpp"]
     out = _HERE / "libhxnative.so"
     if out.exists() and all(
         out.stat().st_mtime >= s.stat().st_mtime for s in sources
@@ -79,6 +80,13 @@ def load() -> ctypes.CDLL:
             i64p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int,
             i64p, f32p,
+        ]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.hx_bfs_khop.restype = ctypes.c_int64
+        lib.hx_bfs_khop.argtypes = [
+            i64p, i32p, i32p, ctypes.c_int64,
+            u8p, u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ]
         _LIB = lib
         return lib
@@ -165,3 +173,39 @@ def rerank(
         out_idx.ctypes.data_as(i64p), out_dist.ctypes.data_as(f32p),
     )
     return out_dist, out_idx
+
+
+def bfs_khop(
+    indptr: np.ndarray,      # [n+1] int64
+    targets: np.ndarray,     # [m]   int32 (node slots)
+    labels: np.ndarray,      # [m]   int32 (edge label codes)
+    start_mask: np.ndarray,  # [n]   bool/uint8
+    label_code: int,
+    hops: int,
+    n_threads: int = 0,
+) -> tuple[np.ndarray, int]:
+    """k-hop BFS frontier on the host (see bfs.cpp).  Returns
+    ``(mask uint8 [n], frontier count)``; semantics match
+    ops/csr.py khop_mask."""
+    import ctypes as _ct
+    import os
+
+    lib = load()
+    n = int(indptr.shape[0] - 1)
+    mask = np.ascontiguousarray(start_mask, dtype=np.uint8).copy()
+    scratch = np.zeros(n, np.uint8)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    targets = np.ascontiguousarray(targets, dtype=np.int32)
+    labels = np.ascontiguousarray(labels, dtype=np.int32)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    count = lib.hx_bfs_khop(
+        indptr.ctypes.data_as(_ct.POINTER(_ct.c_int64)),
+        targets.ctypes.data_as(_ct.POINTER(_ct.c_int32)),
+        labels.ctypes.data_as(_ct.POINTER(_ct.c_int32)),
+        n,
+        mask.ctypes.data_as(_ct.POINTER(_ct.c_uint8)),
+        scratch.ctypes.data_as(_ct.POINTER(_ct.c_uint8)),
+        int(label_code), int(hops), int(n_threads),
+    )
+    return mask, int(count)
