@@ -50,11 +50,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Row tile per grid step and bucket width.  TILE x 256 f32 scores must
-# fit VMEM (~16 MB/core) alongside the double-buffered matrix tile.
+# Row padding granularity and bucket width.  The per-step row tile
+# shrinks for wide vectors so the bf16 matrix tile stays within ~4 MB
+# of VMEM (double-buffered) next to the f32 score tile; it always
+# divides TILE, so one row-padding rule serves every dimension.
 TILE = 8192
 BUCKET = 64
-BUCKETS_PER_TILE = TILE // BUCKET          # 128
+MAX_TILE_BYTES = 4 * 1024 * 1024
+
+
+def _tile_rows(d: int) -> int:
+    rows = MAX_TILE_BYTES // (d * 2)
+    rows = max(512, min(TILE, (rows // 512) * 512))
+    return rows
 
 # Finite "masked row" sentinel (see module docstring re: NaNs).
 NEG_SENTINEL = -3.0e38
@@ -65,27 +73,34 @@ MIN_QUERY_BLOCK = 128
 MAX_QUERY_BLOCK = 256
 
 
-def _kernel(n_valid_ref, q_ref, x_ref, vals_ref):
-    tile_id = pl.program_id(0)
-    # [TILE, B] scores: contract feature dims, no transpose materialized.
-    sims = jax.lax.dot_general(
-        x_ref[:], q_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # Mask padding rows with a finite sentinel ((TILE, 1) iota broadcasts
-    # across the lane dim for free).
-    rows = tile_id * TILE + jax.lax.broadcasted_iota(
-        jnp.int32, (TILE, 1), 0
-    )
-    sims = jnp.where(rows < n_valid_ref[0, 0], sims, NEG_SENTINEL)
-    grouped = sims.reshape(BUCKETS_PER_TILE, BUCKET, sims.shape[1])
-    vals = jnp.max(grouped, axis=1)
-    arg = jnp.argmax(grouped, axis=1).astype(jnp.int32)
-    # Pack the within-bucket winner into the score's low mantissa bits.
-    bits = jax.lax.bitcast_convert_type(vals, jnp.int32)
-    packed = (bits & jnp.int32(~(BUCKET - 1))) | arg
-    vals_ref[:] = jax.lax.bitcast_convert_type(packed, jnp.float32)
+def _make_kernel(tile_rows: int):
+    buckets_per_tile = tile_rows // BUCKET
+
+    def _kernel(n_valid_ref, q_ref, x_ref, vals_ref):
+        tile_id = pl.program_id(0)
+        # [tile, B] scores: contract feature dims, no transpose
+        # materialized.
+        sims = jax.lax.dot_general(
+            x_ref[:], q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # Mask padding rows with a finite sentinel ((tile, 1) iota
+        # broadcasts across the lane dim for free).
+        rows = tile_id * tile_rows + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_rows, 1), 0
+        )
+        sims = jnp.where(rows < n_valid_ref[0, 0], sims, NEG_SENTINEL)
+        grouped = sims.reshape(buckets_per_tile, BUCKET, sims.shape[1])
+        vals = jnp.max(grouped, axis=1)
+        arg = jnp.argmax(grouped, axis=1).astype(jnp.int32)
+        # Pack the within-bucket winner into the score's low mantissa
+        # bits.
+        bits = jax.lax.bitcast_convert_type(vals, jnp.int32)
+        packed = (bits & jnp.int32(~(BUCKET - 1))) | arg
+        vals_ref[:] = jax.lax.bitcast_convert_type(packed, jnp.float32)
+
+    return _kernel
 
 
 @jax.jit
@@ -94,7 +109,9 @@ def _bucket_scores(xs16: jax.Array, qs16: jax.Array, n_valid: jax.Array):
     n, d = xs16.shape
     b = qs16.shape[0]
     assert n % TILE == 0, "matrix rows must be padded to the tile size"
-    num_tiles = n // TILE
+    tile_rows = _tile_rows(d)
+    buckets_per_tile = tile_rows // BUCKET
+    num_tiles = n // tile_rows
     grid_spec = pl.GridSpec(
         grid=(num_tiles,),
         in_specs=[
@@ -102,18 +119,20 @@ def _bucket_scores(xs16: jax.Array, qs16: jax.Array, n_valid: jax.Array):
             # Query block: identical for every grid step.
             pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             # One row tile of the matrix per step (pipelined by Pallas).
-            pl.BlockSpec((TILE, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (BUCKETS_PER_TILE, b), lambda i: (i, 0),
+                (buckets_per_tile, b), lambda i: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
     )
-    total_buckets = num_tiles * BUCKETS_PER_TILE
+    total_buckets = num_tiles * buckets_per_tile
     (vals_t,) = pl.pallas_call(
-        _kernel,
+        _make_kernel(tile_rows),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((total_buckets, b), jnp.float32)],
         cost_estimate=pl.CostEstimate(
@@ -141,7 +160,7 @@ def fused_topk(
     by distance; overflow slots (fewer than k valid rows) carry id -1."""
     b_in = qs.shape[0]
     d = xs16.shape[1]
-    total_buckets = (xs16.shape[0] // TILE) * BUCKETS_PER_TILE
+    total_buckets = xs16.shape[0] // BUCKET
     k_cand = min(max(k, min(rerank * k, 512), 64), total_buckets)
 
     # Lane-align the query block; split big batches into chunks so the
