@@ -670,6 +670,24 @@ def cmd_chef(args) -> int:
             instance=args.instance, port=args.port, foreground=False, disk=False
         )
         return cmd_start(start_args)
+    # Agent handoff (reference chef.rs hands off to Claude Code / Codex /
+    # OpenCode): launch the first agent CLI on PATH with the prompt, or
+    # print the command when none is installed / --no-agent.
+    if not getattr(args, "no_agent", False):
+        import shutil
+
+        for agent, argv in (
+            ("claude", ["claude", str(prompt_path)]),
+            ("codex", ["codex", "--file", str(prompt_path)]),
+            ("opencode", ["opencode", str(prompt_path)]),
+        ):
+            if shutil.which(agent):
+                print(f"handing off to {agent}...")
+                return subprocess.call(argv, cwd=root)
+        print(
+            "no agent CLI found (claude/codex/opencode); start one "
+            f"yourself with the prompt at {prompt_path}"
+        )
     print(f"next: cd {root} && python -m helix_tpu.cli start {args.instance}")
     return 0
 
@@ -845,6 +863,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--instance", default="dev")
     p.add_argument("--port", type=int, default=DEFAULT_PORT)
     p.add_argument("--start", action="store_true")
+    p.add_argument("--no-agent", action="store_true",
+                   help="skip the agent-CLI handoff")
     p.set_defaults(fn=cmd_chef)
 
     p = sub.add_parser("update", help="self-update from the release source")

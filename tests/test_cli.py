@@ -293,3 +293,25 @@ def test_removed_commands_trap_with_hint():
         code, out, err = run_cli([cmd])
         assert code == 1, cmd
         assert "was removed" in err and hint_word in err, (cmd, err)
+
+
+def test_chef_agent_handoff(tmp_path, monkeypatch):
+    """chef hands off to the first agent CLI on PATH; --no-agent skips."""
+    import os
+    import stat
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    fake = bindir / "claude"
+    fake.write_text("#!/bin/sh\necho AGENT-LAUNCHED with $1\n")
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    proj = tmp_path / "proj"
+    code, out, err = run_cli(["chef", "--path", str(proj)])
+    assert code == 0
+    assert "handing off to claude" in out
+
+    code, out, err = run_cli(["chef", "--path", str(proj), "--no-agent"])
+    assert code == 0
+    assert "handing off" not in out and "HELIX_CHEF_PROMPT.md" in out
