@@ -94,3 +94,40 @@ def test_packed_index_bits_recover_row_ids():
     dists, ids = run_fused(data, queries, n, k)
     assert int(np.asarray(ids)[0, 0]) == target
     assert float(np.asarray(dists)[0, 0]) < 1e-2
+
+
+def test_supports_fused_gating():
+    assert F.supports_fused(F.TILE * 4, 128, "cosine", "tpu")
+    assert not F.supports_fused(F.TILE * 4, 128, "cosine", "cpu")
+    assert not F.supports_fused(F.TILE * 4, 128, "l2", "tpu")
+    assert not F.supports_fused(F.TILE * 4 + 512, 128, "cosine", "tpu")
+    assert not F.supports_fused(F.TILE // 2, 128, "cosine", "tpu")
+
+
+def test_tile_rows_adapt_to_dimension():
+    assert F._tile_rows(128) == F.TILE
+    assert F._tile_rows(1024) == 2048
+    assert F._tile_rows(4096) == 512      # floor
+    assert F.TILE % F._tile_rows(1024) == 0
+
+
+def test_resident_topk_auto_falls_back_on_cpu():
+    """On the CPU test backend the auto router must use the XLA path and
+    return exact results."""
+    import jax.numpy as jnp
+
+    from helix_tpu.ops.distance import resident_topk_auto
+
+    rng = np.random.default_rng(3)
+    n, d, b, k = 4096, 64, 4, 5
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    queries = data[:b]
+    xs16 = jnp.asarray(data, jnp.bfloat16)
+    xs32 = jnp.asarray(data)
+    sq = jnp.sum(xs32 * xs32, axis=1)
+    dists, ids = resident_topk_auto(
+        xs16, xs32, jnp.asarray(queries), jnp.int32(n), sq,
+        k=k, metric="cosine",
+    )
+    assert np.asarray(ids)[:, 0].tolist() == list(range(b))  # self-hits
