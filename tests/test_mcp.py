@@ -149,3 +149,25 @@ def test_replica_mcp_rejects_writes():
     finally:
         replica.stop()
         primary.stop()
+
+
+def test_mcp_query_tool_matches_http_route(server):
+    """The MCP query tool and POST /v1/query must return identical
+    payloads for the same request."""
+    request = DynamicQueryRequest.read(
+        read_batch()
+        .var_as("docs", g().n_with_label("Doc").order_by("title", "Asc")
+                .value_map(["title"]))
+        .var_as("n", g().n_with_label("Doc").count())
+    ).encode()
+
+    via_mcp = tool_text(rpc(server.port, "tools/call", {
+        "name": "query", "arguments": {"request": request}}))
+
+    import urllib.request as _rq
+    req = _rq.Request(
+        f"http://127.0.0.1:{server.port}/v1/query",
+        data=json.dumps(request).encode(), method="POST")
+    with _rq.urlopen(req, timeout=30) as resp:
+        via_http = json.loads(resp.read())
+    assert via_mcp == via_http
