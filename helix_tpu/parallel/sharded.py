@@ -80,6 +80,42 @@ def _local_topk(xs, qs, n_valid, sq_norms, k, chunk, metric):
     return best_s, best_i
 
 
+def _fused_tile() -> int:
+    from ..ops.fused_topk import TILE
+
+    return TILE
+
+
+def _local_fused(xs16, xs32, qs16, qs32, local_valid, k):
+    """Per-shard fused packed-bucket candidates + exact f32 re-rank
+    (ops/fused_topk.py), returning (similarities, local indices)."""
+    from ..ops.fused_topk import BUCKET, NEG_SENTINEL, _bucket_scores
+
+    b = qs16.shape[0]
+    b_pad = max(128, ((b + 127) // 128) * 128)
+    q_in = qs16
+    if b_pad != b:
+        q_in = jnp.pad(qs16, ((0, b_pad - b), (0, 0)))
+    vals = _bucket_scores(xs16, q_in, local_valid).T      # [b_pad, buckets]
+    total_buckets = vals.shape[1]
+    k_cand = min(max(k, min(8 * k, 512), 64), total_buckets)
+    best_packed, pos = jax.lax.approx_max_k(vals, k_cand, recall_target=0.95)
+    arg = jax.lax.bitcast_convert_type(best_packed, jnp.int32) & jnp.int32(
+        BUCKET - 1
+    )
+    cand_i = pos * BUCKET + arg
+    cand = jnp.take(xs32, cand_i, axis=0, mode="clip")
+    exact = jnp.einsum(
+        "bkd,bd->bk", cand[:b], qs32.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    valid = best_packed[:b] > jnp.float32(NEG_SENTINEL / 2)
+    exact = jnp.where(valid, exact, -jnp.inf)
+    best_s, top_pos = jax.lax.top_k(exact, k)
+    best_i = jnp.take_along_axis(cand_i[:b], top_pos, axis=1)
+    return best_s, best_i
+
+
 class ShardedVectorSearch:
     """Compiled sharded search over a fixed mesh + matrix shape.
 
@@ -95,12 +131,22 @@ class ShardedVectorSearch:
         metric: str = "cosine",
         chunk: int = 65536,
         bf16: bool | None = None,
+        use_fused: bool | None = None,
     ):
         self.mesh = mesh
         self.k = k
         self.metric = metric
         self.chunk = chunk
         self.bf16 = bf16 if bf16 is not None else jax.default_backend() == "tpu"
+        # Per-shard fused Pallas kernel (ops/fused_topk.py): TPU + cosine
+        # only; shard_arrays pads each shard's rows to the fused tile.
+        if use_fused is None:
+            use_fused = (
+                jax.default_backend() == "tpu"
+                and metric == "cosine"
+                and self.bf16
+            )
+        self.use_fused = use_fused
         self.n_shard = mesh.shape["shard"]
         self._fn = self._build()
 
@@ -112,6 +158,8 @@ class ShardedVectorSearch:
         bf16 = self.bf16
         n_shard = self.n_shard
 
+        use_fused = self.use_fused
+
         def shard_fn(xs, qs, n_valid, sq_norms):
             # xs: [rows_per_shard, D] local block; qs: [B_local, D]
             shard_id = jax.lax.axis_index("shard")
@@ -121,9 +169,14 @@ class ShardedVectorSearch:
             else:
                 xs_c, qs_c = xs, qs
             local_valid = jnp.clip(n_valid - shard_id * rows, 0, rows)
-            best_s, best_i = _local_topk(
-                xs_c, qs_c, local_valid, sq_norms, k, chunk, metric
-            )
+            if use_fused and rows % _fused_tile() == 0:
+                best_s, best_i = _local_fused(
+                    xs_c, xs, qs_c, qs, local_valid, k
+                )
+            else:
+                best_s, best_i = _local_topk(
+                    xs_c, qs_c, local_valid, sq_norms, k, chunk, metric
+                )
             global_i = best_i + shard_id * rows
             # ICI merge: gather every shard's candidates, re-select top-k.
             all_s = jax.lax.all_gather(best_s, "shard", axis=0)   # [S, B, k]
@@ -163,8 +216,13 @@ class ShardedVectorSearch:
         """
         n, d = data.shape
         rows_per_shard = -(-n // self.n_shard)
-        # Keep each shard MXU-aligned.
-        rows_per_shard = ((rows_per_shard + 127) // 128) * 128
+        if self.use_fused:
+            # Fused kernel wants whole row tiles per shard.
+            tile = _fused_tile()
+            rows_per_shard = ((rows_per_shard + tile - 1) // tile) * tile
+        else:
+            # Keep each shard MXU-aligned.
+            rows_per_shard = ((rows_per_shard + 127) // 128) * 128
         total = rows_per_shard * self.n_shard
         if total != n:
             padded = np.zeros((total, d), data.dtype)
