@@ -50,16 +50,37 @@ MISSING = V.MISSING
 UINT64 = np.uint64
 
 
+_UNSET = object()
+
+
 class VarValue:
     """A batch variable: the payload plus emptiness metadata and, for
-    element streams, the frame for re-seeding (``NodeRef::Var``)."""
+    element streams, the frame for re-seeding (``NodeRef::Var``).
 
-    __slots__ = ("payload", "size", "frame")
+    Stream payloads encode lazily (``thunk``): most write-batch vars are
+    never returned or selected, so their full-props JSON rendering is
+    skipped entirely on the hot ingest path."""
 
-    def __init__(self, payload: Any, size: int, frame: Frame | None = None):
-        self.payload = payload
+    __slots__ = ("_payload", "size", "frame", "_thunk")
+
+    def __init__(
+        self,
+        payload: Any,
+        size: int,
+        frame: Frame | None = None,
+        thunk: Any = None,
+    ):
+        self._payload = payload
         self.size = size
         self.frame = frame
+        self._thunk = thunk
+
+    @property
+    def payload(self) -> Any:
+        if self._payload is _UNSET:
+            self._payload = self._thunk()
+            self._thunk = None
+        return self._payload
 
 
 class Terminal:
@@ -303,7 +324,10 @@ class Executor:
                 if isinstance(result, Terminal):
                     return VarValue(result.payload, result.size, None)
                 frame = result
-            return VarValue(self.encode_frame(frame), len(frame), frame)
+            return VarValue(
+                _UNSET, len(frame), frame,
+                thunk=lambda f=frame: self.encode_frame(f),
+            )
         import time as _time
 
         for step in steps:
@@ -316,7 +340,10 @@ class Executor:
                 return VarValue(result.payload, result.size, None)
             frame = result
             trace.append({"step": tag, "us": elapsed_us, "rows": len(frame)})
-        return VarValue(self.encode_frame(frame), len(frame), frame)
+        return VarValue(
+            _UNSET, len(frame), frame,
+            thunk=lambda f=frame: self.encode_frame(f),
+        )
 
     # ------------------------------------------------------------------
     # Device traversal planner
@@ -538,14 +565,29 @@ class _QueryState:
 
     # -- dispatch ------------------------------------------------------
 
+    # tag -> unbound handler, built lazily; requests were validated
+    # against the step catalog by validate_request before execution.
+    _dispatch: dict[str, Any] = {}
+
     def apply(self, frame: Frame, step: Any) -> Frame | Terminal:
-        tag = wire.tag_of(step, wire.STEP_STYLE, "step")
-        if tag in wire.RESERVED_NOOP_STEPS:
-            return frame  # parsed, round-tripped, ignored (dsl.rs:3214-3254)
-        handler = getattr(self, f"_step_{tag}", None)
+        if type(step) is dict and len(step) == 1:
+            tag, payload = next(iter(step.items()))
+        elif isinstance(step, str):
+            tag, payload = step, None
+        else:
+            tag = wire.tag_of(step, wire.STEP_STYLE, "step")
+            payload = wire.payload_of(step)
+        handler = self._dispatch.get(tag)
         if handler is None:
-            raise QueryError(f"step {tag} is not implemented")
-        return handler(frame, wire.payload_of(step))
+            if tag in wire.RESERVED_NOOP_STEPS:
+                return frame  # parsed, round-tripped, ignored (dsl.rs:3214-3254)
+            handler = getattr(type(self), f"_step_{tag}", None)
+            if handler is None:
+                if tag not in wire.STEP_STYLE:
+                    raise QueryError(f"unknown step variant: {tag!r}")
+                raise QueryError(f"step {tag} is not implemented")
+            self._dispatch[tag] = handler
+        return handler(self, frame, payload)
 
     def run_sub(self, frame: Frame, sub: dict) -> Frame:
         """Run a sub-traversal's steps over a frame (read-only steps)."""

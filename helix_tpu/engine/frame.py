@@ -43,7 +43,7 @@ class Binding:
 
 
 class Frame:
-    __slots__ = ("kind", "ids", "rows", "dist", "score", "src", "bindings", "anchor")
+    __slots__ = ("kind", "ids", "rows", "dist", "score", "_src", "bindings", "anchor")
 
     def __init__(
         self,
@@ -61,12 +61,29 @@ class Frame:
         self.rows = rows
         self.dist = dist
         self.score = score
-        n = len(rows) if kind == "rows" and rows is not None else len(self.ids)
-        self.src = src if src is not None else np.arange(n, dtype=np.int64)
+        self._src = src  # lazy: materialized as arange on first access
         self.bindings = bindings or {}
         # For edge frames reached via OutE/InE/BothE: the node each edge was
         # reached from (drives OtherN). None for direct edge sources.
         self.anchor = anchor
+
+    @property
+    def src(self) -> np.ndarray:
+        """Provenance rows (which input traverser produced each element);
+        identity by default, materialized lazily (hot write paths never
+        touch it)."""
+        if self._src is None:
+            n = (
+                len(self.rows)
+                if self.kind == "rows" and self.rows is not None
+                else len(self.ids)
+            )
+            self._src = np.arange(n, dtype=np.int64)
+        return self._src
+
+    @src.setter
+    def src(self, value: np.ndarray) -> None:
+        self._src = value
 
     # -- constructors -----------------------------------------------------
 
