@@ -233,10 +233,15 @@ class _VectorExtractor:
 
 
 class _VectorRehydrator:
-    """Re-inflates vector references from the stacked matrices."""
+    """Re-inflates vector references from the stacked matrices.
+
+    Each block converts to nested Python lists ONCE (`ndarray.tolist`
+    on the whole matrix is a single C call); per-row `.tolist()` was
+    the recovery hot spot at 100k+ vectors."""
 
     def __init__(self, blocks: dict):
         self._blocks = blocks
+        self._rows: dict[tuple, list] = {}
 
     def props(self, props: dict) -> dict:
         out = None
@@ -244,10 +249,13 @@ class _VectorRehydrator:
             if not (isinstance(value, dict) and _REF_KEY in value):
                 continue
             tag, width, row = value[_REF_KEY]
-            block = self._blocks[(tag, width)]
+            key = (tag, width)
+            rows = self._rows.get(key)
+            if rows is None:
+                rows = self._rows[key] = self._blocks[key].tolist()
             if out is None:
                 out = dict(props)
-            out[name] = {tag: block[row].tolist()}
+            out[name] = {tag: rows[row]}
         return out if out is not None else props
 
 

@@ -85,6 +85,29 @@ class Partition:
         self.ids.append(element_id)
         self.live.append(True)
 
+    def add_bulk(self, ids: list[int], vecs: np.ndarray) -> None:
+        """Backfill fast path: bulk-append fresh ids (index creation over
+        an existing table; recovery).  Ids already present fall back to
+        per-row adds."""
+        if len(ids) == 0:
+            return
+        if self.matrix is None:
+            self.matrix = PackedMatrix(vecs.shape[1], self.metric)
+        if vecs.shape[1] != self.matrix.dim:
+            raise WriteError(
+                f"vector dimension mismatch: index dim {self.matrix.dim}, "
+                f"got {vecs.shape[1]}"
+            )
+        if any(i in self.pos for i in ids):
+            for element_id, vec in zip(ids, vecs):
+                self.add(element_id, vec)
+            return
+        first = self.matrix.extend(vecs)
+        for offset, element_id in enumerate(ids):
+            self.pos[element_id] = first + offset
+        self.ids.extend(ids)
+        self.live.extend([True] * len(ids))
+
     def remove(self, element_id: int) -> None:
         pos = self.pos.pop(element_id, None)
         if pos is None or self.matrix is None:
@@ -287,6 +310,47 @@ class VectorIndex:
             tenant = _UNTENANTED
         self.partition_for(tenant).add(element.id, np.asarray(vec, np.float32))
 
+    def insert_elements_bulk(self, elements: list) -> None:
+        """Index-creation backfill: group rows per tenant partition and
+        bulk-append (one matrix extend per partition instead of a
+        per-row pack/normalize)."""
+        groups: dict[tuple, tuple[list[int], list]] = {}
+        for element in elements:
+            value = element.props.get(self.defn.prop)
+            if value is None or V.is_null(value):
+                continue
+            # Fast path: typed float arrays are pure floats by
+            # construction (PropertyValue coercion on write), so skip
+            # the per-element re-coercion f32_vector does.
+            if type(value) is dict and len(value) == 1:
+                tag, payload = next(iter(value.items()))
+                if tag in ("F32Array", "F64Array") and isinstance(payload, list):
+                    vec = payload
+                else:
+                    vec = V.f32_vector(value)
+            else:
+                vec = V.f32_vector(value)
+            if vec is None:
+                continue
+            if self.defn.tenant_property is not None:
+                tenant_value = element.props.get(self.defn.tenant_property)
+                if tenant_value is None or V.is_null(tenant_value):
+                    raise WriteError(
+                        f"write to multitenant vector index {self.defn.label}."
+                        f"{self.defn.prop} requires tenant property "
+                        f"'{self.defn.tenant_property}'"
+                    )
+                tenant = _tenant_key(tenant_value)
+            else:
+                tenant = _UNTENANTED
+            ids, vecs = groups.setdefault(tenant, ([], []))
+            ids.append(element.id)
+            vecs.append(vec)
+        for tenant, (ids, vecs) in groups.items():
+            self.partition_for(tenant).add_bulk(
+                ids, np.asarray(vecs, np.float32)
+            )
+
     def remove_element(self, element_id: int) -> None:
         for part in self.partitions.values():
             part.remove(element_id)
@@ -346,8 +410,7 @@ class VectorManager:
             else store.edges_by_label.get(defn.label, ())
         )
         records = store.nodes if defn.kind == "node" else store.edges
-        for element_id in table:
-            index.insert_element(records[element_id])
+        index.insert_elements_bulk([records[eid] for eid in table])
 
     def on_index_dropped(self, store: GraphStore, defn: IndexDef) -> None:
         self.indexes.pop(defn.key(), None)
