@@ -37,6 +37,17 @@ def _tenant_key(value: Tagged) -> tuple:
     return comp
 
 
+def _fast_vector(value):
+    """Typed float arrays are pure floats by construction (PropertyValue
+    coercion on write), so skip the per-element re-coercion
+    ``values.f32_vector`` does; everything else takes the slow path."""
+    if type(value) is dict and len(value) == 1:
+        tag, payload = next(iter(value.items()))
+        if tag in ("F32Array", "F64Array") and isinstance(payload, list):
+            return payload
+    return V.f32_vector(value)
+
+
 class Partition:
     """One tenant partition: packed matrix + id bookkeeping.
 
@@ -294,7 +305,7 @@ class VectorIndex:
         value = element.props.get(self.defn.prop)
         if value is None or V.is_null(value):
             return
-        vec = V.f32_vector(value)
+        vec = _fast_vector(value)
         if vec is None:
             return  # non-vector value in the indexed property: not indexed
         if self.defn.tenant_property is not None:
@@ -319,17 +330,7 @@ class VectorIndex:
             value = element.props.get(self.defn.prop)
             if value is None or V.is_null(value):
                 continue
-            # Fast path: typed float arrays are pure floats by
-            # construction (PropertyValue coercion on write), so skip
-            # the per-element re-coercion f32_vector does.
-            if type(value) is dict and len(value) == 1:
-                tag, payload = next(iter(value.items()))
-                if tag in ("F32Array", "F64Array") and isinstance(payload, list):
-                    vec = payload
-                else:
-                    vec = V.f32_vector(value)
-            else:
-                vec = V.f32_vector(value)
+            vec = _fast_vector(value)
             if vec is None:
                 continue
             if self.defn.tenant_property is not None:
