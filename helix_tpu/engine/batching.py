@@ -101,8 +101,14 @@ class DynamicBatcher:
             self.dispatches += 1
             self.coalesced += len(entries) - 1
             for row, entry in enumerate(entries):
-                width = min(entry.k, ids.shape[1])
-                entry.result = (ids[row, :width], dists[row, :width])
+                # Rows are compacted valid-left; ragged short rows pad
+                # with +inf sentinels that must not surface as hits.
+                row_d = dists[row]
+                mask = np.isfinite(row_d)
+                width = min(entry.k, int(mask.sum()))
+                entry.result = (
+                    ids[row][mask][:width], row_d[mask][:width]
+                )
                 entry.event.set()
         except Exception as exc:  # propagate to every waiter
             for entry in entries:

@@ -185,8 +185,43 @@ class UndoLog:
         self.store.restore_counters(self.counters)
 
 
+_INVALIDATING_TAGS = frozenset(
+    {
+        "Drop",
+        "DropEdge",
+        "DropEdgeLabeled",
+        "DropEdgeById",
+        "SetProperty",
+        "RemoveProperty",
+    }
+)
+
+
+def _has_invalidating_steps(entries: Any) -> bool:
+    """True if any step anywhere in the batch can change what an existing
+    frame encodes to (drops/property mutations).  Generic recursive key
+    scan so nested ForEach bodies and sub-traversals are covered; a
+    false positive (a user property literally named "Drop") only costs
+    the lazy-encode optimization, never correctness."""
+    stack = [entries]
+    while stack:
+        item = stack.pop()
+        if isinstance(item, dict):
+            for key, val in item.items():
+                if key in _INVALIDATING_TAGS:
+                    return True
+                stack.append(val)
+        elif isinstance(item, (list, tuple)):
+            stack.extend(item)
+        elif isinstance(item, str) and item in _INVALIDATING_TAGS:
+            return True
+    return False
+
+
 class Executor:
     """Executes one request; owns no long-lived state beyond the engine."""
+
+    _eager_names: Any = frozenset()
 
     def __init__(self, engine: Any):
         self.engine = engine
@@ -216,14 +251,29 @@ class Executor:
         scope: dict[str, VarValue] = {}
         order: list[str] = []
         self.trace = trace
+        # Lazy stream payloads encode against the live store. In a write
+        # batch whose later entries can invalidate earlier frames (Drop /
+        # SetProperty / ...), returned vars must be materialized at
+        # assignment time, not batch end — else `n <- AddN; DROP n` fails
+        # mid-encode AFTER mutations survive, diverging memory from
+        # WAL/replicas. Pure-add batches keep the lazy fast path (adds
+        # never change what an existing frame encodes to).
+        returns = batch.get("returns")
+        self._eager_names = (
+            (frozenset(returns) if returns else None)
+            if is_write and _has_invalidating_steps(batch["queries"])
+            else frozenset()
+        )
         try:
             self._run_entries(batch["queries"], ctx, scope, order, undo)
+            # Encode inside the rollback window: a payload-encode failure
+            # must roll mutations back before the WAL/replication decision.
+            names = returns or order
+            return {name: self._payload_for(scope.get(name)) for name in names}
         except Exception:
             if undo is not None:
                 undo.rollback()
             raise
-        returns = batch.get("returns") or order
-        return {name: self._payload_for(scope.get(name)) for name in returns}
 
     def _payload_for(self, var: VarValue | None) -> Any:
         if var is None:
@@ -256,6 +306,9 @@ class Executor:
                 if name not in scope:
                     order.append(name)
                 scope[name] = result
+                eager = self._eager_names
+                if eager is None or name in eager:
+                    result.payload  # materialize at assignment time
             prev = result
 
     def _run_foreach(

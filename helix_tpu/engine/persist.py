@@ -18,6 +18,8 @@ loses only unacknowledged writes.  ``x-helix-await-durable: false``
 
 from __future__ import annotations
 
+import hashlib
+import io
 import json
 import os
 import pickle
@@ -28,7 +30,58 @@ from ..native import Wal, replay
 
 SNAPSHOT_NAME = "snapshot.bin"
 WAL_NAME = "wal.log"
-SNAPSHOT_VERSION = 1
+SNAPSHOT_VERSION = 2
+# Known-loadable versions (2 adds the WAL watermark; 1 lacks it and
+# replays the whole WAL, the pre-watermark behavior).
+SNAPSHOT_VERSIONS = (1, 2)
+
+# On-disk framing: magic + sha256(payload) + pickled payload.  The digest
+# makes torn/corrupted checkpoints fail loudly instead of feeding garbage
+# to the unpickler; files without the magic are legacy bare pickles.
+_SNAPSHOT_MAGIC = b"HXSNAP02"
+
+
+def frame_snapshot_blob(payload_blob: bytes) -> bytes:
+    return _SNAPSHOT_MAGIC + hashlib.sha256(payload_blob).digest() + payload_blob
+
+
+def read_snapshot_blob(blob: bytes) -> Any:
+    """Parse a snapshot blob (framed or legacy) with a restricted
+    unpickler — a tampered snapshot raises instead of executing code."""
+    if blob[: len(_SNAPSHOT_MAGIC)] == _SNAPSHOT_MAGIC:
+        digest = blob[len(_SNAPSHOT_MAGIC) : len(_SNAPSHOT_MAGIC) + 32]
+        payload = blob[len(_SNAPSHOT_MAGIC) + 32 :]
+        if hashlib.sha256(payload).digest() != digest:
+            raise RuntimeError("snapshot checksum mismatch (corrupted file)")
+        return restricted_loads(payload)
+    return restricted_loads(blob)
+
+
+#: pickle globals a snapshot is allowed to reference: plain containers,
+#: scalars, and numpy arrays only (vector blocks).  Anything else —
+#: i.e. any smuggled callable — raises UnpicklingError.
+_ALLOWED_PICKLE_GLOBALS = {
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy.core.numeric", "_frombuffer"),
+    ("numpy._core.numeric", "_frombuffer"),
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+}
+
+
+def restricted_loads(data: bytes) -> Any:
+    allowed = _ALLOWED_PICKLE_GLOBALS
+
+    class Restricted(pickle.Unpickler):
+        def find_class(self, module, name):
+            if (module, name) in allowed:
+                return super().find_class(module, name)
+            raise pickle.UnpicklingError(
+                f"snapshot contains forbidden global {module}.{name}"
+            )
+
+    return Restricted(io.BytesIO(data)).load()
 
 
 class Persistence:
@@ -46,26 +99,47 @@ class Persistence:
 
             snapshot_store = open_store(snapshot_store)
         self.snapshot_store = snapshot_store
+        # Monotonic WAL record sequence; persists across restarts through
+        # recover().  The snapshot records the last sequence it contains
+        # (its watermark) so a crash between snapshot-replace and
+        # WAL-truncate cannot double-apply records on the next start.
+        self._seq = 0
 
     # -- startup -----------------------------------------------------------
 
     def recover(self, engine: Any) -> int:
-        """Load snapshot + replay WAL into the engine.  Returns the number
-        of replayed write batches."""
+        """Load snapshot + replay surviving WAL records into the engine.
+        Records at or below the snapshot's watermark are already inside
+        the snapshot and are skipped.  Returns the number of replayed
+        write batches."""
+        watermark = 0
+        payload = None
         if self.snapshot_path.exists():
             with open(self.snapshot_path, "rb") as fh:
-                payload = pickle.load(fh)
-            restore_snapshot_payload(engine, payload)
+                payload = read_snapshot_blob(fh.read())
         elif self.snapshot_store is not None:
             from .objstore import SNAPSHOT_KEY
 
             blob = self.snapshot_store.get(SNAPSHOT_KEY)
             if blob is not None:
-                restore_snapshot_payload(engine, pickle.loads(blob))
+                payload = read_snapshot_blob(blob)
+        if payload is not None:
+            restore_snapshot_payload(engine, payload)
+            watermark = int(payload.get("wal_seq", 0))
+        self._seq = watermark
         replayed = 0
         if self.wal_path.exists():
             for record in replay(self.wal_path):
                 entry = json.loads(record)
+                seq = entry.get("seq")
+                if seq is not None:
+                    if seq <= watermark:
+                        continue  # already inside the snapshot
+                    self._seq = max(self._seq, seq)
+                else:
+                    # Legacy record without a sequence: replay (legacy
+                    # snapshots carry no watermark, so watermark == 0).
+                    self._seq += 1
                 engine.apply_logged_write(entry["request"], entry["now_ms"])
                 replayed += 1
         self.wal = Wal(self.wal_path)
@@ -75,8 +149,9 @@ class Persistence:
 
     def log_write(self, request: dict, now_ms: int, sync: bool = True) -> None:
         assert self.wal is not None, "recover() must run before writes"
+        self._seq += 1
         record = json.dumps(
-            {"now_ms": now_ms, "request": request},
+            {"seq": self._seq, "now_ms": now_ms, "request": request},
             ensure_ascii=False, separators=(",", ":"),
         ).encode("utf-8")
         self.wal.append(record, sync=sync)
@@ -85,7 +160,8 @@ class Persistence:
 
     def checkpoint(self, engine: Any) -> None:
         payload = build_snapshot_payload(engine)
-        blob = pickle.dumps(payload, protocol=5)
+        payload["wal_seq"] = self._seq
+        blob = frame_snapshot_blob(pickle.dumps(payload, protocol=5))
         tmp = self.snapshot_path.with_suffix(".tmp")
         with open(tmp, "wb") as fh:
             fh.write(blob)
@@ -154,7 +230,7 @@ def restore_snapshot_payload(engine: Any, payload: dict) -> None:
     managers backfill via their write hooks."""
     from .store import Edge, Node
 
-    if payload.get("version") != SNAPSHOT_VERSION:
+    if payload.get("version") not in SNAPSHOT_VERSIONS:
         raise RuntimeError(
             f"unsupported snapshot version {payload.get('version')}"
         )

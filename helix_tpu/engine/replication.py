@@ -76,35 +76,15 @@ class _SeedUnpickler:
     """Restricted unpickler for seed snapshots fetched over the wire.
 
     The seed payload only ever contains plain containers, scalars, and
-    numpy arrays, so only numpy's array-reconstruction globals are
-    allowed — a malicious or corrupted primary response cannot smuggle
-    arbitrary callables through pickle."""
-
-    _ALLOWED = {
-        ("numpy.core.multiarray", "_reconstruct"),
-        ("numpy._core.multiarray", "_reconstruct"),
-        ("numpy.core.numeric", "_frombuffer"),
-        ("numpy._core.numeric", "_frombuffer"),
-        ("numpy", "ndarray"),
-        ("numpy", "dtype"),
-    }
+    numpy arrays — a malicious or corrupted primary response cannot
+    smuggle arbitrary callables through pickle.  Shares the allowlist
+    with disk-snapshot loading (:mod:`helix_tpu.engine.persist`)."""
 
     @classmethod
     def loads(cls, data: bytes):
-        import io
-        import pickle
+        from .persist import restricted_loads
 
-        allowed = cls._ALLOWED
-
-        class Restricted(pickle.Unpickler):
-            def find_class(self, module, name):
-                if (module, name) in allowed:
-                    return super().find_class(module, name)
-                raise pickle.UnpicklingError(
-                    f"seed snapshot contains forbidden global {module}.{name}"
-                )
-
-        return Restricted(io.BytesIO(data)).load()
+        return restricted_loads(data)
 
 
 class Follower:

@@ -288,18 +288,21 @@ class GraphStore:
         self._next_node_id += 1
         node = Node(node_id, label, dict(props))
         # Index + hook validation first so a failed write leaves no trace.
-        for idx in self._scalar_index_hooks("node", label):
-            value = node.props.get(idx.prop)
-            if value is not None and not V.is_null(value):
-                idx.impl.insert(node_id, value)
+        # Track successful inserts so a unique violation raised by a LATER
+        # index rolls back entries already placed in earlier ones (a leaked
+        # phantom entry would permanently reject legitimate values).
+        inserted: list[tuple[Any, Tagged]] = []
         try:
-            for hook in self._write_hooks:
-                hook.on_node_added(self, node)
-        except Exception:
             for idx in self._scalar_index_hooks("node", label):
                 value = node.props.get(idx.prop)
                 if value is not None and not V.is_null(value):
-                    idx.impl.remove(node_id, value)
+                    idx.impl.insert(node_id, value)
+                    inserted.append((idx.impl, value))
+            for hook in self._write_hooks:
+                hook.on_node_added(self, node)
+        except Exception:
+            for impl, value in inserted:
+                impl.remove(node_id, value)
             self._next_node_id -= 1
             raise
         self.nodes[node_id] = node
@@ -318,18 +321,18 @@ class GraphStore:
         edge_id = self._next_edge_id
         self._next_edge_id += 1
         edge = Edge(edge_id, label, src, dst, dict(props))
-        for idx in self._scalar_index_hooks("edge", label):
-            value = edge.props.get(idx.prop)
-            if value is not None and not V.is_null(value):
-                idx.impl.insert(edge_id, value)
+        inserted: list[tuple[Any, Tagged]] = []
         try:
-            for hook in self._write_hooks:
-                hook.on_edge_added(self, edge)
-        except Exception:
             for idx in self._scalar_index_hooks("edge", label):
                 value = edge.props.get(idx.prop)
                 if value is not None and not V.is_null(value):
-                    idx.impl.remove(edge_id, value)
+                    idx.impl.insert(edge_id, value)
+                    inserted.append((idx.impl, value))
+            for hook in self._write_hooks:
+                hook.on_edge_added(self, edge)
+        except Exception:
+            for impl, value in inserted:
+                impl.remove(edge_id, value)
             self._next_edge_id -= 1
             raise
         self.edges[edge_id] = edge
@@ -343,16 +346,42 @@ class GraphStore:
     def set_property(self, kind: str, element_id: int, name: str, value: Tagged) -> None:
         el = self.node(element_id) if kind == "node" else self.edge(element_id)
         old = el.props.get(name)
-        for idx in self._scalar_index_hooks(kind, el.label):
-            if idx.prop != name:
-                continue
-            if old is not None and not V.is_null(old):
-                idx.impl.remove(element_id, old)
-            if not V.is_null(value):
-                idx.impl.insert(element_id, value)
-        el.props[name] = value
-        for hook in self._write_hooks:
-            hook.on_property_set(self, kind, el, name, old)
+        had_old = old is not None and not V.is_null(old)
+        # Each index update is remove(old)+insert(new); a unique violation in
+        # a later index (or inside one index's insert) must restore every
+        # index already touched, so the whole method is apply-all-or-nothing.
+        updated: list[Any] = []
+        try:
+            for idx in self._scalar_index_hooks(kind, el.label):
+                if idx.prop != name:
+                    continue
+                if had_old:
+                    idx.impl.remove(element_id, old)
+                try:
+                    if not V.is_null(value):
+                        idx.impl.insert(element_id, value)
+                except Exception:
+                    if had_old:
+                        idx.impl.insert(element_id, old)
+                    raise
+                updated.append(idx.impl)
+            el.props[name] = value
+            try:
+                for hook in self._write_hooks:
+                    hook.on_property_set(self, kind, el, name, old)
+            except Exception:
+                if old is None:
+                    el.props.pop(name, None)
+                else:
+                    el.props[name] = old
+                raise
+        except Exception:
+            for impl in updated:
+                if not V.is_null(value):
+                    impl.remove(element_id, value)
+                if had_old:
+                    impl.insert(element_id, old)
+            raise
         self.bump()
 
     def remove_property(self, kind: str, element_id: int, name: str) -> None:

@@ -153,8 +153,28 @@ class Partition:
                 self.matrix, queries, k, valid_mask=mask
             )
         id_table = np.array(self.ids, np.uint64)
-        ids = id_table[np.clip(positions, 0, len(id_table) - 1)]
-        return ids, dists.astype(np.float64)
+        # Tiers pad short rows with position -1 / +inf sentinels (native
+        # rerank with < k live candidates, tombstoned ANN rows).  Mapping
+        # a -1 through clip() would return row 0's id as a bogus hit —
+        # compact valid entries left, trim to the widest row, and mark
+        # any residual ragged cells (id 0 is never allocated).
+        valid = (
+            (positions >= 0)
+            & (positions < len(id_table))
+            & np.isfinite(dists)
+        )
+        if not valid.all():
+            order = np.argsort(~valid, axis=1, kind="stable")
+            dists = np.take_along_axis(dists, order, axis=1)
+            positions = np.take_along_axis(positions, order, axis=1)
+            valid = np.take_along_axis(valid, order, axis=1)
+            width = int(valid.sum(axis=1).max())
+            dists = dists[:, :width]
+            positions = positions[:, :width]
+            valid = valid[:, :width]
+            dists = np.where(valid, dists, np.inf)
+        ids = np.where(valid, id_table[np.where(valid, positions, 0)], 0)
+        return ids.astype(np.uint64), dists.astype(np.float64)
 
     # -- sharded tier ------------------------------------------------------
 

@@ -519,13 +519,17 @@ def search_packed(
     dists = np.asarray(dists, np.float32)
     idx = np.asarray(idx, np.int64)
     if valid_mask is not None and dead:
-        out_d = np.full((dists.shape[0], k_eff), np.inf, np.float32)
-        out_i = np.zeros((dists.shape[0], k_eff), np.int64)
-        for row in range(dists.shape[0]):
-            cols = [
-                j for j in range(idx.shape[1]) if valid_mask[idx[row, j]]
-            ][:k_eff]
-            out_d[row, : len(cols)] = dists[row, cols]
-            out_i[row, : len(cols)] = idx[row, cols]
-        return out_d, out_i
+        # Compact live candidates left (stable argsort on the dead mask
+        # keeps ascending-distance order among the live ones), then trim
+        # to k_eff.  Ragged rows pad with position -1 / +inf, the
+        # sentinel convention the Partition layer strips.
+        live = valid_mask[idx]
+        order = np.argsort(~live, axis=1, kind="stable")
+        live = np.take_along_axis(live, order, axis=1)[:, :k_eff]
+        out_d = np.take_along_axis(dists, order, axis=1)[:, :k_eff]
+        out_i = np.take_along_axis(idx, order, axis=1)[:, :k_eff]
+        return (
+            np.where(live, out_d, np.inf).astype(np.float32),
+            np.where(live, out_i, -1),
+        )
     return dists[:, :k_eff], idx[:, :k_eff]

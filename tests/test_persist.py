@@ -305,3 +305,66 @@ def test_s3_store_requires_boto3():
 
     with _pytest.raises(RuntimeError, match="boto3"):
         open_store("s3://some-bucket/prefix")
+
+
+def test_crash_between_snapshot_and_wal_truncate_no_double_apply(tmp_path):
+    """A crash after the snapshot is replaced but before the WAL is
+    truncated must not double-apply the WAL on restart (snapshot carries
+    a WAL-sequence watermark; records at/below it are skipped)."""
+    from helix_tpu.dsl import g, write_batch, read_batch
+    from .test_engine_basic import run_read, run_write
+
+    data = tmp_path / "data"
+    eng = Engine(data_dir=str(data))
+    for i in range(3):
+        run_write(
+            eng,
+            write_batch().var_as("n", g().add_n("User", {"name": f"u{i}"})),
+        )
+    # Simulate the crash window: checkpoint without the WAL truncation.
+    real_reset = eng.persistence.wal.reset
+    eng.persistence.wal.reset = lambda: None
+    eng.checkpoint()
+    eng.persistence.wal.reset = real_reset
+    eng.persistence.close()
+
+    eng2 = Engine(data_dir=str(data))
+    out = run_read(eng2, read_batch().var_as("c", g().n().count()))
+    assert out["c"] == 3  # NOT 6
+    # And new writes after recovery still persist.
+    run_write(eng2, write_batch().var_as("n", g().add_n("User", {"name": "u3"})))
+    eng2.close()
+    eng3 = Engine(data_dir=str(data))
+    out = run_read(eng3, read_batch().var_as("c", g().n().count()))
+    assert out["c"] == 4
+    eng3.close()
+
+
+def test_tampered_snapshot_fails_loudly(tmp_path):
+    from helix_tpu.dsl import g, write_batch
+    from .test_engine_basic import run_write
+
+    data = tmp_path / "data"
+    eng = Engine(data_dir=str(data))
+    run_write(eng, write_batch().var_as("n", g().add_n("User", {"name": "a"})))
+    eng.checkpoint()
+    eng.close()
+    snap = data / "snapshot.bin"
+    blob = bytearray(snap.read_bytes())
+    blob[len(blob) // 2] ^= 0xFF  # flip a byte in the payload
+    snap.write_bytes(bytes(blob))
+    with pytest.raises(Exception, match="checksum|forbidden|unsupported"):
+        Engine(data_dir=str(data))
+
+
+def test_malicious_snapshot_rejected(tmp_path):
+    """A snapshot smuggling a callable through pickle must raise, not
+    execute (restricted unpickler)."""
+    import pickle
+
+    data = tmp_path / "data"
+    data.mkdir()
+    evil = pickle.dumps({"version": 2, "boom": __import__("os").system})
+    (data / "snapshot.bin").write_bytes(evil)
+    with pytest.raises(Exception, match="forbidden"):
+        Engine(data_dir=str(data))

@@ -1,0 +1,159 @@
+"""Regression tests for write-path atomicity (round-2 ADVICE findings).
+
+Covers:
+- returned-var payloads reflect assignment-time state when later entries
+  in the same write batch invalidate their frames (AddN then Drop);
+- multi-index insert atomicity in add_node/add_edge (a unique violation
+  in a later index must not leak phantom entries into earlier ones);
+- set_property index + props atomicity under unique violations.
+"""
+
+import pytest
+
+from helix_tpu.dsl import NodeRef, g, read_batch, write_batch
+from helix_tpu.engine import Engine, WriteError
+
+from .test_engine_basic import run_read, run_write
+
+
+@pytest.fixture
+def engine():
+    return Engine()
+
+
+def _seed_unique_indexes(engine):
+    run_write(
+        engine,
+        write_batch()
+        .var_as(
+            "i1",
+            g().create_index(
+                {"NodeEquality": {"label": "User", "property": "email", "unique": True}}
+            ),
+        )
+        .var_as(
+            "i2",
+            g().create_index(
+                {"NodeEquality": {"label": "User", "property": "handle", "unique": True}}
+            ),
+        ),
+    )
+
+
+def test_add_then_drop_returns_assignment_time_payload(engine):
+    # n <- AddN; DROP all Users; returning n must NOT raise, must reflect
+    # the node as it existed at assignment, and the drop must persist.
+    out = run_write(
+        engine,
+        write_batch()
+        .var_as("n", g().add_n("User", {"name": "ephemeral"}))
+        .var_as("gone", g().n().has_label("User").drop()),
+    )
+    assert out["n"] is not None
+    payload = out["n"]
+    # Stream payloads are lists of per-element dicts with props.
+    assert isinstance(payload, list) and len(payload) == 1
+    assert payload[0]["name"] == "ephemeral"
+    # The drop survived and the store is consistent.
+    count = run_read(engine, read_batch().var_as("c", g().n().count()))
+    assert count["c"] == 0
+
+
+def test_add_then_drop_is_wal_consistent(tmp_path):
+    # The same batch must reach the WAL and replay to the same state.
+    data = tmp_path / "data"
+    eng = Engine(data_dir=str(data))
+    run_write(
+        eng,
+        write_batch()
+        .var_as("n", g().add_n("User", {"name": "ephemeral"}))
+        .var_as("gone", g().n().has_label("User").drop()),
+    )
+    run_write(eng, write_batch().var_as("m", g().add_n("User", {"name": "kept"})))
+    eng.close()
+
+    eng2 = Engine(data_dir=str(data))
+    out = run_read(eng2, read_batch().var_as("names", g().n().values(["name"])))
+    assert out["names"] == ["kept"]
+    eng2.close()
+
+
+def test_unique_violation_does_not_leak_into_other_index(engine):
+    _seed_unique_indexes(engine)
+    run_write(
+        engine,
+        write_batch().var_as(
+            "a", g().add_n("User", {"email": "a@x.com", "handle": "alpha"})
+        ),
+    )
+    # email is fresh but handle collides -> whole write must fail ...
+    with pytest.raises(WriteError):
+        run_write(
+            engine,
+            write_batch().var_as(
+                "b", g().add_n("User", {"email": "b@x.com", "handle": "alpha"})
+            ),
+        )
+    # ... leaving NO phantom 'b@x.com' in the email index: a legitimate
+    # later write of that email must succeed.
+    run_write(
+        engine,
+        write_batch().var_as(
+            "c", g().add_n("User", {"email": "b@x.com", "handle": "beta"})
+        ),
+    )
+    out = run_read(
+        engine, read_batch().var_as("n", g().n().has_label("User").count())
+    )
+    assert out["n"] == 2
+
+
+def test_set_property_unique_violation_restores_indexes(engine):
+    _seed_unique_indexes(engine)
+    run_write(
+        engine,
+        write_batch()
+        .var_as("a", g().add_n("User", {"email": "a@x.com", "handle": "alpha"}))
+        .var_as("b", g().add_n("User", {"email": "b@x.com", "handle": "beta"})),
+    )
+    # Retagging b's email to a's collides; both the email index entry for
+    # b@x.com and the property value must survive the failed write.
+    with pytest.raises(WriteError):
+        run_write(
+            engine,
+            write_batch().var_as(
+                "upd",
+                g()
+                .n("All")
+                .has("email", "b@x.com")
+                .set_property("email", "a@x.com"),
+            ),
+        )
+    # b@x.com still resolves through the (unique) index.
+    out = run_read(
+        engine,
+        read_batch().var_as(
+            "hit", g().n("All").has("email", "b@x.com").values(["handle"])
+        ),
+    )
+    assert out["hit"] == ["beta"]
+    # And the old value can still be looked up / the new value re-used.
+    run_write(
+        engine,
+        write_batch().var_as(
+            "c", g().add_n("User", {"email": "c@x.com", "handle": "gamma"})
+        ),
+    )
+
+
+def test_pure_add_batches_stay_lazy(engine):
+    # No invalidating steps -> the executor keeps lazy payload encoding
+    # (the ingest fast path). Observable: unnamed-var writes still work
+    # and returned vars encode correctly at batch end.
+    out = run_write(
+        engine,
+        write_batch()
+        .var_as("a", g().add_n("User", {"name": "a"}))
+        .var_as("e", g().n(NodeRef.var("a")).add_e("FOLLOWS", NodeRef.var("a"))),
+    )
+    assert out["a"][0]["name"] == "a"
