@@ -20,7 +20,7 @@ from typing import Any
 
 import numpy as np
 
-from ..ops.distance import PackedMatrix, search_packed
+from ..ops.distance import PackedMatrix, search_packed_async
 from . import values as V
 from .errors import QueryError, WriteError
 from .store import Edge, GraphStore, IndexDef, Node
@@ -68,9 +68,15 @@ class Partition:
     ):
         self.metric = metric
         self.matrix: PackedMatrix | None = None
-        self.ids: list[int] = []
+        # Row bookkeeping lives in growable numpy arrays (not Python
+        # lists): the serving path reads the id table and live mask on
+        # EVERY search, and a list->ndarray conversion is O(N) Python
+        # work per query — ~30 ms at 1M rows, dwarfing the kernel.
+        self._ids = np.empty(1024, np.uint64)
+        self._live = np.zeros(1024, bool)
+        self.n_rows = 0
+        self._n_live = 0
         self.pos: dict[int, int] = {}
-        self.live: list[bool] = []
         self.ann_config = ann_config
         self.ann = None
         self.ann_rows = 0          # rows covered by the current ANN build
@@ -88,13 +94,41 @@ class Partition:
                 f"got {len(vec)}"
             )
         if element_id in self.pos:
-            self.matrix.overwrite(self.pos[element_id], vec)
-            self.live[self.pos[element_id]] = True
+            row = self.pos[element_id]
+            self.matrix.overwrite(row, vec)
+            if not self._live[row]:
+                self._n_live += 1
+            self._live[row] = True
             return
         pos = self.matrix.append(vec)
+        self._ensure_capacity(1)
+        self._ids[self.n_rows] = element_id
+        self._live[self.n_rows] = True
         self.pos[element_id] = pos
-        self.ids.append(element_id)
-        self.live.append(True)
+        self.n_rows += 1
+        self._n_live += 1
+
+    def _ensure_capacity(self, extra: int) -> None:
+        need = self.n_rows + extra
+        if need <= len(self._ids):
+            return
+        cap = max(need, 2 * len(self._ids))
+        ids = np.empty(cap, np.uint64)
+        ids[: self.n_rows] = self._ids[: self.n_rows]
+        self._ids = ids
+        live = np.zeros(cap, bool)
+        live[: self.n_rows] = self._live[: self.n_rows]
+        self._live = live
+
+    @property
+    def id_table(self) -> np.ndarray:
+        """uint64 row->element-id view (no copy)."""
+        return self._ids[: self.n_rows]
+
+    @property
+    def live_mask(self) -> np.ndarray:
+        """bool row-liveness view (no copy)."""
+        return self._live[: self.n_rows]
 
     def add_bulk(self, ids: list[int], vecs: np.ndarray) -> None:
         """Backfill fast path: bulk-append fresh ids (index creation over
@@ -116,18 +150,24 @@ class Partition:
         first = self.matrix.extend(vecs)
         for offset, element_id in enumerate(ids):
             self.pos[element_id] = first + offset
-        self.ids.extend(ids)
-        self.live.extend([True] * len(ids))
+        count = len(ids)
+        self._ensure_capacity(count)
+        self._ids[self.n_rows : self.n_rows + count] = np.asarray(ids, np.uint64)
+        self._live[self.n_rows : self.n_rows + count] = True
+        self.n_rows += count
+        self._n_live += count
 
     def remove(self, element_id: int) -> None:
         pos = self.pos.pop(element_id, None)
         if pos is None or self.matrix is None:
             return
-        self.live[pos] = False
+        if self._live[pos]:
+            self._n_live -= 1
+        self._live[pos] = False
         self.matrix.overwrite(pos, None)
 
     def live_count(self) -> int:
-        return sum(self.live)
+        return self._n_live
 
     def search(self, query: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         ids, dists = self.search_many(query[None, :], k)
@@ -137,22 +177,44 @@ class Partition:
         self, queries: np.ndarray, k: int
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched search: (ids [B, k'], dists [B, k']) ascending."""
+        return self.search_many_async(queries, k)()
+
+    def search_many_async(self, queries: np.ndarray, k: int):
+        """Dispatch a batched search; returns ``finalize() -> (ids,
+        dists)``.  The exact tier defers its D2H so a serving loop can
+        overlap dispatches (``search_packed_async``); shard/ANN tiers
+        compute eagerly and return a pre-resolved closure."""
         b = len(queries)
         if self.matrix is None or self.live_count() == 0:
-            return (
+            empty = (
                 np.empty((b, 0), np.uint64),
                 np.empty((b, 0), np.float64),
             )
+            return lambda: empty
         if self._use_shard():
             dists, positions = self._search_sharded(queries, k)
-        elif self._use_ann():
+            id_table = self.id_table.copy()
+            return lambda: self._map_hits(dists, positions, id_table)
+        if self._use_ann():
             dists, positions = self._search_ann(queries, k)
-        else:
-            mask = np.array(self.live, bool)
-            dists, positions = search_packed(
-                self.matrix, queries, k, valid_mask=mask
-            )
-        id_table = np.array(self.ids, np.uint64)
+            id_table = self.id_table.copy()
+            return lambda: self._map_hits(dists, positions, id_table)
+        inner = search_packed_async(
+            self.matrix, queries, k, valid_mask=self.live_mask
+        )
+        # id-table snapshot: rows appended between dispatch and finalize
+        # must not shift the mapping (positions are dispatch-time)
+        id_table = self.id_table.copy()
+
+        def finalize():
+            dists, positions = inner()
+            return self._map_hits(dists, positions, id_table)
+
+        return finalize
+
+    def _map_hits(
+        self, dists: np.ndarray, positions: np.ndarray, id_table: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
         # Tiers pad short rows with position -1 / +inf sentinels (native
         # rerank with < k live candidates, tombstoned ANN rows).  Mapping
         # a -1 through clip() would return row 0's id as a bogus hit —
@@ -223,7 +285,7 @@ class Partition:
         qs = np.stack([self.matrix.prepare_query(q) for q in queries])
         _, cand = searcher(xs, qs, n_valid, sqd)
         cand = np.asarray(cand, np.int64)
-        live = np.array(self.live, bool)
+        live = self.live_mask
         cand = np.where(
             (cand < n) & live[np.clip(cand, 0, n - 1)], cand, -1
         )
@@ -285,8 +347,8 @@ class Partition:
             dists = np.take_along_axis(merged_d, order, axis=1)
             positions = np.take_along_axis(merged_i, order, axis=1)
         # Tombstones: drop dead rows (rare; slots backfill from overflow).
-        live = np.array(self.live, bool)
-        dead = ~live[np.clip(positions, 0, len(live) - 1)]
+        live = self.live_mask
+        dead = ~live[np.clip(positions, 0, max(len(live) - 1, 0))]
         if dead.any():
             dists = np.where(dead, np.inf, dists)
             order = np.argsort(dists, axis=1, kind="stable")

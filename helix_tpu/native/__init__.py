@@ -26,7 +26,10 @@ class NativeBuildError(RuntimeError):
 
 
 def _build_library() -> Path:
-    sources = [_HERE / "wal.cpp", _HERE / "rerank.cpp", _HERE / "bfs.cpp"]
+    sources = [
+        _HERE / "wal.cpp", _HERE / "rerank.cpp", _HERE / "bfs.cpp",
+        _HERE / "gateway.cpp",
+    ]
     out = _HERE / "libhxnative.so"
     if out.exists() and all(
         out.stat().st_mtime >= s.stat().st_mtime for s in sources
@@ -34,7 +37,7 @@ def _build_library() -> Path:
         return out
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-o", str(out), *[str(s) for s in sources],
+        "-pthread", "-o", str(out), *[str(s) for s in sources],
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
@@ -88,6 +91,63 @@ def load() -> ctypes.CDLL:
             i64p, i32p, i32p, ctypes.c_int64,
             u8p, u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ]
+        # -- gateway ---------------------------------------------------
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.hxgw_create.restype = ctypes.c_void_p
+        lib.hxgw_create.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p]
+        lib.hxgw_port.restype = ctypes.c_int
+        lib.hxgw_port.argtypes = [ctypes.c_void_p]
+        lib.hxgw_start.restype = ctypes.c_int
+        lib.hxgw_start.argtypes = [ctypes.c_void_p]
+        lib.hxgw_stop.restype = None
+        lib.hxgw_stop.argtypes = [ctypes.c_void_p]
+        lib.hxgw_destroy.restype = None
+        lib.hxgw_destroy.argtypes = [ctypes.c_void_p]
+        lib.hxgw_fast_route.restype = ctypes.c_int
+        lib.hxgw_fast_route.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ]
+        lib.hxgw_clear_fast_routes.restype = None
+        lib.hxgw_clear_fast_routes.argtypes = [ctypes.c_void_p]
+        lib.hxgw_next_vbatch.restype = ctypes.c_int
+        lib.hxgw_next_vbatch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), f32p, i32p, i32p,
+        ]
+        lib.hxgw_respond_vbatch.restype = ctypes.c_int
+        lib.hxgw_respond_vbatch.argtypes = [
+            ctypes.c_void_p, u64p, i32p, ctypes.c_int, ctypes.c_int,
+            u64p, f64p, i32p,
+        ]
+        lib.hxgw_next_general.restype = ctypes.c_longlong
+        lib.hxgw_next_general.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.hxgw_respond.restype = ctypes.c_int
+        lib.hxgw_respond.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_longlong,
+        ]
+        lib.hxgw_respond_stream_start.restype = ctypes.c_int
+        lib.hxgw_respond_stream_start.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_char_p,
+        ]
+        lib.hxgw_stream_write.restype = ctypes.c_int
+        lib.hxgw_stream_write.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_longlong,
+        ]
+        lib.hxgw_stream_end.restype = ctypes.c_int
+        lib.hxgw_stream_end.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.hxgw_request_alive.restype = ctypes.c_int
+        lib.hxgw_request_alive.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.hxgw_stats.restype = None
+        lib.hxgw_stats.argtypes = [ctypes.c_void_p, u64p, u64p, u64p]
         _LIB = lib
         return lib
 

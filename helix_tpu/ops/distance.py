@@ -421,6 +421,24 @@ class PackedMatrix:
                 out /= norm
         return out
 
+    def prepare_queries(self, qs: np.ndarray) -> np.ndarray:
+        """Vectorized :meth:`prepare_query` over a [B, dim] batch — the
+        per-row Python loop costs ~5 ms at B=1024, visible in serving."""
+        qs = np.asarray(qs, np.float32)
+        if qs.ndim != 2:
+            return np.stack([self.prepare_query(q) for q in qs])
+        if qs.shape[1] != self.dim:
+            raise ValueError(
+                f"could not broadcast query batch of dim {qs.shape[1]} "
+                f"into index dim {self.dim}"
+            )
+        out = np.zeros((qs.shape[0], self.dim_pad), np.float32)
+        out[:, : self.dim] = qs
+        if self.metric == "cosine":
+            norms = np.linalg.norm(out, axis=1, keepdims=True)
+            np.divide(out, norms, out=out, where=norms > 0)
+        return out
+
 
 def resident_topk_auto(
     xs16: jax.Array,
@@ -463,17 +481,43 @@ def search_packed(
     columns, distances ascending; invalid rows excluded.  Small
     partitions run entirely host-side (device round-trip would dominate).
     """
+    return search_packed_async(
+        matrix, queries, k, valid_mask,
+        use_device=use_device, rerank=rerank,
+    )()
+
+
+def search_packed_async(
+    matrix: PackedMatrix,
+    queries: np.ndarray,
+    k: int,
+    valid_mask: np.ndarray | None = None,
+    *,
+    use_device: bool | None = None,
+    rerank: int = 8,
+):
+    """Pipelined variant of :func:`search_packed`: dispatches the device
+    program and returns a ``finalize()`` closure that blocks on the D2H
+    transfer and runs the host-side cleanup.
+
+    JAX dispatch is asynchronous, so a serving loop that issues the next
+    batch before finalizing the previous one overlaps device compute and
+    (on a tunneled dev chip, expensive) transfer RPCs instead of paying
+    the full round-trip latency per dispatch.
+    """
     if matrix.n == 0:
         b = queries.shape[0]
-        return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int64)
-    qs = np.stack([matrix.prepare_query(q) for q in queries])
+        empty = (np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int64))
+        return lambda: empty
+    qs = matrix.prepare_queries(queries)
     n_live = (
         int(valid_mask[: matrix.n].sum()) if valid_mask is not None else matrix.n
     )
     k_eff = min(k, n_live)
     if k_eff == 0:
         b = queries.shape[0]
-        return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int64)
+        empty = (np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int64))
+        return lambda: empty
 
     if use_device is None:
         use_device = matrix.n >= 4096
@@ -494,10 +538,11 @@ def search_packed(
         part_d = np.take_along_axis(dists, part, axis=1)
         order = np.argsort(part_d, axis=1, kind="stable")
         idx = np.take_along_axis(part, order, axis=1)
-        return (
+        host = (
             np.take_along_axis(dists, idx, axis=1).astype(np.float32),
             idx.astype(np.int64),
         )
+        return lambda: host
 
     # ---- all-device path: one jit, one H2D (queries) + one D2H (top-k).
     # The chip sits behind a tunnel, so extra round trips (host re-rank,
@@ -505,31 +550,52 @@ def search_packed(
     # inside topk_scores keeps recall at ~1.0.
     dead = 0 if valid_mask is None else int(matrix.n - n_live)
     k_query = min(matrix.n, k_eff + dead)
+    # Bucket the traced shapes: serving batches arrive at arbitrary sizes
+    # (the gateway drains whatever is queued) and tombstones grow k_query
+    # by one per deletion — without bucketing every distinct (B, k) pair
+    # recompiles the kernel (~1 s each, a compile storm under live load).
+    b_real = qs.shape[0]
+    b_pad = max(8, 1 << (b_real - 1).bit_length())
+    if b_pad != b_real:
+        qs = np.concatenate(
+            [qs, np.zeros((b_pad - b_real, qs.shape[1]), qs.dtype)]
+        )
+    k_bucket = min(matrix.n, max(16, 1 << (int(k_query) - 1).bit_length()))
+    if k_bucket < k_query:  # n itself not a power of two
+        k_bucket = int(k_query)
     xs16, sq = matrix.device_arrays()
-    dists, idx = resident_topk_auto(
+    dists_dev, idx_dev = resident_topk_auto(
         xs16,
         matrix.data_device(),
         jnp.asarray(qs),
         jnp.int32(matrix.n),
         sq,
-        k=int(k_query),
+        k=int(k_bucket),
         metric=matrix.metric,
         rerank=max(rerank, 1),
     )
-    dists = np.asarray(dists, np.float32)
-    idx = np.asarray(idx, np.int64)
-    if valid_mask is not None and dead:
-        # Compact live candidates left (stable argsort on the dead mask
-        # keeps ascending-distance order among the live ones), then trim
-        # to k_eff.  Ragged rows pad with position -1 / +inf, the
-        # sentinel convention the Partition layer strips.
-        live = valid_mask[idx]
-        order = np.argsort(~live, axis=1, kind="stable")
-        live = np.take_along_axis(live, order, axis=1)[:, :k_eff]
-        out_d = np.take_along_axis(dists, order, axis=1)[:, :k_eff]
-        out_i = np.take_along_axis(idx, order, axis=1)[:, :k_eff]
-        return (
-            np.where(live, out_d, np.inf).astype(np.float32),
-            np.where(live, out_i, -1),
-        )
-    return dists[:, :k_eff], idx[:, :k_eff]
+    # ^ dispatched; not yet forced.  Snapshot the mask now (the store can
+    # mutate between dispatch and finalize) and defer the D2H to the
+    # caller's finalize().
+    mask_snapshot = None if valid_mask is None else valid_mask.copy()
+
+    def finalize() -> tuple[np.ndarray, np.ndarray]:
+        dists = np.asarray(dists_dev, np.float32)[:b_real, :k_query]
+        idx = np.asarray(idx_dev, np.int64)[:b_real, :k_query]
+        if mask_snapshot is not None and dead:
+            # Compact live candidates left (stable argsort on the dead
+            # mask keeps ascending-distance order among the live ones),
+            # then trim to k_eff.  Ragged rows pad with position -1 /
+            # +inf, the sentinel convention the Partition layer strips.
+            live = mask_snapshot[idx]
+            order = np.argsort(~live, axis=1, kind="stable")
+            live = np.take_along_axis(live, order, axis=1)[:, :k_eff]
+            out_d = np.take_along_axis(dists, order, axis=1)[:, :k_eff]
+            out_i = np.take_along_axis(idx, order, axis=1)[:, :k_eff]
+            return (
+                np.where(live, out_d, np.inf).astype(np.float32),
+                np.where(live, out_i, -1),
+            )
+        return dists[:, :k_eff], idx[:, :k_eff]
+
+    return finalize

@@ -31,8 +31,8 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
-from ..engine import Engine, EngineError
-from ..engine.errors import QueryError
+from ..engine import Engine
+from . import routes
 
 
 class HelixHTTPServer:
@@ -108,157 +108,44 @@ class HelixHTTPServer:
                 header = self.headers.get("Authorization", "")
                 return header == f"Bearer {server.api_key}"
 
-            def _read_body(self) -> Any:
-                length = int(self.headers.get("Content-Length") or 0)
-                raw = self.rfile.read(length) if length else b""
-                if not raw:
-                    return {}
-                try:
-                    return json.loads(raw)
-                except json.JSONDecodeError as exc:
-                    raise QueryError(f"invalid JSON body: {exc}") from exc
-
-            def do_GET(self) -> None:  # noqa: N802
-                if self.path.startswith("/v1/replication"):
-                    self._handle_replication()
-                    return
-                if self.path.startswith("/v1/events"):
-                    self._handle_events()
-                    return
-                if self.path == "/v1/source":
-                    if not self._authorized():
-                        self._reply(401, {"error": {"kind": "Unauthorized",
-                                                    "message": "invalid api key"}})
-                        return
-                    self._reply(200, server.engine.source_snapshot)
-                    return
-                if self.path == "/v1/snapshot":
-                    if not self._authorized():
-                        self._reply(401, {"error": {"kind": "Unauthorized",
-                                                    "message": "invalid api key"}})
-                        return
-                    # Replica seed: consistent snapshot + replication
-                    # watermark (pickled; followers decode through a
-                    # numpy-only restricted unpickler).
-                    import pickle
-
-                    body = pickle.dumps(
-                        server.engine.export_replica_seed(), protocol=5
-                    )
-                    self.send_response(200)
-                    self.send_header("Content-Type", "application/octet-stream")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
-                    return
-                if self.path == "/v1/health":
-                    self._reply(
-                        200,
-                        {
-                            "status": "ok",
-                            "nodes": server.engine.store.node_count(),
-                            "edges": server.engine.store.edge_count(),
-                            "epoch": server.engine.store.epoch,
-                            "routes": sorted(server.engine.routes),
-                        },
-                    )
-                    return
-                self._reply(404, {"error": {"kind": "NotFound", "message": self.path}})
-
-            def do_POST(self) -> None:  # noqa: N802
-                if not self._authorized():
-                    self._reply(
-                        401,
-                        {"error": {"kind": "Unauthorized", "message": "invalid api key"}},
-                    )
-                    return
-                try:
-                    body = self._read_body()
-                    if self.path == "/mcp":
-                        self._handle_mcp(body)
-                    elif self.path == "/v1/query":
-                        self._handle_dynamic(body)
-                    elif self.path.startswith("/v1/query/"):
-                        name = self.path[len("/v1/query/"):]
-                        self._handle_stored(name, body)
-                    elif self.path == "/v1/bundle":
-                        server.engine.telemetry.log_event(
-                            "deploying", routes=len(body.get("read_routes", {}))
-                            + len(body.get("write_routes", {})),
-                        )
-                        server.engine.load_bundle(body)
-                        server.engine.telemetry.log_event(
-                            "deployed", routes=sorted(server.engine.routes)
-                        )
-                        self._reply(200, {"installed": sorted(server.engine.routes)})
-                    elif self.path == "/v1/source":
-                        # Deployed source snapshot (push/sync reconciliation).
-                        if not isinstance(body, dict) or "files" not in body:
-                            raise QueryError("source payload must carry files")
-                        server.engine.source_snapshot = body
-                        if server.engine.persistence is not None:
-                            server.engine.checkpoint()
-                        self._reply(200, {"stored": len(body["files"])})
-                    else:
-                        self._reply(
-                            404, {"error": {"kind": "NotFound", "message": self.path}}
-                        )
-                except EngineError as exc:
-                    self._reply(400, {"error": exc.to_json()})
-                except Exception as exc:  # pragma: no cover - defensive
-                    self._reply(
-                        500,
-                        {"error": {"kind": "Internal", "message": str(exc)}},
-                    )
-
-            def _handle_mcp(self, body: Any) -> None:
-                if not server.mcp_enabled:
-                    self._reply(404, {"error": {
-                        "kind": "NotFound",
-                        "message": "MCP is disabled ([db] mcp = false)"}})
-                    return
-                from .mcp import handle_mcp
-
-                response = handle_mcp(
-                    server.engine, body,
-                    read_only=server.replica_of is not None,
-                )
-                if response is None:  # notification: no body
-                    self.send_response(202)
-                    self.send_header("Content-Length", "0")
-                    self.end_headers()
-                    return
-                self._reply(200, response)
-
-            def _handle_replication(self) -> None:
-                """Primary-side record feed for read replicas."""
-                from urllib.parse import parse_qs, urlparse
-
+            def _dispatch(self, method: str) -> None:
                 if not self._authorized():
                     self._reply(401, {"error": {"kind": "Unauthorized",
                                                 "message": "invalid api key"}})
                     return
-                query = parse_qs(urlparse(self.path).query)
-                after = int(query.get("after", ["-1"])[0])
-                records, reseed = server.engine.replication.since(after)
-                self._reply(200, {
-                    "records": records,
-                    "reseed_required": reseed,
-                    "head_seq": server.engine.replication.head_seq(),
-                })
+                if method == "GET" and self.path.startswith("/v1/events"):
+                    from urllib.parse import parse_qs, urlparse
 
-            def _handle_events(self) -> None:
+                    query = parse_qs(urlparse(self.path).query)
+                    self._handle_events(int(query.get("after", ["-1"])[0]))
+                    return
+                length = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(length) if length else b""
+                result = routes.dispatch(
+                    server, method, self.path, raw,
+                    warm=self.headers.get("x-helix-warm", "").lower() == "true",
+                    await_durable=self._await_durable(),
+                    trace=self._trace(),
+                )
+                if isinstance(result, routes.JsonResult):
+                    self._reply(result.status, result.payload)
+                elif isinstance(result, routes.BytesResult):
+                    self.send_response(result.status)
+                    self.send_header("Content-Type", result.content_type)
+                    self.send_header("Content-Length", str(len(result.body)))
+                    self.end_headers()
+                    self.wfile.write(result.body)
+
+            def do_GET(self) -> None:  # noqa: N802
+                self._dispatch("GET")
+
+            def do_POST(self) -> None:  # noqa: N802
+                self._dispatch("POST")
+
+            def _handle_events(self, after: int) -> None:
                 """Server-Sent Events stream of telemetry (the local analog
                 of the reference's SSE deploy/progress channel,
                 sse_client.rs:11-91).  ?after=<seq> resumes."""
-                from urllib.parse import parse_qs, urlparse
-
-                if not self._authorized():
-                    self._reply(401, {"error": {"kind": "Unauthorized",
-                                                "message": "invalid api key"}})
-                    return
-                query = parse_qs(urlparse(self.path).query)
-                after = int(query.get("after", ["-1"])[0])
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
@@ -286,45 +173,6 @@ class HelixHTTPServer:
 
             def _trace(self) -> bool:
                 return self.headers.get("x-helix-trace", "").lower() == "true"
-
-            def _handle_dynamic(self, body: Any) -> None:
-                warm = self.headers.get("x-helix-warm", "").lower() == "true"
-                if warm and isinstance(body, dict) and body.get("request_type") == "write":
-                    raise QueryError("x-helix-warm applies to read requests only")
-                if (
-                    server.replica_of
-                    and isinstance(body, dict)
-                    and body.get("request_type") == "write"
-                ):
-                    raise QueryError(
-                        "this instance is a read-only replica; route writes "
-                        f"to the primary at {server.replica_of} "
-                        "(x-helix-require-writer)"
-                    )
-                self._reply(
-                    200,
-                    server.engine.execute(
-                        body,
-                        await_durable=self._await_durable(),
-                        trace=self._trace(),
-                    ),
-                )
-
-            def _handle_stored(self, name: str, body: Any) -> None:
-                # Stored-route bodies are the bare parameters object
-                # (lib.rs:302-316); a {"parameters": ...} wrapper is also
-                # accepted for symmetry with the dynamic envelope.
-                params = body
-                if isinstance(body, dict) and set(body) <= {"parameters"}:
-                    params = body.get("parameters") or {}
-                if not isinstance(params, dict):
-                    raise QueryError("stored query body must be a parameters object")
-                self._reply(
-                    200,
-                    server.engine.execute_stored(
-                        name, params, await_durable=self._await_durable()
-                    ),
-                )
 
         return Handler
 
@@ -366,11 +214,27 @@ def serve(
     replica_of: str | None = None,
     snapshot_store: str | None = None,
     mcp: bool = True,
+    native: bool = True,
 ) -> None:
     import signal
     import sys
 
-    server = HelixHTTPServer(
+    server_cls: type = HelixHTTPServer
+    if native:
+        # The native epoll gateway is the production front door; the
+        # ThreadingHTTPServer path stays as the pure-Python fallback.
+        try:
+            from ..native import load as native_load
+
+            native_load()
+            from .native_gateway import NativeGateway
+
+            server_cls = NativeGateway
+        except Exception as exc:
+            print(f"native gateway unavailable ({exc}); "
+                  "falling back to the Python server", file=sys.stderr)
+
+    server = server_cls(
         engine, host, port, api_key,
         data_dir=data_dir, telemetry_path=telemetry_path, metric=metric,
         ann_config=ann_config, bm25=bm25,
@@ -414,6 +278,9 @@ if __name__ == "__main__":
                         help="object store url (s3://, file://, memory://) "
                              "checkpoints mirror to and fresh nodes "
                              "bootstrap from")
+    parser.add_argument("--legacy-server", action="store_true",
+                        help="serve from the pure-Python ThreadingHTTPServer "
+                             "instead of the native epoll gateway")
     args = parser.parse_args()
     ann_config = None
     if args.ann_threshold is not None:
@@ -428,5 +295,5 @@ if __name__ == "__main__":
         metric=args.metric, ann_config=ann_config,
         bm25=not args.no_bm25, secondary_indices=args.secondary_index,
         replica_of=args.replica_of, snapshot_store=args.snapshot_store,
-        mcp=not args.no_mcp,
+        mcp=not args.no_mcp, native=not args.legacy_server,
     )

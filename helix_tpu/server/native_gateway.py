@@ -1,0 +1,559 @@
+"""Native-gateway serving front door.
+
+Pairs the C++ epoll HTTP server (``native/gateway.cpp``) with the
+engine:
+
+- **general workers** pull raw requests (one GIL crossing each) and run
+  them through the shared :mod:`routes` dispatcher;
+- the **vector fast path** pulls *batches* of stored vector-search
+  requests whose bodies were already parsed to float32 in C++, runs ONE
+  device dispatch per batch, and hands the id/distance matrix back to
+  C++ for response formatting — the per-request Python cost is O(1/B).
+
+Fast-route eligibility is decided here by inspecting the installed
+bundle: a read route qualifies when it is exactly
+``VectorSearchNodes(label, prop, Param(vec), k) -> ValueMap(["$id",
+"$distance"])`` on a single-partition (untenanted) index with a live
+matrix.  Anything else — traced requests, tenants, extra steps, parse
+oddities — flows through the interpreter, so fast- and slow-path
+responses are interchangeable (verified in tests/test_native_gateway.py).
+
+Reference analog: the engine's compiled Rust gateway behind
+``POST /v1/query/<name>`` (``sdks/rust/src/lib.rs:377-423``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import threading
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+from .. import fastjson
+from ..engine import Engine
+from .routes import BytesResult, EventStream, JsonResult, dispatch
+
+
+@dataclass
+class _FastSpec:
+    route_id: int
+    name: str
+    kind: str            # "nodes" | "edges"
+    label: str
+    prop: str
+    dim: int
+    k_fixed: int | None  # Literal k
+    k_max: int
+
+
+class NativeGateway:
+    VBATCH_CAP = 1024
+    K_MAX = 1024
+
+    def __init__(
+        self,
+        engine: Engine | None = None,
+        host: str = "0.0.0.0",
+        port: int = 6969,
+        api_key: str | None = None,
+        data_dir: str | None = None,
+        telemetry_path: str | None = None,
+        metric: str = "cosine",
+        batch_window_ms: float | None = 2.0,
+        ann_config: dict | None = None,
+        bm25: bool = True,
+        secondary_indices: list[str] | None = None,
+        replica_of: str | None = None,
+        snapshot_store: str | None = None,
+        mcp: bool = True,
+        general_workers: int = 4,
+    ):
+        from ..native import load
+
+        self._lib = load()
+        self.replica_of = replica_of
+        self.follower = None
+        if replica_of and data_dir and engine is None:
+            data_dir = None  # replicas are stateless followers
+        self.engine = engine or Engine(
+            metric=metric, data_dir=data_dir, batch_window_ms=batch_window_ms,
+            ann_config=ann_config, bm25=bm25,
+            secondary_indices=secondary_indices, snapshot_store=snapshot_store,
+        )
+        if replica_of:
+            from ..engine.replication import Follower
+
+            self.follower = Follower(self.engine, replica_of, api_key=api_key)
+            self.follower.start()
+        if telemetry_path:
+            from ..telemetry import Telemetry
+
+            self.engine.telemetry = Telemetry(telemetry_path)
+            self.engine.telemetry.log_event("instance_start")
+        self.mcp_enabled = mcp
+        self.host = host
+        self.port = port
+        self.api_key = api_key
+        self.general_workers = general_workers
+        self._handle: int | None = None
+        self._threads: list[threading.Thread] = []
+        self._stop = threading.Event()
+        self._fast_specs: dict[int, _FastSpec] = {}
+        self._retired_specs: dict[int, _FastSpec] = {}
+        self._fast_signature: dict | None = None
+        self._fast_lock = threading.Lock()
+
+    # -- fast-route analysis -------------------------------------------
+
+    def _analyze_fast_routes(self) -> None:
+        """(Re)register C++ fast routes from the installed bundle.
+
+        Skips the C++ re-registration when eligibility hasn't changed —
+        re-registering issues fresh route ids, which would orphan
+        requests already parsed under the old ids (they'd fall back to
+        the interpreter via the retired-spec map, correct but slow).
+        """
+        lib, h = self._lib, self._handle
+        specs = {}
+        for name, route in self.engine.routes.items():
+            spec = self._fast_eligible(name, route)
+            if spec is not None:
+                specs[name] = spec
+        with self._fast_lock:
+            if specs == self._fast_signature:
+                return
+            self._fast_signature = specs
+            lib.hxgw_clear_fast_routes(h)
+            # keep retired ids resolvable for in-flight requests
+            self._retired_specs.update(self._fast_specs)
+            self._fast_specs = {}
+            for name, spec in specs.items():
+                rid = lib.hxgw_fast_route(
+                    h, f"/v1/query/{name}".encode(),
+                    spec["vec_key"].encode(),
+                    spec["k_key"].encode() if spec["k_key"] else None,
+                    spec["k_default"], self.K_MAX, spec["dim"],
+                    spec["prefix"].encode(), spec["suffix"].encode(),
+                    b"$id", b"$distance",
+                )
+                self._fast_specs[rid] = _FastSpec(
+                    route_id=rid, name=name, kind=spec["kind"],
+                    label=spec["label"], prop=spec["prop"], dim=spec["dim"],
+                    k_fixed=spec["k_fixed"], k_max=self.K_MAX,
+                )
+            if len(self._retired_specs) > 4096:
+                self._retired_specs.clear()
+
+    def _fast_eligible(self, name: str, route: dict) -> dict | None:
+        if route.get("kind") != "read":
+            return None
+        query = route.get("query") or {}
+        entries = query.get("queries") or []
+        if len(entries) != 1 or "Query" not in entries[0]:
+            return None
+        body = entries[0]["Query"]
+        if body.get("condition") is not None:
+            return None
+        var = body.get("name")
+        if query.get("returns") not in ([var], [var]):
+            return None
+        steps = body.get("steps") or []
+        if len(steps) != 2:
+            return None
+        src, term = steps
+        kind = None
+        if "VectorSearchNodes" in src:
+            kind, search = "nodes", src["VectorSearchNodes"]
+        elif "VectorSearchEdges" in src:
+            kind, search = "edges", src["VectorSearchEdges"]
+        else:
+            return None
+        if term.get("ValueMap") != ["$id", "$distance"]:
+            return None
+        if search.get("tenant_value") is not None:
+            return None
+        def param_name(node: Any) -> str | None:
+            # accept {"Param": p} and the Expr wrapper {"Expr": {"Param": p}}
+            if isinstance(node, dict) and set(node) == {"Expr"}:
+                node = node["Expr"]
+            if isinstance(node, dict) and set(node) == {"Param"} and isinstance(
+                node["Param"], str
+            ):
+                return node["Param"]
+            return None
+
+        vec_key = param_name(search.get("query_vector"))
+        if vec_key is None:
+            return None
+        k = search.get("k")
+        k_key, k_fixed = param_name(k), None
+        if k_key is None:
+            if isinstance(k, dict) and set(k) == {"Literal"} and isinstance(
+                k["Literal"], int
+            ) and k["Literal"] > 0:
+                k_fixed = min(k["Literal"], self.K_MAX)
+            else:
+                return None
+        # index must exist, be untenanted, with a live matrix (dim known)
+        spec_tag = "NodeVector" if kind == "nodes" else "EdgeVector"
+        index = self.engine.vectors.indexes.get(
+            (spec_tag, search["label"], search["property"])
+        )
+        if index is None or index.defn.tenant_property is not None:
+            return None
+        part = index.partition_for_search(None)
+        if part is None or part.matrix is None:
+            return None
+        return {
+            "kind": kind,
+            "label": search["label"],
+            "prop": search["property"],
+            "vec_key": vec_key,
+            "k_key": k_key,
+            "k_default": k_fixed if k_fixed is not None else 10,
+            "k_fixed": k_fixed,
+            "dim": int(part.matrix.dim),
+            "prefix": f'{{"{var}": [',
+            "suffix": "]}",
+        }
+
+    def on_bundle_loaded(self) -> None:
+        self._analyze_fast_routes()
+
+    # -- worker loops ----------------------------------------------------
+
+    # Cap on dispatched-but-unfinalized batches.  Each in-flight batch
+    # overlaps its (tunnel-expensive) D2H with the next dispatch; more
+    # than a few buys nothing and grows tail latency.
+    VBATCH_INFLIGHT = 4
+
+    def _vbatch_loop(self) -> None:
+        """Dispatch stage of the fast path: pull parsed request batches
+        from C++, issue the device search, hand the un-forced result to
+        the finalize stage.  Keeping dispatch and D2H in separate threads
+        pipelines the device: dispatch N+1 runs while batch N's results
+        are still in flight."""
+        import queue as _queue
+        import time
+
+        lib, h = self._lib, self._handle
+        cap = self.VBATCH_CAP
+        max_dim = 4096
+        reqids = np.empty(cap, np.uint64)
+        queries = np.empty((cap, max_dim), np.float32)
+        ks = np.empty(cap, np.int32)
+        route_ids = np.empty(cap, np.int32)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+
+        pending: _queue.Queue = _queue.Queue(maxsize=self.VBATCH_INFLIGHT)
+        finisher = threading.Thread(
+            target=self._vbatch_finalize_loop, args=(pending,), daemon=True
+        )
+        finisher.start()
+        last_refresh = time.monotonic()
+        try:
+            while not self._stop.is_set():
+                n = lib.hxgw_next_vbatch(
+                    h, cap, max_dim, 200,
+                    reqids.ctypes.data_as(u64p),
+                    queries.ctypes.data_as(f32p),
+                    ks.ctypes.data_as(i32p),
+                    route_ids.ctypes.data_as(i32p),
+                )
+                if n < 0:
+                    return
+                now = time.monotonic()
+                if now - last_refresh > 5.0:
+                    # indexes gain matrices (first write) after bundle
+                    # load; re-analysis keeps eligibility current
+                    last_refresh = now
+                    try:
+                        self._analyze_fast_routes()
+                    except Exception:
+                        pass
+                if n == 0:
+                    continue
+                for item in self._dispatch_vbatch(
+                    reqids[:n].copy(), queries[:n], ks[:n].copy(),
+                    route_ids[:n].copy(),
+                ):
+                    pending.put(item)
+        finally:
+            pending.put(None)
+            finisher.join(timeout=5.0)
+
+    def _dispatch_vbatch(self, reqids, queries, ks, route_ids):
+        """Group one pulled batch by route and dispatch each group's
+        search.  Yields (reqids, rid, ks, finalize) work items."""
+        engine = self.engine
+        with self._fast_lock:
+            specs = {**self._retired_specs, **self._fast_specs}
+        for rid in np.unique(route_ids):
+            rows = np.nonzero(route_ids == rid)[0]
+            spec = specs.get(int(rid))
+            part = None
+            if spec is not None:
+                spec_tag = (
+                    "NodeVector" if spec.kind == "nodes" else "EdgeVector"
+                )
+                index = engine.vectors.indexes.get(
+                    (spec_tag, spec.label, spec.prop)
+                )
+                part = index.partition_for_search(None) if index else None
+                if part is not None and (
+                    part.matrix is None or part.matrix.dim != spec.dim
+                ):
+                    part = None
+            if part is None:
+                for i in rows:
+                    self._respond_slow_fallback(
+                        int(reqids[i]), int(rid), queries[i], int(ks[i])
+                    )
+                continue
+            kq = int(ks[rows].max())
+            batch_q = np.ascontiguousarray(queries[rows, : spec.dim])
+            try:
+                with engine._rwlock.read():
+                    finalize = part.search_many_async(batch_q, kq)
+            except Exception:
+                for i in rows:
+                    self._respond_slow_fallback(
+                        int(reqids[i]), int(rid), queries[i], int(ks[i])
+                    )
+                continue
+            yield (
+                np.ascontiguousarray(reqids[rows]), int(rid),
+                np.ascontiguousarray(ks[rows]), batch_q, finalize,
+            )
+
+    def _vbatch_finalize_loop(self, pending) -> None:
+        """Finalize stage: force each dispatched batch's D2H, format and
+        enqueue the responses via C++."""
+        lib, h = self._lib, self._handle
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        while True:
+            item = pending.get()
+            if item is None:
+                return
+            batch_reqids, rid, batch_ks, batch_q, finalize = item
+            try:
+                ids, dists = finalize()
+            except Exception:
+                for i in range(len(batch_reqids)):
+                    self._respond_slow_fallback(
+                        int(batch_reqids[i]), rid, batch_q[i], int(batch_ks[i])
+                    )
+                continue
+            got = ids.shape[1]
+            counts = np.minimum(
+                np.isfinite(dists).sum(axis=1), batch_ks
+            ).astype(np.int32)
+            out_ids = np.zeros((len(batch_reqids), max(got, 1)), np.uint64)
+            out_dists = np.zeros((len(batch_reqids), max(got, 1)), np.float64)
+            if got:
+                out_ids[:, :got] = ids
+                out_dists[:, :got] = dists
+            batch_rids = np.full(len(batch_reqids), rid, np.int32)
+            lib.hxgw_respond_vbatch(
+                h,
+                batch_reqids.ctypes.data_as(u64p),
+                batch_rids.ctypes.data_as(i32p),
+                len(batch_reqids), out_ids.shape[1],
+                out_ids.ctypes.data_as(u64p),
+                out_dists.ctypes.data_as(f64p),
+                counts.ctypes.data_as(i32p),
+            )
+
+    def _respond_slow_fallback(
+        self, reqid: int, route_id: int, query_row: np.ndarray, k: int
+    ) -> None:
+        """Serve a fast-queued request through the interpreter (used when
+        the fast spec vanished mid-flight, e.g. index dropped)."""
+        lib, h = self._lib, self._handle
+        with self._fast_lock:
+            spec = self._fast_specs.get(route_id) or self._retired_specs.get(route_id)
+        try:
+            if spec is None:
+                raise KeyError("fast route no longer installed")
+            params: dict[str, Any] = {
+                # vec_key/k_key recovery needs the route definition
+            }
+            route = self.engine.routes.get(spec.name)
+            if route is None:
+                raise KeyError(f"unknown stored query: {spec.name}")
+            search = route["query"]["queries"][0]["Query"]["steps"][0]
+            body = next(iter(search.values()))
+
+            def unwrap(node):
+                if isinstance(node, dict) and set(node) == {"Expr"}:
+                    node = node["Expr"]
+                return node.get("Param") if isinstance(node, dict) else None
+
+            params[unwrap(body["query_vector"])] = [
+                float(x) for x in query_row[: spec.dim]
+            ]
+            kp = unwrap(body["k"])
+            if kp is not None:
+                params[kp] = k
+            payload = self.engine.execute_stored(spec.name, params)
+            status = 200
+        except Exception as exc:
+            from ..engine import EngineError
+
+            if isinstance(exc, EngineError):
+                payload, status = {"error": exc.to_json()}, 400
+            else:
+                payload, status = (
+                    {"error": {"kind": "Internal", "message": str(exc)}},
+                    500,
+                )
+        data = fastjson.dumpb(payload)
+        lib.hxgw_respond(h, reqid, status, b"application/json", data, len(data))
+
+    def _general_loop(self) -> None:
+        lib, h = self._lib, self._handle
+        method = ctypes.create_string_buffer(16)
+        path = ctypes.create_string_buffer(4096)
+        body_cap = 1 << 20
+        body = ctypes.create_string_buffer(body_cap)
+        body_len = ctypes.c_longlong()
+        flags = ctypes.c_int()
+        while not self._stop.is_set():
+            reqid = lib.hxgw_next_general(
+                h, 200, method, 16, path, 4096, body, body_cap,
+                ctypes.byref(body_len), ctypes.byref(flags),
+            )
+            if reqid < 0:
+                if reqid == -2:  # body larger than buffer: grow and retry
+                    body_cap = max(body_cap * 2, int(body_len.value) + 1)
+                    body = ctypes.create_string_buffer(body_cap)
+                    continue
+                return
+            if reqid == 0:
+                continue
+            self._handle_general(
+                int(reqid),
+                method.value.decode("latin-1"),
+                path.value.decode("latin-1"),
+                ctypes.string_at(body, body_len.value),
+                flags.value,
+            )
+
+    def _handle_general(
+        self, reqid: int, method: str, path: str, raw: bytes, flags: int
+    ) -> None:
+        lib, h = self._lib, self._handle
+        warm = bool(flags & 1)
+        await_durable = not bool(flags & 4)
+        trace = bool(flags & 8)
+        result = dispatch(
+            self, method, path, raw,
+            warm=warm, await_durable=await_durable, trace=trace,
+        )
+        if isinstance(result, JsonResult):
+            data = fastjson.dumpb(result.payload)
+            lib.hxgw_respond(
+                h, reqid, result.status, b"application/json", data, len(data)
+            )
+        elif isinstance(result, BytesResult):
+            lib.hxgw_respond(
+                h, reqid, result.status, result.content_type.encode(),
+                result.body, len(result.body),
+            )
+        elif isinstance(result, EventStream):
+            # dedicated streamer so the worker pool is not pinned by a
+            # long-lived SSE subscriber
+            t = threading.Thread(
+                target=self._stream_events, args=(reqid, result.after),
+                daemon=True,
+            )
+            t.start()
+
+    def _stream_events(self, reqid: int, after: int) -> None:
+        lib, h = self._lib, self._handle
+        lib.hxgw_respond_stream_start(h, reqid, 200, b"text/event-stream")
+        telemetry = self.engine.telemetry
+        while not self._stop.is_set():
+            if not lib.hxgw_request_alive(h, reqid):
+                return
+            events = telemetry.events_since(after, timeout=5.0)
+            if not events:
+                chunk = b": keepalive\n\n"
+            else:
+                parts = []
+                for event in events:
+                    after = max(after, event.get("seq", after))
+                    payload = fastjson.dumps(event)
+                    parts.append(f"id: {event.get('seq')}\ndata: {payload}\n\n")
+                chunk = "".join(parts).encode()
+            if lib.hxgw_stream_write(h, reqid, chunk, len(chunk)) != 0:
+                return
+
+    # -- lifecycle --------------------------------------------------------
+
+    def start(self) -> None:
+        lib = self._lib
+        handle = lib.hxgw_create(
+            self.host.encode(), self.port,
+            self.api_key.encode() if self.api_key else None,
+        )
+        if not handle:
+            raise OSError(f"cannot bind native gateway to {self.host}:{self.port}")
+        self._handle = handle
+        self.port = lib.hxgw_port(handle)
+        lib.hxgw_start(handle)
+        self._analyze_fast_routes()
+        self._stop.clear()
+        self._threads = [
+            threading.Thread(target=self._vbatch_loop, daemon=True)
+        ] + [
+            threading.Thread(target=self._general_loop, daemon=True)
+            for _ in range(self.general_workers)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def serve_forever(self) -> None:
+        self.start()
+        try:
+            while not self._stop.wait(3600.0):
+                pass
+        finally:
+            self.stop()
+
+    def stop(self, close_engine: bool = True) -> None:
+        self._stop.set()
+        if self.follower is not None:
+            self.follower.stop()
+        if self._handle is not None:
+            self._lib.hxgw_stop(self._handle)
+            alive = False
+            for t in self._threads:
+                t.join(timeout=10.0)
+                alive = alive or t.is_alive()
+            if not alive:
+                # never free the C++ gateway under a live worker
+                self._lib.hxgw_destroy(self._handle)
+            self._handle = None
+        if close_engine:
+            self.engine.close()
+
+    def stats(self) -> dict:
+        n_fast = ctypes.c_uint64()
+        n_general = ctypes.c_uint64()
+        n_conns = ctypes.c_uint64()
+        self._lib.hxgw_stats(
+            self._handle, ctypes.byref(n_fast), ctypes.byref(n_general),
+            ctypes.byref(n_conns),
+        )
+        return {
+            "fast_requests": n_fast.value,
+            "general_requests": n_general.value,
+            "connections": n_conns.value,
+        }

@@ -1,0 +1,124 @@
+"""hxjson native codec: stdlib-equivalence (loads + dumps), fuzz."""
+
+import json
+import math
+import random
+import struct
+
+import pytest
+
+from helix_tpu import fastjson
+
+pytestmark = pytest.mark.skipif(
+    not fastjson.native_available(), reason="no native toolchain"
+)
+
+
+CASES = [
+    None, True, False, 0, -1, 1, 2**31, 2**53 + 1, 2**63 - 1, 2**64 - 1,
+    -(2**63), 2**80, -(2**80),
+    0.0, -0.0, 1.0, 0.1, 1e-5, 1e16, 1e15, 123456.789, 3.141592653589793,
+    5e-324, 1.7976931348623157e308, 1e100, -2.5e-10,
+    "", "hello", "quote\"back\\slash", "tab\tnl\ncr\r", "\x01\x1f",
+    "unicode: ñ 中文 🎉", "surrogate pair: \U0001F600",
+    [], [1, 2, 3], [None, True, "x", 1.5], {},
+    {"a": 1}, {"k": [1, {"n": None}], "z": "s"},
+    {"nested": {"deep": [{"x": [0.25, -17]}]}},
+]
+
+
+@pytest.mark.parametrize("value", CASES, ids=range(len(CASES)))
+def test_dumps_matches_stdlib(value):
+    assert fastjson.dumps(value) == json.dumps(value, ensure_ascii=False)
+    assert fastjson.dumps(value, compact=True) == json.dumps(
+        value, ensure_ascii=False, separators=(",", ":")
+    )
+
+
+@pytest.mark.parametrize("value", CASES, ids=range(len(CASES)))
+def test_loads_round_trip(value):
+    text = json.dumps(value, ensure_ascii=False)
+    assert fastjson.loads(text) == json.loads(text)
+    assert fastjson.loads(text.encode()) == json.loads(text)
+
+
+def test_nan_infinity_like_stdlib():
+    for text in ["NaN", "Infinity", "-Infinity"]:
+        got = fastjson.loads(text)
+        ref = json.loads(text)
+        assert (got == ref) or (math.isnan(got) and math.isnan(ref))
+    assert fastjson.dumps(float("inf")) == "Infinity"
+    assert fastjson.dumps(float("nan")) == "NaN"
+
+
+def test_escapes_and_surrogate_pairs():
+    text = r'"Aé中😀\t\\\""'
+    assert fastjson.loads(text) == json.loads(text)
+
+
+def test_duplicate_keys_last_wins():
+    assert fastjson.loads('{"a":1,"a":2}') == {"a": 2}
+
+
+def test_non_str_keys_coerced_like_stdlib():
+    value = {1: "a", 2.5: "b", True: "c", None: "d"}
+    assert fastjson.dumps(value) == json.dumps(value, ensure_ascii=False)
+
+
+def test_errors():
+    for bad in ["", "{", "[1,", '"unterminated', "{1:2}", "[1 2]",
+                "tru", "nul", '{"a":}', "1.2.3", "[]extra"]:
+        with pytest.raises(ValueError):
+            fastjson.loads(bad)
+    with pytest.raises(TypeError):
+        fastjson._load().dumps(object())
+
+
+def test_float_formatting_fuzz():
+    rng = random.Random(7)
+    for _ in range(20000):
+        bits = rng.getrandbits(64)
+        (v,) = struct.unpack("<d", struct.pack("<Q", bits))
+        if math.isnan(v) or math.isinf(v):
+            continue
+        assert fastjson.dumps(v) == repr(v), hex(bits)
+        # decode round-trips exactly
+        assert fastjson.loads(fastjson.dumps(v)) == v
+
+
+def test_structure_fuzz():
+    rng = random.Random(11)
+
+    def gen(depth):
+        roll = rng.random()
+        if depth > 4 or roll < 0.3:
+            return rng.choice(
+                [None, True, False, rng.randint(-(2**64), 2**64),
+                 rng.random() * 10 ** rng.randint(-20, 20),
+                 "".join(chr(rng.randint(1, 0x2FFF)) for _ in range(rng.randint(0, 8)))]
+            )
+        if roll < 0.65:
+            return [gen(depth + 1) for _ in range(rng.randint(0, 5))]
+        return {
+            "".join(chr(rng.randint(32, 500)) for _ in range(rng.randint(0, 6))): gen(depth + 1)
+            for _ in range(rng.randint(0, 5))
+        }
+
+    for _ in range(300):
+        value = gen(0)
+        text = json.dumps(value, ensure_ascii=False)
+        assert fastjson.dumps(value) == text
+        assert fastjson.loads(text) == json.loads(text)
+
+
+def test_parity_corpus_round_trips():
+    """Every committed parity fixture decodes identically to stdlib."""
+    import pathlib
+
+    root = pathlib.Path(__file__).parent / "parity" / "fixtures"
+    count = 0
+    for path in root.rglob("*.json"):
+        raw = path.read_text()
+        assert fastjson.loads(raw) == json.loads(raw), path
+        count += 1
+    assert count > 200
