@@ -37,7 +37,7 @@ from typing import Any, Callable
 import numpy as np
 
 from .. import wire
-from ..dsl import DateTime
+from ..dsl import DateTime, PropertyValue
 from . import values as V
 from .errors import ParamError, QueryError, WriteError
 from .expr import Element, EvalContext, eval_expr, eval_predicate, predicate_mask
@@ -96,9 +96,11 @@ class Terminal:
 def convert_parameters(
     parameters: dict[str, Any] | None,
     parameter_types: dict[str, Any] | None,
+    skip: frozenset | set = frozenset(),
 ) -> dict[str, Tagged]:
     """Convert plain dynamic-parameter JSON into tagged runtime values,
-    honoring declared types (reference types: query_generator.rs:17-38)."""
+    honoring declared types (reference types: query_generator.rs:17-38).
+    Names in ``skip`` are left to the caller (deferred bulk arrays)."""
     out: dict[str, Tagged] = {}
     parameters = parameters or {}
     types = parameter_types or {}
@@ -106,7 +108,90 @@ def convert_parameters(
         if name not in parameters:
             raise ParamError(f"missing required parameter: {name}")
     for name, value in parameters.items():
-        out[name] = _convert_param(value, types.get(name), name)
+        if name not in skip:
+            out[name] = _convert_param(value, types.get(name), name)
+    return out
+
+
+#: marker tag for deferred bulk-ingest arrays; payload is (raw, declared_ty).
+#: EvalContext.param converts through it lazily (expr.py), so only the
+#: ForEach bulk fast path ever sees raw rows.
+_RAW_DOCS_TAG = "__HxRawDocs__"
+
+
+def _bulk_add_n_columns(body: dict, param_name: str):
+    """Shape test for the ForEach bulk fast path: body == one
+    unconditional AddN whose property inputs are loop-param fields or
+    constants.  Returns (query, add_n, columns) or None; columns entries
+    are (prop_name, field|''|None, const) — field '' binds the whole loop
+    item, None marks a constant."""
+    entries = body.get("body") or []
+    if len(entries) != 1 or not isinstance(entries[0], dict):
+        return None
+    if "Query" not in entries[0]:
+        return None
+    q = entries[0]["Query"]
+    if q.get("condition") is not None:
+        return None
+    steps = q.get("steps") or []
+    if len(steps) != 1 or not isinstance(steps[0], dict):
+        return None
+    if "AddN" not in steps[0]:
+        return None
+    add_n = steps[0]["AddN"]
+    prefix = param_name + "."
+    columns: list[tuple] = []
+    for prop in add_n.get("properties", []):
+        if not (isinstance(prop, (list, tuple)) and len(prop) == 2):
+            return None
+        name, node = prop
+        if not isinstance(node, dict) or len(node) != 1:
+            return None
+        tag = next(iter(node))
+        inner = node[tag]
+        if tag == "Expr" and isinstance(inner, dict) and len(inner) == 1:
+            tag, inner = next(iter(inner.items()))
+        if tag == "Value":
+            columns.append((name, None, inner))
+        elif tag == "Param" and isinstance(inner, str):
+            if inner == param_name:
+                columns.append((name, "", None))
+            elif inner.startswith(prefix) and "." not in inner[len(prefix):]:
+                columns.append((name, inner[len(prefix):], None))
+            else:
+                return None  # outer params / deep paths: loop path
+        else:
+            return None
+    return q, add_n, columns
+
+
+def _deferrable_bulk_params(request: dict) -> set:
+    """Names of array params safe to leave unconverted: consumed by a
+    top-level ForEach whose body is the bulk AddN shape, declared (or
+    defaulting to) a generic object/value array."""
+    try:
+        entries = request["query"]["queries"]
+    except (KeyError, TypeError):
+        return set()
+    parameters = request.get("parameters") or {}
+    types = request.get("parameter_types") or {}
+    out: set = set()
+    for entry in entries:
+        if not (isinstance(entry, dict) and "ForEach" in entry):
+            continue
+        body = entry["ForEach"]
+        name = body.get("param")
+        if not isinstance(name, str) or name in out:
+            continue
+        ty = types.get(name)
+        if ty is not None and ty not in ({"Array": "Object"}, {"Array": "Value"}):
+            continue
+        raw = parameters.get(name)
+        if not (isinstance(raw, list) and len(raw) >= 64):
+            continue  # small batches: eager conversion is cheap
+        if _bulk_add_n_columns(body, name) is None:
+            continue
+        out.add(name)
     return out
 
 
@@ -149,7 +234,10 @@ def _convert_param(value: Any, ty: Any, path: str) -> Tagged:
         return {"Object": {k: V.from_plain(v) for k, v in value.items()}}
     if tag == "Array":
         if not isinstance(value, list):
-            raise ParamError(f"parameter '{path}' must be an array")
+            if type(value).__name__ == "array":  # fast-parsed numeric vector
+                value = value.tolist()
+            else:
+                raise ParamError(f"parameter '{path}' must be an array")
         inner = ty["Array"]
         inner_tag = inner if isinstance(inner, str) else next(iter(inner))
         if inner_tag == "F32":
@@ -239,9 +327,23 @@ class Executor:
         trace: list | None = None,
     ) -> dict:
         wire.validate_request(request)
+        deferred = _deferrable_bulk_params(request)
         params = convert_parameters(
-            request.get("parameters"), request.get("parameter_types")
+            request.get("parameters"), request.get("parameter_types"),
+            skip=deferred,
         )
+        for name in deferred:
+            # Bulk-ingest arrays skip eager tagging: the ForEach bulk
+            # path consumes the raw JSON rows directly (the generic
+            # per-item Object conversion costs more than the insert at
+            # 100k+ docs).  Any OTHER access converts lazily through
+            # EvalContext.param, so semantics are unchanged.
+            params[name] = {
+                _RAW_DOCS_TAG: (
+                    request["parameters"][name],
+                    (request.get("parameter_types") or {}).get(name),
+                )
+            }
         ctx = EvalContext(params)
         if now_ms is not None:
             ctx.now_ms = now_ms  # deterministic WAL replay clock
@@ -264,6 +366,16 @@ class Executor:
             if is_write and _has_invalidating_steps(batch["queries"])
             else frozenset()
         )
+        # Bulk ingests allocate millions of containers while the request's
+        # own object graph is live; CPython's cyclic GC re-traverses it on
+        # every generation threshold, measured at ~2/3 of ingest wall time
+        # at 100k docs.  Nothing in a batch creates cycles — pause
+        # collection (refcounting still frees) for the duration.
+        import gc as _gc
+
+        pause_gc = bool(deferred) and _gc.isenabled()
+        if pause_gc:
+            _gc.disable()
         try:
             self._run_entries(batch["queries"], ctx, scope, order, undo)
             # Encode inside the rollback window: a payload-encode failure
@@ -274,6 +386,9 @@ class Executor:
             if undo is not None:
                 undo.rollback()
             raise
+        finally:
+            if pause_gc:
+                _gc.enable()
 
     def _payload_for(self, var: VarValue | None) -> Any:
         if var is None:
@@ -320,6 +435,19 @@ class Executor:
         undo: UndoLog | None,
     ) -> None:
         param_name = body["param"]
+        # Deferred bulk arrays: try the raw fast path before the lazy
+        # conversion that ctx.param() would trigger.
+        marker = ctx.params.get(param_name)
+        if (
+            isinstance(marker, dict)
+            and len(marker) == 1
+            and _RAW_DOCS_TAG in marker
+        ):
+            raw_items = marker[_RAW_DOCS_TAG][0]
+            if self._foreach_bulk_add_n(
+                body, raw_items, param_name, scope, order, undo, raw=True
+            ):
+                return
         value = ctx.param(param_name)
         tag = V.tag_of(value)
         if tag == "Array":
@@ -331,9 +459,94 @@ class Executor:
             raise QueryError(
                 f"ForEach parameter '{param_name}' must be an array"
             )
+        if self._foreach_bulk_add_n(
+            body, items, param_name, scope, order, undo
+        ):
+            return
         for item in items:
             child = ctx.child(param_name, item)
             self._run_entries(body["body"], child, scope, order, undo)
+
+    def _foreach_bulk_add_n(
+        self,
+        body: dict,
+        items: list,
+        param_name: str,
+        scope: dict[str, VarValue],
+        order: list[str],
+        undo: UndoLog | None,
+        raw: bool = False,
+    ) -> bool:
+        """Vectorized ForEach: a body that is exactly one unconditional
+        ``AddN`` whose property inputs are loop-param fields or constants
+        becomes ONE bulk store insert (shared column extraction, one
+        vector-hook matrix extend, one undo record) instead of N
+        interpreter iterations.  Returns False — caller falls back to the
+        loop — for any other shape, so semantics stay identical.
+
+        ``raw=True``: items are unconverted JSON dicts (deferred bulk
+        param); field values tag through ``PropertyValue.of``, the same
+        coercion the eager Object conversion applies.
+        """
+        shape = _bulk_add_n_columns(body, param_name)
+        if shape is None or undo is None:
+            return False  # (read batch: loop path raises the proper error)
+        q, add_n, columns = shape
+        prefix = param_name + "."
+        # items must all be single-level objects for field extraction
+        rows: list[dict] = []
+        if raw:
+            for item in items:
+                if type(item) is not dict:
+                    return False
+                rows.append(item)
+        else:
+            for item in items:
+                if not (isinstance(item, dict) and V.tag_of(item) == "Object"):
+                    return False
+                rows.append(V.payload_of(item))
+        of = PropertyValue.of
+        props_list: list[dict] = []
+        for item, row in zip(items, rows):
+            props = {}
+            for name, field, const in columns:
+                if field is None:
+                    props[name] = const
+                elif field == "":
+                    props[name] = of(item) if raw else item
+                else:
+                    value = row.get(field)
+                    if value is None and field not in row:
+                        # match the loop path: eval_expr raises on
+                        # unknown parameter paths
+                        raise QueryError(
+                            f"unknown parameter path: {prefix}{field}"
+                        )
+                    props[name] = of(value) if raw else value
+            props_list.append(props)
+        node_ids = self.store.add_nodes_bulk(
+            add_n["label"], props_list, copy_props=False
+        )
+        undo.record(
+            lambda ids=tuple(node_ids): [
+                self.store.raw_remove_node(i) for i in reversed(ids)
+            ]
+        )
+        name = q.get("name")
+        if name and node_ids:
+            # loop semantics: the body var ends holding the LAST iteration's
+            # created node
+            frame = Frame.nodes(np.array([node_ids[-1]], UINT64))
+            result = VarValue(
+                _UNSET, 1, frame, thunk=lambda f=frame: self.encode_frame(f)
+            )
+            if name not in scope:
+                order.append(name)
+            scope[name] = result
+            eager = self._eager_names
+            if eager is None or name in eager:
+                result.payload
+        return True
 
     def _condition(
         self, condition: Any, scope: dict[str, VarValue], prev: VarValue | None

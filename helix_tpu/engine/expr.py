@@ -41,13 +41,24 @@ class EvalContext:
         self.params = params or {}
         self.now_ms = int(time.time() * 1000)
 
+    def _materialize(self, name: str, value: Tagged) -> Tagged:
+        """Deferred bulk arrays (exec._RAW_DOCS_TAG markers) convert on
+        first generic access; the ForEach bulk path reads them raw."""
+        if isinstance(value, dict) and len(value) == 1 and "__HxRawDocs__" in value:
+            from .exec import _convert_param
+
+            raw, ty = value["__HxRawDocs__"]
+            value = _convert_param(raw, ty, name)
+            self.params[name] = value
+        return value
+
     def param(self, path: str) -> Tagged:
         if path in self.params:
-            return self.params[path]
+            return self._materialize(path, self.params[path])
         head, _, rest = path.partition(".")
         if head not in self.params:
             raise QueryError(f"unknown parameter: {path}")
-        value = self.params[head]
+        value = self._materialize(head, self.params[head])
         for part in rest.split(".") if rest else []:
             if isinstance(value, dict) and V.tag_of(value) == "Object":
                 inner = V.payload_of(value)

@@ -67,6 +67,9 @@ _ALLOWED_PICKLE_GLOBALS = {
     ("numpy._core.numeric", "_frombuffer"),
     ("numpy", "ndarray"),
     ("numpy", "dtype"),
+    # fast-parsed vector payloads ({"F64Array": array('d', ...)})
+    ("array", "array"),
+    ("array", "_array_reconstructor"),
 }
 
 
@@ -150,10 +153,12 @@ class Persistence:
     def log_write(self, request: dict, now_ms: int, sync: bool = True) -> None:
         assert self.wal is not None, "recover() must run before writes"
         self._seq += 1
-        record = json.dumps(
+        from .. import fastjson
+
+        record = fastjson.dumpb(
             {"seq": self._seq, "now_ms": now_ms, "request": request},
-            ensure_ascii=False, separators=(",", ":"),
-        ).encode("utf-8")
+            compact=True,
+        )
         self.wal.append(record, sync=sync)
 
     # -- checkpoint ---------------------------------------------------------

@@ -313,6 +313,63 @@ class GraphStore:
         self.bump()
         return node_id
 
+    def add_nodes_bulk(
+        self, label: str, props_list: list[dict[str, Tagged]],
+        copy_props: bool = True,
+    ) -> list[int]:
+        """Bulk :meth:`add_node`: one hook dispatch + one bookkeeping
+        extend for the whole batch (the ForEach-AddN ingest hot path).
+
+        All-or-nothing like the per-node path: a unique violation or
+        hook error anywhere in the batch unwinds every index entry and
+        hook effect before re-raising, leaving the store untouched.
+        """
+        if not props_list:
+            return []
+        first_id = self._next_node_id
+        nodes = [
+            Node(first_id + i, label, dict(props) if copy_props else props)
+            for i, props in enumerate(props_list)
+        ]
+        self._next_node_id += len(nodes)
+        inserted: list[tuple[Any, int, Tagged]] = []
+        hooked: list[Any] = []
+        try:
+            for idx in self._scalar_index_hooks("node", label):
+                for node in nodes:
+                    value = node.props.get(idx.prop)
+                    if value is not None and not V.is_null(value):
+                        idx.impl.insert(node.id, value)
+                        inserted.append((idx.impl, node.id, value))
+            for hook in self._write_hooks:
+                # registered before the call: a hook failing mid-batch may
+                # have partially applied, and its removal path is a no-op
+                # for ids it never saw
+                hooked.append(hook)
+                bulk = getattr(hook, "on_nodes_added_bulk", None)
+                if bulk is not None:
+                    bulk(self, nodes)
+                else:
+                    for node in nodes:
+                        hook.on_node_added(self, node)
+        except Exception:
+            for impl, node_id, value in inserted:
+                impl.remove(node_id, value)
+            for hook in hooked:
+                for node in nodes:
+                    hook.on_node_dropped(self, node)
+            self._next_node_id = first_id
+            raise
+        by_label = self.nodes_by_label.setdefault(label, [])
+        for node in nodes:
+            self.nodes[node.id] = node
+            self.out_adj[node.id] = []
+            self.in_adj[node.id] = []
+        self.node_order.extend(n.id for n in nodes)
+        by_label.extend(n.id for n in nodes)
+        self.bump()
+        return [n.id for n in nodes]
+
     def add_edge(self, label: str, src: int, dst: int, props: dict[str, Tagged]) -> int:
         if src not in self.nodes:
             raise QueryError(f"unknown source node id {src}")

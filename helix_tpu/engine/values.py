@@ -149,6 +149,8 @@ def to_plain(value: Tagged) -> Any:
         return [to_plain(v) for v in payload]
     if tag == "Object":
         return {k: to_plain(v) for k, v in payload.items()}
+    if type(payload).__name__ == "array":
+        return payload.tolist()  # fast-parsed vector: render as a list
     return payload
 
 

@@ -43,7 +43,9 @@ def _fast_vector(value):
     ``values.f32_vector`` does; everything else takes the slow path."""
     if type(value) is dict and len(value) == 1:
         tag, payload = next(iter(value.items()))
-        if tag in ("F32Array", "F64Array") and isinstance(payload, list):
+        if tag in ("F32Array", "F64Array") and (
+            isinstance(payload, list) or type(payload).__name__ == "array"
+        ):
             return payload
     return V.f32_vector(value)
 
@@ -430,9 +432,28 @@ class VectorIndex:
             ids.append(element.id)
             vecs.append(vec)
         for tenant, (ids, vecs) in groups.items():
-            self.partition_for(tenant).add_bulk(
-                ids, np.asarray(vecs, np.float32)
-            )
+            try:
+                first = vecs[0]
+                if type(first).__name__ == "array" and all(
+                    type(v).__name__ == "array" and len(v) == len(first)
+                    for v in vecs
+                ):
+                    # fast-parsed rows: one buffer join + frombuffer is
+                    # ~3x np.asarray over 10k small array('d') objects
+                    joined = b"".join(memoryview(v).cast("B") for v in vecs)
+                    block = np.frombuffer(joined, np.float64).reshape(
+                        len(vecs), len(first)
+                    ).astype(np.float32)
+                else:
+                    block = np.asarray(vecs, np.float32)
+            except (ValueError, TypeError) as exc:
+                # ragged / non-numeric rows: same error class as the
+                # per-row path raises on a dimension mismatch
+                raise WriteError(
+                    f"vector dimension mismatch in bulk write to "
+                    f"{self.defn.label}.{self.defn.prop}: {exc}"
+                ) from exc
+            self.partition_for(tenant).add_bulk(ids, block)
 
     def remove_element(self, element_id: int) -> None:
         for part in self.partitions.values():
@@ -506,6 +527,14 @@ class VectorManager:
     def on_node_added(self, store: GraphStore, node: Node) -> None:
         for index in self._matching("node", node.label):
             index.insert_element(node)
+
+    def on_nodes_added_bulk(self, store: GraphStore, nodes: list) -> None:
+        """Bulk-ingest hook: one matrix extend per (index, tenant) group
+        instead of a per-row pack (the ForEach-AddN hot path)."""
+        if not nodes:
+            return
+        for index in self._matching("node", nodes[0].label):
+            index.insert_elements_bulk(nodes)
 
     def on_edge_added(self, store: GraphStore, edge: Edge) -> None:
         for index in self._matching("edge", edge.label):

@@ -66,11 +66,27 @@ def native_available() -> bool:
     return bool(_load())
 
 
-def loads(data: str | bytes | bytearray) -> Any:
+def loads(data: str | bytes | bytearray, fast_arrays: bool = False) -> Any:
+    """Parse JSON.  ``fast_arrays=True`` (native only) parses numeric
+    arrays of >=32 elements with a float member into ``array.array('d')``
+    — zero per-element boxing, the bulk-ingest hot path.  The stdlib
+    fallback ignores the flag (plain lists; identical values)."""
     impl = _load()
     if impl:
-        return impl.loads(data)
+        return impl.loads(data, fast_arrays=fast_arrays)
+    if isinstance(data, memoryview):  # stdlib json cannot take a view
+        data = data.tobytes()
     return _json.loads(data)
+
+
+def _plain_default(obj: Any):
+    """stdlib-fallback encoder hook for buffer-backed numeric arrays."""
+    tolist = getattr(obj, "tolist", None)
+    if tolist is not None:
+        return tolist()
+    raise TypeError(
+        f"Object of type {type(obj).__name__} is not JSON serializable"
+    )
 
 
 def dumps(value: Any, compact: bool = False) -> str:
@@ -81,8 +97,9 @@ def dumps(value: Any, compact: bool = False) -> str:
         except TypeError:
             pass  # non-plain types: stdlib error text for consistency
     if compact:
-        return _json.dumps(value, ensure_ascii=False, separators=(",", ":"))
-    return _json.dumps(value, ensure_ascii=False)
+        return _json.dumps(value, ensure_ascii=False, separators=(",", ":"),
+                           default=_plain_default)
+    return _json.dumps(value, ensure_ascii=False, default=_plain_default)
 
 
 def dumpb(value: Any, compact: bool = False) -> bytes:

@@ -129,6 +129,15 @@ def load() -> ctypes.CDLL:
             ctypes.c_char_p, ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int),
         ]
+        lib.hxgw_next_general_zc.restype = ctypes.c_longlong
+        lib.hxgw_next_general_zc.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.hxgw_release_body.restype = None
+        lib.hxgw_release_body.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         lib.hxgw_respond.restype = ctypes.c_int
         lib.hxgw_respond.argtypes = [
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int,

@@ -205,6 +205,10 @@ struct Gateway {
     std::vector<FastRoute> fast_routes;
     int next_route_id = 1;
 
+    // zero-copy handoff: bodies parked until the worker releases them
+    std::mutex parked_mu;
+    std::unordered_map<uint64_t, std::string> parked;
+
     // stats
     std::atomic<uint64_t> n_fast{0}, n_general{0}, n_conns{0};
 
@@ -716,13 +720,15 @@ void io_loop(Gateway* gw) {
                 if (!flush_conn(gw, c)) continue;
             }
             if (events[i].events & EPOLLIN) {
-                char buf[65536];
+                static thread_local std::vector<char> rbuf_chunk(1 << 20);
+                char* buf = rbuf_chunk.data();
+                const size_t bufsz = rbuf_chunk.size();
                 bool closed = false;
                 for (;;) {
-                    ssize_t r = recv(fd, buf, sizeof buf, 0);
+                    ssize_t r = recv(fd, buf, bufsz, 0);
                     if (r > 0) {
                         c->rbuf.append(buf, (size_t)r);
-                        if ((size_t)r < sizeof buf) break;
+                        if ((size_t)r < bufsz) break;
                         continue;
                     }
                     if (r == 0) { closed = true; break; }
@@ -962,6 +968,46 @@ long long hxgw_next_general(void* h, int timeout_ms, char* method,
     long long reqid = (long long)gr.reqid;
     gw->gqueue.pop_front();
     return reqid;
+}
+
+// Zero-copy variant: the request is parked (owned by C++) and its body
+// pointer handed out directly; the caller MUST call hxgw_release_body
+// after it is done with the pointer (typically right after parsing).
+long long hxgw_next_general_zc(void* h, int timeout_ms, char* method,
+                               int method_cap, char* path, int path_cap,
+                               const char** body, long long* body_len,
+                               int* flags) {
+    Gateway* gw = (Gateway*)h;
+    std::unique_lock<std::mutex> lk(gw->q_mu);
+    if (gw->gqueue.empty()) {
+        gw->q_cv.wait_for(lk, std::chrono::milliseconds(timeout_ms), [&] {
+            return !gw->gqueue.empty() ||
+                   !gw->running.load(std::memory_order_acquire);
+        });
+    }
+    if (gw->gqueue.empty())
+        return gw->running.load(std::memory_order_acquire) ? 0 : -1;
+    GRequest gr = std::move(gw->gqueue.front());
+    gw->gqueue.pop_front();
+    lk.unlock();
+    snprintf(method, method_cap, "%s", gr.method.c_str());
+    snprintf(path, path_cap, "%s", gr.path.c_str());
+    *flags = gr.flags;
+    long long reqid = (long long)gr.reqid;
+    {
+        std::lock_guard<std::mutex> plk(gw->parked_mu);
+        auto& slot = gw->parked[gr.reqid];
+        slot = std::move(gr.body);
+        *body = slot.data();
+        *body_len = (long long)slot.size();
+    }
+    return reqid;
+}
+
+void hxgw_release_body(void* h, unsigned long long reqid) {
+    Gateway* gw = (Gateway*)h;
+    std::lock_guard<std::mutex> plk(gw->parked_mu);
+    gw->parked.erase(reqid);
 }
 
 int hxgw_respond(void* h, unsigned long long reqid, int status,

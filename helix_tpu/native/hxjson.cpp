@@ -32,11 +32,19 @@
 
 namespace {
 
+// array.array type, resolved once at module init (fast_arrays mode).
+PyObject* g_array_type = nullptr;
+
 struct Parser {
     const char* p;
     const char* end;
     const char* begin;
     int depth = 0;
+    bool fast_arrays = false;
+    // fast_arrays: JSON arrays of >= this many numbers, at least one
+    // non-integer, parse straight into an array.array('d') — no
+    // per-element PyFloat boxing (the bulk-ingest hot path).
+    static constexpr size_t FAST_ARRAY_MIN = 32;
 
     explicit Parser(const char* data, Py_ssize_t len)
         : p(data), end(data + len), begin(data) {}
@@ -117,9 +125,65 @@ struct Parser {
         }
     }
 
+    // Attempt the numeric fast path from just after '['.  Returns:
+    //  1 -> success, *out is an array.array('d'), p advanced past ']'
+    //  0 -> not applicable (rewound; caller parses generically)
+    // -1 -> hard parse error (PyErr set)
+    int try_numeric_array(PyObject** out) {
+        const char* save = p;
+        std::vector<double> buf;
+        bool any_float = false;
+        const char* q = p;
+        q = skip_ws_at(q);
+        if (q < end && *q == ']') { p = save; return 0; }
+        for (;;) {
+            q = skip_ws_at(q);
+            if (q >= end) { p = save; return 0; }
+            char c = *q;
+            if (!((c >= '0' && c <= '9') || c == '-')) { p = save; return 0; }
+            const char* tok = q;
+            double d;
+            auto res = std::from_chars(q, end, d);
+            if (res.ec != std::errc()) { p = save; return 0; }
+            // token scan: a '.', 'e' or 'E' marks a float literal
+            for (const char* t = tok; t < res.ptr; ++t)
+                if (*t == '.' || *t == 'e' || *t == 'E') { any_float = true; break; }
+            buf.push_back(d);
+            q = skip_ws_at(res.ptr);
+            if (q < end && *q == ',') { ++q; continue; }
+            if (q < end && *q == ']') { ++q; break; }
+            p = save;
+            return 0;
+        }
+        if (buf.size() < FAST_ARRAY_MIN || !any_float) { p = save; return 0; }
+        PyObject* bytes = PyBytes_FromStringAndSize(
+            (const char*)buf.data(), (Py_ssize_t)(buf.size() * sizeof(double)));
+        if (!bytes) return -1;
+        PyObject* arr = PyObject_CallFunction(g_array_type, "sO", "d", bytes);
+        Py_DECREF(bytes);
+        if (!arr) return -1;
+        p = q;
+        *out = arr;
+        return 1;
+    }
+
+    const char* skip_ws_at(const char* q) const {
+        while (q < end && (*q == ' ' || *q == '\t' || *q == '\n' || *q == '\r'))
+            ++q;
+        return q;
+    }
+
     PyObject* parse_array() {
         ++p;  // '['
         ++depth;
+        if (fast_arrays && g_array_type) {
+            PyObject* arr = nullptr;
+            int rc = try_numeric_array(&arr);
+            if (rc != 0) {
+                --depth;
+                return rc == 1 ? arr : nullptr;
+            }
+        }
         PyObject* lst = PyList_New(0);
         if (!lst) return nullptr;
         skip_ws();
@@ -477,6 +541,42 @@ struct Encoder {
             out.push_back(']');
             return true;
         }
+        // 1-D numeric buffers (array.array('d'/'q'/'l'), float64/int64
+        // ndarrays): emit numbers straight from the buffer — the WAL and
+        // replication payloads carry fast-parsed vectors this way.
+        if (PyObject_CheckBuffer(obj)) {
+            Py_buffer view;
+            if (PyObject_GetBuffer(obj, &view,
+                                   PyBUF_ND | PyBUF_FORMAT | PyBUF_C_CONTIGUOUS) == 0) {
+                const char* fmt = view.format ? view.format : "B";
+                bool is_d = strcmp(fmt, "d") == 0;
+                bool is_q = strcmp(fmt, "q") == 0 || strcmp(fmt, "l") == 0;
+                if (view.ndim == 1 && (is_d || is_q)) {
+                    out.push_back('[');
+                    Py_ssize_t n = view.shape[0];
+                    for (Py_ssize_t i = 0; i < n; ++i) {
+                        if (i) put(item_sep, item_sep_len);
+                        if (is_d) {
+                            // NaN/Infinity literals, matching the scalar
+                            // float path (stdlib default behavior)
+                            encode_double(((const double*)view.buf)[i]);
+                        } else {
+                            char buf[24];
+                            auto res = std::to_chars(
+                                buf, buf + sizeof buf,
+                                ((const long long*)view.buf)[i]);
+                            put(buf, res.ptr - buf);
+                        }
+                    }
+                    out.push_back(']');
+                    PyBuffer_Release(&view);
+                    return true;
+                }
+                PyBuffer_Release(&view);
+            } else {
+                PyErr_Clear();
+            }
+        }
         // bool/int/float subclasses (e.g. numpy scalars via __index__ won't
         // appear here; engine encodes to plain types first)
         return fail_type(obj);
@@ -485,7 +585,14 @@ struct Encoder {
 
 // ---------------------------------------------------------------- module
 
-PyObject* hx_loads(PyObject*, PyObject* arg) {
+PyObject* hx_loads(PyObject*, PyObject* args, PyObject* kwargs) {
+    PyObject* arg;
+    int fast_arrays = 0;
+    static const char* kwlist[] = {"data", "fast_arrays", nullptr};
+    if (!PyArg_ParseTupleAndKeywords(args, kwargs, "O|p",
+                                     const_cast<char**>(kwlist), &arg,
+                                     &fast_arrays))
+        return nullptr;
     const char* data;
     Py_ssize_t len;
     Py_buffer view = {};
@@ -499,6 +606,7 @@ PyObject* hx_loads(PyObject*, PyObject* arg) {
         return nullptr;
     }
     Parser parser(data, len);
+    parser.fast_arrays = fast_arrays != 0;
     PyObject* result = parser.parse_value();
     if (result) {
         parser.skip_ws();
@@ -538,7 +646,9 @@ PyObject* hx_dumpb(PyObject*, PyObject* args, PyObject* kwargs) {
 }
 
 PyMethodDef methods[] = {
-    {"loads", hx_loads, METH_O, "Parse JSON from str/bytes."},
+    {"loads", (PyCFunction)(void*)hx_loads, METH_VARARGS | METH_KEYWORDS,
+     "Parse JSON from str/bytes; fast_arrays=True parses numeric arrays "
+     "into array.array('d')."},
     {"dumps", (PyCFunction)(void*)hx_dumps, METH_VARARGS | METH_KEYWORDS,
      "Serialize to a JSON str (ensure_ascii=False semantics)."},
     {"dumpb", (PyCFunction)(void*)hx_dumpb, METH_VARARGS | METH_KEYWORDS,
@@ -553,4 +663,14 @@ PyModuleDef moduledef = {
 
 }  // namespace
 
-PyMODINIT_FUNC PyInit_hxjson(void) { return PyModule_Create(&moduledef); }
+PyMODINIT_FUNC PyInit_hxjson(void) {
+    PyObject* mod = PyModule_Create(&moduledef);
+    if (!mod) return nullptr;
+    PyObject* array_mod = PyImport_ImportModule("array");
+    if (array_mod) {
+        g_array_type = PyObject_GetAttrString(array_mod, "array");
+        Py_DECREF(array_mod);
+    }
+    if (!g_array_type) PyErr_Clear();  // fast_arrays simply disabled
+    return mod;
+}

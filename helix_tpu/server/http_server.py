@@ -31,6 +31,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
+from .. import fastjson
 from ..engine import Engine
 from . import routes
 
@@ -95,7 +96,7 @@ class HelixHTTPServer:
                 pass  # request logging goes through the telemetry layer
 
             def _reply(self, status: int, payload: Any) -> None:
-                body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+                body = fastjson.dumpb(payload)
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))

@@ -99,11 +99,13 @@ class NativeGateway:
         self.general_workers = general_workers
         self._handle: int | None = None
         self._threads: list[threading.Thread] = []
+        self._streamers: list[threading.Thread] = []
         self._stop = threading.Event()
         self._fast_specs: dict[int, _FastSpec] = {}
         self._retired_specs: dict[int, _FastSpec] = {}
         self._fast_signature: dict | None = None
         self._fast_lock = threading.Lock()
+        self._requests_handled = 0
 
     # -- fast-route analysis -------------------------------------------
 
@@ -420,30 +422,42 @@ class NativeGateway:
         lib, h = self._lib, self._handle
         method = ctypes.create_string_buffer(16)
         path = ctypes.create_string_buffer(4096)
-        body_cap = 1 << 20
-        body = ctypes.create_string_buffer(body_cap)
+        body_ptr = ctypes.c_void_p()
         body_len = ctypes.c_longlong()
         flags = ctypes.c_int()
         while not self._stop.is_set():
-            reqid = lib.hxgw_next_general(
-                h, 200, method, 16, path, 4096, body, body_cap,
-                ctypes.byref(body_len), ctypes.byref(flags),
+            reqid = lib.hxgw_next_general_zc(
+                h, 200, method, 16, path, 4096,
+                ctypes.byref(body_ptr), ctypes.byref(body_len),
+                ctypes.byref(flags),
             )
             if reqid < 0:
-                if reqid == -2:  # body larger than buffer: grow and retry
-                    body_cap = max(body_cap * 2, int(body_len.value) + 1)
-                    body = ctypes.create_string_buffer(body_cap)
-                    continue
                 return
             if reqid == 0:
                 continue
+            # zero-copy body view into the C++-parked buffer; released
+            # in _handle_general's finally once parsing is done
+            n = int(body_len.value)
+            if n and body_ptr.value:
+                raw = memoryview(
+                    (ctypes.c_char * n).from_address(body_ptr.value)
+                ).cast("B")
+            else:
+                raw = b""
             self._handle_general(
                 int(reqid),
                 method.value.decode("latin-1"),
                 path.value.decode("latin-1"),
-                ctypes.string_at(body, body_len.value),
+                raw,
                 flags.value,
             )
+
+    # Bodies above this size are handled one at a time: several workers
+    # decoding multi-MB JSON concurrently just thrash the GIL (measured
+    # 4x slower than sequential on 27 MB ingest bodies), while small
+    # requests still fan out across the pool.
+    BIG_BODY_BYTES = 4 << 20
+    _big_body_lock = threading.Lock()
 
     def _handle_general(
         self, reqid: int, method: str, path: str, raw: bytes, flags: int
@@ -452,10 +466,23 @@ class NativeGateway:
         warm = bool(flags & 1)
         await_durable = not bool(flags & 4)
         trace = bool(flags & 8)
-        result = dispatch(
-            self, method, path, raw,
-            warm=warm, await_durable=await_durable, trace=trace,
-        )
+        self._requests_handled += 1
+        try:
+            if len(raw) >= self.BIG_BODY_BYTES:
+                with self._big_body_lock:
+                    result = dispatch(
+                        self, method, path, raw,
+                        warm=warm, await_durable=await_durable, trace=trace,
+                    )
+            else:
+                result = dispatch(
+                    self, method, path, raw,
+                    warm=warm, await_durable=await_durable, trace=trace,
+                )
+        finally:
+            if not isinstance(raw, bytes):
+                raw.release()  # invalidate the view before C++ frees it
+                lib.hxgw_release_body(h, reqid)
         if isinstance(result, JsonResult):
             data = fastjson.dumpb(result.payload)
             lib.hxgw_respond(
@@ -468,11 +495,13 @@ class NativeGateway:
             )
         elif isinstance(result, EventStream):
             # dedicated streamer so the worker pool is not pinned by a
-            # long-lived SSE subscriber
+            # long-lived SSE subscriber; tracked so stop() never frees the
+            # C++ gateway under a live streamer
             t = threading.Thread(
                 target=self._stream_events, args=(reqid, result.after),
                 daemon=True,
             )
+            self._streamers.append(t)
             t.start()
 
     def _stream_events(self, reqid: int, after: int) -> None:
@@ -482,7 +511,10 @@ class NativeGateway:
         while not self._stop.is_set():
             if not lib.hxgw_request_alive(h, reqid):
                 return
-            events = telemetry.events_since(after, timeout=5.0)
+            # short wait so stop() can reclaim the gateway promptly
+            events = telemetry.events_since(after, timeout=1.0)
+            if self._stop.is_set():
+                return
             if not events:
                 chunk = b": keepalive\n\n"
             else:
@@ -496,6 +528,31 @@ class NativeGateway:
                 return
 
     # -- lifecycle --------------------------------------------------------
+
+    def _gc_maintenance(self) -> None:
+        """Serving GC policy: automatic cyclic GC is off (a gen2 sweep
+        over a multi-GB store graph stalls every request for seconds;
+        measured 4-8x ingest slowdowns).  Refcounting frees everything
+        acyclic; this thread sweeps the YOUNG generations periodically so
+        cyclic garbage (exception tracebacks, frames) cannot accumulate,
+        without ever scanning the long-lived store."""
+        import gc
+
+        gc.disable()
+        last_seen = -1
+        while not self._stop.wait(2.0):
+            # only sweep when the gateway has been quiet since the last
+            # tick: a sweep right after a bulk ingest scans the freshly
+            # created (young) store objects — hundreds of MB — stalling
+            # in-flight requests for ~0.5 s each time
+            current = self._requests_handled
+            if current == last_seen:
+                try:
+                    gc.collect(1)
+                except Exception:
+                    pass
+            last_seen = current
+        gc.enable()
 
     def start(self) -> None:
         lib = self._lib
@@ -511,7 +568,8 @@ class NativeGateway:
         self._analyze_fast_routes()
         self._stop.clear()
         self._threads = [
-            threading.Thread(target=self._vbatch_loop, daemon=True)
+            threading.Thread(target=self._vbatch_loop, daemon=True),
+            threading.Thread(target=self._gc_maintenance, daemon=True),
         ] + [
             threading.Thread(target=self._general_loop, daemon=True)
             for _ in range(self.general_workers)
@@ -534,7 +592,7 @@ class NativeGateway:
         if self._handle is not None:
             self._lib.hxgw_stop(self._handle)
             alive = False
-            for t in self._threads:
+            for t in self._threads + self._streamers:
                 t.join(timeout=10.0)
                 alive = alive or t.is_alive()
             if not alive:

@@ -42,11 +42,11 @@ class EventStream:
     after: int
 
 
-def decode_body(raw: bytes) -> Any:
+def decode_body(raw: bytes, fast_arrays: bool = False) -> Any:
     if not raw:
         return {}
     try:
-        return fastjson.loads(raw)
+        return fastjson.loads(raw, fast_arrays=fast_arrays)
     except ValueError as exc:
         raise QueryError(f"invalid JSON body: {exc}") from exc
 
@@ -103,7 +103,11 @@ def dispatch(
                 404, {"error": {"kind": "NotFound", "message": path}}
             )
 
-        body = decode_body(raw_body)
+        # Query routes parse numeric vectors straight into array.array
+        # (zero boxing); the value layer tags them as F64Array natively.
+        body = decode_body(
+            raw_body, fast_arrays=path.startswith("/v1/query")
+        )
         if path == "/mcp":
             if not server.mcp_enabled:
                 return JsonResult(404, {"error": {
