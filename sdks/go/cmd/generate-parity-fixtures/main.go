@@ -93,6 +93,50 @@ func runtimeFixtures() []fixture {
 				[]float64{0.7, 0.7, 0.0, 0.0})).
 			Returning()))
 
+	add("005-read-order-range-values", helix.Read(
+		helix.ReadBatch().
+			VarAs("ordered", helix.G().NWithLabel("ParityUser").
+				OrderByMultiple([][2]string{{"status", "Asc"}, {"age", "Desc"}}).
+				Range(0, 2).
+				ValueMap([]string{"externalId", "age", "status"})).
+			Returning("ordered")))
+
+	add("006-read-edge-count", helix.Read(
+		helix.ReadBatch().
+			VarAs("edge_count", helix.G().NWithLabel("ParityUser").
+				Where(helix.Eq("externalId", "user-alice")).
+				OutE("FOLLOWS").
+				Count()).
+			Returning("edge_count")))
+
+	add("007-read-edge-properties", helix.Read(
+		helix.ReadBatch().
+			VarAs("edges", helix.G().EWithLabel("FOLLOWS").
+				EdgeHas("since", 2021).
+				EdgeProperties()).
+			Returning("edges")))
+
+	add("008-read-edge-endpoints", helix.Read(
+		helix.ReadBatch().
+			VarAs("from_nodes", helix.G().EWithLabel("FOLLOWS").
+				EdgeHasLabel("FOLLOWS").
+				InN().
+				ValueMap([]string{"externalId", "name"})).
+			VarAs("to_nodes", helix.G().EWithLabel("FOLLOWS").
+				OutN().
+				ValueMap([]string{"externalId", "name"})).
+			Returning("from_nodes", "to_nodes")))
+
+	add("009-read-conditional-var-not-empty", helix.Read(
+		helix.ReadBatch().
+			VarAs("alice", helix.G().NWithLabel("ParityUser").
+				Where(helix.Eq("externalId", "user-alice"))).
+			VarAsIf("friends", helix.VarNotEmpty("alice"),
+				helix.G().N(helix.NodeVar("alice")).
+					Out("FOLLOWS").
+					ValueMap([]string{"externalId", "name"})).
+			Returning("alice", "friends")))
+
 	add("010-read-count-all-users", helix.Read(
 		helix.ReadBatch().
 			VarAs("user_count", helix.G().NWithLabel("ParityUser").Count()).
@@ -353,6 +397,150 @@ func comboFixtures() []fixture {
 	return out
 }
 
+func jsonOnlyFixtures() []fixture {
+	out := []fixture{}
+	add := func(name string, req *helix.DynamicQueryRequest) {
+		out = append(out, fixture{name, req})
+	}
+
+	add("001-all-predicates", helix.Read(
+		helix.ReadBatch().
+			VarAs("x", helix.G().N(helix.NodeAll).Where(helix.And(
+				helix.Eq("a", 1), helix.Neq("b", "s"),
+				helix.Gt("c", 1.5), helix.Gte("d", 0),
+				helix.Lt("e", 10), helix.Lte("f", 10),
+				helix.Between("grange", 1, 5),
+				helix.HasKeyPred("h"), helix.IsNull("i"),
+				helix.IsNotNull("j"),
+				helix.StartsWith("k", "pre"),
+				helix.EndsWith("l", "post"),
+				helix.Contains("m", "mid"),
+				helix.ContainsExpr("n", helix.Param("needle")),
+				helix.IsIn("o", []int{1, 2, 3}),
+				helix.IsInExpr("p", helix.Param("choices")),
+				helix.Or(helix.Not(helix.Eq("q", false))),
+				helix.Compare(helix.Prop("r").Mul(helix.Val(2)), "Gte", helix.Param("s")),
+			)))))
+
+	add("002-all-property-values", helix.Write(
+		helix.WriteBatch().
+			VarAs("x", helix.G().AddNOrdered("Kitchen", []helix.PropPair{
+				{Key: "null", Value: nil}, {Key: "bool", Value: true},
+				{Key: "i64", Value: 42}, {Key: "f64", Value: 2.5},
+				{Key: "f32", Value: helix.F32(1.25)}, {Key: "string", Value: "text"},
+				{Key: "datetime", Value: helix.DateTimeMillis(1700000000000)},
+				{Key: "bytes", Value: helix.Bytes([]byte{0x00, 0x01, 0xff})},
+				{Key: "i64arr", Value: []int{1, 2, 3}},
+				{Key: "f64arr", Value: []float64{1.5, 2.5}},
+				{Key: "f32arr", Value: helix.F32Array([]float64{0.5})},
+				{Key: "strarr", Value: []string{"a", "b"}},
+				{Key: "mixed", Value: []interface{}{1, "two", nil}},
+				{Key: "obj", Value: map[string]interface{}{
+					"nested": map[string]interface{}{"deep": 1},
+				}},
+			}))))
+
+	add("003-all-exprs", helix.Read(
+		helix.ReadBatch().
+			VarAs("x", helix.G().N(helix.NodeAll).Project(
+				helix.ProjectExpr("a", helix.Prop("p").Add(helix.Val(1))),
+				helix.ProjectExpr("b", helix.Prop("p").Sub(helix.Val(1))),
+				helix.ProjectExpr("c", helix.Prop("p").Mul(helix.Val(2))),
+				helix.ProjectExpr("d", helix.Prop("p").Div(helix.Val(2))),
+				helix.ProjectExpr("e", helix.Prop("p").Mod(helix.Val(2))),
+				helix.ProjectExpr("f", helix.Prop("p").Neg()),
+				helix.ProjectExpr("g", helix.ExprID()),
+				helix.ProjectExpr("h", helix.Timestamp()),
+				helix.ProjectExpr("i", helix.DateTimeNow()),
+				helix.ProjectExpr("j", helix.Param("q")),
+				helix.ProjectExpr("k", helix.Case([]helix.WhenThen{
+					{When: helix.Eq("x", 1), Then: helix.Val("one")},
+				}, helix.Val("other"))),
+			))))
+
+	add("004-all-index-specs", helix.Write(
+		helix.WriteBatch().
+			VarAs("a", helix.G().CreateIndexIfNotExists(helix.NodeEqualityIndex("L", "p", false))).
+			VarAs("b", helix.G().CreateIndexIfNotExists(helix.NodeEqualityIndex("L", "q", true))).
+			VarAs("c", helix.G().CreateIndexIfNotExists(helix.NodeRangeIndex("L", "r"))).
+			VarAs("d", helix.G().CreateIndexIfNotExists(helix.NodeRangeIndexDesc("L", "s"))).
+			VarAs("e", helix.G().CreateIndexIfNotExists(helix.EdgeEqualityIndex("E", "p"))).
+			VarAs("f", helix.G().CreateIndexIfNotExists(helix.EdgeRangeIndex("E", "q"))).
+			VarAs("g2", helix.G().CreateIndexIfNotExists(helix.NodeVectorIndex("L", "v", "tenant"))).
+			VarAs("h", helix.G().CreateIndexIfNotExists(helix.NodeTextIndex("L", "t", ""))).
+			VarAs("i", helix.G().CreateIndexIfNotExists(helix.EdgeVectorIndex("E", "v", ""))).
+			VarAs("j", helix.G().CreateIndexIfNotExists(helix.EdgeTextIndex("E", "t", ""))).
+			VarAs("k", helix.G().DropIndex(helix.NodeEqualityIndex("L", "p", false)))))
+
+	add("005-all-navigation", helix.Read(
+		helix.ReadBatch().
+			VarAs("x", helix.G().N(helix.NodeAll).
+				Out("A").In("B").Both("").
+				OutE("C").OutN().
+				BothE("").OtherN().
+				InE("D").InN().
+				Count())))
+
+	add("006-edge-search-steps", helix.Read(
+		helix.ReadBatch().
+			VarAs("v", helix.G().VectorSearchEdgesTenant("SIM", "emb", []float64{1.0, 0.0}, 5, "t1")).
+			VarAs("t", helix.G().TextSearchEdges("SIM", "note", "query text", 3))))
+
+	add("007-repeat-full-config", helix.Read(
+		helix.ReadBatch().
+			VarAs("x", helix.G().N(helix.NodeAll).Repeat(
+				helix.NewRepeat(helix.G().Out("NEXT")).
+					Until(helix.Eq("leaf", true)).
+					EmitIf(helix.Gt("depth", 1)).
+					MaxDepth(7)).
+				Count())))
+
+	add("008-choose-optional", helix.Read(
+		helix.ReadBatch().
+			VarAs("x", func() helix.Traversal {
+				elseBranch := helix.G().In("")
+				return helix.G().N(helix.NodeAll).
+					Choose(helix.Eq("kind", "a"), helix.G().Out(""), &elseBranch).
+					Optional(helix.G().Out("MAYBE")).
+					Count()
+			}())))
+
+	add("009-mutations", helix.Write(
+		helix.WriteBatch().
+			VarAs("x", helix.G().N(helix.NodeIDs(1, 2)).
+				AddEOrdered("REL", helix.NodeParam("targets"),
+					[]helix.PropPair{{Key: "w", Value: 1}}).
+				SetProperty("touched", true).
+				RemoveProperty("stale").
+				DropEdge(helix.NodeVar("others")).
+				DropEdgeLabeled(helix.NodeIDs(3), "REL").
+				DropEdgeByID(helix.EdgeIDs(7)).
+				Drop())))
+
+	add("010-stream-bounds", helix.Read(
+		helix.ReadBatch().
+			VarAs("x", helix.G().N(helix.NodeAll).
+				Limit(helix.Param("lim")).
+				Skip(2).
+				RangeBy(helix.Param("lo"), helix.Param("hi")).
+				Count())))
+
+	add("011-batch-conditions", helix.Read(
+		helix.ReadBatch().
+			VarAs("a", helix.G().N(helix.NodeAll)).
+			VarAsIf("b", helix.VarNotEmpty("a"), helix.G().N(helix.NodeAll).Count()).
+			VarAsIf("c", helix.VarEmpty("a"), helix.G().N(helix.NodeAll).Count()).
+			VarAsIf("d", helix.VarMinSize("a", 3), helix.G().N(helix.NodeAll).Count()).
+			VarAsIf("e", helix.PrevNotEmpty(), helix.G().N(helix.NodeAll).Count())))
+
+	add("012-big-u64-ids", helix.Read(
+		helix.ReadBatch().
+			VarAs("x", helix.G().N(helix.NodeIDs(
+				(uint64(1)<<63)+11, (uint64(1)<<53)+1)).IDs())))
+
+	return out
+}
+
 func writeBucket(root, bucket string, fixtures []fixture) error {
 	dir := filepath.Join(root, bucket)
 	if err := os.MkdirAll(dir, 0o755); err != nil {
@@ -379,6 +567,7 @@ func main() {
 	root := os.Args[1]
 	runtime := runtimeFixtures()
 	combo := comboFixtures()
+	jsonOnly := jsonOnlyFixtures()
 	if err := writeBucket(root, "runtime", runtime); err != nil {
 		fmt.Fprintln(os.Stderr, err)
 		os.Exit(1)
@@ -387,5 +576,10 @@ func main() {
 		fmt.Fprintln(os.Stderr, err)
 		os.Exit(1)
 	}
-	fmt.Printf("generated fixtures: runtime=%d combo=%d\n", len(runtime), len(combo))
+	if err := writeBucket(root, "json-only", jsonOnly); err != nil {
+		fmt.Fprintln(os.Stderr, err)
+		os.Exit(1)
+	}
+	fmt.Printf("generated fixtures: runtime=%d combo=%d json-only=%d\n",
+		len(runtime), len(combo), len(jsonOnly))
 }

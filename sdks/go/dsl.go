@@ -193,7 +193,11 @@ type Predicate struct{ Node J }
 
 func cmp(tag, prop string, value interface{}) Predicate {
 	if expr, ok := value.(Expr); ok {
-		return Predicate{map[string]J{tag + "Expr": []J{prop, expr.Node}}}
+		exprTags := map[string]string{
+			"Eq": "EqExpr", "Neq": "NeqExpr", "Gt": "GtExpr",
+			"Gte": "GteExpr", "Lt": "LtExpr", "Lte": "LteExpr",
+		}
+		return Predicate{map[string]J{exprTags[tag]: []J{prop, expr.Node}}}
 	}
 	return Predicate{map[string]J{tag: []J{prop, EncodePropertyValue(value)}}}
 }
@@ -261,6 +265,16 @@ func Contains(prop, needle string) Predicate {
 // IsIn matches membership in an array value.
 func IsIn(prop string, values interface{}) Predicate {
 	return Predicate{map[string]J{"IsIn": []J{prop, EncodePropertyValue(values)}}}
+}
+
+// ContainsExpr matches substrings resolved from an expression.
+func ContainsExpr(prop string, expr Expr) Predicate {
+	return Predicate{map[string]J{"ContainsExpr": []J{prop, expr.Node}}}
+}
+
+// IsInExpr matches membership in an expression-resolved array.
+func IsInExpr(prop string, expr Expr) Predicate {
+	return Predicate{map[string]J{"IsInExpr": []J{prop, expr.Node}}}
 }
 
 // And combines predicates conjunctively.
@@ -344,6 +358,41 @@ func NodeVectorIndex(label, property, tenantProperty string) J {
 	return map[string]J{"NodeVector": fields}
 }
 
+// NodeRangeIndexDesc declares a descending range index spec.
+func NodeRangeIndexDesc(label, property string) J {
+	return map[string]J{"NodeRange": map[string]J{
+		"label": label, "property": property, "direction": "Desc",
+	}}
+}
+
+// EdgeEqualityIndex declares an edge equality index spec.
+func EdgeEqualityIndex(label, property string) J {
+	return map[string]J{"EdgeEquality": map[string]J{"label": label, "property": property}}
+}
+
+// EdgeRangeIndex declares an edge range index spec.
+func EdgeRangeIndex(label, property string) J {
+	return map[string]J{"EdgeRange": map[string]J{"label": label, "property": property}}
+}
+
+// EdgeVectorIndex declares an edge vector index spec.
+func EdgeVectorIndex(label, property, tenantProperty string) J {
+	fields := map[string]J{"label": label, "property": property}
+	if tenantProperty != "" {
+		fields["tenant_property"] = tenantProperty
+	}
+	return map[string]J{"EdgeVector": fields}
+}
+
+// EdgeTextIndex declares an edge BM25 text index spec.
+func EdgeTextIndex(label, property, tenantProperty string) J {
+	fields := map[string]J{"label": label, "property": property}
+	if tenantProperty != "" {
+		fields["tenant_property"] = tenantProperty
+	}
+	return map[string]J{"EdgeText": fields}
+}
+
 // NodeTextIndex declares a BM25 text index spec.
 func NodeTextIndex(label, property, tenantProperty string) J {
 	fields := map[string]J{"label": label, "property": property}
@@ -423,6 +472,34 @@ func (t Traversal) TextSearchNodes(label, property, queryText string, k int) Tra
 	}})
 }
 
+// VectorSearchEdges seeds from an edge vector top-k search.
+func (t Traversal) VectorSearchEdges(label, property string, query []float64, k int) Traversal {
+	return t.push(map[string]J{"VectorSearchEdges": map[string]J{
+		"label": label, "property": property,
+		"query_vector": map[string]J{"Value": map[string]J{"F32Array": query}},
+		"k":            map[string]J{"Literal": k},
+	}})
+}
+
+// VectorSearchEdgesTenant seeds an edge vector search in a tenant partition.
+func (t Traversal) VectorSearchEdgesTenant(label, property string, query []float64, k int, tenantValue interface{}) Traversal {
+	return t.push(map[string]J{"VectorSearchEdges": map[string]J{
+		"label": label, "property": property,
+		"tenant_value": asInput(tenantValue),
+		"query_vector": map[string]J{"Value": map[string]J{"F32Array": query}},
+		"k":            map[string]J{"Literal": k},
+	}})
+}
+
+// TextSearchEdges seeds from an edge BM25 top-k search.
+func (t Traversal) TextSearchEdges(label, property, queryText string, k int) Traversal {
+	return t.push(map[string]J{"TextSearchEdges": map[string]J{
+		"label": label, "property": property,
+		"query_text": map[string]J{"Value": map[string]J{"String": queryText}},
+		"k":          map[string]J{"Literal": k},
+	}})
+}
+
 // Out walks outgoing edges to their targets ("" = any label).
 func (t Traversal) Out(label string) Traversal { return t.push(map[string]J{"Out": nilable(label)}) }
 
@@ -437,6 +514,11 @@ func (t Traversal) OutE(label string) Traversal { return t.push(map[string]J{"Ou
 
 // InE walks to incoming edges.
 func (t Traversal) InE(label string) Traversal { return t.push(map[string]J{"InE": nilable(label)}) }
+
+// BothE walks to edges in both directions.
+func (t Traversal) BothE(label string) Traversal {
+	return t.push(map[string]J{"BothE": nilable(label)})
+}
 
 // OutN walks edges to their source nodes.
 func (t Traversal) OutN() Traversal { return t.push("OutN") }
@@ -462,6 +544,16 @@ func (t Traversal) Has(prop string, value interface{}) Traversal {
 // HasLabel filters on element label.
 func (t Traversal) HasLabel(label string) Traversal {
 	return t.push(map[string]J{"HasLabel": label})
+}
+
+// EdgeHas filters edges on a property input (value or expression).
+func (t Traversal) EdgeHas(prop string, value interface{}) Traversal {
+	return t.push(map[string]J{"EdgeHas": []J{prop, asInput(value)}})
+}
+
+// EdgeHasLabel filters edges on label.
+func (t Traversal) EdgeHasLabel(label string) Traversal {
+	return t.push(map[string]J{"EdgeHasLabel": label})
 }
 
 // Where filters on a predicate.
@@ -496,6 +588,11 @@ func (t Traversal) Skip(n int) Traversal { return t.push(map[string]J{"Skip": n}
 // Range keeps elements in [start, end).
 func (t Traversal) Range(start, end int) Traversal {
 	return t.push(map[string]J{"Range": []J{start, end}})
+}
+
+// RangeBy keeps elements in an expression-bounded window.
+func (t Traversal) RangeBy(start, end interface{}) Traversal {
+	return t.push(map[string]J{"RangeBy": []J{asBound(start), asBound(end)}})
 }
 
 // OrderBy sorts the stream by a property.
@@ -556,6 +653,11 @@ func (t Traversal) GroupCount(prop string) Traversal {
 // AggregateBy terminates with Count/Sum/Min/Max/Mean over a property.
 func (t Traversal) AggregateBy(fn, prop string) Traversal {
 	return t.push(map[string]J{"AggregateBy": []J{fn, prop}})
+}
+
+// DropIndex drops a declared index.
+func (t Traversal) DropIndex(spec J) Traversal {
+	return t.pushWrite(map[string]J{"DropIndex": map[string]J{"spec": spec}})
 }
 
 // CreateIndexIfNotExists declares an index.

@@ -95,8 +95,9 @@ impl QueryBundle {
         mut self,
         name: &str,
         params: Vec<(String, QueryParamType)>,
-        batch: Batch,
+        batch: impl Into<Batch>,
     ) -> QueryBundle {
+        let batch: Batch = batch.into();
         if self.reads.contains_key(name) || self.writes.contains_key(name) {
             panic!("duplicate generated query name: {name}");
         }
@@ -161,7 +162,7 @@ macro_rules! register_queries {
                     )),*
                 ];
                 let names: Vec<&str> = vec![$(stringify!($pname)),*];
-                let batch: $crate::dsl::Batch = ($body)(&names);
+                let batch: $crate::dsl::Batch = ($body)(&names).into_batch();
                 let expected = if batch.kind == "write" { "write" } else { "read" };
                 assert_eq!(
                     stringify!($kind), expected,

@@ -921,7 +921,16 @@ export class Traversal extends Steps<Traversal> {
   }
 }
 
-export function g(): Traversal {
+/**
+ * Start a typestate-checked traversal (the default entry point —
+ * invalid chains are compile errors; see TraversalView below).
+ */
+export function g(): TraversalView<"start", "read"> {
+  return new Traversal() as unknown as TraversalView<"start", "read">;
+}
+
+/** Start an unchecked traversal (dynamic step assembly). */
+export function gUnchecked(): Traversal {
   return new Traversal();
 }
 
@@ -957,8 +966,8 @@ abstract class Batch<Self extends Batch<Self>> {
     return next;
   }
 
-  varAs(name: string, traversal: Traversal): Self {
-    this.checkMode(traversal);
+  varAs(name: string, traversal: Traversal | AnyTraversalView): Self {
+    this.checkMode(traversal as Traversal);
     return this.with(
       [
         ...this.queries,
@@ -967,8 +976,8 @@ abstract class Batch<Self extends Batch<Self>> {
       this.returns,
     );
   }
-  varAsIf(name: string, condition: JsonValue, traversal: Traversal): Self {
-    this.checkMode(traversal);
+  varAsIf(name: string, condition: JsonValue, traversal: Traversal | AnyTraversalView): Self {
+    this.checkMode(traversal as Traversal);
     return this.with(
       [...this.queries, { Query: { name, steps: traversal.steps.slice(), condition } }],
       this.returns,
@@ -1037,6 +1046,19 @@ export class ReadBatch extends Batch<ReadBatch> {
     if (traversal.mode !== "read") {
       throw new Error("ReadBatch only accepts read-only traversals");
     }
+  }
+  // typestate: only read-mode traversals are accepted at compile time
+  // (runtime checkMode stays as the dynamic net); method bivariance
+  // allows the narrowed parameter type
+  varAs(name: string, traversal: Traversal | ReadOnlyTraversal): ReadBatch {
+    return super.varAs(name, traversal as Traversal);
+  }
+  varAsIf(
+    name: string,
+    condition: JsonValue,
+    traversal: Traversal | ReadOnlyTraversal,
+  ): ReadBatch {
+    return super.varAsIf(name, condition, traversal as Traversal);
   }
 }
 
@@ -1338,3 +1360,160 @@ export function buildQueryBundle(definitions: {
     write_parameters: parameters(writes),
   };
 }
+
+// ---------------------------------------------------------------------------
+// Type-level typestate (reference `Traversal<S, M>`, dsl.ts:1382)
+//
+// The runtime Traversal class stays permissive (plain-JS users, dynamic
+// chains); the typed view below is what `g()` returns, so invalid chains
+// — `outN()` on a node stream, steps after a terminal, a mutation inside
+// a read batch — are COMPILE errors for TypeScript users.  The phantom
+// `__stream`/`__mode` fields never exist at runtime.
+// ---------------------------------------------------------------------------
+
+export type StreamState = "start" | "nodes" | "edges" | "done";
+export type ModeState = "read" | "write";
+
+type TV<S extends StreamState, M extends ModeState> = TraversalView<S, M>;
+
+/** Steps available on both live element streams. */
+interface LiveSteps<S extends "nodes" | "edges", M extends ModeState> {
+  has(prop: string, value: PropertyValueInput): TV<S, M>;
+  hasLabel(label: string): TV<S, M>;
+  hasKey(prop: string): TV<S, M>;
+  where(predicate: Predicate): TV<S, M>;
+  dedup(): TV<S, M>;
+  within(name: string): TV<S, M>;
+  without(name: string): TV<S, M>;
+  limit(n: ExprLike | number): TV<S, M>;
+  skip(n: ExprLike | number): TV<S, M>;
+  range(start: ExprLike | number, end: ExprLike | number): TV<S, M>;
+  orderBy(prop: string, order?: Order): TV<S, M>;
+  orderByMultiple(orderings: [string, Order][]): TV<S, M>;
+  as_(name: string): TV<S, M>;
+  store(name: string): TV<S, M>;
+  select(name: string): TV<S, M>;
+  bind(name: string): TV<S, M>;
+  repeat(config: RepeatConfig): TV<S, M>;
+  union(traversals: SubTraversal[]): TV<S, M>;
+  choose(condition: Predicate, then: SubTraversal, else_?: SubTraversal): TV<S, M>;
+  coalesce(traversals: SubTraversal[]): TV<S, M>;
+  optional(traversal: SubTraversal): TV<S, M>;
+  fold(): TV<S, M>;
+  unfold(): TV<S, M>;
+  path(): TV<S, M>;
+  simplePath(): TV<S, M>;
+  withSack(initial: PropertyValueInput): TV<S, M>;
+  sackSet(prop: string): TV<S, M>;
+  sackAdd(prop: string): TV<S, M>;
+  sackGet(): TV<S, M>;
+  count(): TV<"done", M>;
+  exists(): TV<"done", M>;
+  id(): TV<"done", M>;
+  label(): TV<"done", M>;
+  values(properties: string[]): TV<"done", M>;
+  valueMap(properties?: string[] | null): TV<"done", M>;
+  project(projections: JsonValue[]): TV<"done", M>;
+  projectBindings(projections: JsonValue[], distinct?: boolean): TV<"done", M>;
+  group(prop: string): TV<"done", M>;
+  groupCount(prop: string): TV<"done", M>;
+  aggregateBy(fn: "Count" | "Sum" | "Min" | "Max" | "Mean", prop: string): TV<"done", M>;
+  setProperty(name: string, value: ExprLike): TV<S, "write">;
+  removeProperty(name: string): TV<S, "write">;
+  drop(): TV<"done", "write">;
+}
+
+/** Steps that only make sense before any source step. */
+interface StartSteps<M extends ModeState> {
+  n(nodes?: JsonValue | string | NodeId | NodeId[]): TV<"nodes", M>;
+  nWhere(predicate: Predicate): TV<"nodes", M>;
+  nWithLabel(label: string): TV<"nodes", M>;
+  nWithLabelWhere(label: string, predicate: Predicate): TV<"nodes", M>;
+  e(edges: JsonValue | NodeId | NodeId[]): TV<"edges", M>;
+  eWhere(predicate: Predicate): TV<"edges", M>;
+  eWithLabel(label: string): TV<"edges", M>;
+  inject(name: string): TV<"nodes", M>;
+  vectorSearchNodes(
+    label: string,
+    property: string,
+    queryVector: number[] | Expr | ParamRef,
+    k: number | Expr | ParamRef,
+    tenantValue?: PropertyValueInput | Expr | ParamRef,
+  ): TV<"nodes", M>;
+  textSearchNodes(
+    label: string,
+    property: string,
+    queryText: string | Expr | ParamRef,
+    k: number | Expr | ParamRef,
+    tenantValue?: PropertyValueInput | Expr | ParamRef,
+  ): TV<"nodes", M>;
+  vectorSearchEdges(
+    label: string,
+    property: string,
+    queryVector: number[] | Expr | ParamRef,
+    k: number | Expr | ParamRef,
+    tenantValue?: PropertyValueInput | Expr | ParamRef,
+  ): TV<"edges", M>;
+  textSearchEdges(
+    label: string,
+    property: string,
+    queryText: string | Expr | ParamRef,
+    k: number | Expr | ParamRef,
+    tenantValue?: PropertyValueInput | Expr | ParamRef,
+  ): TV<"edges", M>;
+  createIndexIfNotExists(spec: JsonValue): TV<"done", "write">;
+  dropIndex(spec: JsonValue): TV<"done", "write">;
+  createVectorIndexNodes(label: string, property: string, tenantProperty?: string): TV<"done", "write">;
+  createVectorIndexEdges(label: string, property: string, tenantProperty?: string): TV<"done", "write">;
+  createTextIndexNodes(label: string, property: string, tenantProperty?: string): TV<"done", "write">;
+  createTextIndexEdges(label: string, property: string, tenantProperty?: string): TV<"done", "write">;
+  addN(label: string, properties?: PropEntries): TV<"nodes", "write">;
+}
+
+/** Node-stream-only steps. */
+interface NodeSteps<M extends ModeState> {
+  out(label?: string | null): TV<"nodes", M>;
+  in_(label?: string | null): TV<"nodes", M>;
+  both(label?: string | null): TV<"nodes", M>;
+  outE(label?: string | null): TV<"edges", M>;
+  inE(label?: string | null): TV<"edges", M>;
+  bothE(label?: string | null): TV<"edges", M>;
+  addE(
+    label: string,
+    to: JsonValue | string | NodeId | NodeId[],
+    properties?: PropEntries,
+  ): TV<"nodes", "write">;
+  dropEdge(to: JsonValue | string | NodeId | NodeId[]): TV<"nodes", "write">;
+  dropEdgeLabeled(to: JsonValue | string | NodeId | NodeId[], label: string): TV<"nodes", "write">;
+  dropEdgeById(edges: JsonValue | NodeId | NodeId[]): TV<"nodes", "write">;
+}
+
+/** Edge-stream-only steps. */
+interface EdgeSteps<M extends ModeState> {
+  outN(): TV<"nodes", M>;
+  inN(): TV<"nodes", M>;
+  otherN(): TV<"nodes", M>;
+  edgeHas(prop: string, value: ExprLike): TV<"edges", M>;
+  edgeHasLabel(label: string): TV<"edges", M>;
+  edgeProperties(): TV<"done", M>;
+}
+
+interface ViewCommon<S extends StreamState, M extends ModeState> {
+  readonly __stream?: S;
+  readonly __mode?: M;
+  readonly steps: JsonValue[];
+  readonly mode: "read" | "write";
+}
+
+/** The typestate view over the runtime Traversal class. */
+export type TraversalView<S extends StreamState, M extends ModeState> =
+  ViewCommon<S, M> &
+  (S extends "start" ? StartSteps<M> : unknown) &
+  (S extends "nodes" ? NodeSteps<M> & LiveSteps<"nodes", M> : unknown) &
+  (S extends "edges" ? EdgeSteps<M> & LiveSteps<"edges", M> : unknown);
+
+/** Any traversal whose mode is still read-only (accepted by ReadBatch). */
+export type ReadOnlyTraversal = ViewCommon<StreamState, "read">;
+
+/** Structural shape every traversal view satisfies (batch assembly). */
+export type AnyTraversalView = ViewCommon<StreamState, ModeState>;

@@ -138,6 +138,90 @@ def runtime_fixtures() -> list[tuple[str, DynamicQueryRequest]]:
         ),
     )
     add(
+        "005-read-order-range-values",
+        DynamicQueryRequest.read(
+            read_batch()
+            .var_as(
+                "ordered",
+                g()
+                .n_with_label("ParityUser")
+                .order_by_multiple([("status", Order.Asc), ("age", Order.Desc)])
+                .range(0, 2)
+                .value_map(["externalId", "age", "status"]),
+            )
+            .returning(["ordered"])
+        ),
+    )
+    add(
+        "006-read-edge-count",
+        DynamicQueryRequest.read(
+            read_batch()
+            .var_as(
+                "edge_count",
+                g()
+                .n_with_label("ParityUser")
+                .where(Predicate.eq("externalId", "user-alice"))
+                .out_e("FOLLOWS")
+                .count(),
+            )
+            .returning(["edge_count"])
+        ),
+    )
+    add(
+        "007-read-edge-properties",
+        DynamicQueryRequest.read(
+            read_batch()
+            .var_as(
+                "edges",
+                g()
+                .e_with_label("FOLLOWS")
+                .edge_has("since", 2021)
+                .edge_properties(),
+            )
+            .returning(["edges"])
+        ),
+    )
+    add(
+        "008-read-edge-endpoints",
+        DynamicQueryRequest.read(
+            read_batch()
+            .var_as(
+                "from_nodes",
+                g()
+                .e_with_label("FOLLOWS")
+                .edge_has_label("FOLLOWS")
+                .in_n()
+                .value_map(["externalId", "name"]),
+            )
+            .var_as(
+                "to_nodes",
+                g()
+                .e_with_label("FOLLOWS")
+                .out_n()
+                .value_map(["externalId", "name"]),
+            )
+            .returning(["from_nodes", "to_nodes"])
+        ),
+    )
+    add(
+        "009-read-conditional-var-not-empty",
+        DynamicQueryRequest.read(
+            read_batch()
+            .var_as(
+                "alice",
+                g()
+                .n_with_label("ParityUser")
+                .where(Predicate.eq("externalId", "user-alice")),
+            )
+            .var_as_if(
+                "friends",
+                BatchCondition.var_not_empty("alice"),
+                g().n(NodeRef.var("alice")).out("FOLLOWS").value_map(["externalId", "name"]),
+            )
+            .returning(["alice", "friends"])
+        ),
+    )
+    add(
         "010-read-count-all-users",
         DynamicQueryRequest.read(
             read_batch()
