@@ -33,6 +33,7 @@ class Engine:
         batch_window_ms: float | None = None,
         ann_config: dict | None = None,
         shard_threshold: int | None = None,
+        hbm_budget_bytes: int | None = None,
         bm25: bool = True,
         secondary_indices: list[str] | None = None,
         snapshot_store: str | None = None,
@@ -42,6 +43,7 @@ class Engine:
         self.vectors = VectorManager(
             metric=metric, batch_window_ms=batch_window_ms,
             ann_config=ann_config, shard_threshold=shard_threshold,
+            hbm_budget_bytes=hbm_budget_bytes,
         )
         self.texts = TextManager()
         self.store.add_write_hook(self.vectors)

@@ -73,7 +73,9 @@ _ALLOWED_PICKLE_GLOBALS = {
 }
 
 
-def restricted_loads(data: bytes) -> Any:
+def restricted_load(fileobj) -> Any:
+    """Streaming restricted unpickle from a file-like object (a replica
+    seed can be GBs — never require the full byte string in memory)."""
     allowed = _ALLOWED_PICKLE_GLOBALS
 
     class Restricted(pickle.Unpickler):
@@ -84,7 +86,11 @@ def restricted_loads(data: bytes) -> Any:
                 f"snapshot contains forbidden global {module}.{name}"
             )
 
-    return Restricted(io.BytesIO(data)).load()
+    return Restricted(fileobj).load()
+
+
+def restricted_loads(data: bytes) -> Any:
+    return restricted_load(io.BytesIO(data))
 
 
 class Persistence:

@@ -86,6 +86,12 @@ class _SeedUnpickler:
 
         return restricted_loads(data)
 
+    @classmethod
+    def load(cls, fileobj):
+        from .persist import restricted_load
+
+        return restricted_load(fileobj)
+
 
 class Follower:
     """Replica-side thread applying the primary's record stream."""
@@ -123,8 +129,9 @@ class Follower:
         req = urllib.request.Request(url, method="GET")
         if self.api_key:
             req.add_header("Authorization", f"Bearer {self.api_key}")
-        with urllib.request.urlopen(req, timeout=120) as resp:
-            seed = _SeedUnpickler.loads(resp.read())
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            # stream-unpickle off the socket: no full-seed byte buffer
+            seed = _SeedUnpickler.load(resp)
         self.engine.load_replica_seed(seed)
         self.applied_seq = seed["seed_seq"]
         self.last_error = None

@@ -67,6 +67,7 @@ class Partition:
         metric: str,
         ann_config: dict | None = None,
         shard_threshold: int | None = None,
+        hbm_budget_bytes: int | None = None,
     ):
         self.metric = metric
         self.matrix: PackedMatrix | None = None
@@ -86,6 +87,14 @@ class Partition:
         # Multi-chip: shard the matrix across the mesh above this size.
         self.shard_threshold = shard_threshold
         self._shard_state: dict | None = None
+        # Beyond-HBM: above this resident footprint the partition serves
+        # from the host-resident IVF tier (ops/ivf.py HostIVFIndex) —
+        # the device holds coarse centroids only, probed cells stream
+        # through HBM per batch.
+        self.hbm_budget_bytes = hbm_budget_bytes
+        self.host_ivf = None
+        self.host_ivf_rows = 0
+        self.host_ivf_rebuild_fraction = 0.1
 
     def add(self, element_id: int, vec: np.ndarray) -> None:
         if self.matrix is None:
@@ -193,6 +202,10 @@ class Partition:
                 np.empty((b, 0), np.float64),
             )
             return lambda: empty
+        if self._use_host_ivf():
+            dists, positions = self._search_host_ivf(queries, k)
+            id_table = self.id_table.copy()
+            return lambda: self._map_hits(dists, positions, id_table)
         if self._use_shard():
             dists, positions = self._search_sharded(queries, k)
             id_table = self.id_table.copy()
@@ -239,6 +252,66 @@ class Partition:
             dists = np.where(valid, dists, np.inf)
         ids = np.where(valid, id_table[np.where(valid, positions, 0)], 0)
         return ids.astype(np.uint64), dists.astype(np.float64)
+
+    # -- beyond-HBM host-IVF tier ------------------------------------------
+
+    def _use_host_ivf(self) -> bool:
+        if self.hbm_budget_bytes is None or self.metric != "cosine":
+            return False
+        if self.matrix is None:
+            return False
+        # resident footprint: f32 + bf16 device copies of the padded matrix
+        resident = self.matrix.n * self.matrix.dim_pad * 6
+        return resident > self.hbm_budget_bytes
+
+    def _ensure_host_ivf(self) -> None:
+        from ..ops.ivf import HostIVFIndex
+
+        n = self.matrix.n
+        stale = (
+            self.host_ivf is None
+            or (n - self.host_ivf_rows)
+            > self.host_ivf_rebuild_fraction * max(self.host_ivf_rows, 1)
+        )
+        if not stale:
+            return
+        self.host_ivf = HostIVFIndex.build(
+            self.matrix.data[:n, : self.matrix.dim_pad],
+            normalize=False,  # packed rows are already unit-norm (cosine)
+        )
+        self.host_ivf_rows = n
+
+    def _search_host_ivf(
+        self, queries: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Host-resident IVF over the build snapshot + exact host scan of
+        the delta rows; tombstoned rows drop via the sentinel path."""
+        self._ensure_host_ivf()
+        qs = self.matrix.prepare_queries(queries)
+        k_eff = min(k, self.host_ivf_rows)
+        dists, positions = self.host_ivf.search(
+            qs, k_eff, nprobe=32, normalize=False
+        )
+        dists = np.asarray(dists, np.float32)
+        positions = np.asarray(positions, np.int64)
+        n = self.matrix.n
+        if n > self.host_ivf_rows:
+            delta = self.matrix.data[self.host_ivf_rows : n]
+            delta_d = (1.0 - qs @ delta.T).astype(np.float32)
+            delta_i = np.arange(self.host_ivf_rows, n)[None, :].repeat(
+                len(queries), 0
+            )
+            dists = np.concatenate([dists, delta_d], axis=1)
+            positions = np.concatenate([positions, delta_i], axis=1)
+        # tombstones to +inf, then (re)establish ascending top-k
+        live = self.live_mask
+        dead = ~live[np.clip(positions, 0, max(len(live) - 1, 0))]
+        dists = np.where(dead, np.inf, dists)
+        order = np.argsort(dists, axis=1, kind="stable")[:, :k]
+        return (
+            np.take_along_axis(dists, order, axis=1),
+            np.take_along_axis(positions, order, axis=1),
+        )
 
     # -- sharded tier ------------------------------------------------------
 
@@ -368,11 +441,13 @@ class VectorIndex:
         metric: str,
         ann_config: dict | None = None,
         shard_threshold: int | None = None,
+        hbm_budget_bytes: int | None = None,
     ):
         self.defn = defn
         self.metric = metric
         self.ann_config = ann_config
         self.shard_threshold = shard_threshold
+        self.hbm_budget_bytes = hbm_budget_bytes
         self.partitions: dict[tuple, Partition] = {}
 
     def partition_for(self, tenant: tuple) -> Partition:
@@ -381,6 +456,7 @@ class VectorIndex:
             part = Partition(
                 self.metric, ann_config=self.ann_config,
                 shard_threshold=self.shard_threshold,
+                hbm_budget_bytes=self.hbm_budget_bytes,
             )
             self.partitions[tenant] = part
         return part
@@ -487,10 +563,12 @@ class VectorManager:
         batch_window_ms: float | None = None,
         ann_config: dict | None = None,
         shard_threshold: int | None = None,
+        hbm_budget_bytes: int | None = None,
     ):
         self.metric = metric
         self.ann_config = ann_config
         self.shard_threshold = shard_threshold
+        self.hbm_budget_bytes = hbm_budget_bytes
         self.indexes: dict[tuple, VectorIndex] = {}
         self.batcher = None
         if batch_window_ms is not None:
@@ -506,6 +584,7 @@ class VectorManager:
         index = VectorIndex(
             defn, self.metric, ann_config=self.ann_config,
             shard_threshold=self.shard_threshold,
+            hbm_budget_bytes=self.hbm_budget_bytes,
         )
         self.indexes[defn.key()] = index
         table = (

@@ -48,6 +48,7 @@ class HelixHTTPServer:
         metric: str = "cosine",
         batch_window_ms: float | None = 2.0,
         ann_config: dict | None = None,
+        hbm_budget_bytes: int | None = None,
         bm25: bool = True,
         secondary_indices: list[str] | None = None,
         replica_of: str | None = None,
@@ -64,7 +65,8 @@ class HelixHTTPServer:
             data_dir = None
         self.engine = engine or Engine(
             metric=metric, data_dir=data_dir, batch_window_ms=batch_window_ms,
-            ann_config=ann_config, bm25=bm25,
+            ann_config=ann_config, hbm_budget_bytes=hbm_budget_bytes,
+            bm25=bm25,
             secondary_indices=secondary_indices, snapshot_store=snapshot_store,
         )
         if replica_of:
@@ -136,6 +138,23 @@ class HelixHTTPServer:
                     self.send_header("Content-Length", str(len(result.body)))
                     self.end_headers()
                     self.wfile.write(result.body)
+                elif isinstance(result, routes.FileResult):
+                    import os as _os
+
+                    size = _os.path.getsize(result.path)
+                    self.send_response(result.status)
+                    self.send_header("Content-Type", result.content_type)
+                    self.send_header("Content-Length", str(size))
+                    self.end_headers()
+                    try:
+                        with open(result.path, "rb") as fh:
+                            while True:
+                                chunk = fh.read(1 << 20)
+                                if not chunk:
+                                    break
+                                self.wfile.write(chunk)
+                    finally:
+                        _os.unlink(result.path)
 
             def do_GET(self) -> None:  # noqa: N802
                 self._dispatch("GET")
@@ -210,6 +229,7 @@ def serve(
     telemetry_path: str | None = None,
     metric: str = "cosine",
     ann_config: dict | None = None,
+    hbm_budget_bytes: int | None = None,
     bm25: bool = True,
     secondary_indices: list[str] | None = None,
     replica_of: str | None = None,
@@ -238,7 +258,7 @@ def serve(
     server = server_cls(
         engine, host, port, api_key,
         data_dir=data_dir, telemetry_path=telemetry_path, metric=metric,
-        ann_config=ann_config, bm25=bm25,
+        ann_config=ann_config, hbm_budget_bytes=hbm_budget_bytes, bm25=bm25,
         secondary_indices=secondary_indices, replica_of=replica_of,
         snapshot_store=snapshot_store, mcp=mcp,
     )
@@ -268,6 +288,10 @@ if __name__ == "__main__":
                              "the graph ANN index")
     parser.add_argument("--ann-m", type=int, default=16)
     parser.add_argument("--ann-ef-search", type=int, default=768)
+    parser.add_argument("--hbm-budget-gb", type=float, default=None,
+                        help="device-memory budget for resident vector "
+                             "matrices; partitions beyond it serve from "
+                             "the host-resident IVF tier (beyond-HBM)")
     parser.add_argument("--no-bm25", action="store_true")
     parser.add_argument("--no-mcp", action="store_true",
                         help="disable the POST /mcp JSON-RPC endpoint")
@@ -294,6 +318,10 @@ if __name__ == "__main__":
         args.host, args.port, args.api_key,
         data_dir=args.data_dir, telemetry_path=args.telemetry_path,
         metric=args.metric, ann_config=ann_config,
+        hbm_budget_bytes=(
+            int(args.hbm_budget_gb * (1 << 30))
+            if args.hbm_budget_gb is not None else None
+        ),
         bm25=not args.no_bm25, secondary_indices=args.secondary_index,
         replica_of=args.replica_of, snapshot_store=args.snapshot_store,
         mcp=not args.no_mcp, native=not args.legacy_server,

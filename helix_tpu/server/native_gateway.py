@@ -33,7 +33,7 @@ import numpy as np
 
 from .. import fastjson
 from ..engine import Engine
-from .routes import BytesResult, EventStream, JsonResult, dispatch
+from .routes import BytesResult, EventStream, FileResult, JsonResult, dispatch
 
 
 @dataclass
@@ -63,6 +63,7 @@ class NativeGateway:
         metric: str = "cosine",
         batch_window_ms: float | None = 2.0,
         ann_config: dict | None = None,
+        hbm_budget_bytes: int | None = None,
         bm25: bool = True,
         secondary_indices: list[str] | None = None,
         replica_of: str | None = None,
@@ -79,7 +80,8 @@ class NativeGateway:
             data_dir = None  # replicas are stateless followers
         self.engine = engine or Engine(
             metric=metric, data_dir=data_dir, batch_window_ms=batch_window_ms,
-            ann_config=ann_config, bm25=bm25,
+            ann_config=ann_config, hbm_budget_bytes=hbm_budget_bytes,
+            bm25=bm25,
             secondary_indices=secondary_indices, snapshot_store=snapshot_store,
         )
         if replica_of:
@@ -493,6 +495,25 @@ class NativeGateway:
                 h, reqid, result.status, result.content_type.encode(),
                 result.body, len(result.body),
             )
+        elif isinstance(result, FileResult):
+            # close-delimited stream in 1 MB chunks: replica seeds can
+            # be GBs and must not buffer in either process
+            import os as _os
+
+            lib.hxgw_respond_stream_start(
+                h, reqid, result.status, result.content_type.encode()
+            )
+            try:
+                with open(result.path, "rb") as fh:
+                    while True:
+                        chunk = fh.read(1 << 20)
+                        if not chunk:
+                            break
+                        if lib.hxgw_stream_write(h, reqid, chunk, len(chunk)) != 0:
+                            break
+            finally:
+                lib.hxgw_stream_end(h, reqid)
+                _os.unlink(result.path)
         elif isinstance(result, EventStream):
             # dedicated streamer so the worker pool is not pinned by a
             # long-lived SSE subscriber; tracked so stop() never frees the

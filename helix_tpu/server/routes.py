@@ -42,6 +42,17 @@ class EventStream:
     after: int
 
 
+@dataclass
+class FileResult:
+    """A large response streamed from a temp file (replica seeds can be
+    GBs; neither server buffers them in memory).  The transport deletes
+    ``path`` after sending."""
+
+    status: int
+    path: str
+    content_type: str = "application/octet-stream"
+
+
 def decode_body(raw: bytes, fast_arrays: bool = False) -> Any:
     if not raw:
         return {}
@@ -60,7 +71,7 @@ def dispatch(
     warm: bool = False,
     await_durable: bool = True,
     trace: bool = False,
-) -> JsonResult | BytesResult | EventStream:
+) -> JsonResult | BytesResult | EventStream | FileResult:
     """Handle one authorized request. ``server`` carries ``engine``,
     ``replica_of`` and ``mcp_enabled``."""
     engine = server.engine
@@ -82,10 +93,15 @@ def dispatch(
                 return JsonResult(200, engine.source_snapshot)
             if path == "/v1/snapshot":
                 # Replica seed: consistent snapshot + replication
-                # watermark (pickled; followers decode through a
-                # numpy-only restricted unpickler).
-                body = pickle.dumps(engine.export_replica_seed(), protocol=5)
-                return BytesResult(200, body)
+                # watermark.  Pickled to a temp file and streamed in
+                # chunks (followers decode through a restricted,
+                # streaming unpickler) — O(chunk) memory on both sides.
+                import tempfile
+
+                fd, tmp = tempfile.mkstemp(prefix="hxseed-", suffix=".pkl")
+                with open(fd, "wb") as fh:
+                    pickle.dump(engine.export_replica_seed(), fh, protocol=5)
+                return FileResult(200, tmp)
             if path == "/v1/health":
                 return JsonResult(200, {
                     "status": "ok",

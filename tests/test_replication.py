@@ -257,3 +257,51 @@ def test_seed_roundtrip_preserves_counters_and_routes():
         .var_as("edges", g().e_with_label("SELF").count())
     ).encode())
     assert out == {"labels": ["Doc"], "edges": 1}
+
+
+def test_replica_seeds_through_native_gateway_stream():
+    """Seed bootstrap over the native gateway: /v1/snapshot streams in
+    chunks (close-delimited) and the follower stream-unpickles it."""
+    pytest.importorskip("helix_tpu.native")
+    from helix_tpu.native import NativeBuildError, load
+
+    try:
+        load()
+    except NativeBuildError:  # pragma: no cover
+        pytest.skip("native toolchain unavailable")
+    from helix_tpu.server.native_gateway import NativeGateway
+
+    primary = NativeGateway(host="127.0.0.1", port=0)
+    primary.engine.replication.cap = 4  # force early ring trim
+    primary.start()
+    try:
+        pclient = Client(f"http://127.0.0.1:{primary.port}")
+        # seed data BEFORE the replica exists; the tiny ring trims, so
+        # the replica must bootstrap from the streamed seed snapshot
+        for i in range(20):
+            pclient.execute(DynamicQueryRequest.write(
+                write_batch().var_as("u", g().add_n("User", {"i": i}))
+            ).encode())
+        _, reseed = primary.engine.replication.since(-1)
+        assert reseed, "precondition: ring must have trimmed"
+
+        replica = NativeGateway(
+            host="127.0.0.1", port=0,
+            replica_of=f"http://127.0.0.1:{primary.port}",
+        )
+        replica.start()
+        try:
+            rclient = Client(f"http://127.0.0.1:{replica.port}")
+            assert wait_for(lambda: count_users(rclient) == 20), (
+                f"replica saw {count_users(rclient)}, follower error: "
+                f"{replica.follower.last_error}"
+            )
+            # and it keeps tailing after the seed
+            pclient.execute(DynamicQueryRequest.write(
+                write_batch().var_as("u", g().add_n("User", {"i": 99}))
+            ).encode())
+            assert wait_for(lambda: count_users(rclient) == 21)
+        finally:
+            replica.stop(close_engine=True)
+    finally:
+        primary.stop(close_engine=True)
