@@ -57,6 +57,14 @@ class LocalInstance:
             raise ConfigError(
                 f"instance '{name}': storage must be 'memory' or 'disk'"
             )
+        # Restart policy (reference runs containers with
+        # ``--restart unless-stopped``, local_runtime.rs:699-703).
+        self.restart = table.get("restart", "no")
+        if self.restart not in ("no", "unless-stopped", "on-failure"):
+            raise ConfigError(
+                f"instance '{name}': restart must be 'no', "
+                "'unless-stopped' or 'on-failure'"
+            )
         self.vector = {**VECTOR_DEFAULTS, **table.get("vector", {})}
         self.db = {**DB_DEFAULTS, **table.get("db", {})}
 

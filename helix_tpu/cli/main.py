@@ -131,6 +131,21 @@ def cmd_init(args) -> int:
     return 0
 
 
+def _process_gone(pid: int) -> bool:
+    """True when ``pid`` no longer runs.  A zombie (exited but not yet
+    reaped by its parent — e.g. a supervisor started from a test
+    process) counts as gone: ``os.kill(pid, 0)`` still succeeds on it."""
+    try:
+        os.kill(pid, 0)
+    except (ProcessLookupError, PermissionError):
+        return True
+    try:
+        with open(f"/proc/{pid}/stat") as fh:
+            return fh.read().rsplit(")", 1)[1].split()[0] == "Z"
+    except OSError:
+        return True
+
+
 def _pidfile(project, instance: str) -> Path:
     return project.state_dir(instance) / "server.pid"
 
@@ -163,9 +178,7 @@ def _read_pid(project, instance: str) -> int | None:
         pid = int(path.read_text().strip())
     except ValueError:
         return None
-    try:
-        os.kill(pid, 0)
-    except (ProcessLookupError, PermissionError):
+    if _process_gone(pid):
         return None
     return pid
 
@@ -248,8 +261,8 @@ def cmd_start(args) -> int:
         if env.get("PYTHONPATH")
         else package_root
     )
-    proc = subprocess.Popen(
-        [
+    restart_policy = getattr(args, "restart_policy", None) or inst.restart
+    server_argv = [
             sys.executable, "-m", "helix_tpu.server.http_server",
             "--port", str(port),
             *(["--data-dir", data_dir] if data_dir else []),
@@ -283,7 +296,20 @@ def cmd_start(args) -> int:
                 if getattr(args, "replica_of", None)
                 else []
             ),
-        ],
+    ]
+    if restart_policy != "no":
+        # Restart-policy supervision (reference: containers run with
+        # ``--restart unless-stopped``, local_runtime.rs:699-703).  The
+        # pidfile tracks the supervisor; it records the engine child in
+        # <state>/engine.pid and restarts it per policy.
+        server_argv = [
+            sys.executable, "-m", "helix_tpu.cli.supervisor",
+            "--policy", restart_policy,
+            "--state-dir", str(state),
+            "--", *server_argv,
+        ]
+    proc = subprocess.Popen(
+        server_argv,
         stdout=log,
         stderr=subprocess.STDOUT,
         cwd=project.root,
@@ -319,11 +345,19 @@ def cmd_stop(args) -> int:
     os.kill(pid, signal.SIGTERM)
     # Give a disk-mode server time to checkpoint before reporting stopped.
     for _ in range(100):
-        try:
-            os.kill(pid, 0)
-        except ProcessLookupError:
+        if _process_gone(pid):
             break
         time.sleep(0.1)
+    # Supervised instances: the pidfile tracked the supervisor; make sure
+    # the engine child is gone too (it normally exits with the
+    # supervisor, but a killed supervisor can orphan it).
+    engine_pidfile = project.state_dir(inst.name) / "engine.pid"
+    if engine_pidfile.exists():
+        try:
+            os.kill(int(engine_pidfile.read_text().strip()), signal.SIGTERM)
+        except (ValueError, ProcessLookupError, PermissionError):
+            pass
+        engine_pidfile.unlink(missing_ok=True)
     _pidfile(project, inst.name).unlink(missing_ok=True)
     _portfile(project, inst.name).unlink(missing_ok=True)
     if inst.storage == "disk" or (project.state_dir(inst.name) / "data").exists():
@@ -351,14 +385,22 @@ def cmd_status(args) -> int:
             print(f"{name} (local)  stopped")
             continue
         port = _active_port(project, inst)
+        restarts_file = project.state_dir(name) / "restarts"
+        suffix = ""
+        if restarts_file.exists():
+            try:
+                suffix = f"  restarts={int(restarts_file.read_text().strip())}"
+            except ValueError:
+                pass
         try:
             health = Client(f"http://localhost:{port}").health()
             print(
                 f"{name} (local)  running  localhost:{port}  "
                 f"pid={pid}  nodes={health['nodes']}  edges={health['edges']}"
+                f"{suffix}"
             )
         except HelixError:
-            print(f"{name} (local)  starting  localhost:{port}  pid={pid}")
+            print(f"{name} (local)  starting  localhost:{port}  pid={pid}{suffix}")
     if not any_row:
         print("no instances defined")
     return 0
@@ -766,6 +808,10 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--disk", action="store_true")
             p.add_argument("--replica-of", default=None,
                            help="primary gateway URL; start as a read replica")
+            p.add_argument("--restart", dest="restart_policy", default=None,
+                           choices=["no", "unless-stopped", "on-failure"],
+                           help="supervise the engine and restart it on "
+                                "exit (docker --restart analog)")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("add", help="add an instance to helix.toml")

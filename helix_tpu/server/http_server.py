@@ -273,7 +273,8 @@ def serve(
     server.serve_forever()
 
 
-if __name__ == "__main__":
+def build_arg_parser():
+    """The server's CLI surface (also validated by the container test)."""
     import argparse
 
     parser = argparse.ArgumentParser(description="helix-tpu engine server")
@@ -306,7 +307,11 @@ if __name__ == "__main__":
     parser.add_argument("--legacy-server", action="store_true",
                         help="serve from the pure-Python ThreadingHTTPServer "
                              "instead of the native epoll gateway")
-    args = parser.parse_args()
+    return parser
+
+
+if __name__ == "__main__":
+    args = build_arg_parser().parse_args()
     ann_config = None
     if args.ann_threshold is not None:
         ann_config = {
