@@ -373,6 +373,17 @@ def cmd_restart(args) -> int:
     return cmd_start(args)
 
 
+def cmd_gateway(args) -> int:
+    """HA gateway front (reference cloud topology: single writer +
+    autoscaled readers behind redundant gateways, README.md:248)."""
+    from ..server.ha_front import main as ha_main
+
+    argv = ["--port", str(args.port), "--primary", args.primary]
+    for url in args.replica:
+        argv += ["--replica", url]
+    return ha_main(argv)
+
+
 def cmd_status(args) -> int:
     project = find_project()
     any_row = False
@@ -887,6 +898,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--yes", action="store_true")
     p.set_defaults(fn=cloud.cmd_sync)
+
+    p = sub.add_parser(
+        "gateway",
+        help="run an HA gateway front over a writer + read replicas",
+    )
+    p.add_argument("--port", type=int, default=7070)
+    p.add_argument("--primary", required=True)
+    p.add_argument("--replica", action="append", default=[])
+    p.set_defaults(fn=cmd_gateway)
 
     p = sub.add_parser("metrics", help="telemetry level get/set")
     p.add_argument("level", nargs="?", default=None, choices=[None, "full", "basic", "off"])

@@ -1,0 +1,291 @@
+"""HA gateway front: the local analog of the reference cloud topology —
+"single writer + auto-scaling readers" behind redundant gateways
+(``README.md:248``; serving headers ``sdks/rust/src/lib.rs:274-298``).
+
+A thin HTTP front over one primary (writer) and N read replicas:
+
+- writes (``request_type: "write"`` or ``x-helix-require-writer``) go to
+  the primary; when the primary is down they fail fast with a clear
+  503 instead of hanging;
+- reads round-robin across healthy replicas and fall back to the
+  primary; a backend that errors mid-request is marked down and the
+  request retries on the next healthy backend;
+- stored routes (``/v1/query/<name>``) are tried on a replica first;
+  a "read-only replica" rejection reveals the route is a write, which
+  is cached and re-sent to the primary (subsequent calls skip the
+  probe);
+- ``/v1/bundle`` deploys broadcast to every backend so stored routes
+  exist fleet-wide.
+
+Health is actively probed (``GET /v1/health`` every ``probe_s``) — the
+failure-detection half of the reference's gateway HA story.  This front
+is a correctness/topology layer; single-instance serving rides the
+native C++ gateway directly.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import time
+import urllib.error
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_WRITE_RE = re.compile(rb'"request_type"\s*:\s*"write"')
+
+_HOP_HEADERS = {
+    "connection", "keep-alive", "transfer-encoding", "host",
+    "content-length",
+}
+
+
+class Backend:
+    def __init__(self, url: str, role: str):
+        self.url = url.rstrip("/")
+        self.role = role  # "primary" | "replica"
+        self.healthy = True
+        self.last_error: str | None = None
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        state = "up" if self.healthy else "down"
+        return f"<{self.role} {self.url} {state}>"
+
+
+class HAFront:
+    def __init__(
+        self,
+        primary: str,
+        replicas: list[str] | None = None,
+        host: str = "0.0.0.0",
+        port: int = 0,
+        probe_s: float = 0.5,
+        probe_timeout_s: float = 2.0,
+    ):
+        self.primary = Backend(primary, "primary")
+        self.replicas = [Backend(u, "replica") for u in (replicas or [])]
+        self.host = host
+        self.port = port
+        self.probe_s = probe_s
+        self.probe_timeout_s = probe_timeout_s
+        self._rr = 0
+        self._rr_lock = threading.Lock()
+        self._write_routes: set[str] = set()
+        self._stop = threading.Event()
+        self._httpd: ThreadingHTTPServer | None = None
+        self._threads: list[threading.Thread] = []
+
+    # -- health -----------------------------------------------------------
+
+    def _probe(self, backend: Backend) -> None:
+        try:
+            with urllib.request.urlopen(
+                f"{backend.url}/v1/health", timeout=self.probe_timeout_s
+            ) as resp:
+                backend.healthy = resp.status == 200
+        except Exception as exc:
+            backend.healthy = False
+            backend.last_error = str(exc)
+
+    def _health_loop(self) -> None:
+        while not self._stop.wait(self.probe_s):
+            for backend in [self.primary, *self.replicas]:
+                self._probe(backend)
+
+    # -- routing ----------------------------------------------------------
+
+    def _read_order(self) -> list[Backend]:
+        """Healthy replicas round-robin, primary as the fallback tail."""
+        pool = [b for b in self.replicas if b.healthy]
+        with self._rr_lock:
+            self._rr += 1
+            offset = self._rr
+        pool = pool[offset % len(pool):] + pool[: offset % len(pool)] if pool else []
+        unhealthy = [b for b in self.replicas if not b.healthy]
+        tail = [self.primary] if self.primary.healthy else []
+        # last resort: even unhealthy backends get one shot (probe lag)
+        return pool + tail + unhealthy + ([] if tail else [self.primary])
+
+    def _is_write(self, path: str, body: bytes, headers) -> bool:
+        if headers.get("x-helix-require-writer", "").lower() == "true":
+            return True
+        if path == "/v1/query":
+            return bool(_WRITE_RE.search(body[:4096]) or _WRITE_RE.search(body))
+        if path.startswith("/v1/query/"):
+            return path[len("/v1/query/"):] in self._write_routes
+        return False
+
+    def _forward(
+        self, backend: Backend, method: str, path: str, body: bytes, headers
+    ) -> tuple[int, bytes, str]:
+        req = urllib.request.Request(
+            f"{backend.url}{path}", data=body if method == "POST" else None,
+            method=method,
+        )
+        for key, value in headers.items():
+            if key.lower() not in _HOP_HEADERS:
+                req.add_header(key, value)
+        try:
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return (
+                    resp.status, resp.read(),
+                    resp.headers.get("Content-Type", "application/json"),
+                )
+        except urllib.error.HTTPError as exc:
+            return (
+                exc.code, exc.read(),
+                exc.headers.get("Content-Type", "application/json"),
+            )
+
+    def handle(
+        self, method: str, path: str, body: bytes, headers
+    ) -> tuple[int, bytes, str]:
+        if path == "/v1/ha":
+            return 200, json.dumps(self.topology()).encode(), "application/json"
+        if method == "POST" and path == "/v1/bundle":
+            # broadcast so stored routes exist on every backend
+            result: tuple[int, bytes, str] | None = None
+            for backend in [self.primary, *self.replicas]:
+                try:
+                    out = self._forward(backend, method, path, body, headers)
+                    if backend.role == "primary":
+                        result = out
+                except Exception as exc:
+                    backend.healthy = False
+                    backend.last_error = str(exc)
+                    if backend.role == "primary":
+                        result = (503, json.dumps({"error": {
+                            "kind": "Unavailable",
+                            "message": f"primary unreachable: {exc}",
+                        }}).encode(), "application/json")
+            return result or (503, b'{"error": {"kind": "Unavailable"}}',
+                              "application/json")
+
+        if self._is_write(path, body, headers):
+            if not self.primary.healthy:
+                self._probe(self.primary)  # one immediate recheck
+            try:
+                return self._forward(self.primary, method, path, body, headers)
+            except Exception as exc:
+                self.primary.healthy = False
+                self.primary.last_error = str(exc)
+                return (503, json.dumps({"error": {
+                    "kind": "Unavailable",
+                    "message": (
+                        "writer is unreachable; writes are unavailable "
+                        f"until the primary returns ({exc})"
+                    ),
+                }}).encode(), "application/json")
+
+        last_exc: Exception | None = None
+        for backend in self._read_order():
+            try:
+                status, payload, ctype = self._forward(
+                    backend, method, path, body, headers
+                )
+            except Exception as exc:
+                backend.healthy = False
+                backend.last_error = str(exc)
+                last_exc = exc
+                continue
+            if (
+                status == 400
+                and backend.role == "replica"
+                and path.startswith("/v1/query/")
+                and b"read-only replica" in payload
+            ):
+                # discovered a write-kind stored route: remember and
+                # re-issue against the writer
+                self._write_routes.add(path[len("/v1/query/"):])
+                return self.handle(method, path, body, headers)
+            return status, payload, ctype
+        return (503, json.dumps({"error": {
+            "kind": "Unavailable",
+            "message": f"no healthy backend ({last_exc})",
+        }}).encode(), "application/json")
+
+    def topology(self) -> dict:
+        return {
+            "primary": {
+                "url": self.primary.url, "healthy": self.primary.healthy,
+            },
+            "replicas": [
+                {"url": b.url, "healthy": b.healthy} for b in self.replicas
+            ],
+            "write_routes_learned": sorted(self._write_routes),
+        }
+
+    # -- lifecycle --------------------------------------------------------
+
+    def start(self) -> None:
+        front = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _serve(self):
+                length = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(length) if length else b""
+                status, payload, ctype = front.handle(
+                    self.command, self.path, body, self.headers
+                )
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            do_GET = do_POST = do_DELETE = _serve
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_port
+        for backend in [self.primary, *self.replicas]:
+            self._probe(backend)
+        self._threads = [
+            threading.Thread(target=self._httpd.serve_forever, daemon=True),
+            threading.Thread(target=self._health_loop, daemon=True),
+        ]
+        for t in self._threads:
+            t.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(description="helix-tpu HA gateway front")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=7070)
+    parser.add_argument("--primary", required=True, help="writer URL")
+    parser.add_argument("--replica", action="append", default=[],
+                        help="read replica URL (repeatable)")
+    parser.add_argument("--probe-interval", type=float, default=0.5)
+    args = parser.parse_args(argv)
+    front = HAFront(
+        args.primary, args.replica, host=args.host, port=args.port,
+        probe_s=args.probe_interval,
+    )
+    front.start()
+    print(f"HA front on {args.host}:{front.port} -> "
+          f"primary {args.primary}, {len(args.replica)} replicas",
+          flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        front.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -163,6 +163,19 @@ def dispatch(
                 params = body.get("parameters") or {}
             if not isinstance(params, dict):
                 raise QueryError("stored query body must be a parameters object")
+            route = engine.routes.get(name)
+            if (
+                server.replica_of
+                and route is not None
+                and route.get("kind") == "write"
+            ):
+                # mirror the dynamic-route guard: a stored write executed
+                # on a replica would silently diverge it from the primary
+                raise QueryError(
+                    "this instance is a read-only replica; route writes "
+                    f"to the primary at {server.replica_of} "
+                    "(x-helix-require-writer)"
+                )
             return JsonResult(200, engine.execute_stored(
                 name, params, await_durable=await_durable
             ))

@@ -1,0 +1,171 @@
+"""HA gateway front: write routing, read fan-out, failover, stored-route
+kind discovery.  Reference topology: single writer + autoscaled readers
+behind 3+ gateways (``README.md:248``)."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+from helix_tpu.client import Client, HelixError
+from helix_tpu.server import HelixHTTPServer
+from helix_tpu.server.ha_front import HAFront
+
+
+def _post(port: int, path: str, payload: dict, headers: dict | None = None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json", **(headers or {})},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as exc:
+        return exc.code, json.loads(exc.read())
+
+
+WRITE_USER = {
+    "request_type": "write", "query_name": None,
+    "query": {"queries": [{"Query": {
+        "name": "u",
+        "steps": [{"AddN": {"label": "User", "properties": [
+            ["name", {"Value": {"String": "ha-user"}}]]}}],
+        "condition": None}}], "returns": []},
+    "parameters": {},
+}
+
+COUNT_USERS = {
+    "request_type": "read", "query_name": None,
+    "query": {"queries": [{"Query": {
+        "name": "n",
+        "steps": [{"NWhere": {"Eq": ["$label", {"String": "User"}]}}, "Count"],
+        "condition": None}}], "returns": ["n"]},
+    "parameters": {},
+}
+
+
+def _wait(predicate, timeout=15.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if predicate():
+            return True
+        time.sleep(0.1)
+    return False
+
+
+@pytest.fixture
+def cluster():
+    primary = HelixHTTPServer(host="127.0.0.1", port=0)
+    primary.start()
+    replicas = []
+    for _ in range(2):
+        replica = HelixHTTPServer(
+            host="127.0.0.1", port=0,
+            replica_of=f"http://127.0.0.1:{primary.port}",
+        )
+        replica.start()
+        replicas.append(replica)
+    front = HAFront(
+        f"http://127.0.0.1:{primary.port}",
+        [f"http://127.0.0.1:{r.port}" for r in replicas],
+        host="127.0.0.1", probe_s=0.2,
+    )
+    front.start()
+    yield primary, replicas, front
+    front.stop()
+    for r in replicas:
+        r.stop()
+    primary.stop()
+
+
+def test_writes_reach_primary_reads_fan_out(cluster):
+    primary, replicas, front = cluster
+    status, _ = _post(front.port, "/v1/query", WRITE_USER)
+    assert status == 200
+    # the write landed on the primary and replicated out
+    assert _wait(lambda: all(
+        Client(f"http://127.0.0.1:{r.port}").query()
+        .dynamic(COUNT_USERS).send()["n"] == 1
+        for r in replicas
+    )), "write did not replicate"
+    # reads through the front see it too (served by a replica)
+    status, out = _post(front.port, "/v1/query", COUNT_USERS)
+    assert (status, out["n"]) == (200, 1)
+
+
+def test_replica_failover(cluster):
+    primary, replicas, front = cluster
+    _post(front.port, "/v1/query", WRITE_USER)
+    assert _wait(lambda: Client(f"http://127.0.0.1:{replicas[1].port}")
+                 .query().dynamic(COUNT_USERS).send()["n"] == 1)
+    replicas[0].stop()
+    # every read must keep succeeding through the remaining backends
+    for _ in range(6):
+        status, out = _post(front.port, "/v1/query", COUNT_USERS)
+        assert (status, out["n"]) == (200, 1)
+    assert _wait(lambda: not front.replicas[0].healthy)
+
+
+def test_primary_down_reads_survive_writes_fail_fast(cluster):
+    primary, replicas, front = cluster
+    _post(front.port, "/v1/query", WRITE_USER)
+    assert _wait(lambda: all(
+        Client(f"http://127.0.0.1:{r.port}").query()
+        .dynamic(COUNT_USERS).send()["n"] == 1
+        for r in replicas
+    ))
+    primary.stop()
+    assert _wait(lambda: not front.primary.healthy)
+    status, out = _post(front.port, "/v1/query", COUNT_USERS)
+    assert (status, out["n"]) == (200, 1)
+    status, out = _post(front.port, "/v1/query", WRITE_USER)
+    assert status == 503
+    assert "writes are unavailable" in out["error"]["message"]
+
+
+def test_stored_route_kind_discovery(cluster):
+    primary, replicas, front = cluster
+    bundle = {
+        "version": 5,
+        "read_routes": {"count_users": {
+            "queries": COUNT_USERS["query"]["queries"],
+            "returns": ["n"]}},
+        "read_parameters": {"count_users": []},
+        "write_routes": {"add_user": {
+            "queries": WRITE_USER["query"]["queries"], "returns": []}},
+        "write_parameters": {"add_user": []},
+    }
+    status, _ = _post(front.port, "/v1/bundle", bundle)
+    assert status == 200
+    # write-kind stored route: replica rejects, front learns + retries
+    status, _ = _post(front.port, "/v1/query/add_user", {})
+    assert status == 200
+    assert "add_user" in front.topology()["write_routes_learned"]
+    # and the primary actually has the node
+    assert _wait(
+        lambda: Client(f"http://127.0.0.1:{primary.port}").query()
+        .dynamic(COUNT_USERS).send()["n"] == 1
+    )
+    # read-kind stored route serves from a replica
+    assert _wait(lambda: _post(
+        front.port, "/v1/query/count_users", {})[1].get("n") == 1)
+
+
+def test_require_writer_header_routes_to_primary(cluster):
+    primary, replicas, front = cluster
+    status, _ = _post(
+        front.port, "/v1/query", COUNT_USERS,
+        headers={"x-helix-require-writer": "true"},
+    )
+    assert status == 200
+    # topology endpoint reports the fleet
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{front.port}/v1/ha", timeout=10
+    ) as resp:
+        topo = json.loads(resp.read())
+    assert topo["primary"]["healthy"] and len(topo["replicas"]) == 2
