@@ -108,6 +108,14 @@ class NativeGateway:
         self._fast_signature: dict | None = None
         self._fast_lock = threading.Lock()
         self._requests_handled = 0
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
+
+    def _track(self, delta: int) -> None:
+        with self._inflight_lock:
+            self._inflight += delta
+            if delta > 0:
+                self._requests_handled += delta
 
     # -- fast-route analysis -------------------------------------------
 
@@ -281,6 +289,7 @@ class NativeGateway:
                         pass
                 if n == 0:
                     continue
+                self._track(n)
                 for item in self._dispatch_vbatch(
                     reqids[:n].copy(), queries[:n], ks[:n].copy(),
                     route_ids[:n].copy(),
@@ -373,6 +382,7 @@ class NativeGateway:
                 out_dists.ctypes.data_as(f64p),
                 counts.ctypes.data_as(i32p),
             )
+            self._track(-len(batch_reqids))
 
     def _respond_slow_fallback(
         self, reqid: int, route_id: int, query_row: np.ndarray, k: int
@@ -419,6 +429,7 @@ class NativeGateway:
                 )
         data = fastjson.dumpb(payload)
         lib.hxgw_respond(h, reqid, status, b"application/json", data, len(data))
+        self._track(-1)
 
     def _general_loop(self) -> None:
         lib, h = self._lib, self._handle
@@ -468,7 +479,19 @@ class NativeGateway:
         warm = bool(flags & 1)
         await_durable = not bool(flags & 4)
         trace = bool(flags & 8)
-        self._requests_handled += 1
+        self._track(1)
+        try:
+            self._handle_general_inner(
+                lib, h, reqid, method, path, raw, warm, await_durable, trace
+            )
+        finally:
+            # long-lived streams (SSE) hand off to their own thread and
+            # count as done here; their churn is negligible
+            self._track(-1)
+
+    def _handle_general_inner(
+        self, lib, h, reqid, method, path, raw, warm, await_durable, trace
+    ) -> None:
         try:
             if len(raw) >= self.BIG_BODY_BYTES:
                 with self._big_body_lock:
@@ -554,25 +577,31 @@ class NativeGateway:
         """Serving GC policy: automatic cyclic GC is off (a gen2 sweep
         over a multi-GB store graph stalls every request for seconds;
         measured 4-8x ingest slowdowns).  Refcounting frees everything
-        acyclic; this thread sweeps the YOUNG generations periodically so
-        cyclic garbage (exception tracebacks, frames) cannot accumulate,
-        without ever scanning the long-lived store."""
+        acyclic; this thread sweeps the YOUNG generations so cyclic
+        garbage (exception tracebacks, frames) cannot accumulate, without
+        ever scanning the long-lived store.
+
+        The sweep runs only when NO request is in flight: with automatic
+        GC off, gen0 holds everything allocated since the last sweep, so
+        a sweep that lands mid-bulk-ingest scans the whole parse + store
+        churn under the GIL — measured 5x ingest slowdowns from exactly
+        that (the old requests-started heuristic read a >2 s request as
+        "quiet").  Idle-only sweeps promote a big ingest's survivors
+        once, between requests, where the pause is invisible."""
         import gc
 
         gc.disable()
         last_seen = -1
         while not self._stop.wait(2.0):
-            # only sweep when the gateway has been quiet since the last
-            # tick: a sweep right after a bulk ingest scans the freshly
-            # created (young) store objects — hundreds of MB — stalling
-            # in-flight requests for ~0.5 s each time
-            current = self._requests_handled
-            if current == last_seen:
+            with self._inflight_lock:
+                idle = self._inflight == 0
+                current = self._requests_handled
+            if idle and current != last_seen:
                 try:
                     gc.collect(1)
                 except Exception:
                     pass
-            last_seen = current
+                last_seen = current
         gc.enable()
 
     def start(self) -> None:
