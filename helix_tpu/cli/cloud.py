@@ -39,6 +39,57 @@ MAX_BYTES = 20 * 1024 * 1024
 CLOCK_SKEW_MS = 5000
 
 
+def cloud_authority() -> str | None:
+    """Control-plane URL (reference env ``CLOUD_AUTHORITY``,
+    ``enterprise_cloud.rs:9-11``).  When set, auth/cluster/push talk to
+    the control-plane service (:mod:`helix_tpu.server.control_plane`);
+    unset, the local file-backed registry is used."""
+    url = os.environ.get("CLOUD_AUTHORITY")
+    return url.rstrip("/") if url else None
+
+
+def _cloud_request(
+    path: str, payload: dict | None = None, *, method: str | None = None,
+    authed: bool = True,
+) -> dict:
+    import urllib.request
+
+    authority = cloud_authority()
+    assert authority is not None
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(
+        f"{authority}{path}", data=data,
+        method=method or ("POST" if data is not None else "GET"),
+        headers={"Content-Type": "application/json"},
+    )
+    if authed:
+        creds = require_auth()
+        req.add_header("Authorization", f"Bearer {creds['helix_user_key']}")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+def _cloud_sse(path: str, payload: dict | None = None, authed: bool = True):
+    """POST (or GET) an SSE route; yield decoded event dicts."""
+    import urllib.request
+
+    authority = cloud_authority()
+    assert authority is not None
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(
+        f"{authority}{path}", data=data,
+        headers={"Content-Type": "application/json"},
+    )
+    if authed:
+        creds = require_auth()
+        req.add_header("Authorization", f"Bearer {creds['helix_user_key']}")
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        for raw in resp:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                yield json.loads(line[len("data: "):])
+
+
 def _credentials_path() -> Path:
     return STATE_HOME / "credentials"
 
@@ -92,6 +143,21 @@ def require_auth() -> dict[str, str]:
 
 
 def _cluster_client(cluster_id: str) -> Client:
+    if cloud_authority():
+        import urllib.error
+
+        try:
+            cluster = _cloud_request(
+                f"/api/cli/enterprise-clusters/{cluster_id}"
+            )
+        except urllib.error.HTTPError as exc:
+            raise SystemExit(
+                f"unknown cluster '{cluster_id}' on the control plane "
+                f"({exc.code}); add it with: helix-tpu cluster add <id> "
+                "--gateway <url>"
+            )
+        auth_env = cluster.get("query_auth_env", "HELIX_API_KEY")
+        return Client(cluster["gateway_url"], api_key=os.environ.get(auth_env))
     clusters = _load_clusters()
     cluster = clusters.get(cluster_id)
     if cluster is None:
@@ -108,9 +174,14 @@ def _cluster_client(cluster_id: str) -> Client:
 # ---------------------------------------------------------------------------
 
 def cmd_auth(args) -> int:
+    if args.action == "login" and getattr(args, "device", False):
+        return _device_login()
     if args.action == "login":
         if not args.user_id or not args.user_key:
-            print("auth login requires --user-id and --user-key", file=sys.stderr)
+            if cloud_authority():
+                return _device_login()
+            print("auth login requires --user-id and --user-key "
+                  "(or CLOUD_AUTHORITY + --device)", file=sys.stderr)
             return 2
         creds = _read_kv(_credentials_path())
         creds["helix_user_id"] = args.user_id
@@ -136,6 +207,36 @@ def cmd_auth(args) -> int:
     return 2
 
 
+def _device_login() -> int:
+    """Device-code login over SSE against the control plane (reference:
+    GitHub device flow, ``auth.rs:265-316`` + ``sse_client.rs:11-91``)."""
+    if not cloud_authority():
+        print("device login needs CLOUD_AUTHORITY set to the control "
+              "plane URL", file=sys.stderr)
+        return 2
+    grant = _cloud_request("/api/cli/auth/device", {}, authed=False)
+    print(f"confirm this device at: {grant['verification_uri']}")
+    print(f"device code: {grant['device_code']}")
+    for event in _cloud_sse(
+        f"/api/cli/auth/device/{grant['device_code']}/events", authed=False
+    ):
+        kind = event.get("type")
+        if kind == "UserVerification":
+            continue
+        if kind == "DeviceCodeTimeout":
+            print("device code expired; run auth login again", file=sys.stderr)
+            return 1
+        if kind == "Success":
+            creds = _read_kv(_credentials_path())
+            creds["helix_user_id"] = event["user_id"]
+            creds["helix_user_key"] = event["user_key"]
+            _write_kv(_credentials_path(), creds)
+            print(f"logged in as {event['user_id']}")
+            return 0
+    print("login stream ended without a result", file=sys.stderr)
+    return 1
+
+
 # ---------------------------------------------------------------------------
 # workspace / cluster registry
 # ---------------------------------------------------------------------------
@@ -156,6 +257,8 @@ def cmd_workspace(args) -> int:
 
 
 def cmd_cluster(args) -> int:
+    if cloud_authority():
+        return _cmd_cluster_cloud(args)
     clusters = _load_clusters()
     if args.action == "add":
         if not args.name or not args.gateway:
@@ -182,6 +285,36 @@ def cmd_cluster(args) -> int:
         return 0
     for name, cluster in sorted(clusters.items()):
         print(f"{name}  {cluster['gateway_url']}  auth_env={cluster['query_auth_env']}")
+    return 0
+
+
+def _cmd_cluster_cloud(args) -> int:
+    """Cluster registry backed by the control plane."""
+    if args.action == "add":
+        if not args.name or not args.gateway:
+            print("cluster add requires <name> --gateway <url>", file=sys.stderr)
+            return 2
+        out = _cloud_request("/api/cli/enterprise-clusters", {
+            "cluster_id": args.name,
+            "gateway_url": args.gateway,
+            "query_auth_env": args.auth_env or "HELIX_API_KEY",
+        })
+        print(f"registered cluster '{out['cluster_id']}' -> {out['gateway_url']}")
+        return 0
+    if args.action == "remove":
+        print("cluster remove is not supported against the control plane",
+              file=sys.stderr)
+        return 2
+    clusters = _cloud_request("/api/cli/enterprise-clusters").get("clusters", {})
+    if not clusters:
+        print("no clusters registered")
+        return 0
+    if getattr(args, "format", None) == "json":
+        print(json.dumps(clusters, indent=2))
+        return 0
+    for name, cluster in sorted(clusters.items()):
+        print(f"{name}  {cluster['gateway_url']}  "
+              f"auth_env={cluster['query_auth_env']}")
     return 0
 
 
@@ -260,9 +393,36 @@ def cmd_push(args) -> int:
     require_auth()
     project = find_project()
     queries_dir = project.root / project.queries_dir
-    client = _cluster_client(args.cluster)
     bundle = compile_queries(queries_dir)
     payload_files = collect_source_snapshot(queries_dir)
+    if cloud_authority():
+        # Deploy through the control plane; it validates, pushes to the
+        # cluster's gateway, and streams status transitions
+        # (ValidatingQueries -> Building -> Deploying -> Deployed,
+        # sse_client.rs:60-91).
+        payload = {
+            "instance_name": args.cluster,
+            "source_files": payload_files,
+        }
+        if bundle is not None:
+            payload["queries_json_b64"] = base64.b64encode(
+                json.dumps(bundle).encode()
+            ).decode()
+        ok = False
+        for event in _cloud_sse(
+            f"/api/cli/enterprise-clusters/{args.cluster}/deploy", payload
+        ):
+            kind = event.get("type")
+            if kind == "Deployed":
+                print(f"deployed to {event.get('url')}")
+                ok = True
+            elif kind in ("Error", "QueryValidationError"):
+                print(f"push failed: {event.get('message')}", file=sys.stderr)
+                return 1
+            elif kind not in ("Done",):
+                print(f"  {kind.lower()}...")
+        return 0 if ok else 1
+    client = _cluster_client(args.cluster)
     try:
         if bundle is not None:
             installed = client.deploy_bundle(bundle)

@@ -373,6 +373,15 @@ def cmd_restart(args) -> int:
     return cmd_start(args)
 
 
+def cmd_control_plane(args) -> int:
+    """Run the cloud control-plane service (reference:
+    cloud.helix-db.com/api/cli, enterprise_cloud.rs:7-22).  Point the
+    CLI at it with CLOUD_AUTHORITY=http://host:port."""
+    from ..server.control_plane import main as cp_main
+
+    return cp_main(["--port", str(args.port), "--state-dir", args.state_dir])
+
+
 def cmd_gateway(args) -> int:
     """HA gateway front (reference cloud topology: single writer +
     autoscaled readers behind redundant gateways, README.md:248)."""
@@ -873,7 +882,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("action", choices=["login", "status", "logout"])
     p.add_argument("--user-id", default=None)
     p.add_argument("--user-key", default=None)
+    p.add_argument("--device", action="store_true",
+                   help="device-code login via the CLOUD_AUTHORITY "
+                        "control plane (SSE flow)")
     p.set_defaults(fn=cloud.cmd_auth)
+
+    p = sub.add_parser(
+        "control-plane", help="run the cloud control-plane service"
+    )
+    p.add_argument("--port", type=int, default=8787)
+    p.add_argument("--state-dir",
+                   default=str(cloud.STATE_HOME / "control-plane"))
+    p.set_defaults(fn=cmd_control_plane)
 
     p = sub.add_parser("workspace", help="select the active workspace")
     p.add_argument("action", nargs="?", default="show", choices=["show", "use"])

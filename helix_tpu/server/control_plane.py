@@ -1,0 +1,350 @@
+"""Control-plane service: the hosted half of the reference's L7 surface.
+
+The reference CLI talks to ``https://cloud.helix-db.com/api/cli/...``
+(``enterprise_cloud.rs:7-22``) for auth (GitHub device flow over SSE,
+``auth.rs:265-316``), workspace/project/cluster CRUD, and deploys that
+stream SSE status transitions (``sse_client.rs:60-91``:
+ValidatingQueries → Building → Deploying → Deployed).  This module is a
+runnable implementation of that contract so ``helix auth login
+--device`` / ``cluster`` / ``push`` exercise a real control plane over
+HTTP instead of a local file registry (set ``CLOUD_AUTHORITY`` to its
+URL, reference ``enterprise_cloud.rs:9-11``).
+
+Surface:
+
+- ``POST /api/cli/auth/device``                 → {device_code, verification_uri}
+- ``GET  /api/cli/auth/device/<code>/events``   → SSE: UserVerification,
+  then Success{user_id, user_key} once approved (DeviceCodeTimeout after
+  ``device_timeout_s``)
+- ``POST /api/cli/auth/device/<code>/approve``  → browser-side approval
+  (tests drive it programmatically)
+- ``GET/POST /api/cli/workspaces`` · ``/api/cli/projects``
+- ``GET/POST /api/cli/enterprise-clusters`` — cluster records carry
+  ``gateway_url`` + ``query_auth_env``
+- ``POST /api/cli/enterprise-clusters/<id>/deploy`` → SSE stream of
+  status transitions while the bundle + source snapshot are pushed to
+  the cluster's gateway
+
+State persists as JSON under ``--state-dir``.  All non-auth routes
+require ``Authorization: Bearer <user_key>`` of a registered user.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import secrets
+import threading
+import time
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+
+class ControlPlaneState:
+    def __init__(self, state_dir: str | Path):
+        self.path = Path(state_dir) / "control_plane.json"
+        self.lock = threading.Lock()
+        self.data = {
+            "users": {},        # user_id -> {user_key}
+            "workspaces": {},   # name -> {created_ms}
+            "projects": {},     # name -> {workspace}
+            "clusters": {},     # id -> {gateway_url, query_auth_env, project}
+        }
+        try:
+            self.data.update(json.loads(self.path.read_text()))
+        except (OSError, json.JSONDecodeError):
+            pass
+
+    def save(self) -> None:
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(self.data, indent=2))
+        tmp.replace(self.path)
+
+
+class _DeviceGrant:
+    def __init__(self):
+        self.approved = threading.Event()
+        self.user_id: str | None = None
+        self.created = time.monotonic()
+
+
+class ControlPlane:
+    def __init__(
+        self,
+        state_dir: str | Path,
+        host: str = "0.0.0.0",
+        port: int = 0,
+        device_timeout_s: float = 120.0,
+    ):
+        self.state = ControlPlaneState(state_dir)
+        self.host = host
+        self.port = port
+        self.device_timeout_s = device_timeout_s
+        self._grants: dict[str, _DeviceGrant] = {}
+        self._httpd: ThreadingHTTPServer | None = None
+
+    # -- auth helpers -----------------------------------------------------
+
+    def _authorized(self, headers) -> str | None:
+        token = (headers.get("Authorization") or "").removeprefix("Bearer ").strip()
+        if not token:
+            return None
+        with self.state.lock:
+            for user_id, record in self.state.data["users"].items():
+                if record.get("user_key") == token:
+                    return user_id
+        return None
+
+    # -- lifecycle --------------------------------------------------------
+
+    def start(self) -> "ControlPlane":
+        plane = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *args):
+                pass
+
+            def _json(self, status: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _sse_begin(self) -> None:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Connection", "close")
+                self.end_headers()
+
+            def _sse(self, event: dict) -> None:
+                self.wfile.write(f"data: {json.dumps(event)}\n\n".encode())
+                self.wfile.flush()
+
+            def _body(self) -> dict:
+                length = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(length) if length else b"{}"
+                try:
+                    return json.loads(raw)
+                except json.JSONDecodeError:
+                    return {}
+
+            def do_POST(self):
+                plane._post(self)
+
+            def do_GET(self):
+                plane._get(self)
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_port
+        threading.Thread(target=self._httpd.serve_forever, daemon=True).start()
+        return self
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    # -- request handling -------------------------------------------------
+
+    def _post(self, rq) -> None:
+        path = rq.path
+        if path == "/api/cli/auth/device":
+            code = secrets.token_hex(8)
+            self._grants[code] = _DeviceGrant()
+            rq._json(200, {
+                "device_code": code,
+                "verification_uri": (
+                    f"http://{self.host}:{self.port}"
+                    f"/api/cli/auth/device/{code}/approve"
+                ),
+            })
+            return
+        if path.startswith("/api/cli/auth/device/") and path.endswith("/approve"):
+            code = path.split("/")[-2]
+            grant = self._grants.get(code)
+            if grant is None:
+                rq._json(404, {"error": "unknown device code"})
+                return
+            body = rq._body()
+            grant.user_id = body.get("user_id") or f"user-{code[:6]}"
+            grant.approved.set()
+            rq._json(200, {"approved": True})
+            return
+
+        user = self._authorized(rq.headers)
+        if user is None:
+            rq._json(401, {"error": "invalid or missing api key"})
+            return
+        body = rq._body()
+        if path == "/api/cli/workspaces":
+            name = body.get("name")
+            if not name:
+                rq._json(400, {"error": "name required"})
+                return
+            with self.state.lock:
+                self.state.data["workspaces"].setdefault(
+                    name, {"created_ms": int(time.time() * 1000)}
+                )
+                self.state.save()
+            rq._json(200, {"name": name})
+            return
+        if path == "/api/cli/projects":
+            name = body.get("name")
+            if not name:
+                rq._json(400, {"error": "name required"})
+                return
+            with self.state.lock:
+                self.state.data["projects"][name] = {
+                    "workspace": body.get("workspace", "default"),
+                }
+                self.state.save()
+            rq._json(200, {"name": name})
+            return
+        if path == "/api/cli/enterprise-clusters":
+            cluster_id = body.get("cluster_id") or f"cluster-{secrets.token_hex(4)}"
+            record = {
+                "gateway_url": body.get("gateway_url"),
+                "query_auth_env": body.get("query_auth_env", "HELIX_API_KEY"),
+                "project": body.get("project", "default"),
+            }
+            if not record["gateway_url"]:
+                rq._json(400, {"error": "gateway_url required"})
+                return
+            with self.state.lock:
+                self.state.data["clusters"][cluster_id] = record
+                self.state.save()
+            rq._json(200, {"cluster_id": cluster_id, **record})
+            return
+        if path.startswith("/api/cli/enterprise-clusters/") and path.endswith("/deploy"):
+            self._deploy(rq, path.split("/")[-2], body)
+            return
+        rq._json(404, {"error": f"unknown route {path}"})
+
+    def _get(self, rq) -> None:
+        path = rq.path
+        if path.startswith("/api/cli/auth/device/") and path.endswith("/events"):
+            code = path.split("/")[-2]
+            grant = self._grants.get(code)
+            if grant is None:
+                rq._json(404, {"error": "unknown device code"})
+                return
+            rq._sse_begin()
+            rq._sse({"type": "UserVerification", "device_code": code})
+            remaining = self.device_timeout_s - (time.monotonic() - grant.created)
+            if not grant.approved.wait(timeout=max(0.0, remaining)):
+                rq._sse({"type": "DeviceCodeTimeout"})
+                return
+            user_id = grant.user_id or ""
+            user_key = secrets.token_hex(16)
+            with self.state.lock:
+                self.state.data["users"][user_id] = {"user_key": user_key}
+                self.state.save()
+            del self._grants[code]
+            rq._sse({
+                "type": "Success", "user_id": user_id, "user_key": user_key,
+            })
+            return
+
+        user = self._authorized(rq.headers)
+        if user is None:
+            rq._json(401, {"error": "invalid or missing api key"})
+            return
+        with self.state.lock:
+            if path == "/api/cli/workspaces":
+                rq._json(200, {"workspaces": sorted(self.state.data["workspaces"])})
+                return
+            if path == "/api/cli/projects":
+                rq._json(200, {"projects": self.state.data["projects"]})
+                return
+            if path == "/api/cli/enterprise-clusters":
+                rq._json(200, {"clusters": self.state.data["clusters"]})
+                return
+            if path.startswith("/api/cli/enterprise-clusters/"):
+                cluster_id = path.rsplit("/", 1)[-1]
+                record = self.state.data["clusters"].get(cluster_id)
+                if record is None:
+                    rq._json(404, {"error": f"unknown cluster {cluster_id}"})
+                    return
+                rq._json(200, {"cluster_id": cluster_id, **record})
+                return
+        rq._json(404, {"error": f"unknown route {path}"})
+
+    # -- deploy (SSE status transitions) ----------------------------------
+
+    def _deploy(self, rq, cluster_id: str, body: dict) -> None:
+        with self.state.lock:
+            record = self.state.data["clusters"].get(cluster_id)
+        if record is None:
+            rq._json(404, {"error": f"unknown cluster {cluster_id}"})
+            return
+        gateway = record["gateway_url"].rstrip("/")
+        rq._sse_begin()
+        try:
+            rq._sse({"type": "ValidatingQueries"})
+            bundle = None
+            if body.get("queries_json_b64"):
+                try:
+                    bundle = json.loads(
+                        base64.b64decode(body["queries_json_b64"])
+                    )
+                except Exception as exc:
+                    rq._sse({"type": "QueryValidationError", "message": str(exc)})
+                    return
+            rq._sse({"type": "Building", "estimated_percentage": 50})
+            rq._sse({"type": "Deploying"})
+            if bundle is not None:
+                self._gateway_post(gateway, "/v1/bundle", bundle)
+            if body.get("source_files"):
+                self._gateway_post(gateway, "/v1/source", {
+                    "files": body["source_files"],
+                    "pushed_at_ms": int(time.time() * 1000),
+                })
+            rq._sse({"type": "Deployed", "url": gateway})
+            rq._sse({"type": "Done"})
+        except Exception as exc:
+            try:
+                rq._sse({"type": "Error", "message": str(exc)})
+            except Exception:
+                pass
+
+    @staticmethod
+    def _gateway_post(gateway: str, path: str, payload: dict) -> None:
+        req = urllib.request.Request(
+            f"{gateway}{path}", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            if resp.status != 200:
+                raise RuntimeError(f"gateway {path} -> {resp.status}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(description="helix-tpu control plane")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8787)
+    parser.add_argument("--state-dir", default="~/.helix-tpu/control-plane")
+    args = parser.parse_args(argv)
+    plane = ControlPlane(
+        Path(args.state_dir).expanduser(), host=args.host, port=args.port
+    )
+    plane.start()
+    print(f"control plane on {args.host}:{plane.port}", flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        plane.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

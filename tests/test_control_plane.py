@@ -1,0 +1,173 @@
+"""Control-plane service + CLI integration: device-flow login over SSE,
+cluster CRUD, deploy with SSE status transitions landing on a real
+gateway.  Reference: ``enterprise_cloud.rs:7-22`` (REST surface),
+``auth.rs:265-316`` (device flow), ``sse_client.rs:60-91`` (deploy
+events)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.request
+
+import pytest
+
+from helix_tpu.client import Client
+from helix_tpu.server import HelixHTTPServer
+from helix_tpu.server.control_plane import ControlPlane
+
+from tests.test_cli import run_cli
+
+
+@pytest.fixture
+def plane(tmp_path):
+    plane = ControlPlane(tmp_path / "cp", host="127.0.0.1").start()
+    yield plane
+    plane.stop()
+
+
+@pytest.fixture
+def cloud_env(plane, tmp_path, monkeypatch):
+    monkeypatch.setenv("CLOUD_AUTHORITY", f"http://127.0.0.1:{plane.port}")
+    monkeypatch.setenv("HELIX_TPU_HOME", str(tmp_path / "home"))
+    # HELIX_TPU_HOME is resolved at import time; patch the module state
+    import helix_tpu.cli.cloud as cloud
+
+    monkeypatch.setattr(cloud, "STATE_HOME", tmp_path / "home")
+    return plane
+
+
+def _approve_soon(plane: ControlPlane, user_id: str = "tester") -> None:
+    """Approve the first outstanding device grant from a side thread
+    (the browser's role in the reference flow)."""
+
+    def approve():
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if plane._grants:
+                code = next(iter(plane._grants))
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{plane.port}"
+                    f"/api/cli/auth/device/{code}/approve",
+                    data=json.dumps({"user_id": user_id}).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                urllib.request.urlopen(req, timeout=10)
+                return
+            time.sleep(0.05)
+
+    threading.Thread(target=approve, daemon=True).start()
+
+
+def test_device_flow_login(cloud_env):
+    plane = cloud_env
+    _approve_soon(plane, "alice")
+    code, out, err = run_cli(["auth", "login", "--device"])
+    assert code == 0, err
+    assert "logged in as alice" in out
+    code, out, _ = run_cli(["auth", "status"])
+    assert "logged in as alice" in out
+    # the control plane registered the user's key
+    assert "alice" in plane.state.data["users"]
+
+
+def test_unauthed_requests_rejected(cloud_env):
+    plane = cloud_env
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{plane.port}/api/cli/enterprise-clusters"
+    )
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        raise AssertionError("expected 401")
+    except urllib.error.HTTPError as exc:
+        assert exc.code == 401
+
+
+def test_cluster_crud_and_push_deploys_to_gateway(cloud_env, tmp_path):
+    plane = cloud_env
+    _approve_soon(plane, "bob")
+    assert run_cli(["auth", "login", "--device"])[0] == 0
+
+    gateway = HelixHTTPServer(host="127.0.0.1", port=0)
+    gateway.start()
+    try:
+        code, out, err = run_cli([
+            "cluster", "add", "prod",
+            "--gateway", f"http://127.0.0.1:{gateway.port}",
+        ])
+        assert code == 0, err
+        code, out, _ = run_cli(["cluster", "list"])
+        assert "prod" in out and str(gateway.port) in out
+
+        # a project with a queries.py that defines a stored route
+        root = tmp_path / "proj"
+        assert run_cli(["init", "--path", str(root)])[0] == 0
+        (root / "db").mkdir(exist_ok=True)
+        (root / "db" / "queries.py").write_text(
+            "p = define_params({})\n"
+            "define_queries({\n"
+            "    'read': {\n"
+            "        'count_users': register_read(\n"
+            "            lambda pp: read_batch().var_as(\n"
+            "                'n', g().n_with_label('User').count()\n"
+            "            ).returning(['n']),\n"
+            "            p,\n"
+            "        ),\n"
+            "    },\n"
+            "})\n"
+        )
+        code, out, err = run_cli(["push", "prod"], cwd=root)
+        assert code == 0, err + out
+        assert "deployed to" in out
+        # the stored route actually landed on the gateway
+        out = Client(f"http://127.0.0.1:{gateway.port}").query().stored(
+            "count_users"
+        ).send()
+        assert out == {"n": 0}
+        # and the source snapshot is there for sync
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{gateway.port}/v1/source"
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            files = json.loads(resp.read())["files"]
+        assert "queries.py" in files
+    finally:
+        gateway.stop()
+
+
+def test_deploy_unknown_cluster_404(cloud_env):
+    plane = cloud_env
+    _approve_soon(plane)
+    assert run_cli(["auth", "login", "--device"])[0] == 0
+    import helix_tpu.cli.cloud as cloud
+
+    creds = cloud.require_auth()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{plane.port}/api/cli/enterprise-clusters/nope/deploy",
+        data=b"{}",
+        headers={
+            "Content-Type": "application/json",
+            "Authorization": f"Bearer {creds['helix_user_key']}",
+        },
+    )
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as exc:
+        assert exc.code == 404
+
+
+def test_state_persists_across_restart(tmp_path):
+    plane = ControlPlane(tmp_path / "cp", host="127.0.0.1").start()
+    with plane.state.lock:
+        plane.state.data["users"]["u1"] = {"user_key": "k1"}
+        plane.state.data["clusters"]["c1"] = {
+            "gateway_url": "http://x", "query_auth_env": "HELIX_API_KEY",
+            "project": "default",
+        }
+        plane.state.save()
+    plane.stop()
+    reborn = ControlPlane(tmp_path / "cp", host="127.0.0.1")
+    assert reborn.state.data["users"]["u1"]["user_key"] == "k1"
+    assert reborn.state.data["clusters"]["c1"]["gateway_url"] == "http://x"
