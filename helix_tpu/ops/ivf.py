@@ -306,15 +306,30 @@ class HostIVFIndex:
             n_clusters=n_clusters, iters=iters,
         )
 
-        # streamed assignment of every row
+        # streamed assignment of every row.  The sims block is
+        # [chunk, C] f32 device-resident — at 10M rows C ~ 12.6k, so a
+        # fixed 1M-row chunk would need ~50 GB of HBM; bound the block
+        # to ~512 MB instead (chunk scales inversely with cluster count)
+        assign_chunk = min(
+            assign_chunk, max(8192, (512 << 20) // (n_clusters * 4))
+        )
+        assign = jax.jit(
+            lambda x, c: jnp.argmax(
+                jnp.einsum("nd,cd->nc", x, c,
+                           preferred_element_type=jnp.float32),
+                axis=1,
+            )
+        )
         assign_h = np.empty(n, np.int32)
         for lo in range(0, n, assign_chunk):
             hi = min(n, lo + assign_chunk)
-            sims = jnp.einsum(
-                "nd,cd->nc", jnp.asarray(data[lo:hi]), centroids,
-                preferred_element_type=jnp.float32,
-            )
-            assign_h[lo:hi] = np.asarray(jnp.argmax(sims, axis=1))
+            block = data[lo:hi]
+            if hi - lo < assign_chunk:  # pad: one compiled shape total
+                block = np.concatenate(
+                    [block, np.zeros((assign_chunk - (hi - lo), block.shape[1]),
+                                     np.float32)]
+                )
+            assign_h[lo:hi] = np.asarray(assign(block, centroids))[: hi - lo]
 
         order = np.argsort(assign_h, kind="stable")
         packed = np.ascontiguousarray(data[order])
@@ -356,6 +371,10 @@ class HostIVFIndex:
         block_rows = np.concatenate(
             [np.arange(s, e) for s, e in zip(starts, ends)]
         )
+        # observability: bytes the last search streamed through HBM
+        # (the tier's cost model is data movement, not FLOPs)
+        self.last_block_rows = total
+        self.last_streamed_bytes = int(total * block.shape[1] * 4)
         # pad the streamed block to a bucketed width (stable jit shapes)
         m_pad = 1 << max(10, (total - 1).bit_length())
         if m_pad > total:

@@ -239,7 +239,11 @@ class NativeGateway:
     # Cap on dispatched-but-unfinalized batches.  Each in-flight batch
     # overlaps its (tunnel-expensive) D2H with the next dispatch; more
     # than a few buys nothing and grows tail latency.
-    VBATCH_INFLIGHT = 4
+    VBATCH_INFLIGHT = 8
+    # Concurrent finalizers draining the in-flight queue (see start of
+    # _vbatch_loop); responses sequence per-connection in C++, so
+    # out-of-order completion is safe.
+    VBATCH_FINALIZERS = 3
 
     def _vbatch_loop(self) -> None:
         """Dispatch stage of the fast path: pull parsed request batches
@@ -262,10 +266,18 @@ class NativeGateway:
         i32p = ctypes.POINTER(ctypes.c_int32)
 
         pending: _queue.Queue = _queue.Queue(maxsize=self.VBATCH_INFLIGHT)
-        finisher = threading.Thread(
-            target=self._vbatch_finalize_loop, args=(pending,), daemon=True
-        )
-        finisher.start()
+        # A small pool: each finalize blocks on its batch's D2H; on a
+        # remote chip that wait is an RPC round trip, and overlapping a
+        # few of them (transfers were already started async at dispatch)
+        # keeps the device, the wire, and the host formatter all busy.
+        finishers = [
+            threading.Thread(
+                target=self._vbatch_finalize_loop, args=(pending,), daemon=True
+            )
+            for _ in range(self.VBATCH_FINALIZERS)
+        ]
+        for finisher in finishers:
+            finisher.start()
         last_refresh = time.monotonic()
         try:
             while not self._stop.is_set():
@@ -296,8 +308,10 @@ class NativeGateway:
                 ):
                     pending.put(item)
         finally:
-            pending.put(None)
-            finisher.join(timeout=5.0)
+            for _ in finishers:
+                pending.put(None)
+            for finisher in finishers:
+                finisher.join(timeout=5.0)
 
     def _dispatch_vbatch(self, reqids, queries, ks, route_ids):
         """Group one pulled batch by route and dispatch each group's

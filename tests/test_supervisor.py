@@ -104,10 +104,12 @@ def test_stop_terminates_supervised_tree(tmp_path, fast_backoff):
     assert _engine_pid(root) is None
 
 
-def test_on_failure_policy_unit():
+def test_on_failure_policy_unit(tmp_path):
     """Supervisor semantics without a real engine: a failing child is
     restarted with backoff; a clean exit (rc=0) under on-failure ends
-    supervision."""
+    supervision.  State dirs must be unique per run: a stale restarts
+    file satisfies the wait instantly and the TERM then lands in the
+    fresh supervisor's import window, before its handler installs."""
     env = dict(os.environ)
     env["HELIX_SUPERVISOR_BACKOFF_BASE"] = "0.05"
     env["HELIX_SUPERVISOR_BACKOFF_MAX"] = "0.1"
@@ -116,7 +118,7 @@ def test_on_failure_policy_unit():
     # clean exit: supervisor exits on its own, no restart
     proc = subprocess.run(
         [sys.executable, "-m", "helix_tpu.cli.supervisor",
-         "--policy", "on-failure", "--state-dir", "/tmp/helix-sup-test-a",
+         "--policy", "on-failure", "--state-dir", str(tmp_path / "a"),
          "--", sys.executable, "-c", "pass"],
         capture_output=True, timeout=30, env=env,
     )
@@ -126,11 +128,11 @@ def test_on_failure_policy_unit():
     # failing child: restarted until the supervisor is stopped
     sup = subprocess.Popen(
         [sys.executable, "-m", "helix_tpu.cli.supervisor",
-         "--policy", "on-failure", "--state-dir", "/tmp/helix-sup-test-b",
+         "--policy", "on-failure", "--state-dir", str(tmp_path / "b"),
          "--", sys.executable, "-c", "raise SystemExit(3)"],
         stderr=subprocess.PIPE, env=env,
     )
-    restarts = Path("/tmp/helix-sup-test-b/restarts")
+    restarts = tmp_path / "b" / "restarts"
     assert _wait(
         lambda: restarts.exists() and int(restarts.read_text() or 0) >= 2,
         timeout=20.0,
