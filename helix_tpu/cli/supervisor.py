@@ -50,6 +50,9 @@ def main(argv: list[str] | None = None) -> int:
     state.mkdir(parents=True, exist_ok=True)
     engine_pidfile = state / "engine.pid"
     restarts_file = state / "restarts"
+    # a fresh supervision run starts at zero — a stale count from the
+    # previous run would falsely flag a now-stable instance in `status`
+    restarts_file.unlink(missing_ok=True)
 
     backoff_base = float(os.environ.get("HELIX_SUPERVISOR_BACKOFF_BASE", "0.2"))
     backoff_max = float(os.environ.get("HELIX_SUPERVISOR_BACKOFF_MAX", "5.0"))
@@ -69,8 +72,15 @@ def main(argv: list[str] | None = None) -> int:
     restarts = 0
     backoff = backoff_base
     while True:
+        if stopping:
+            return 0
         started = time.monotonic()
         child = subprocess.Popen(command)
+        if stopping:
+            # TERM landed between the loop check and the spawn: the
+            # handler saw only the dead previous child, so this fresh
+            # one must be stopped here or it outlives the supervisor
+            child.send_signal(signal.SIGTERM)
         engine_pidfile.write_text(str(child.pid))
         rc = child.wait()
         lived = time.monotonic() - started
@@ -81,11 +91,11 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         restarts += 1
         restarts_file.write_text(str(restarts))
+        if lived >= STABLE_AFTER_S:
+            backoff = backoff_base
         print(f"supervisor: engine exited rc={rc} after {lived:.1f}s; "
               f"restart #{restarts} in {backoff:.1f}s", file=sys.stderr,
               flush=True)
-        if lived >= STABLE_AFTER_S:
-            backoff = backoff_base
         # interruptible backoff sleep: a stop during the wait must not
         # resurrect the child
         deadline = time.monotonic() + backoff

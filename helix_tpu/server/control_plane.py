@@ -153,29 +153,53 @@ class ControlPlane:
 
     # -- request handling -------------------------------------------------
 
+    def _expire_grants(self) -> None:
+        now = time.monotonic()
+        for code in [
+            c for c, g in self._grants.items()
+            if now - g.created > self.device_timeout_s and not g.approved.is_set()
+        ]:
+            self._grants.pop(code, None)
+
+    def _approve(self, rq, code: str) -> None:
+        grant = self._grants.get(code)
+        if grant is None or (
+            time.monotonic() - grant.created > self.device_timeout_s
+        ):
+            self._grants.pop(code, None)
+            rq._json(404, {"error": "unknown or expired device code"})
+            return
+        body = rq._body()
+        grant.user_id = body.get("user_id") or f"user-{code[:6]}"
+        grant.approved.set()
+        rq._json(200, {"approved": True})
+
+    def _public_host(self, rq) -> str:
+        """An address a browser can actually reach: the request's Host
+        header when present, else the bind host (0.0.0.0 is not
+        connectable — substitute loopback)."""
+        host = rq.headers.get("Host")
+        if host:
+            return host
+        bind = "127.0.0.1" if self.host in ("0.0.0.0", "::") else self.host
+        return f"{bind}:{self.port}"
+
     def _post(self, rq) -> None:
         path = rq.path
         if path == "/api/cli/auth/device":
+            self._expire_grants()
             code = secrets.token_hex(8)
             self._grants[code] = _DeviceGrant()
             rq._json(200, {
                 "device_code": code,
                 "verification_uri": (
-                    f"http://{self.host}:{self.port}"
+                    f"http://{self._public_host(rq)}"
                     f"/api/cli/auth/device/{code}/approve"
                 ),
             })
             return
         if path.startswith("/api/cli/auth/device/") and path.endswith("/approve"):
-            code = path.split("/")[-2]
-            grant = self._grants.get(code)
-            if grant is None:
-                rq._json(404, {"error": "unknown device code"})
-                return
-            body = rq._body()
-            grant.user_id = body.get("user_id") or f"user-{code[:6]}"
-            grant.approved.set()
-            rq._json(200, {"approved": True})
+            self._approve(rq, path.split("/")[-2])
             return
 
         user = self._authorized(rq.headers)
@@ -229,6 +253,12 @@ class ControlPlane:
 
     def _get(self, rq) -> None:
         path = rq.path
+        if path.startswith("/api/cli/auth/device/") and path.endswith("/approve"):
+            # browsers GET the verification_uri; approving on GET keeps
+            # the interactive flow one click (this is a local analog,
+            # not an OAuth server)
+            self._approve(rq, path.split("/")[-2])
+            return
         if path.startswith("/api/cli/auth/device/") and path.endswith("/events"):
             code = path.split("/")[-2]
             grant = self._grants.get(code)
@@ -239,6 +269,12 @@ class ControlPlane:
             rq._sse({"type": "UserVerification", "device_code": code})
             remaining = self.device_timeout_s - (time.monotonic() - grant.created)
             if not grant.approved.wait(timeout=max(0.0, remaining)):
+                self._grants.pop(code, None)  # expired: not approvable later
+                rq._sse({"type": "DeviceCodeTimeout"})
+                return
+            # pop before minting so a concurrent stream for the same
+            # code cannot double-redeem (the loser reports a timeout)
+            if self._grants.pop(code, None) is None:
                 rq._sse({"type": "DeviceCodeTimeout"})
                 return
             user_id = grant.user_id or ""
@@ -246,7 +282,6 @@ class ControlPlane:
             with self.state.lock:
                 self.state.data["users"][user_id] = {"user_key": user_key}
                 self.state.save()
-            del self._grants[code]
             rq._sse({
                 "type": "Success", "user_id": user_id, "user_key": user_key,
             })

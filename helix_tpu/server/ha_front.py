@@ -111,10 +111,12 @@ class HAFront:
         if headers.get("x-helix-require-writer", "").lower() == "true":
             return True
         if path == "/v1/query":
-            return bool(_WRITE_RE.search(body[:4096]) or _WRITE_RE.search(body))
+            return bool(_WRITE_RE.search(body))
         if path.startswith("/v1/query/"):
             return path[len("/v1/query/"):] in self._write_routes
-        return False
+        # source snapshots mutate engine state; MCP tools can write —
+        # both belong on the writer
+        return path in ("/v1/source", "/mcp")
 
     def _forward(
         self, backend: Backend, method: str, path: str, body: bytes, headers
@@ -144,13 +146,20 @@ class HAFront:
         if path == "/v1/ha":
             return 200, json.dumps(self.topology()).encode(), "application/json"
         if method == "POST" and path == "/v1/bundle":
-            # broadcast so stored routes exist on every backend
+            # broadcast so stored routes exist on every backend; replica
+            # failures are REPORTED, not swallowed — a silent partial
+            # deploy would surface later as unknown-route errors
             result: tuple[int, bytes, str] | None = None
+            replica_errors: list[str] = []
             for backend in [self.primary, *self.replicas]:
                 try:
                     out = self._forward(backend, method, path, body, headers)
                     if backend.role == "primary":
                         result = out
+                    elif out[0] != 200:
+                        replica_errors.append(
+                            f"{backend.url}: HTTP {out[0]}"
+                        )
                 except Exception as exc:
                     backend.healthy = False
                     backend.last_error = str(exc)
@@ -159,6 +168,12 @@ class HAFront:
                             "kind": "Unavailable",
                             "message": f"primary unreachable: {exc}",
                         }}).encode(), "application/json")
+                    else:
+                        replica_errors.append(f"{backend.url}: {exc}")
+            if result is not None and result[0] == 200 and replica_errors:
+                payload = json.loads(result[1])
+                payload["replica_errors"] = replica_errors
+                result = (200, json.dumps(payload).encode(), result[2])
             return result or (503, b'{"error": {"kind": "Unavailable"}}',
                               "application/json")
 
@@ -179,6 +194,7 @@ class HAFront:
                 }}).encode(), "application/json")
 
         last_exc: Exception | None = None
+        last_response: tuple[int, bytes, str] | None = None
         for backend in self._read_order():
             try:
                 status, payload, ctype = self._forward(
@@ -199,7 +215,19 @@ class HAFront:
                 # re-issue against the writer
                 self._write_routes.add(path[len("/v1/query/"):])
                 return self.handle(method, path, body, headers)
+            if (
+                status >= 400
+                and backend.role == "replica"
+                and path.startswith("/v1/query/")
+            ):
+                # e.g. a replica that missed a bundle deploy answers
+                # "unknown stored query" — another backend may have the
+                # route; keep the error only if every backend agrees
+                last_response = (status, payload, ctype)
+                continue
             return status, payload, ctype
+        if last_response is not None:
+            return last_response
         return (503, json.dumps({"error": {
             "kind": "Unavailable",
             "message": f"no healthy backend ({last_exc})",

@@ -193,6 +193,11 @@ def dispatch(
             return JsonResult(200, {"installed": sorted(engine.routes)})
         if path == "/v1/source":
             # Deployed source snapshot (push/sync reconciliation).
+            if server.replica_of:
+                raise QueryError(
+                    "this instance is a read-only replica; push source "
+                    f"to the primary at {server.replica_of}"
+                )
             if not isinstance(body, dict) or "files" not in body:
                 raise QueryError("source payload must carry files")
             engine.source_snapshot = body

@@ -171,3 +171,43 @@ def test_state_persists_across_restart(tmp_path):
     reborn = ControlPlane(tmp_path / "cp", host="127.0.0.1")
     assert reborn.state.data["users"]["u1"]["user_key"] == "k1"
     assert reborn.state.data["clusters"]["c1"]["gateway_url"] == "http://x"
+
+
+def test_expired_device_code_not_approvable(tmp_path):
+    plane = ControlPlane(
+        tmp_path / "cp", host="127.0.0.1", device_timeout_s=0.2
+    ).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{plane.port}/api/cli/auth/device", data=b"{}"
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            code = json.loads(resp.read())["device_code"]
+        time.sleep(0.4)
+        # approval after expiry must be rejected, and the grant dropped
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{plane.port}/api/cli/auth/device/{code}/approve",
+            data=b"{}",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("expected 404 for expired code")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 404
+        assert code not in plane._grants
+    finally:
+        plane.stop()
+
+
+def test_browser_get_approves_and_uri_is_connectable(plane):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{plane.port}/api/cli/auth/device", data=b"{}"
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        grant = json.loads(resp.read())
+    # the printed URI must embed a reachable host (the request's Host
+    # header), never the 0.0.0.0 bind address
+    assert "0.0.0.0" not in grant["verification_uri"]
+    # a plain browser GET on the URI approves the grant
+    with urllib.request.urlopen(grant["verification_uri"], timeout=10) as resp:
+        assert json.loads(resp.read())["approved"] is True

@@ -169,3 +169,38 @@ def test_require_writer_header_routes_to_primary(cluster):
     ) as resp:
         topo = json.loads(resp.read())
     assert topo["primary"]["healthy"] and len(topo["replicas"]) == 2
+
+
+def test_source_push_routes_to_primary(cluster):
+    primary, replicas, front = cluster
+    files = {"q.py": {"content_b64": "cGFzcw==", "sha256": "x",
+                      "last_modified_ms": 1}}
+    status, out = _post(front.port, "/v1/source", {"files": files})
+    assert status == 200
+    # the snapshot landed on the PRIMARY, where sync will look for it
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{primary.port}/v1/source", timeout=10
+    ) as resp:
+        assert "q.py" in json.loads(resp.read())["files"]
+    # replicas reject direct source pushes outright
+    status, out = _post(replicas[0].port, "/v1/source", {"files": files})
+    assert status == 400 and "read-only replica" in out["error"]["message"]
+
+
+def test_stored_route_failover_when_replica_lacks_bundle(cluster):
+    primary, replicas, front = cluster
+    # deploy the bundle ONLY to the primary (simulates a replica that
+    # missed a broadcast, e.g. it was down during deploy)
+    bundle = {
+        "version": 5,
+        "read_routes": {"count_users": {
+            "queries": COUNT_USERS["query"]["queries"], "returns": ["n"]}},
+        "read_parameters": {"count_users": []},
+        "write_routes": {}, "write_parameters": {},
+    }
+    status, _ = _post(primary.port, "/v1/bundle", bundle)
+    assert status == 200
+    # the front must fail over past replicas' unknown-route errors to
+    # the backend that has the route
+    status, out = _post(front.port, "/v1/query/count_users", {})
+    assert (status, out.get("n")) == (200, 0)
