@@ -783,9 +783,50 @@ back as `{{"error": {{"kind", "message"}}}}` with HTTP 400.
 """
 
 
+#: Agent config files that accept an HTTP MCP server registration
+#: (reference: setup.rs:13-32 registers the docs MCP into 13
+#: http-capable agents via npx; this image has no npm, so the entries
+#: are written directly).  Each row: (path, top-level key, entry shape).
+_MCP_TARGETS = (
+    (".mcp.json", "mcpServers", "http"),           # Claude Code (project)
+    (".cursor/mcp.json", "mcpServers", "http"),    # Cursor
+    (".vscode/mcp.json", "servers", "http"),       # VS Code / Copilot
+    (".windsurf/mcp_config.json", "mcpServers", "http"),  # Windsurf
+    (".gemini/settings.json", "mcpServers", "httpUrl"),   # Gemini CLI
+    ("opencode.json", "mcp", "opencode"),          # OpenCode
+)
+
+
+def register_mcp(root: Path, url: str) -> list[Path]:
+    """Merge a helix-tpu MCP server entry into each known agent config,
+    preserving whatever else is already there."""
+    written = []
+    for rel, key, shape in _MCP_TARGETS:
+        path = root / rel
+        try:
+            config = json.loads(path.read_text()) if path.exists() else {}
+        except json.JSONDecodeError:
+            print(f"skipping {path}: existing file is not valid JSON",
+                  file=sys.stderr)
+            continue
+        table = config.setdefault(key, {})
+        if shape == "httpUrl":
+            table["helix-tpu"] = {"httpUrl": url}
+        elif shape == "opencode":
+            table["helix-tpu"] = {"type": "remote", "url": url,
+                                  "enabled": True}
+        else:
+            table["helix-tpu"] = {"type": "http", "url": url}
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(config, indent=2) + "\n", encoding="utf-8")
+        written.append(path)
+    return written
+
+
 def cmd_skills(args) -> int:
     """Install the helix-tpu agent skill into the project (the local
-    analog of the reference's npx-based skills installer)."""
+    analog of the reference's npx-based skills installer), and register
+    the engine's /mcp endpoint into agent MCP configs."""
     from .config import find_project
 
     project = find_project()
@@ -794,6 +835,11 @@ def cmd_skills(args) -> int:
     instance = args.instance or next(iter(project.locals), "dev")
     target.write_text(SKILL_MD.format(instance=instance), encoding="utf-8")
     print(f"installed agent skill at {target}")
+    if getattr(args, "register_mcp", False):
+        inst = project.instance(instance)
+        url = f"http://localhost:{_active_port(project, inst)}/mcp"
+        for path in register_mcp(project.root, url):
+            print(f"registered MCP server ({url}) in {path}")
     return 0
 
 
@@ -942,6 +988,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("skills", help="install the agent skill into the project")
     p.add_argument("action", nargs="?", default="add", choices=["add", "update"])
     p.add_argument("--instance", default=None)
+    p.add_argument("--register-mcp", action="store_true",
+                   help="register the engine's /mcp endpoint into agent "
+                        "MCP configs (.mcp.json, .cursor, .vscode, "
+                        ".windsurf, .gemini, opencode)")
     p.set_defaults(fn=cmd_skills)
 
     p = sub.add_parser("chef", help="bootstrap a project with an agent prompt")

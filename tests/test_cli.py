@@ -315,3 +315,29 @@ def test_chef_agent_handoff(tmp_path, monkeypatch):
     code, out, err = run_cli(["chef", "--path", str(proj), "--no-agent"])
     assert code == 0
     assert "handing off" not in out and "HELIX_CHEF_PROMPT.md" in out
+
+
+def test_skills_register_mcp(tmp_path):
+    """--register-mcp merges the engine's /mcp endpoint into agent MCP
+    configs without clobbering existing entries (reference setup.rs
+    registers its docs MCP into http-capable agents)."""
+    root = tmp_path / "proj"
+    assert run_cli(["init", "--path", str(root), "--port", "7001"])[0] == 0
+    # pre-existing server entry must survive the merge
+    (root / ".mcp.json").write_text(json.dumps({
+        "mcpServers": {"other": {"type": "http", "url": "http://x/mcp"}}
+    }))
+    code, out, _ = run_cli(["skills", "--register-mcp"], cwd=root)
+    assert code == 0
+    merged = json.loads((root / ".mcp.json").read_text())
+    assert merged["mcpServers"]["other"]["url"] == "http://x/mcp"
+    assert merged["mcpServers"]["helix-tpu"]["url"] == "http://localhost:7001/mcp"
+    for rel, key in [
+        (".cursor/mcp.json", "mcpServers"),
+        (".vscode/mcp.json", "servers"),
+        (".windsurf/mcp_config.json", "mcpServers"),
+        (".gemini/settings.json", "mcpServers"),
+        ("opencode.json", "mcp"),
+    ]:
+        config = json.loads((root / rel).read_text())
+        assert "helix-tpu" in config[key], rel
