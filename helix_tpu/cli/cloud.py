@@ -256,6 +256,40 @@ def cmd_workspace(args) -> int:
     return 0
 
 
+def cmd_project(args) -> int:
+    """Select/list projects (reference ``helix project``,
+    ``commands/config.rs:19-60``).  With CLOUD_AUTHORITY set, projects
+    live on the control plane; otherwise in ``~/.helix-tpu/config``."""
+    config = _read_kv(_config_path())
+    if args.action == "use":
+        if not args.name:
+            print("project use requires a name", file=sys.stderr)
+            return 2
+        if cloud_authority():
+            _cloud_request("/api/cli/projects", {
+                "name": args.name,
+                "workspace": config.get("workspace", "default"),
+            })
+        config["project"] = args.name
+        _write_kv(_config_path(), config)
+        print(f"active project: {args.name}")
+        return 0
+    if args.action == "list":
+        if cloud_authority():
+            projects = _cloud_request("/api/cli/projects").get("projects", {})
+            if not projects:
+                print("no projects")
+                return 0
+            for name, record in sorted(projects.items()):
+                print(f"{name}  workspace={record.get('workspace', 'default')}")
+            return 0
+        current = config.get("project")
+        print(current if current else "no projects")
+        return 0
+    print(f"active project: {config.get('project', '(none)')}")
+    return 0
+
+
 def cmd_cluster(args) -> int:
     if cloud_authority():
         return _cmd_cluster_cloud(args)

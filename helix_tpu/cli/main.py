@@ -946,6 +946,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("name", nargs="?", default=None)
     p.set_defaults(fn=cloud.cmd_workspace)
 
+    p = sub.add_parser("project", help="select/list projects")
+    p.add_argument("action", nargs="?", default="show",
+                   choices=["show", "use", "list"])
+    p.add_argument("name", nargs="?", default=None)
+    p.set_defaults(fn=cloud.cmd_project)
+
     p = sub.add_parser("cluster", help="cluster registry")
     p.add_argument("action", nargs="?", default="list",
                    choices=["list", "add", "remove"])

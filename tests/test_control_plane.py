@@ -211,3 +211,20 @@ def test_browser_get_approves_and_uri_is_connectable(plane):
     # a plain browser GET on the URI approves the grant
     with urllib.request.urlopen(grant["verification_uri"], timeout=10) as resp:
         assert json.loads(resp.read())["approved"] is True
+
+
+def test_project_command_local_and_cloud(cloud_env, monkeypatch):
+    plane = cloud_env
+    _approve_soon(plane, "carol")
+    assert run_cli(["auth", "login", "--device"])[0] == 0
+    code, out, _ = run_cli(["project", "use", "analytics"])
+    assert code == 0 and "analytics" in out
+    code, out, _ = run_cli(["project"])
+    assert "analytics" in out
+    code, out, _ = run_cli(["project", "list"])
+    assert "analytics" in out
+    assert "analytics" in plane.state.data["projects"]
+    # without the control plane, selection persists locally
+    monkeypatch.delenv("CLOUD_AUTHORITY")
+    code, out, _ = run_cli(["project"])
+    assert "analytics" in out
