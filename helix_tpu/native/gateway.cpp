@@ -303,8 +303,12 @@ bool parse_fast_body(const FastRoute& fr, const std::string& body,
             long long v;
             auto res = std::from_chars(p, end, v);
             if (res.ec != std::errc() || v <= 0) return false;
+            // k beyond the fast-path buffer cap falls back to the
+            // interpreter (clamping here would silently diverge from
+            // the slow path, which honors the full k)
+            if (v > fr.k_max) return false;
             p = res.ptr;
-            k = (int)(v > fr.k_max ? fr.k_max : v);
+            k = (int)v;
         } else {
             return false;  // unknown key -> slow path
         }

@@ -39,11 +39,20 @@ def kmeans_fit(
 ) -> tuple[jax.Array, jax.Array]:
     """Spherical k-means.  Returns (centroids [C, D], assign [N])."""
     n, d = data.shape
+    # Pad rows to a chunk multiple instead of hunting for a divisor of
+    # n: a prime-ish n would otherwise degenerate the chunk to 1 and
+    # turn the scan into n single-row matmuls.  Padded rows are
+    # all-zero; their count weight is zero so they never move a
+    # centroid.
+    chunk = min(chunk, n)
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    if n_pad != n:
+        data = jnp.concatenate(
+            [data, jnp.zeros((n_pad - n, d), data.dtype)]
+        )
+    weights = (jnp.arange(n_pad) < n).astype(jnp.float32)[:, None]
     data16 = data.astype(jnp.bfloat16)
-    from .distance import pick_chunk
-
-    chunk = pick_chunk(n, min(chunk, n))
-    starts = jnp.arange(n // chunk, dtype=jnp.int32) * chunk
+    starts = jnp.arange(n_pad // chunk, dtype=jnp.int32) * chunk
 
     def assign_all(centroids):
         c16 = centroids.astype(jnp.bfloat16)
@@ -54,13 +63,13 @@ def kmeans_fit(
             return None, jnp.argmax(sims, axis=1).astype(jnp.int32)
 
         _, parts = jax.lax.scan(body, None, starts)
-        return parts.reshape(n)
+        return parts.reshape(n_pad)
 
     def step(centroids, _):
         assign = assign_all(centroids)
         sums = jax.ops.segment_sum(data, assign, num_segments=n_clusters)
         counts = jax.ops.segment_sum(
-            jnp.ones((n, 1), jnp.float32), assign, num_segments=n_clusters
+            weights, assign, num_segments=n_clusters
         )
         fresh = sums / jnp.maximum(counts, 1.0)
         # Keep empty cells at their previous position.
@@ -70,7 +79,7 @@ def kmeans_fit(
         return fresh, None
 
     centroids, _ = jax.lax.scan(step, init, None, length=iters)
-    return centroids, assign_all(centroids)
+    return centroids, assign_all(centroids)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "pad"))
@@ -100,8 +109,12 @@ def ivf_search(
         "bmd,bd->bm", vectors, qs, preferred_element_type=jnp.float32
     )
     sims = jnp.where(valid, sims, -jnp.inf)
-    best_s, pos = jax.lax.top_k(sims, k)
+    best_s, pos = jax.lax.top_k(sims, min(k, sims.shape[1]))
     best_rows = jnp.take_along_axis(cand, pos, axis=1)
+    # rows selected from padding (fewer than k valid candidates in the
+    # probed cells) carry the sentinel index n — emit -1 so callers can
+    # strip them instead of indexing out of bounds
+    best_rows = jnp.where(jnp.isfinite(best_s), best_rows, -1)
     return 1.0 - best_s, best_rows
 
 
@@ -189,7 +202,13 @@ class IVFIndex:
             jnp.asarray(queries), k=k, nprobe=nprobe, pad=self.pad,
         )
         rows_h = np.asarray(rows)
-        return np.asarray(dists), self.row_to_original[rows_h]
+        # -1 marks short rows (< k candidates in the probed cells);
+        # keep the sentinel through the id mapping for callers to strip
+        valid = rows_h >= 0
+        mapped = np.where(
+            valid, self.row_to_original[np.where(valid, rows_h, 0)], -1
+        )
+        return np.asarray(dists), mapped
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe",))
@@ -255,6 +274,11 @@ class HostIVFIndex:
     Reference knob mapping (helix-cli/src/config.rs:191-201):
     ``ef_search`` ~ nprobe, ``ef_construction`` ~ k-means iterations.
     """
+
+    #: cap on bytes of candidate block resident in HBM per streamed
+    #: chunk — the union can exceed device memory at the corpus scales
+    #: this tier exists for
+    STREAM_BYTES = 1 << 30
 
     def __init__(
         self,
@@ -375,15 +399,42 @@ class HostIVFIndex:
         # (the tier's cost model is data movement, not FLOPs)
         self.last_block_rows = total
         self.last_streamed_bytes = int(total * block.shape[1] * 4)
-        # pad the streamed block to a bucketed width (stable jit shapes)
-        m_pad = 1 << max(10, (total - 1).bit_length())
-        if m_pad > total:
-            block = np.concatenate(
-                [block, np.zeros((m_pad - total, block.shape[1]), np.float32)]
-            )
         k_eff = min(k, total)
-        dists, pos = score_block(
-            jnp.asarray(block), qs_dev, jnp.int32(total), k=k_eff
-        )
-        pos_h = np.asarray(pos)
-        return np.asarray(dists), self.row_to_original[block_rows[pos_h]]
+        dim = block.shape[1]
+        # Stream the union through HBM in bounded chunks (the whole
+        # point of the tier is that the candidate set can exceed device
+        # memory); per-chunk top-k on device, cross-chunk merge on host.
+        stream_rows = max(1 << 16, self.STREAM_BYTES // (4 * dim))
+        if total <= stream_rows:
+            spans = [(0, total)]
+        else:
+            spans = [
+                (lo, min(total, lo + stream_rows))
+                for lo in range(0, total, stream_rows)
+            ]
+        parts_d, parts_i = [], []
+        for lo, hi in spans:
+            piece = block[lo:hi]
+            m = hi - lo
+            m_pad = 1 << max(10, (m - 1).bit_length())
+            if m_pad > m:
+                piece = np.concatenate(
+                    [piece, np.zeros((m_pad - m, dim), np.float32)]
+                )
+            dists, pos = score_block(
+                jnp.asarray(piece), qs_dev, jnp.int32(m), k=min(k_eff, m)
+            )
+            parts_d.append(np.asarray(dists))
+            # positions from the -inf padding (short chunks) clamp into
+            # range; their inf distance marks them for downstream strip
+            pos_h = np.minimum(np.asarray(pos), m - 1)
+            parts_i.append(block_rows[pos_h + lo])
+        if len(parts_d) == 1:
+            dists_h, rows_h = parts_d[0], parts_i[0]
+        else:
+            merged_d = np.concatenate(parts_d, axis=1)
+            merged_i = np.concatenate(parts_i, axis=1)
+            order = np.argsort(merged_d, axis=1, kind="stable")[:, :k_eff]
+            dists_h = np.take_along_axis(merged_d, order, axis=1)
+            rows_h = np.take_along_axis(merged_i, order, axis=1)
+        return dists_h, self.row_to_original[rows_h]

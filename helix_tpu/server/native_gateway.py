@@ -102,9 +102,11 @@ class NativeGateway:
         self._handle: int | None = None
         self._threads: list[threading.Thread] = []
         self._streamers: list[threading.Thread] = []
+        self._finishers: list[threading.Thread] = []
         self._stop = threading.Event()
         self._fast_specs: dict[int, _FastSpec] = {}
         self._retired_specs: dict[int, _FastSpec] = {}
+        self._retired_at: dict[int, float] = {}
         self._fast_signature: dict | None = None
         self._fast_lock = threading.Lock()
         self._requests_handled = 0
@@ -139,7 +141,13 @@ class NativeGateway:
             self._fast_signature = specs
             lib.hxgw_clear_fast_routes(h)
             # keep retired ids resolvable for in-flight requests
+            import time as _time
+
+            now = _time.monotonic()
             self._retired_specs.update(self._fast_specs)
+            self._retired_at.update(
+                {rid: now for rid in self._fast_specs}
+            )
             self._fast_specs = {}
             for name, spec in specs.items():
                 rid = lib.hxgw_fast_route(
@@ -156,7 +164,16 @@ class NativeGateway:
                     k_fixed=spec["k_fixed"], k_max=self.K_MAX,
                 )
             if len(self._retired_specs) > 4096:
-                self._retired_specs.clear()
+                # prune only entries old enough that no request parsed
+                # under them can still be in flight — a wholesale clear
+                # would turn those requests' interpreter fallback into
+                # a 500
+                cutoff = now - 60.0
+                for rid in [
+                    r for r, ts in self._retired_at.items() if ts < cutoff
+                ]:
+                    self._retired_specs.pop(rid, None)
+                    self._retired_at.pop(rid, None)
 
     def _fast_eligible(self, name: str, route: dict) -> dict | None:
         if route.get("kind") != "read":
@@ -169,7 +186,7 @@ class NativeGateway:
         if body.get("condition") is not None:
             return None
         var = body.get("name")
-        if query.get("returns") not in ([var], [var]):
+        if query.get("returns") != [var]:
             return None
         steps = body.get("steps") or []
         if len(steps) != 2:
@@ -204,8 +221,11 @@ class NativeGateway:
         if k_key is None:
             if isinstance(k, dict) and set(k) == {"Literal"} and isinstance(
                 k["Literal"], int
-            ) and k["Literal"] > 0:
-                k_fixed = min(k["Literal"], self.K_MAX)
+            ) and 0 < k["Literal"] <= self.K_MAX:
+                # k beyond the fast-path buffer cap must NOT be clamped
+                # (the interpreter would honor it — silent divergence);
+                # such routes stay on the interpreter path
+                k_fixed = k["Literal"]
             else:
                 return None
         # index must exist, be untenanted, with a live matrix (dim known)
@@ -276,6 +296,9 @@ class NativeGateway:
             )
             for _ in range(self.VBATCH_FINALIZERS)
         ]
+        # registered so stop() never frees the C++ gateway while a
+        # finalizer outliving the 5s join below still holds the handle
+        self._finishers = finishers
         for finisher in finishers:
             finisher.start()
         last_refresh = time.monotonic()
@@ -318,7 +341,12 @@ class NativeGateway:
         search.  Yields (reqids, rid, ks, finalize) work items."""
         engine = self.engine
         with self._fast_lock:
-            specs = {**self._retired_specs, **self._fast_specs}
+            # ONLY currently-registered routes ride the fast path: a
+            # retired rid has no response template in C++ anymore
+            # (hxgw_respond_vbatch would silently drop it and the
+            # request would hang) — those go through the interpreter
+            # fallback, which responds by reqid with no template.
+            specs = dict(self._fast_specs)
         for rid in np.unique(route_ids):
             rows = np.nonzero(route_ids == rid)[0]
             spec = specs.get(int(rid))
@@ -471,13 +499,27 @@ class NativeGateway:
                 ).cast("B")
             else:
                 raw = b""
-            self._handle_general(
-                int(reqid),
-                method.value.decode("latin-1"),
-                path.value.decode("latin-1"),
-                raw,
-                flags.value,
-            )
+            try:
+                self._handle_general(
+                    int(reqid),
+                    method.value.decode("latin-1"),
+                    path.value.decode("latin-1"),
+                    raw,
+                    flags.value,
+                )
+            except Exception as exc:
+                # response-encoding failures (dispatch() catches its
+                # own) must not kill the worker thread; answer 500 so
+                # the client is not left hanging
+                try:
+                    data = fastjson.dumpb({"error": {
+                        "kind": "Internal", "message": str(exc)}})
+                    lib.hxgw_respond(
+                        h, int(reqid), 500, b"application/json",
+                        data, len(data),
+                    )
+                except Exception:
+                    pass
 
     # Bodies above this size are handled one at a time: several workers
     # decoding multi-MB JSON concurrently just thrash the GIL (measured
@@ -656,7 +698,7 @@ class NativeGateway:
         if self._handle is not None:
             self._lib.hxgw_stop(self._handle)
             alive = False
-            for t in self._threads + self._streamers:
+            for t in self._threads + self._streamers + self._finishers:
                 t.join(timeout=10.0)
                 alive = alive or t.is_alive()
             if not alive:
@@ -667,6 +709,9 @@ class NativeGateway:
             self.engine.close()
 
     def stats(self) -> dict:
+        if self._handle is None:  # stopped: hxgw_stats would deref NULL
+            return {"fast_requests": 0, "general_requests": 0,
+                    "connections": 0}
         n_fast = ctypes.c_uint64()
         n_general = ctypes.c_uint64()
         n_conns = ctypes.c_uint64()
