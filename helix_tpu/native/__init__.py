@@ -107,6 +107,7 @@ def load() -> ctypes.CDLL:
         lib.hxgw_fast_route.restype = ctypes.c_int
         lib.hxgw_fast_route.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
         ]
@@ -116,6 +117,7 @@ def load() -> ctypes.CDLL:
         lib.hxgw_next_vbatch.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64), f32p, i32p, i32p,
+            ctypes.c_char_p,
         ]
         lib.hxgw_respond_vbatch.restype = ctypes.c_int
         lib.hxgw_respond_vbatch.argtypes = [

@@ -118,6 +118,7 @@ struct FastRoute {
     std::string path;      // "/v1/query/<name>"
     std::string vec_key;
     std::string k_key;     // empty => k fixed
+    std::string tenant_key;  // empty => untenanted route
     int k_default;
     int k_max;
     int dim;
@@ -128,10 +129,15 @@ struct FastRoute {
     std::string dist_key;      // "$distance"
 };
 
+// longest tenant value the fast path carries (incl. NUL); longer ones
+// fall back to the interpreter
+static const int TENANT_CAP = 128;
+
 struct VRequest {
     uint64_t reqid;
     int route_id;
     int k;
+    std::string tenant;        // empty when the route is untenanted
     std::vector<float> query;  // dim floats
 };
 
@@ -243,7 +249,8 @@ const char* parse_plain_string(const char* p, const char* end, std::string& out)
 // wrong arity or nesting -> return false (request goes to the general
 // queue so semantics/errors match the interpreter exactly).
 bool parse_fast_body(const FastRoute& fr, const std::string& body,
-                     std::vector<float>& query, int& k) {
+                     std::vector<float>& query, int& k,
+                     std::string& tenant) {
     const char* p = body.data();
     const char* end = p + body.size();
     k = fr.k_default;
@@ -309,6 +316,11 @@ bool parse_fast_body(const FastRoute& fr, const std::string& body,
             if (v > fr.k_max) return false;
             p = res.ptr;
             k = (int)v;
+        } else if (!fr.tenant_key.empty() && key == fr.tenant_key) {
+            p = parse_plain_string(p, end, tenant);
+            if (!p) return false;  // escapes/non-string -> slow path
+            if (tenant.empty() || (int)tenant.size() >= TENANT_CAP)
+                return false;
         } else {
             return false;  // unknown key -> slow path
         }
@@ -318,6 +330,8 @@ bool parse_fast_body(const FastRoute& fr, const std::string& body,
     }
     p = skip_ws(p, end);
     if (p != end) return false;
+    if (!fr.tenant_key.empty() && tenant.empty())
+        return false;  // missing tenant: interpreter raises the error
     return have_vec;
 }
 
@@ -571,7 +585,7 @@ bool drain_requests(Gateway* gw, Conn* c) {
                 VRequest vr;
                 vr.reqid = reqid;
                 vr.route_id = fr.route_id;
-                if (parse_fast_body(fr, body, vr.query, vr.k)) {
+                if (parse_fast_body(fr, body, vr.query, vr.k, vr.tenant)) {
                     std::lock_guard<std::mutex> qlk(gw->q_mu);
                     gw->vqueue.push_back(std::move(vr));
                     gw->n_fast.fetch_add(1, std::memory_order_relaxed);
@@ -822,7 +836,8 @@ void hxgw_destroy(void* h) {
 }
 
 int hxgw_fast_route(void* h, const char* path, const char* vec_key,
-                    const char* k_key, int k_default, int k_max, int dim,
+                    const char* k_key, const char* tenant_key,
+                    int k_default, int k_max, int dim,
                     const char* resp_prefix, const char* resp_suffix,
                     const char* id_key, const char* dist_key) {
     Gateway* gw = (Gateway*)h;
@@ -830,6 +845,7 @@ int hxgw_fast_route(void* h, const char* path, const char* vec_key,
     fr.path = path;
     fr.vec_key = vec_key;
     fr.k_key = k_key ? k_key : "";
+    fr.tenant_key = tenant_key ? tenant_key : "";
     fr.k_default = k_default;
     fr.k_max = k_max;
     fr.dim = dim;
@@ -855,7 +871,7 @@ void hxgw_clear_fast_routes(void* h) {
 // timeout, -1 when the gateway is stopped.
 int hxgw_next_vbatch(void* h, int cap, int max_dim, int timeout_ms,
                      unsigned long long* reqids, float* queries, int* ks,
-                     int* route_ids) {
+                     int* route_ids, char* tenants) {
     Gateway* gw = (Gateway*)h;
     std::unique_lock<std::mutex> lk(gw->q_mu);
     if (gw->vqueue.empty()) {
@@ -872,6 +888,11 @@ int hxgw_next_vbatch(void* h, int cap, int max_dim, int timeout_ms,
         reqids[n] = vr.reqid;
         ks[n] = vr.k;
         route_ids[n] = vr.route_id;
+        if (tenants) {
+            size_t len = vr.tenant.size();  // < TENANT_CAP by parse
+            memcpy(tenants + (size_t)n * TENANT_CAP, vr.tenant.data(), len);
+            tenants[(size_t)n * TENANT_CAP + len] = '\0';
+        }
         size_t d = vr.query.size();
         if ((int)d > max_dim) d = (size_t)max_dim;
         memcpy(queries + (size_t)n * max_dim, vr.query.data(),

@@ -12,11 +12,15 @@ engine:
 
 Fast-route eligibility is decided here by inspecting the installed
 bundle: a read route qualifies when it is exactly
-``VectorSearchNodes(label, prop, Param(vec), k) -> ValueMap(["$id",
-"$distance"])`` on a single-partition (untenanted) index with a live
-matrix.  Anything else — traced requests, tenants, extra steps, parse
-oddities — flows through the interpreter, so fast- and slow-path
-responses are interchangeable (verified in tests/test_native_gateway.py).
+``VectorSearchNodes(label, prop, Param(vec), k[, tenant_value:
+Param(str)]) -> ValueMap(["$id", "$distance"])`` on an index with a
+live matrix; multitenant routes carry the tenant string through the C++
+parse and dispatch groups by (route, tenant) against the tenant's
+partition (unknown tenant => empty result, per the reference contract
+dsl.rs:326-330).  Anything else — traced requests, literal tenants,
+extra steps, parse oddities, k beyond the buffer cap — flows through
+the interpreter, so fast- and slow-path responses are interchangeable
+(verified in tests/test_native_gateway.py).
 
 Reference analog: the engine's compiled Rust gateway behind
 ``POST /v1/query/<name>`` (``sdks/rust/src/lib.rs:377-423``).
@@ -46,11 +50,13 @@ class _FastSpec:
     dim: int
     k_fixed: int | None  # Literal k
     k_max: int
+    tenant_key: str | None = None  # param name carrying the tenant value
 
 
 class NativeGateway:
     VBATCH_CAP = 1024
     K_MAX = 1024
+    TENANT_CAP = 128  # bytes per tenant slot (matches gateway.cpp)
 
     def __init__(
         self,
@@ -154,6 +160,7 @@ class NativeGateway:
                     h, f"/v1/query/{name}".encode(),
                     spec["vec_key"].encode(),
                     spec["k_key"].encode() if spec["k_key"] else None,
+                    spec["tenant_key"].encode() if spec["tenant_key"] else None,
                     spec["k_default"], self.K_MAX, spec["dim"],
                     spec["prefix"].encode(), spec["suffix"].encode(),
                     b"$id", b"$distance",
@@ -162,6 +169,7 @@ class NativeGateway:
                     route_id=rid, name=name, kind=spec["kind"],
                     label=spec["label"], prop=spec["prop"], dim=spec["dim"],
                     k_fixed=spec["k_fixed"], k_max=self.K_MAX,
+                    tenant_key=spec["tenant_key"],
                 )
             if len(self._retired_specs) > 4096:
                 # prune only entries old enough that no request parsed
@@ -201,8 +209,6 @@ class NativeGateway:
             return None
         if term.get("ValueMap") != ["$id", "$distance"]:
             return None
-        if search.get("tenant_value") is not None:
-            return None
         def param_name(node: Any) -> str | None:
             # accept {"Param": p} and the Expr wrapper {"Expr": {"Param": p}}
             if isinstance(node, dict) and set(node) == {"Expr"}:
@@ -228,14 +234,35 @@ class NativeGateway:
                 k_fixed = k["Literal"]
             else:
                 return None
-        # index must exist, be untenanted, with a live matrix (dim known)
+        # Tenanted routes ride the fast path when the tenant arrives as
+        # a string Param: the C++ parse carries the value through and
+        # dispatch resolves the per-tenant partition.  Literal tenants
+        # or tenant/index mismatches stay on the interpreter.
+        tenant_key = None
+        tenant_value = search.get("tenant_value")
+        if tenant_value is not None:
+            tenant_key = param_name(tenant_value)
+            if tenant_key is None:
+                return None
         spec_tag = "NodeVector" if kind == "nodes" else "EdgeVector"
         index = self.engine.vectors.indexes.get(
             (spec_tag, search["label"], search["property"])
         )
-        if index is None or index.defn.tenant_property is not None:
+        if index is None:
             return None
-        part = index.partition_for_search(None)
+        if index.defn.tenant_property is not None:
+            if tenant_key is None:
+                return None  # interpreter raises the missing-tenant error
+            # dim from any live partition; per-tenant dim mismatches
+            # fall back at dispatch time
+            part = next(
+                (p for p in index.partitions.values() if p.matrix is not None),
+                None,
+            )
+        else:
+            if tenant_key is not None:
+                return None  # tenant on an untenanted index: interpreter
+            part = index.partition_for_search(None)
         if part is None or part.matrix is None:
             return None
         return {
@@ -244,6 +271,7 @@ class NativeGateway:
             "prop": search["property"],
             "vec_key": vec_key,
             "k_key": k_key,
+            "tenant_key": tenant_key,
             "k_default": k_fixed if k_fixed is not None else 10,
             "k_fixed": k_fixed,
             "dim": int(part.matrix.dim),
@@ -281,6 +309,7 @@ class NativeGateway:
         queries = np.empty((cap, max_dim), np.float32)
         ks = np.empty(cap, np.int32)
         route_ids = np.empty(cap, np.int32)
+        tenants = np.zeros(cap * self.TENANT_CAP, np.uint8)
         u64p = ctypes.POINTER(ctypes.c_uint64)
         f32p = ctypes.POINTER(ctypes.c_float)
         i32p = ctypes.POINTER(ctypes.c_int32)
@@ -310,6 +339,7 @@ class NativeGateway:
                     queries.ctypes.data_as(f32p),
                     ks.ctypes.data_as(i32p),
                     route_ids.ctypes.data_as(i32p),
+                    tenants.ctypes.data_as(ctypes.c_char_p),
                 )
                 if n < 0:
                     return
@@ -325,9 +355,15 @@ class NativeGateway:
                 if n == 0:
                     continue
                 self._track(n)
+                tenant_strs = [
+                    bytes(row).split(b"\0", 1)[0].decode("utf-8", "replace")
+                    for row in tenants[: n * self.TENANT_CAP].reshape(
+                        n, self.TENANT_CAP
+                    )
+                ]
                 for item in self._dispatch_vbatch(
                     reqids[:n].copy(), queries[:n], ks[:n].copy(),
-                    route_ids[:n].copy(),
+                    route_ids[:n].copy(), tenant_strs,
                 ):
                     pending.put(item)
         finally:
@@ -336,9 +372,9 @@ class NativeGateway:
             for finisher in finishers:
                 finisher.join(timeout=5.0)
 
-    def _dispatch_vbatch(self, reqids, queries, ks, route_ids):
-        """Group one pulled batch by route and dispatch each group's
-        search.  Yields (reqids, rid, ks, finalize) work items."""
+    def _dispatch_vbatch(self, reqids, queries, ks, route_ids, tenant_strs):
+        """Group one pulled batch by (route, tenant) and dispatch each
+        group's search.  Yields (reqids, rid, ks, finalize) work items."""
         engine = self.engine
         with self._fast_lock:
             # ONLY currently-registered routes ride the fast path: a
@@ -347,10 +383,14 @@ class NativeGateway:
             # request would hang) — those go through the interpreter
             # fallback, which responds by reqid with no template.
             specs = dict(self._fast_specs)
-        for rid in np.unique(route_ids):
-            rows = np.nonzero(route_ids == rid)[0]
-            spec = specs.get(int(rid))
+        groups: dict[tuple, list[int]] = {}
+        for i in range(len(reqids)):
+            groups.setdefault((int(route_ids[i]), tenant_strs[i]), []).append(i)
+        for (rid, tenant), idx_list in groups.items():
+            rows = np.asarray(idx_list)
+            spec = specs.get(rid)
             part = None
+            index = None
             if spec is not None:
                 spec_tag = (
                     "NodeVector" if spec.kind == "nodes" else "EdgeVector"
@@ -358,15 +398,36 @@ class NativeGateway:
                 index = engine.vectors.indexes.get(
                     (spec_tag, spec.label, spec.prop)
                 )
-                part = index.partition_for_search(None) if index else None
+                if index is not None:
+                    try:
+                        part = index.partition_for_search(
+                            {"String": tenant} if spec.tenant_key else None
+                        )
+                    except Exception:
+                        part = None
                 if part is not None and (
                     part.matrix is None or part.matrix.dim != spec.dim
                 ):
                     part = None
             if part is None:
+                if (
+                    spec is not None
+                    and spec.tenant_key
+                    and index is not None
+                    and index.defn.tenant_property is not None
+                ):
+                    # known route, UNKNOWN tenant: the contract is an
+                    # empty result set (dsl.rs:326-330), not an error —
+                    # answer directly without the interpreter
+                    self._respond_empty_fast(
+                        np.ascontiguousarray(reqids[rows]), rid
+                    )
+                    self._track(-len(rows))
+                    continue
                 for i in rows:
                     self._respond_slow_fallback(
-                        int(reqids[i]), int(rid), queries[i], int(ks[i])
+                        int(reqids[i]), rid, queries[i], int(ks[i]),
+                        tenant=tenant or None,
                     )
                 continue
             kq = int(ks[rows].max())
@@ -377,13 +438,37 @@ class NativeGateway:
             except Exception:
                 for i in rows:
                     self._respond_slow_fallback(
-                        int(reqids[i]), int(rid), queries[i], int(ks[i])
+                        int(reqids[i]), rid, queries[i], int(ks[i]),
+                        tenant=tenant or None,
                     )
                 continue
             yield (
-                np.ascontiguousarray(reqids[rows]), int(rid),
+                np.ascontiguousarray(reqids[rows]), rid,
                 np.ascontiguousarray(ks[rows]), batch_q, finalize,
+                tenant or None,
             )
+
+    def _respond_empty_fast(self, batch_reqids: np.ndarray, rid: int) -> None:
+        """Zero-hit fast responses (unknown tenant)."""
+        lib, h = self._lib, self._handle
+        n = len(batch_reqids)
+        lib.hxgw_respond_vbatch(
+            h,
+            batch_reqids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            np.full(n, rid, np.int32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)
+            ),
+            n, 1,
+            np.zeros((n, 1), np.uint64).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint64)
+            ),
+            np.zeros((n, 1), np.float64).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)
+            ),
+            np.zeros(n, np.int32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)
+            ),
+        )
 
     def _vbatch_finalize_loop(self, pending) -> None:
         """Finalize stage: force each dispatched batch's D2H, format and
@@ -396,13 +481,14 @@ class NativeGateway:
             item = pending.get()
             if item is None:
                 return
-            batch_reqids, rid, batch_ks, batch_q, finalize = item
+            batch_reqids, rid, batch_ks, batch_q, finalize, tenant = item
             try:
                 ids, dists = finalize()
             except Exception:
                 for i in range(len(batch_reqids)):
                     self._respond_slow_fallback(
-                        int(batch_reqids[i]), rid, batch_q[i], int(batch_ks[i])
+                        int(batch_reqids[i]), rid, batch_q[i],
+                        int(batch_ks[i]), tenant=tenant,
                     )
                 continue
             got = ids.shape[1]
@@ -427,7 +513,8 @@ class NativeGateway:
             self._track(-len(batch_reqids))
 
     def _respond_slow_fallback(
-        self, reqid: int, route_id: int, query_row: np.ndarray, k: int
+        self, reqid: int, route_id: int, query_row: np.ndarray, k: int,
+        tenant: str | None = None,
     ) -> None:
         """Serve a fast-queued request through the interpreter (used when
         the fast spec vanished mid-flight, e.g. index dropped)."""
@@ -457,6 +544,10 @@ class NativeGateway:
             kp = unwrap(body["k"])
             if kp is not None:
                 params[kp] = k
+            if tenant is not None:
+                tp = unwrap(body.get("tenant_value"))
+                if tp is not None:
+                    params[tp] = tenant
             payload = self.engine.execute_stored(spec.name, params)
             status = 200
         except Exception as exc:

@@ -300,3 +300,135 @@ def test_events_stream(gateway, client, tmp_path):
         buf += resp.read1(65536)
     assert b"data:" in buf
     resp.close()
+
+
+def test_k_beyond_fast_cap_serves_via_interpreter(gateway, client):
+    """k > K_MAX must not be clamped by the fast path (silent divergence
+    from the interpreter, which honors the full k): the C++ body parse
+    rejects it to the general path and the result matches the slow path
+    exactly."""
+    vec = _query_vec(42)
+    big_k = NativeGateway.K_MAX + 976
+    fast_before = gateway.stats()["fast_requests"]
+    out = client.call("vsearch", {"q": vec, "k": big_k})
+    # engine holds 64 docs: the interpreter returns them all
+    assert len(out["hits"]) == 64
+    assert out == gateway.engine.execute_stored(
+        "vsearch", {"q": vec, "k": big_k}
+    )
+    assert gateway.stats()["fast_requests"] == fast_before
+    # and a literal-k route beyond the cap is never fast-registered
+    from helix_tpu.dsl import param as _param
+
+    p = define_params({"q": _param.array(_param.f32())})
+    bundle = define_queries({
+        "read": {
+            "bigk": register_read(
+                lambda pp: read_batch().var_as(
+                    "hits",
+                    g().vector_search_nodes(
+                        "Doc", "emb", Expr.param("q"), 5000
+                    ).value_map(["$id", "$distance"]),
+                ).returning(["hits"]),
+                p,
+            ),
+        },
+    }).build_query_bundle()
+    gateway.engine.load_bundle(bundle)
+    gateway.on_bundle_loaded()
+    assert "bigk" not in {s.name for s in gateway._fast_specs.values()}
+    out = client.call("bigk", {"q": vec})
+    assert len(out["hits"]) == 64
+
+
+def _tenant_setup():
+    """Engine with a multitenant index: two tenants, distinct vectors."""
+    engine = Engine()
+    wb = write_batch().var_as(
+        "idx",
+        g().create_vector_index_nodes("Mem", "emb", tenant_property="owner"),
+    )
+    rng = np.random.default_rng(11)
+    for tenant in ("alice", "bob"):
+        for i in range(24):
+            vec = rng.normal(size=DIM)
+            vec /= np.linalg.norm(vec)
+            wb = wb.var_as(
+                f"{tenant}{i}",
+                g().add_n("Mem", {
+                    "emb": [float(x) for x in vec],
+                    "owner": tenant, "note": f"{tenant}-{i}",
+                }),
+            )
+    engine.execute(json.loads(wb.to_dynamic_request().to_json_string()))
+    p = define_params({
+        "q": param.array(param.f32()), "k": param.i64(),
+        "owner": param.string(),
+    })
+    bundle = define_queries({
+        "read": {
+            "msearch": register_read(
+                lambda pp: read_batch().var_as(
+                    "hits",
+                    g().vector_search_nodes(
+                        "Mem", "emb", Expr.param("q"), Expr.param("k"),
+                        tenant_value=Expr.param("owner"),
+                    ).value_map(["$id", "$distance"]),
+                ).returning(["hits"]),
+                p,
+            ),
+        },
+    }).build_query_bundle()
+    gw = NativeGateway(engine, host="127.0.0.1", port=0)
+    gw.start()
+    gw.engine.load_bundle(bundle)
+    gw.on_bundle_loaded()
+    return gw
+
+
+def test_tenant_fast_path_equals_slow_path():
+    """Multitenant stored routes ride the fast path per-tenant with
+    results identical to the interpreter."""
+    gw = _tenant_setup()
+    try:
+        client = Client(f"http://127.0.0.1:{gw.port}")
+        assert any(
+            s.tenant_key == "owner" for s in gw._fast_specs.values()
+        ), "tenanted route did not register as fast"
+        before = gw.stats()["fast_requests"]
+        for seed, owner in [(1, "alice"), (2, "bob"), (3, "alice")]:
+            vec = _query_vec(seed)
+            fast = client.call("msearch", {"q": vec, "k": 5, "owner": owner})
+            slow = gw.engine.execute_stored(
+                "msearch", {"q": vec, "k": 5, "owner": owner}
+            )
+            assert fast == slow
+            assert len(fast["hits"]) == 5
+        assert gw.stats()["fast_requests"] >= before + 3
+        # unknown tenant: empty result (reference dsl.rs:326-330), fast
+        out = client.call(
+            "msearch", {"q": _query_vec(4), "k": 5, "owner": "nobody"}
+        )
+        assert out == {"hits": []}
+        # missing tenant: the interpreter's error, via the general path
+        with pytest.raises(HelixError, match="owner"):
+            client.call("msearch", {"q": _query_vec(5), "k": 5})
+    finally:
+        gw.stop()
+
+
+def test_tenant_isolation_through_fast_path():
+    """alice's hits never contain bob's vectors: compare against a
+    per-tenant interpreter query on node ids."""
+    gw = _tenant_setup()
+    try:
+        client = Client(f"http://127.0.0.1:{gw.port}")
+        vec = _query_vec(9)
+        alice = client.call("msearch", {"q": vec, "k": 24, "owner": "alice"})
+        bob = client.call("msearch", {"q": vec, "k": 24, "owner": "bob"})
+        alice_ids = {h["$id"] for h in alice["hits"]}
+        bob_ids = {h["$id"] for h in bob["hits"]}
+        assert len(alice_ids) == 24 and len(bob_ids) == 24
+        assert not (alice_ids & bob_ids)
+    finally:
+        gw.stop()
