@@ -84,7 +84,8 @@ class Engine:
     # -- dynamic requests ------------------------------------------------
 
     def execute(
-        self, request: dict, await_durable: bool = True, trace: bool = False
+        self, request: dict, await_durable: bool = True, trace: bool = False,
+        request_bytes: int | None = None,
     ) -> dict:
         executor = Executor(self)
         steps_trace: list | None = [] if trace else None
@@ -100,7 +101,9 @@ class Engine:
                     result = executor.execute(
                         request, now_ms=now_ms, trace=steps_trace
                     )
-                    self.replication.append(request, now_ms)
+                    self.replication.append(
+                        request, now_ms, approx_bytes=request_bytes
+                    )
                     if self.persistence is not None:
                         self.persistence.log_write(
                             request, now_ms, sync=await_durable
@@ -235,7 +238,8 @@ class Engine:
             self.checkpoint()
 
     def execute_stored(
-        self, name: str, parameters: dict | None, await_durable: bool = True
+        self, name: str, parameters: dict | None, await_durable: bool = True,
+        request_bytes: int | None = None,
     ) -> dict:
         route = self.routes.get(name)
         if route is None:
@@ -249,4 +253,6 @@ class Engine:
                 p["name"]: p["ty"] for p in route["parameters"]
             },
         }
-        return self.execute(request, await_durable=await_durable)
+        return self.execute(
+            request, await_durable=await_durable, request_bytes=request_bytes
+        )

@@ -28,28 +28,46 @@ import urllib.request
 from typing import Any
 
 RING_CAP = 65536
+# Byte cap on retained records: bulk-ingest records are multi-MB each
+# (a 27 MB ForEach body is ONE record), so a record-count cap alone
+# retains gigabytes — measured ~900 MB after 184 bulk writes in a 3-min
+# soak.  Replicas that fall behind the byte window reseed from
+# /v1/snapshot, the already-supported catch-up path.
+RING_BYTES_CAP = 256 << 20
 POLL_INTERVAL_S = 0.25
 
 
 class ReplicationLog:
     """Primary-side ring of committed write records."""
 
-    def __init__(self, cap: int = RING_CAP):
+    def __init__(self, cap: int = RING_CAP, bytes_cap: int = RING_BYTES_CAP):
         self.cap = cap
+        self.bytes_cap = bytes_cap
         self._records: list[dict] = []
+        self._bytes = 0
         self._start_seq = 0
         self._lock = threading.Lock()
 
-    def append(self, request: dict, now_ms: int) -> int:
+    def append(
+        self, request: dict, now_ms: int, approx_bytes: int | None = None
+    ) -> int:
+        if approx_bytes is None:
+            # callers off the HTTP path (tests, embedded use) don't know
+            # the wire size; assume a small record
+            approx_bytes = 4096
         with self._lock:
             seq = self._start_seq + len(self._records)
             self._records.append(
-                {"seq": seq, "now_ms": now_ms, "request": request}
+                {"seq": seq, "now_ms": now_ms, "request": request,
+                 "bytes": approx_bytes}
             )
-            if len(self._records) > self.cap:
-                drop = len(self._records) - self.cap
-                self._records = self._records[drop:]
-                self._start_seq += drop
+            self._bytes += approx_bytes
+            while len(self._records) > 1 and (
+                len(self._records) > self.cap or self._bytes > self.bytes_cap
+            ):
+                dropped = self._records.pop(0)
+                self._bytes -= dropped.get("bytes", 0)
+                self._start_seq += 1
             return seq
 
     def since(self, after_seq: int, limit: int = 512) -> tuple[list[dict], bool]:
@@ -69,6 +87,7 @@ class ReplicationLog:
         (replica seeded from a snapshot watermark)."""
         with self._lock:
             self._records = []
+            self._bytes = 0
             self._start_seq = next_seq
 
 

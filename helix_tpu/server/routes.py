@@ -151,7 +151,8 @@ def dispatch(
                     "(x-helix-require-writer)"
                 )
             return JsonResult(200, engine.execute(
-                body, await_durable=await_durable, trace=trace
+                body, await_durable=await_durable, trace=trace,
+                request_bytes=len(raw_body),
             ))
         if path.startswith("/v1/query/"):
             name = path[len("/v1/query/"):]
@@ -177,7 +178,8 @@ def dispatch(
                     "(x-helix-require-writer)"
                 )
             return JsonResult(200, engine.execute_stored(
-                name, params, await_durable=await_durable
+                name, params, await_durable=await_durable,
+                request_bytes=len(raw_body),
             ))
         if path == "/v1/bundle":
             engine.telemetry.log_event(

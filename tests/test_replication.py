@@ -305,3 +305,30 @@ def test_replica_seeds_through_native_gateway_stream():
             replica.stop(close_engine=True)
     finally:
         primary.stop(close_engine=True)
+
+
+def test_ring_byte_cap_evicts_bulk_records():
+    """Bulk-ingest records are multi-MB each; the ring caps retained
+    BYTES, not just record count, so a burst of big writes cannot pin
+    gigabytes (replicas behind the window reseed from /v1/snapshot)."""
+    from helix_tpu.engine.replication import ReplicationLog
+
+    ring = ReplicationLog(cap=1000, bytes_cap=10_000)
+    for i in range(10):
+        ring.append({"i": i}, now_ms=i, approx_bytes=3_000)
+    # 10 x 3000 bytes > 10k cap: only the newest ~3 stay
+    assert 1 <= len(ring._records) <= 4
+    assert ring._records[-1]["request"] == {"i": 9}
+    # a fresh reader (and anyone behind the evicted window) must reseed
+    records, reseed = ring.since(-1, limit=100)
+    assert reseed is True and records == []
+    # a reader at the live head still tails normally
+    head = ring.head_seq()
+    records, reseed = ring.since(head - 1)
+    assert reseed is False and [r["seq"] for r in records] == [head]
+    # small records are bounded by record count as before
+    ring2 = ReplicationLog(cap=5, bytes_cap=1 << 30)
+    for i in range(9):
+        ring2.append({"i": i}, now_ms=i, approx_bytes=10)
+    assert len(ring2._records) == 5
+    assert [r["request"]["i"] for r in ring2._records] == [4, 5, 6, 7, 8]
