@@ -152,16 +152,22 @@ class Engine:
             }
         return result
 
-    def apply_logged_write(self, request: dict, now_ms: int) -> None:
+    def apply_logged_write(
+        self, request: dict, now_ms: int, request_bytes: int | None = None
+    ) -> None:
         """Re-execute a WAL record during recovery (no re-logging)."""
         Executor(self).execute(request, now_ms=now_ms)
-        self.replication.append(request, now_ms)
+        self.replication.append(request, now_ms, approx_bytes=request_bytes)
 
-    def apply_replicated(self, request: dict, now_ms: int) -> None:
+    def apply_replicated(
+        self, request: dict, now_ms: int, request_bytes: int | None = None
+    ) -> None:
         """Apply a primary's record on a replica (exclusive, no re-log)."""
         with self._rwlock.write():
             Executor(self).execute(request, now_ms=now_ms)
-            self.replication.append(request, now_ms)
+            self.replication.append(
+                request, now_ms, approx_bytes=request_bytes
+            )
 
     def export_replica_seed(self) -> dict:
         """Consistent snapshot + replication watermark for seeding a

@@ -149,7 +149,10 @@ class Persistence:
                     # Legacy record without a sequence: replay (legacy
                     # snapshots carry no watermark, so watermark == 0).
                     self._seq += 1
-                engine.apply_logged_write(entry["request"], entry["now_ms"])
+                engine.apply_logged_write(
+                    entry["request"], entry["now_ms"],
+                    request_bytes=len(record),
+                )
                 replayed += 1
         self.wal = Wal(self.wal_path)
         return replayed

@@ -38,7 +38,13 @@ POLL_INTERVAL_S = 0.25
 
 
 class ReplicationLog:
-    """Primary-side ring of committed write records."""
+    """Primary-side ring of committed write records.
+
+    Records carry ``bytes`` (the wire-size estimate used for the ring's
+    byte cap) through the replication feed on purpose: followers reuse
+    it so THEIR ring accounts bulk records truthfully too.  Absent
+    (older primary), the follower falls back to the small-record
+    default."""
 
     def __init__(self, cap: int = RING_CAP, bytes_cap: int = RING_BYTES_CAP):
         self.cap = cap
@@ -174,7 +180,8 @@ class Follower:
             for record in records:
                 try:
                     self.engine.apply_replicated(
-                        record["request"], record["now_ms"]
+                        record["request"], record["now_ms"],
+                        request_bytes=record.get("bytes"),
                     )
                     self.applied_seq = record["seq"]
                 except Exception as exc:  # keep following despite one bad record

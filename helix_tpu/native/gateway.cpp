@@ -321,6 +321,13 @@ bool parse_fast_body(const FastRoute& fr, const std::string& body,
             if (!p) return false;  // escapes/non-string -> slow path
             if (tenant.empty() || (int)tenant.size() >= TENANT_CAP)
                 return false;
+            // printable-ASCII only: raw control bytes are invalid JSON
+            // (the interpreter rejects them) and NULs would truncate
+            // the fixed-width slot into ANOTHER tenant's key; non-ASCII
+            // stays on the interpreter so both paths derive the tenant
+            // key from identical decoding
+            for (unsigned char c : tenant)
+                if (c < 0x20 || c >= 0x7F) return false;
         } else {
             return false;  // unknown key -> slow path
         }

@@ -355,15 +355,12 @@ class NativeGateway:
                 if n == 0:
                     continue
                 self._track(n)
-                tenant_strs = [
-                    bytes(row).split(b"\0", 1)[0].decode("utf-8", "replace")
-                    for row in tenants[: n * self.TENANT_CAP].reshape(
-                        n, self.TENANT_CAP
-                    )
-                ]
                 for item in self._dispatch_vbatch(
                     reqids[:n].copy(), queries[:n], ks[:n].copy(),
-                    route_ids[:n].copy(), tenant_strs,
+                    route_ids[:n].copy(),
+                    tenants[: n * self.TENANT_CAP].reshape(
+                        n, self.TENANT_CAP
+                    ),
                 ):
                     pending.put(item)
         finally:
@@ -372,7 +369,7 @@ class NativeGateway:
             for finisher in finishers:
                 finisher.join(timeout=5.0)
 
-    def _dispatch_vbatch(self, reqids, queries, ks, route_ids, tenant_strs):
+    def _dispatch_vbatch(self, reqids, queries, ks, route_ids, tenant_rows):
         """Group one pulled batch by (route, tenant) and dispatch each
         group's search.  Yields (reqids, rid, ks, finalize) work items."""
         engine = self.engine
@@ -383,14 +380,32 @@ class NativeGateway:
             # request would hang) — those go through the interpreter
             # fallback, which responds by reqid with no template.
             specs = dict(self._fast_specs)
-        groups: dict[tuple, list[int]] = {}
-        for i in range(len(reqids)):
-            groups.setdefault((int(route_ids[i]), tenant_strs[i]), []).append(i)
-        for (rid, tenant), idx_list in groups.items():
-            rows = np.asarray(idx_list)
+        if any(s.tenant_key for s in specs.values()):
+            # tenant values are ASCII by the C++ parse contract (non-
+            # ASCII/control bytes fall back to the interpreter)
+            tenant_strs = [
+                bytes(row).split(b"\0", 1)[0].decode("ascii")
+                for row in tenant_rows
+            ]
+            groups: dict[tuple, list[int]] = {}
+            for i in range(len(reqids)):
+                groups.setdefault(
+                    (int(route_ids[i]), tenant_strs[i]), []
+                ).append(i)
+            grouped = [
+                (rid, tenant, np.asarray(idx_list))
+                for (rid, tenant), idx_list in groups.items()
+            ]
+        else:
+            # untenanted workload: stay vectorized — no per-row Python
+            grouped = [
+                (int(rid), "", np.nonzero(route_ids == rid)[0])
+                for rid in np.unique(route_ids)
+            ]
+        for rid, tenant, rows in grouped:
             spec = specs.get(rid)
             part = None
-            index = None
+            unknown_tenant = False
             if spec is not None:
                 spec_tag = (
                     "NodeVector" if spec.kind == "nodes" else "EdgeVector"
@@ -405,17 +420,20 @@ class NativeGateway:
                         )
                     except Exception:
                         part = None
+                    unknown_tenant = (
+                        part is None
+                        and bool(spec.tenant_key)
+                        and index.defn.tenant_property is not None
+                    )
                 if part is not None and (
                     part.matrix is None or part.matrix.dim != spec.dim
                 ):
+                    # dim mismatch / not-yet-materialized matrix: the
+                    # interpreter decides (it may raise — an empty 200
+                    # here would silently diverge from the slow path)
                     part = None
             if part is None:
-                if (
-                    spec is not None
-                    and spec.tenant_key
-                    and index is not None
-                    and index.defn.tenant_property is not None
-                ):
+                if unknown_tenant:
                     # known route, UNKNOWN tenant: the contract is an
                     # empty result set (dsl.rs:326-330), not an error —
                     # answer directly without the interpreter
