@@ -578,9 +578,14 @@ class Executor:
         scope: dict[str, VarValue],
         undo: UndoLog | None,
     ) -> VarValue:
-        device_result = self._try_device_traversal(steps, ctx, scope)
-        if device_result is not None:
-            return device_result
+        trace_active = getattr(self, "trace", None) is not None
+        if not trace_active:
+            # traced requests take the host pipeline so $trace carries
+            # real per-step timings (the fused device plan has no
+            # per-step boundaries to report)
+            device_result = self._try_device_traversal(steps, ctx, scope)
+            if device_result is not None:
+                return device_result
         state = _QueryState(self, ctx, scope, undo)
         frame = Frame.empty()
         trace = getattr(self, "trace", None)
@@ -714,11 +719,19 @@ class Executor:
                 else [(p, o) for p, o in order_payload]
             )
             composite = list(zip(*(
-                [repr(k) for k in state._sort_keys(frame, prop)]
+                state._sort_keys(frame, prop)
                 for prop, _ in orderings
             ))) if len(frame) else []
-            if len(set(composite)) < len(composite):
-                return None  # tied keys: host pipeline decides the order
+            # Detect COMPARE-equal ties (1 vs 1.0, 0.0 vs -0.0): sort
+            # the comparable keys and test adjacency — a repr/hash set
+            # would miss keys that differ textually but sort equal.
+            if len(composite) > 1:
+                srt = sorted(composite)
+                if any(
+                    not (a < b) and not (b < a)
+                    for a, b in zip(srt, srt[1:])
+                ):
+                    return None  # tied keys: host pipeline decides order
             result: Any = frame
             for step in steps[tail_start:]:
                 result = state.apply(result, step)
@@ -743,6 +756,7 @@ class Executor:
         # kernel work is issued.
         all_nodes = None
         slots_all = None
+        empty_hop = False  # unknown edge label: frontier goes empty
         plan: list[tuple] = []  # ("hop", [(dir, code)...]) | ("mask", arr)
         for op in body:
             if op[0] == "hop":
@@ -756,7 +770,11 @@ class Executor:
                     else:
                         code = snap.edge_label_code.get(label)
                         if code is None:
-                            return finish(0)  # unknown edge label
+                            # keep going: the SOURCE must still resolve
+                            # (it can raise, e.g. unknown variable) and
+                            # membership tails need an empty FRAME, not
+                            # a count-shaped 0
+                            empty_hop = True
                     expansions.append((direction, code))
                 plan.append(("hop", expansions))
             else:
@@ -779,6 +797,12 @@ class Executor:
         slots = slots[slots >= 0]
         start = np.zeros(snap.n_nodes, bool)
         start[slots] = True
+
+        if empty_hop:
+            # an unknown edge label empties the frontier after the
+            # (now validated) source; complete() shapes the empty result
+            # per the tail (0 / false / [])
+            return complete(np.zeros(snap.n_nodes, bool))
 
         if bfs_khop is not None:
             mask = start.astype(np.uint8)
@@ -1328,6 +1352,13 @@ class _QueryState:
         return frame.take(np.sort(first))
 
     def _membership_ids(self, name: str) -> np.ndarray:
+        # read-only id probe: skip _var_frame's defensive full-frame
+        # copy (dist/score/binding columns) — np.isin never mutates
+        if name in self.aliases:
+            return self.aliases[name].ids
+        var = self.scope.get(name)
+        if var is not None and var.frame is not None:
+            return var.frame.ids
         return self._var_frame(name).ids
 
     def _step_Within(self, frame: Frame, name: str) -> Frame:
@@ -1870,7 +1901,9 @@ def _neg_key(key: Any):
     family, value = key
     if family == "num":
         return (family, -value)
-    if family in ("str", "bytes"):
+    if family in ("str", "bytes", "numarr", "strarr"):
+        # _InvertedStr flips any comparable payload, incl. array
+        # families (tuple payloads compare lexicographically)
         return (family, _InvertedStr(value))
     if family == "bool":
         return (family, not value)

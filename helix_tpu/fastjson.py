@@ -14,6 +14,7 @@ that ceiling (reference analog: sonic-rs in the Rust client,
 from __future__ import annotations
 
 import json as _json
+import os
 import subprocess
 import sysconfig
 import threading
@@ -32,13 +33,19 @@ def _build_extension() -> Path:
     if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
         return out
     include = sysconfig.get_paths()["include"]
+    # build to a per-pid temp and rename: a direct -o <path> truncates
+    # the mapped file under any process that already dlopen'd it, and
+    # two cold processes building concurrently would interleave writes
+    tmp = out.with_suffix(out.suffix + f".tmp{os.getpid()}")
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        f"-I{include}", "-o", str(out), str(src),
+        f"-I{include}", "-o", str(tmp), str(src),
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
+        tmp.unlink(missing_ok=True)
         raise RuntimeError(f"hxjson build failed:\n{proc.stderr}")
+    os.replace(tmp, out)
     return out
 
 

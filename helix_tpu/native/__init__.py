@@ -10,6 +10,7 @@ required for pure-Python use.
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 import threading
 from pathlib import Path
@@ -35,15 +36,20 @@ def _build_library() -> Path:
         out.stat().st_mtime >= s.stat().st_mtime for s in sources
     ):
         return out
+    # temp + rename: never truncate a .so another process has mapped,
+    # and concurrent cold builds cannot interleave writes
+    tmp = out.with_suffix(f".tmp{os.getpid()}.so")
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-pthread", "-o", str(out), *[str(s) for s in sources],
+        "-pthread", "-o", str(tmp), *[str(s) for s in sources],
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
+        tmp.unlink(missing_ok=True)
         raise NativeBuildError(
             f"native build failed: {' '.join(cmd)}\n{proc.stderr}"
         )
+    os.replace(tmp, out)
     return out
 
 

@@ -294,3 +294,79 @@ def test_vector_seeded_traversal_plans(monkeypatch):
         .out("REL").dedup().order_by("i").value_map(["i"])
     )
     _run_both_paths(eng, monkeypatch, traversal)
+
+
+def test_unknown_label_membership_tail_returns_list(engine, monkeypatch):
+    """Unknown edge label with an id-returning tail: [] like the host,
+    not a count-shaped 0 (review finding)."""
+    t = (g().n_where(SourcePredicate.lt("i", 5)).out("NO_SUCH")
+          .dedup().order_by("i").id())
+    request = DynamicQueryRequest.read(
+        read_batch().var_as("r", t).returning(["r"])
+    ).encode()
+    host = engine.execute(request)
+    monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
+    device = engine.execute(request)
+    assert device == host == {"r": []}
+
+
+def test_unknown_label_with_bad_source_still_raises(engine, monkeypatch):
+    """The unknown-label shortcut must not mask source errors: an
+    undefined variable source raises on both paths."""
+    request = {
+        "request_type": "read", "query_name": None,
+        "query": {"queries": [{"Query": {"name": "r", "steps": [
+            {"N": {"Var": "never_defined"}},
+            {"Out": "NO_SUCH"}, "Dedup", "Count",
+        ], "condition": None}}], "returns": ["r"]},
+        "parameters": {},
+    }
+    from helix_tpu.engine import EngineError
+
+    with pytest.raises(EngineError, match="unknown variable"):
+        engine.execute(request)
+    monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
+    with pytest.raises(EngineError, match="unknown variable"):
+        engine.execute(request)
+
+
+def test_compare_equal_tie_falls_back_to_host(engine, monkeypatch):
+    """Keys 1 vs 1.0 sort equal but repr differently: the device path
+    must detect the tie and defer to the host's stable order."""
+    eng = Engine()
+    batch = write_batch()
+    for i in range(6):
+        # alternate I64 and F64 values that compare equal pairwise
+        val = {"I64": i // 2} if i % 2 == 0 else {"F64": float(i // 2)}
+        batch = batch.var_as(f"m{i}", g().add_n("M", {"x": val}))
+    edges = batch
+    for i in range(6):
+        edges = edges.var_as(
+            f"e{i}", g().n({"Ids": [1]}).add_e("R", {"Ids": [i + 1]})
+        )
+    eng.execute(DynamicQueryRequest.write(edges).encode())
+    t = g().n_where(SourcePredicate.eq("$id", {"U64": 1})).out("R") \
+         .dedup().order_by("x").id()
+    request = DynamicQueryRequest.read(
+        read_batch().var_as("r", t).returning(["r"])
+    ).encode()
+    host = eng.execute(request)
+    monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
+    assert eng.execute(request) == host
+
+
+def test_traced_requests_keep_per_step_timings(engine, monkeypatch):
+    """$trace must carry step timings even for planner-eligible queries
+    (the device path has no per-step boundaries, so tracing routes to
+    the host pipeline)."""
+    monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
+    out = engine.execute(
+        __import__("json").loads(
+            __import__("json").dumps(khop_query(2, "FOLLOWS"))
+        ) if isinstance(khop_query(2, "FOLLOWS"), dict)
+        else khop_query(2, "FOLLOWS"),
+        trace=True,
+    )
+    steps = out["$trace"]["steps"]
+    assert [s["step"] for s in steps][:2] == ["NWhere", "Out"]
+    assert all("us" in s for s in steps)

@@ -514,3 +514,29 @@ def test_reserved_noops_pass_through(engine):
         ),
     )
     assert out["n"] == 3
+
+
+def test_order_by_desc_array_properties(engine):
+    """Desc ordering on array-valued properties must actually invert
+    (numarr/strarr sort-key families; review finding)."""
+    from helix_tpu.dsl import DynamicQueryRequest, g, read_batch, write_batch
+
+    eng = Engine()
+    batch = write_batch()
+    for i, arr in enumerate([[1, 2], [3, 0], [2, 9]]):
+        batch = batch.var_as(
+            f"a{i}", g().add_n("Arr", {"v": {"I64Array": arr}, "i": i})
+        )
+    eng.execute(DynamicQueryRequest.write(batch).encode())
+    asc = eng.execute(DynamicQueryRequest.read(
+        read_batch().var_as(
+            "r", g().n_with_label("Arr").order_by("v").values(["i"])
+        ).returning(["r"])
+    ).encode())["r"]
+    desc = eng.execute(DynamicQueryRequest.read(
+        read_batch().var_as(
+            "r", g().n_with_label("Arr").order_by("v", "Desc").values(["i"])
+        ).returning(["r"])
+    ).encode())["r"]
+    assert asc == [0, 2, 1]
+    assert desc == [1, 2, 0]
