@@ -237,11 +237,23 @@ class GraphStore:
         elif tag in ("NodeRange", "EdgeRange"):
             idx.impl = RangeIndex(idx.label, idx.prop, idx.direction)
             self._backfill_scalar(idx)
-        # Vector/Text index state lives in their managers (write hooks),
-        # which see the IndexDef through store.indexes.
+        # Vector/Text index state lives in their managers (write hooks).
+        # Hooks run BEFORE registration: a failed backfill (e.g. an
+        # existing element missing the tenant property) must not leave
+        # a broken index registered — on_index_dropped is idempotent,
+        # so unwinding notifies every hook including the one that
+        # partially registered before failing.
+        try:
+            for hook in self._write_hooks:
+                hook.on_index_created(self, idx)
+        except Exception:
+            for hook in self._write_hooks:
+                try:
+                    hook.on_index_dropped(self, idx)
+                except Exception:
+                    pass
+            raise
         self.indexes[key] = idx
-        for hook in self._write_hooks:
-            hook.on_index_created(self, idx)
         self.bump()
 
     def drop_index(self, spec: dict) -> None:
@@ -303,6 +315,17 @@ class GraphStore:
         except Exception:
             for impl, value in inserted:
                 impl.remove(node_id, value)
+            # unwind hook effects too: a failure must not leave
+            # vector/text entries behind for an id that the next add
+            # will REUSE (phantom hits).  ALL hooks are notified — the
+            # failing hook itself may have partially applied (one
+            # manager serves several indexes) and on_*_dropped is
+            # idempotent.
+            for hook in self._write_hooks:
+                try:
+                    hook.on_node_dropped(self, node)
+                except Exception:
+                    pass
             self._next_node_id -= 1
             raise
         self.nodes[node_id] = node
@@ -390,6 +413,11 @@ class GraphStore:
         except Exception:
             for impl, value in inserted:
                 impl.remove(edge_id, value)
+            for hook in self._write_hooks:
+                try:
+                    hook.on_edge_dropped(self, edge)
+                except Exception:
+                    pass
             self._next_edge_id -= 1
             raise
         self.edges[edge_id] = edge
@@ -431,6 +459,16 @@ class GraphStore:
                     el.props.pop(name, None)
                 else:
                     el.props[name] = old
+                # restore hook state from the reverted props: hooks
+                # rebuild from current props (remove + reinsert), so a
+                # partially-applied hook's removal is undone here —
+                # without this, a failed write silently drops the
+                # element from its vector/text indexes
+                for hook in self._write_hooks:
+                    try:
+                        hook.on_property_set(self, kind, el, name, value)
+                    except Exception:
+                        pass
                 raise
         except Exception:
             for impl in updated:
@@ -444,12 +482,29 @@ class GraphStore:
     def remove_property(self, kind: str, element_id: int, name: str) -> None:
         el = self.node(element_id) if kind == "node" else self.edge(element_id)
         old = el.props.pop(name, None)
-        if old is not None and not V.is_null(old):
+        had_old = old is not None and not V.is_null(old)
+        if had_old:
             for idx in self._scalar_index_hooks(kind, el.label):
                 if idx.prop == name:
                     idx.impl.remove(element_id, old)
-        for hook in self._write_hooks:
-            hook.on_property_set(self, kind, el, name, old)
+        try:
+            for hook in self._write_hooks:
+                hook.on_property_set(self, kind, el, name, old)
+        except Exception:
+            # all-or-nothing like set_property: restore the property,
+            # its scalar entries, and hook state before re-raising
+            if old is not None:
+                el.props[name] = old
+            if had_old:
+                for idx in self._scalar_index_hooks(kind, el.label):
+                    if idx.prop == name:
+                        idx.impl.insert(element_id, old)
+            for hook in self._write_hooks:
+                try:
+                    hook.on_property_set(self, kind, el, name, None)
+                except Exception:
+                    pass
+            raise
         self.bump()
 
     def drop_edge(self, edge_id: int) -> None:

@@ -357,7 +357,7 @@ class Partition:
                 self.matrix.data[:n], self.matrix.sq_norms[:n]
             )
         xs, sqd, n_valid = state["arrays"]
-        qs = np.stack([self.matrix.prepare_query(q) for q in queries])
+        qs = self.matrix.prepare_queries(queries)
         _, cand = searcher(xs, qs, n_valid, sqd)
         cand = np.asarray(cand, np.int64)
         live = self.live_mask
@@ -404,7 +404,7 @@ class Partition:
         ef = max(k, config.get("ef", 96))
         # Pad + normalize queries to the matrix layout (the ANN was built
         # over the padded rows).
-        qs = np.stack([self.matrix.prepare_query(q) for q in queries])
+        qs = self.matrix.prepare_queries(queries)
         dists, positions = self.ann.search(
             qs, min(k, self.ann_rows), ef=ef,
             iters=config.get("iters", 8),
@@ -476,7 +476,14 @@ class VectorIndex:
                     f"{self.defn.prop} requires tenant property "
                     f"'{self.defn.tenant_property}'"
                 )
-            tenant = _tenant_key(tenant_value)
+            try:
+                tenant = _tenant_key(tenant_value)
+            except QueryError:
+                raise WriteError(
+                    f"tenant property '{self.defn.tenant_property}' on "
+                    f"{self.defn.label}.{self.defn.prop} must be a "
+                    "scalar value"
+                ) from None
         else:
             tenant = _UNTENANTED
         self.partition_for(tenant).add(element.id, np.asarray(vec, np.float32))
@@ -501,7 +508,14 @@ class VectorIndex:
                         f"{self.defn.prop} requires tenant property "
                         f"'{self.defn.tenant_property}'"
                     )
-                tenant = _tenant_key(tenant_value)
+                try:
+                    tenant = _tenant_key(tenant_value)
+                except QueryError:
+                    raise WriteError(
+                        f"tenant property '{self.defn.tenant_property}' on "
+                        f"{self.defn.label}.{self.defn.prop} must be a "
+                        "scalar value"
+                    ) from None
             else:
                 tenant = _UNTENANTED
             ids, vecs = groups.setdefault(tenant, ([], []))
@@ -661,9 +675,8 @@ class VectorManager:
             if part is None or part.matrix is None or part.live_count() == 0:
                 return np.empty(0, np.uint64), np.empty(0, np.float64)
             if len(vec) != part.matrix.dim:
-                from .errors import QueryError as _QE
 
-                raise _QE(
+                raise QueryError(
                     f"query_vector dimension {len(vec)} does not match index "
                     f"dimension {part.matrix.dim}"
                 )

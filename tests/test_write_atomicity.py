@@ -157,3 +157,101 @@ def test_pure_add_batches_stay_lazy(engine):
         .var_as("e", g().n(NodeRef.var("a")).add_e("FOLLOWS", NodeRef.var("a"))),
     )
     assert out["a"][0]["name"] == "a"
+
+
+# ---------------------------------------------------------------------
+# Hook-state atomicity (round-2 review findings): failed writes must
+# unwind vector/text hook effects, not just scalar indexes and props.
+# ---------------------------------------------------------------------
+
+
+def _vsearch(engine, label, prop, vec, k=5, tenant=None):
+    t = g().vector_search_nodes(label, prop, vec, k, tenant_value=tenant)
+    return run_read(
+        engine, read_batch().var_as("hits", t.value_map(["$id"]))
+    )["hits"]
+
+
+def test_add_node_failure_unwinds_vector_hook(engine):
+    """Two vector indexes, second multitenant: a WriteError from the
+    tenant check must remove the first index's entry — the next add
+    reuses the id, and a leaked row would surface as a phantom hit."""
+    run_write(
+        engine,
+        write_batch()
+        .var_as("i1", g().create_vector_index_nodes("P", "emb"))
+        .var_as(
+            "i2",
+            g().create_vector_index_nodes("P", "profile",
+                                          tenant_property="org"),
+        ),
+    )
+    with pytest.raises(WriteError, match="org"):
+        run_write(
+            engine,
+            write_batch().var_as("bad", g().add_n("P", {
+                "emb": [1.0, 0.0], "profile": [0.5, 0.5],  # no org
+            })),
+        )
+    # id 1 is reused by a different node WITHOUT a vector
+    run_write(
+        engine,
+        write_batch().var_as("ok", g().add_n("Org", {"name": "acme"})),
+    )
+    assert _vsearch(engine, "P", "emb", [1.0, 0.0]) == []
+
+
+def test_set_property_failure_keeps_vector_searchable(engine):
+    """A rejected property write must leave the OLD vector in the index
+    (previously the remove survived while the insert failed)."""
+    run_write(
+        engine,
+        write_batch()
+        .var_as("i", g().create_vector_index_nodes("P", "emb",
+                                                   tenant_property="org"))
+        .var_as("n", g().add_n("P", {"emb": [1.0, 0.0], "org": "a"})),
+    )
+    assert len(_vsearch(engine, "P", "emb", [1.0, 0.0], tenant="a")) == 1
+    # removing the tenant property fails (vector present, tenant gone)
+    with pytest.raises(WriteError):
+        run_write(
+            engine,
+            write_batch().var_as(
+                "x", g().n({"Ids": [1]}).remove_property("org")
+            ),
+        )
+    # the node is still searchable under its tenant, property intact
+    assert len(_vsearch(engine, "P", "emb", [1.0, 0.0], tenant="a")) == 1
+    out = run_read(
+        engine,
+        read_batch().var_as("v", g().n({"Ids": [1]}).values(["org"])),
+    )
+    assert out["v"] == ["a"]
+
+
+def test_create_index_failed_backfill_not_registered(engine):
+    """A failed vector-index backfill (existing element missing the
+    tenant property) must leave NO index behind: search says 'no vector
+    index' and a corrected retry succeeds."""
+    run_write(
+        engine,
+        write_batch().var_as("n", g().add_n("P", {"emb": [1.0, 0.0]})),
+    )
+    with pytest.raises(WriteError, match="org"):
+        run_write(
+            engine,
+            write_batch().var_as(
+                "i", g().create_vector_index_nodes("P", "emb",
+                                                   tenant_property="org"),
+            ),
+        )
+    from helix_tpu.engine import QueryError
+
+    with pytest.raises(QueryError, match="no vector index"):
+        _vsearch(engine, "P", "emb", [1.0, 0.0], tenant="a")
+    # retry as untenanted: must not hit 'index already exists'
+    run_write(
+        engine,
+        write_batch().var_as("i", g().create_vector_index_nodes("P", "emb")),
+    )
+    assert len(_vsearch(engine, "P", "emb", [1.0, 0.0])) == 1
