@@ -183,8 +183,14 @@ def _read_pid(project, instance: str) -> int | None:
     return pid
 
 
-def _wait_ready(port: int, timeout: float = 30.0) -> bool:
-    """Readiness = the real-query probe succeeding (local_runtime.rs:558-600)."""
+def _wait_ready(port: int, timeout: float | None = None) -> bool:
+    """Readiness = the real-query probe succeeding (local_runtime.rs:558-600).
+
+    Default budget is the reference's 30 s; HELIX_READY_TIMEOUT_S
+    overrides it (CI boxes under load can take longer than 30 s just to
+    import JAX in the spawned server)."""
+    if timeout is None:
+        timeout = float(os.environ.get("HELIX_READY_TIMEOUT_S", "30"))
     client = Client(f"http://localhost:{port}")
     deadline = time.time() + timeout
     while time.time() < deadline:
@@ -319,7 +325,7 @@ def cmd_start(args) -> int:
     _pidfile(project, inst.name).write_text(str(proc.pid))
     _portfile(project, inst.name).write_text(str(port))
     if not _wait_ready(port):
-        print(f"instance '{inst.name}' failed to become ready within 30s", file=sys.stderr)
+        print(f"instance '{inst.name}' failed to become ready in time", file=sys.stderr)
         return 1
     print(f"instance '{inst.name}' ready on localhost:{port}")
     # Auto-deploy the project's queries.json bundle if present.

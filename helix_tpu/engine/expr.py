@@ -158,9 +158,20 @@ def eval_expr(node: Any, element: Element | None, ctx: EvalContext) -> Tagged:
             elif tag == "Mul":
                 out = a * b
             elif tag == "Div":
-                out = a / b if isinstance(a, float) or isinstance(b, float) else a // b
+                if isinstance(a, float) or isinstance(b, float):
+                    out = a / b
+                else:
+                    # Rust/C truncating division (the reference engine is
+                    # Rust; -7/2 == -3, not Python's floor -4)
+                    q = abs(a) // abs(b)
+                    out = q if (a >= 0) == (b >= 0) else -q
             else:
-                out = a % b
+                if isinstance(a, float) or isinstance(b, float):
+                    out = a % b
+                else:
+                    # truncating remainder: sign follows the dividend
+                    r = abs(a) % abs(b)
+                    out = r if a >= 0 else -r
         except ZeroDivisionError:
             raise QueryError("division by zero in expression") from None
         if isinstance(out, int):
@@ -208,6 +219,13 @@ def eval_predicate(node: Any, element: Element | None, ctx: EvalContext) -> bool
     """Elementwise predicate evaluation."""
     tag = next(iter(node)) if isinstance(node, dict) else node
     body = node[tag] if isinstance(node, dict) else None
+    if element is None and tag not in ("And", "Or", "Not"):
+        # static contexts (stream bounds, property inputs) have no
+        # element to read properties from — a clear 400, not a crash
+        raise QueryError(
+            f"element-dependent predicate '{tag}' is not valid in a "
+            "static expression context"
+        )
     if tag in ("Eq", "Neq", "Gt", "Gte", "Lt", "Lte"):
         prop, value = body
         return _cmp_tagged(tag, element.get(prop), value)
@@ -347,7 +365,12 @@ def _try_vector_mask(
                 return None
             parts.append(m)
         if not parts:
-            return np.ones(len(slots), bool)
+            # identity elements: all([]) is True, any([]) is False —
+            # must match the elementwise fallback
+            return (
+                np.ones(len(slots), bool) if tag == "And"
+                else np.zeros(len(slots), bool)
+            )
         out = parts[0]
         for m in parts[1:]:
             out = (out & m) if tag == "And" else (out | m)
@@ -474,18 +497,28 @@ def _column_cmp(
     if num is not None:
         data = col.numeric[slots]
         valid = col.numeric_mask[slots]
+        if op == "Neq":
+            # elementwise semantics: any PRESENT value of a different
+            # family (e.g. a string) is not-equal to a number — masking
+            # on numeric_mask alone would wrongly drop those rows
+            eq = np.zeros(len(slots), bool)
+            eq[valid] = data[valid] == float(num)
+            return col.present[slots] & ~eq
         return _np_cmp(op, data, float(num), valid)
     text = V.text_of(value)
     if text is not None:
         if col.strings is None:
-            return (
-                np.ones(len(slots), bool) if op == "Neq" and False
-                else np.zeros(len(slots), bool)
-            )
+            if op == "Neq":
+                # no string ever stored: every present value is a
+                # different family, hence not-equal
+                return col.present[slots].copy()
+            return np.zeros(len(slots), bool)
         sub = col.strings[slots]
         out = np.zeros(len(slots), bool)
         for i, s in enumerate(sub):
             if s is None:
+                if op == "Neq" and col.present[slots[i]]:
+                    out[i] = True  # present non-string value != text
                 continue
             if op == "Eq":
                 out[i] = s == text

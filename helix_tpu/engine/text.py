@@ -51,6 +51,7 @@ class TextPartition:
     def __init__(self, device_threshold: int = DEVICE_THRESHOLD):
         self.postings: dict[str, dict[int, int]] = {}
         self.doc_len: dict[int, int] = {}
+        self.doc_terms: dict[int, tuple[str, ...]] = {}  # distinct terms
         self.total_len = 0
         self.device_threshold = device_threshold
         self.version = 0
@@ -64,6 +65,7 @@ class TextPartition:
         for token in tokens:
             bucket = self.postings.setdefault(token, {})
             bucket[doc_id] = bucket.get(doc_id, 0) + 1
+        self.doc_terms[doc_id] = tuple(dict.fromkeys(tokens))
         self.version += 1
 
     def remove(self, doc_id: int) -> None:
@@ -71,8 +73,15 @@ class TextPartition:
         if length is None:
             return
         self.total_len -= length
-        for bucket in self.postings.values():
-            bucket.pop(doc_id, None)
+        # O(doc terms), not O(vocabulary): every property update does
+        # remove+reinsert, and a full-buckets sweep made that
+        # tenants x vocab dict work per write
+        for token in self.doc_terms.pop(doc_id, ()):
+            bucket = self.postings.get(token)
+            if bucket is not None:
+                bucket.pop(doc_id, None)
+                if not bucket:
+                    del self.postings[token]
         self.version += 1
 
     def _device_postings(self):
@@ -92,7 +101,11 @@ class TextPartition:
         if n_docs >= self.device_threshold:
             device = self._device_postings()
             if device is not None:
-                return device.search(tokenize(query), k)
+                hit = device.search(tokenize(query), k)
+                if hit is not None:
+                    return hit
+                # more known terms than the kernel pad: host path scores
+                # every term (silent truncation would change rankings)
         avgdl = self.total_len / n_docs if n_docs else 1.0
         scores: dict[int, float] = {}
         for token in tokenize(query):

@@ -119,18 +119,25 @@ class DevicePostings:
             df,
         )
 
-    def search(self, tokens: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
-        """(doc ids, scores desc) for tokenized query text."""
+    def search(self, tokens: list[str], k: int) -> tuple[np.ndarray, np.ndarray] | None:
+        """(doc ids, scores desc) for tokenized query text.
+
+        Returns ``None`` when the query has more KNOWN terms than the
+        kernel's pad width — the caller serves it on the host path so
+        results never silently drop terms.  Unknown tokens are filtered
+        BEFORE the cap (they score nothing on either path)."""
         import math
 
         rows, idfs = [], []
-        for token in tokens[:MAX_QUERY_TERMS]:
+        for token in tokens:
             row = self.vocab.get(token)
             if row is None:
                 continue
             rows.append(row)
             df = self.df[row]
             idfs.append(math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
+        if len(rows) > MAX_QUERY_TERMS:
+            return None
         if not rows:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         pad = MAX_QUERY_TERMS - len(rows)
@@ -144,7 +151,10 @@ class DevicePostings:
         scores = np.asarray(scores, np.float64)
         slots = np.asarray(slots)
         keep = scores > 0
-        return (
-            self.slot_to_doc[slots[keep]].astype(np.uint64),
-            scores[keep],
-        )
+        ids = self.slot_to_doc[slots[keep]].astype(np.uint64)
+        vals = scores[keep]
+        # tie-break exactly like the host path ((-score, doc_id)): the
+        # device top-k orders ties by slot, which differs from doc id
+        # and would flip top-k membership at the path threshold
+        order = np.lexsort((ids, -vals))
+        return ids[order], vals[order]

@@ -24,3 +24,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Spawned server processes import JAX (~10s cold, much longer on a
+# loaded machine); give CLI readiness probes more than the production
+# default so full-suite runs don't flake.
+os.environ.setdefault("HELIX_READY_TIMEOUT_S", "120")
