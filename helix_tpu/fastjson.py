@@ -96,24 +96,48 @@ def _plain_default(obj: Any):
     )
 
 
-def dumps(value: Any, compact: bool = False) -> str:
+def _sanitize_nonfinite(value: Any) -> Any:
+    """Replace non-finite floats with None, recursively (stdlib fallback
+    for ``nan_null``; only reached when a non-finite is present)."""
+    if isinstance(value, float):
+        return value if value == value and abs(value) != float("inf") else None
+    if isinstance(value, dict):
+        return {k: _sanitize_nonfinite(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [_sanitize_nonfinite(v) for v in value]
+    tolist = getattr(value, "tolist", None)
+    if tolist is not None:
+        return _sanitize_nonfinite(tolist())
+    return value
+
+
+def dumps(value: Any, compact: bool = False, nan_null: bool = False) -> str:
+    """Serialize.  ``nan_null=True`` encodes non-finite floats as JSON
+    ``null`` (strict wire responses — bare NaN/Infinity tokens are not
+    JSON; reference serde/sonic-rs never emit them).  Default keeps the
+    stdlib-compatible literals for lossless internal round-trips (WAL)."""
     impl = _load()
     if impl:
         try:
-            return impl.dumps(value, compact=compact)
+            return impl.dumps(value, compact=compact, nan_null=nan_null)
         except TypeError:
             pass  # non-plain types: stdlib error text for consistency
-    if compact:
-        return _json.dumps(value, ensure_ascii=False, separators=(",", ":"),
-                           default=_plain_default)
-    return _json.dumps(value, ensure_ascii=False, default=_plain_default)
+    seps = (",", ":") if compact else None
+    if nan_null:
+        try:
+            return _json.dumps(value, ensure_ascii=False, separators=seps,
+                               default=_plain_default, allow_nan=False)
+        except ValueError:
+            value = _sanitize_nonfinite(value)
+    return _json.dumps(value, ensure_ascii=False, separators=seps,
+                       default=_plain_default)
 
 
-def dumpb(value: Any, compact: bool = False) -> bytes:
+def dumpb(value: Any, compact: bool = False, nan_null: bool = False) -> bytes:
     impl = _load()
     if impl:
         try:
-            return impl.dumpb(value, compact=compact)
+            return impl.dumpb(value, compact=compact, nan_null=nan_null)
         except TypeError:
             pass
-    return dumps(value, compact=compact).encode("utf-8")
+    return dumps(value, compact=compact, nan_null=nan_null).encode("utf-8")

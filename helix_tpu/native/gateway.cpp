@@ -53,8 +53,10 @@ namespace {
 // shortest round-trip digits; fixed for exponent in [-4,16), else
 // e-notation with signed two-digit exponent.
 void format_double(std::string& out, double v) {
-    if (std::isnan(v)) { out += "NaN"; return; }
-    if (std::isinf(v)) { out += v > 0 ? "Infinity" : "-Infinity"; return; }
+    // Responses are strict JSON: bare NaN/Infinity tokens are not JSON
+    // and break strict clients (reference serde/sonic-rs never emit
+    // them, sdks/rust/src/lib.rs:407-409) — encode non-finite as null.
+    if (!std::isfinite(v)) { out += "null"; return; }
     char buf[64];
     auto res = std::to_chars(buf, buf + sizeof buf, v,
                              std::chars_format::scientific);

@@ -344,6 +344,13 @@ struct Parser {
 struct Encoder {
     std::string out;
     bool compact;
+    // Strict-JSON mode for wire responses: non-finite floats encode as
+    // null (bare NaN/Infinity tokens are not JSON and break strict
+    // clients; the reference's serde/sonic-rs never emit them —
+    // sdks/rust/src/lib.rs:407-409).  Internal persistence (WAL,
+    // snapshots) keeps the stdlib-compatible literals for lossless
+    // round-trips.
+    bool nan_null = false;
     const char* item_sep;
     size_t item_sep_len;
     const char* kv_sep;
@@ -410,8 +417,12 @@ struct Encoder {
     // fixed notation for exponent in [-4, 16), otherwise e-notation
     // with sign and at least two exponent digits.
     void encode_double(double v) {
-        if (std::isnan(v)) { out += "NaN"; return; }
-        if (std::isinf(v)) { out += v > 0 ? "Infinity" : "-Infinity"; return; }
+        if (std::isnan(v)) { out += nan_null ? "null" : "NaN"; return; }
+        if (std::isinf(v)) {
+            if (nan_null) { out += "null"; return; }
+            out += v > 0 ? "Infinity" : "-Infinity";
+            return;
+        }
         char buf[64];
         // shortest round-trip digits in scientific form: d.ddddde±xx
         auto res = std::to_chars(buf, buf + sizeof buf, v,
@@ -622,12 +633,14 @@ PyObject* hx_loads(PyObject*, PyObject* args, PyObject* kwargs) {
 PyObject* hx_dumps(PyObject*, PyObject* args, PyObject* kwargs) {
     PyObject* obj;
     int compact = 0;
-    static const char* kwlist[] = {"obj", "compact", nullptr};
-    if (!PyArg_ParseTupleAndKeywords(args, kwargs, "O|p",
+    int nan_null = 0;
+    static const char* kwlist[] = {"obj", "compact", "nan_null", nullptr};
+    if (!PyArg_ParseTupleAndKeywords(args, kwargs, "O|pp",
                                      const_cast<char**>(kwlist), &obj,
-                                     &compact))
+                                     &compact, &nan_null))
         return nullptr;
     Encoder enc(compact != 0);
+    enc.nan_null = nan_null != 0;
     if (!enc.encode(obj, 0)) return nullptr;
     return PyUnicode_DecodeUTF8(enc.out.data(), enc.out.size(), "strict");
 }
@@ -635,12 +648,14 @@ PyObject* hx_dumps(PyObject*, PyObject* args, PyObject* kwargs) {
 PyObject* hx_dumpb(PyObject*, PyObject* args, PyObject* kwargs) {
     PyObject* obj;
     int compact = 0;
-    static const char* kwlist[] = {"obj", "compact", nullptr};
-    if (!PyArg_ParseTupleAndKeywords(args, kwargs, "O|p",
+    int nan_null = 0;
+    static const char* kwlist[] = {"obj", "compact", "nan_null", nullptr};
+    if (!PyArg_ParseTupleAndKeywords(args, kwargs, "O|pp",
                                      const_cast<char**>(kwlist), &obj,
-                                     &compact))
+                                     &compact, &nan_null))
         return nullptr;
     Encoder enc(compact != 0);
+    enc.nan_null = nan_null != 0;
     if (!enc.encode(obj, 0)) return nullptr;
     return PyBytes_FromStringAndSize(enc.out.data(), enc.out.size());
 }

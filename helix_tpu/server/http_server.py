@@ -98,7 +98,7 @@ class HelixHTTPServer:
                 pass  # request logging goes through the telemetry layer
 
             def _reply(self, status: int, payload: Any) -> None:
-                body = fastjson.dumpb(payload)
+                body = fastjson.dumpb(payload, nan_null=True)
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))

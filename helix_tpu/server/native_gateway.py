@@ -578,7 +578,7 @@ class NativeGateway:
                     {"error": {"kind": "Internal", "message": str(exc)}},
                     500,
                 )
-        data = fastjson.dumpb(payload)
+        data = fastjson.dumpb(payload, nan_null=True)
         lib.hxgw_respond(h, reqid, status, b"application/json", data, len(data))
         self._track(-1)
 
@@ -622,7 +622,7 @@ class NativeGateway:
                 # the client is not left hanging
                 try:
                     data = fastjson.dumpb({"error": {
-                        "kind": "Internal", "message": str(exc)}})
+                        "kind": "Internal", "message": str(exc)}}, nan_null=True)
                     lib.hxgw_respond(
                         h, int(reqid), 500, b"application/json",
                         data, len(data),
@@ -674,7 +674,7 @@ class NativeGateway:
                 raw.release()  # invalidate the view before C++ frees it
                 lib.hxgw_release_body(h, reqid)
         if isinstance(result, JsonResult):
-            data = fastjson.dumpb(result.payload)
+            data = fastjson.dumpb(result.payload, nan_null=True)
             lib.hxgw_respond(
                 h, reqid, result.status, b"application/json", data, len(data)
             )
@@ -730,7 +730,7 @@ class NativeGateway:
                 parts = []
                 for event in events:
                     after = max(after, event.get("seq", after))
-                    payload = fastjson.dumps(event)
+                    payload = fastjson.dumps(event, nan_null=True)
                     parts.append(f"id: {event.get('seq')}\ndata: {payload}\n\n")
                 chunk = "".join(parts).encode()
             if lib.hxgw_stream_write(h, reqid, chunk, len(chunk)) != 0:

@@ -122,3 +122,29 @@ def test_parity_corpus_round_trips():
         assert fastjson.loads(raw) == json.loads(raw), path
         count += 1
     assert count > 200
+
+
+def test_nan_null_mode_is_strict_json():
+    """nan_null=True encodes non-finite floats as null so responses are
+    strict JSON (bare NaN/Infinity tokens break strict parsers; the
+    reference's serde/sonic-rs never emit them)."""
+    value = {"a": float("nan"), "b": [float("inf"), float("-inf"), 1.5]}
+    for text in (
+        fastjson.dumps(value, nan_null=True),
+        fastjson.dumpb(value, nan_null=True).decode(),
+        fastjson.dumps(value, compact=True, nan_null=True),
+    ):
+        def _reject(tok):
+            raise AssertionError(f"non-JSON token {tok!r} in output")
+
+        parsed = json.loads(text, parse_constant=_reject)
+        assert parsed == {"a": None, "b": [None, None, 1.5]}
+    # fast-array buffer path honors the flag too
+    import array
+
+    blob = fastjson.dumps(
+        {"v": array.array("d", [1.0, float("nan")])}, nan_null=True
+    )
+    assert json.loads(blob) == {"v": [1.0, None]}
+    # default mode keeps lossless stdlib-compatible literals (WAL round-trip)
+    assert fastjson.dumps(float("nan")) == "NaN"

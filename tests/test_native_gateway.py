@@ -432,3 +432,52 @@ def test_tenant_isolation_through_fast_path():
         assert not (alice_ids & bob_ids)
     finally:
         gw.stop()
+
+
+def test_responses_are_strict_json(gateway):
+    """Non-finite stored floats must encode as null in responses — bare
+    NaN/Infinity tokens are not JSON and break strict clients (the
+    reference's serde/sonic-rs never emit them, sdks/rust/src/lib.rs:407-409).
+    The engine accepts them on ingest (lenient parse, like stdlib json)."""
+
+    def raw(body: bytes) -> bytes:
+        s = socket.create_connection(("127.0.0.1", gateway.port), timeout=30)
+        s.sendall(
+            b"POST /v1/query HTTP/1.1\r\nHost: x\r\nConnection: close\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(body) + body
+        )
+        buf = b""
+        while True:
+            chunk = s.recv(1 << 16)
+            if not chunk:
+                break
+            buf += chunk
+        s.close()
+        return buf
+
+    write = (
+        b'{"request_type":"write","query_name":null,"query":{"queries":'
+        b'[{"Query":{"name":"d","steps":[{"AddN":{"label":"NanDoc",'
+        b'"properties":[["x",{"Value":{"F64":NaN}}],'
+        b'["y",{"Value":{"F64":Infinity}}]]}}],"condition":null}}],'
+        b'"returns":[]}}'
+    )
+    resp = raw(write)
+    assert b" 200" in resp.split(b"\r\n", 1)[0]
+
+    read = (
+        b'{"request_type":"read","query_name":null,"query":{"queries":'
+        b'[{"Query":{"name":"n","steps":'
+        b'[{"NWhere":{"Eq":["$label",{"String":"NanDoc"}]}},'
+        b'{"ValueMap":null}],"condition":null}}],"returns":["n"]}}'
+    )
+    resp = raw(read)
+    head, _, body = resp.partition(b"\r\n\r\n")
+    assert b" 200" in head.split(b"\r\n", 1)[0]
+
+    def _reject(tok):
+        raise AssertionError(f"non-JSON token {tok!r} in response body")
+
+    parsed = json.loads(body, parse_constant=_reject)
+    (row,) = parsed["n"]
+    assert row["x"] is None and row["y"] is None
