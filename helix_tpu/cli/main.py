@@ -740,8 +740,12 @@ def cmd_chef(args) -> int:
         return cmd_start(start_args)
     # Agent handoff (reference chef.rs hands off to Claude Code / Codex /
     # OpenCode): launch the first agent CLI on PATH with the prompt, or
-    # print the command when none is installed / --no-agent.
-    if not getattr(args, "no_agent", False):
+    # print the command when none is installed / --no-agent.  Only when
+    # interactive — execing an agent from scripts/CI would block on a
+    # session nothing can drive (HELIX_CHEF_ASSUME_TTY overrides for
+    # harnesses that drive the agent themselves).
+    interactive = sys.stdin.isatty() or os.environ.get("HELIX_CHEF_ASSUME_TTY")
+    if not getattr(args, "no_agent", False) and interactive:
         import shutil
 
         for agent, argv in (

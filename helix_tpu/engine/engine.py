@@ -37,6 +37,7 @@ class Engine:
         bm25: bool = True,
         secondary_indices: list[str] | None = None,
         snapshot_store: str | None = None,
+        graph_shard_threshold: int | None = None,
     ):
         self.store = GraphStore()
         self.snapshots = SnapshotCache(self.store)
@@ -68,6 +69,11 @@ class Engine:
             self.persistence.recover(self)
         self._writes_since_checkpoint = 0
         self.checkpoint_every = 10_000  # write batches between auto-checkpoints
+        # Multi-chip graph scale-out (parallel/graph.py): traversals over
+        # snapshots at/above this node count route to the edge-partitioned
+        # sharded executor when a device mesh is present.  Opt-in, like
+        # the vector shard_threshold.
+        self.graph_shard_threshold = graph_shard_threshold
         self.bm25_enabled = bm25
         # DbConfig.graph_config.secondary_indices (reference
         # config.rs:148-226): "Label.property" equality indexes created

@@ -804,6 +804,17 @@ class Executor:
             # per the tail (0 / false / [])
             return complete(np.zeros(snap.n_nodes, bool))
 
+        # Multi-chip route: when the engine opts in (graph_shard_threshold)
+        # and a device mesh is present, the whole plan executes as one
+        # edge-partitioned sharded traversal with a psum frontier
+        # exchange per hop (parallel/graph.py) — the scale-out path for
+        # graphs beyond a single chip/host.
+        gst = getattr(self.engine, "graph_shard_threshold", None)
+        if gst is not None and snap.n_nodes >= gst:
+            mask = self._run_sharded_traversal(snap, plan, start)
+            if mask is not None:
+                return complete(mask)
+
         if bfs_khop is not None:
             mask = start.astype(np.uint8)
             for op in plan:
@@ -839,6 +850,35 @@ class Executor:
             else:
                 mask = mask & jnp.asarray(op[1])
         return complete(np.asarray(mask, bool))
+
+    def _run_sharded_traversal(self, snap, plan: list, start: np.ndarray):
+        """Translate the resolved plan onto the multi-chip executor;
+        None (fall through to the single-host backends) when no mesh is
+        available or the adjacency exceeds the padding degree cap."""
+        import jax
+
+        if len(jax.devices()) < 2:
+            return None
+        directions: set[str] = set()
+        for op in plan:
+            if op[0] == "hop":
+                directions.update(d for d, _ in op[1])
+        sgraph = snap.sharded_graph(tuple(sorted(directions)))
+        if sgraph is None:
+            return None
+        plan_ops: list = []
+        codes: list[int] = []
+        masks: list[np.ndarray] = []
+        for op in plan:
+            if op[0] == "hop":
+                # all expansions of one hop share the label payload
+                # (Both = out+in with the same label filter)
+                plan_ops.append(("hop", tuple(d for d, _ in op[1])))
+                codes.append(op[1][0][1])
+            else:
+                plan_ops.append(("mask", len(masks)))
+                masks.append(np.asarray(op[1], bool))
+        return sgraph.run(plan_ops, start, codes, masks)
 
     # ------------------------------------------------------------------
     # Encoding

@@ -145,6 +145,50 @@ class GraphSnapshot:
         self._padded[direction] = graph
         return graph
 
+    def padded_host(self, direction: str, max_degree_cap: int = 256):
+        """Host-layout padded adjacency ``(neighbors, labels)`` (no
+        device upload); None above the degree cap.  Cached per snapshot."""
+        key = f"padhost:{direction}"
+        if key in self._padded:
+            return self._padded[key]
+        from ..ops.csr import PaddedGraph
+
+        if direction == "out":
+            indptr, order = self.out_indptr, self.out_edges
+            endpoint = self.edge_dst
+        else:
+            indptr, order = self.in_indptr, self.in_edges
+            endpoint = self.edge_src
+        host = PaddedGraph.host_arrays(
+            indptr,
+            endpoint[order].astype(np.int32),
+            self.edge_label_codes[order],
+            self.n_nodes,
+            max_degree_cap=max_degree_cap,
+        )
+        self._padded[key] = host
+        return host
+
+    def sharded_graph(self, directions: tuple[str, ...]):
+        """Multi-chip edge-partitioned adjacency (parallel/graph.py),
+        cached per snapshot for the direction set the plan needs; None
+        when any direction exceeds the padding degree cap."""
+        key = ("sharded", directions)
+        if key in self._padded:
+            return self._padded[key]
+        from ..parallel import ShardedGraph, make_mesh
+
+        dirmap = {}
+        for direction in directions:
+            host = self.padded_host(direction)
+            if host is None:
+                self._padded[key] = None
+                return None
+            dirmap[direction] = host
+        graph = ShardedGraph(make_mesh(), self.n_nodes, dirmap)
+        self._padded[key] = graph
+        return graph
+
     def csr_arrays(self, direction: str):
         """(indptr int64, target slots int32, label codes int32) for the
         native BFS kernel (native/bfs.cpp).  Cached per snapshot."""

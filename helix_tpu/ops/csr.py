@@ -50,15 +50,17 @@ class PaddedGraph:
         self.edge_labels = jnp.asarray(edge_labels)
 
     @staticmethod
-    def from_csr(
+    def host_arrays(
         indptr: np.ndarray,
         edge_endpoint_slots: np.ndarray,  # dst slot per edge index, CSR order
         edge_label_codes: np.ndarray,     # label code per edge index, CSR order
         n_nodes: int,
         max_degree_cap: int = 256,
-    ) -> "PaddedGraph | None":
-        """Build from CSR; None when max degree exceeds the cap (callers
-        fall back to the host gather path)."""
+    ) -> "tuple[np.ndarray, np.ndarray] | None":
+        """Padded (neighbors, labels) host layout from CSR; None when max
+        degree exceeds the cap (callers fall back to the host gather
+        path).  The sharded multi-chip path (parallel/graph.py) consumes
+        this directly so it can upload per-shard slices."""
         degrees = np.diff(indptr)
         p = int(degrees.max()) if len(degrees) and degrees.max() > 0 else 1
         if p > max_degree_cap:
@@ -72,7 +74,23 @@ class PaddedGraph:
             ranks = np.arange(total) - np.repeat(indptr[:-1], degrees)
             neighbors[rows, ranks] = edge_endpoint_slots[:total]
             labels[rows, ranks] = edge_label_codes[:total]
-        return PaddedGraph(neighbors, labels)
+        return neighbors, labels
+
+    @staticmethod
+    def from_csr(
+        indptr: np.ndarray,
+        edge_endpoint_slots: np.ndarray,
+        edge_label_codes: np.ndarray,
+        n_nodes: int,
+        max_degree_cap: int = 256,
+    ) -> "PaddedGraph | None":
+        host = PaddedGraph.host_arrays(
+            indptr, edge_endpoint_slots, edge_label_codes, n_nodes,
+            max_degree_cap,
+        )
+        if host is None:
+            return None
+        return PaddedGraph(*host)
 
 
 @functools.partial(jax.jit, static_argnames=("hops",))

@@ -1,0 +1,205 @@
+"""Multi-chip graph traversal: edge-partitioned adjacency + frontier
+all-reduce over ICI.
+
+The scale-out design SURVEY.md §2.3 names for the graph side ("edge-
+partitioned CSR with all-to-all frontier exchange"; reference scaling
+contract ``README.md:248``), restated as the natural TPU formulation:
+
+- The padded adjacency (``ops/csr.py`` layout: ``[N, P]`` neighbor-slot
+  matrix per direction) is **partitioned by source row** across the
+  ``shard`` mesh axis — each device owns its rows' outgoing (and
+  incoming) edges.  This is edge partitioning: every edge lives on
+  exactly one device, determined by its source slot.
+- The frontier is a boolean membership mask over node slots.  Each hop,
+  every shard expands its *local* rows' edges into a full-width
+  contribution mask, and one ``psum`` over the shard axis merges the
+  contributions — the frontier exchange.  At ``N`` nodes the exchanged
+  mask is ``4·N`` bytes (4 MB at 1M nodes), tiny next to the adjacency
+  bytes each shard reads, so the collective rides ICI at noise cost and
+  scaling is near-linear in shard count.
+- A whole traversal plan (alternating hops and vectorized predicate
+  masks, the shape ``engine/exec.py:_try_device_traversal`` produces)
+  executes inside ONE ``shard_map``-ped jit: per-hop label codes are
+  traced operands (no recompile per label), the plan structure is the
+  compile key.
+
+Everything is static-shaped: node count pads up to
+``rows_per_shard * n_shard``; padded rows have no edges, start dead, and
+are masked out of every filter, so they can never activate.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Plan ops (static compile key):
+#   ("hop", ("out",))            expand outgoing edges
+#   ("hop", ("in",))             expand incoming edges
+#   ("hop", ("out", "in"))       Both: union of the two expansions
+#   ("mask", slot_index)         AND with filter mask number `slot_index`
+PlanOp = tuple
+
+
+class ShardedGraph:
+    """Device-resident sharded adjacency for one graph snapshot.
+
+    ``directions`` maps ``"out"``/``"in"`` to host ``(neighbors,
+    edge_labels)`` pairs in the ``ops/csr.py`` padded layout (``[N, P]``
+    int32, neighbor pad = ``N``, label pad = -1).  Only the directions a
+    workload needs must be present.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        n_nodes: int,
+        directions: dict[str, tuple[np.ndarray, np.ndarray]],
+    ):
+        self.mesh = mesh
+        self.n_shard = int(mesh.shape["shard"])
+        self.n_nodes = n_nodes
+        rows = -(-n_nodes // self.n_shard)
+        # Keep shard slices lane-aligned so masks tile cleanly.
+        rows = ((rows + 127) // 128) * 128
+        self.rows_per_shard = rows
+        self.n_pad = rows * self.n_shard
+        self.arrays: dict[str, tuple[jax.Array, jax.Array]] = {}
+        spec = NamedSharding(mesh, P("shard", None))
+        for direction, (neighbors, labels) in directions.items():
+            nb = np.full((self.n_pad, neighbors.shape[1]), self.n_pad, np.int32)
+            lb = np.full((self.n_pad, neighbors.shape[1]), -1, np.int32)
+            # real neighbor slots keep their global ids; the original pad
+            # sentinel (n_nodes) moves to the padded drop slot (n_pad)
+            nb[:n_nodes] = np.where(
+                neighbors[:n_nodes] >= n_nodes, self.n_pad, neighbors[:n_nodes]
+            )
+            lb[:n_nodes] = labels[:n_nodes]
+            self.arrays[direction] = (
+                jax.device_put(nb, spec),
+                jax.device_put(lb, spec),
+            )
+        self._compiled: dict[tuple, any] = {}
+
+    # -- plan execution ----------------------------------------------------
+
+    def _build(self, plan: tuple[PlanOp, ...]):
+        """Compile one plan shape.  Codes arrive as a traced ``[n_hops]``
+        int32 vector; filter masks as a ``[n_masks, n_pad]`` bool matrix
+        sharded by columns."""
+        mesh = self.mesh
+        n_pad = self.n_pad
+        rows = self.rows_per_shard
+        dir_names = sorted(self.arrays)
+        n_dirs = len(dir_names)
+
+        def shard_fn(adj_flat, start_local, codes, masks_local):
+            # adj_flat: tuple of [rows, P] blocks, 2 per direction
+            adj = {
+                name: (adj_flat[2 * i], adj_flat[2 * i + 1])
+                for i, name in enumerate(dir_names)
+            }
+            shard_id = jax.lax.axis_index("shard")
+            lo = shard_id * rows
+            mask = start_local
+            hop_i = 0
+            for op in plan:
+                if op[0] == "hop":
+                    code = codes[hop_i]
+                    hop_i += 1
+                    contrib = jnp.zeros(n_pad + 1, bool)
+                    for direction in op[1]:
+                        nb, lb = adj[direction]
+                        live = mask[:, None]
+                        ok = jnp.logical_or(code < 0, lb == code)
+                        targets = jnp.where(live & ok, nb, n_pad)
+                        contrib = contrib.at[targets.reshape(-1)].set(True)
+                    # frontier exchange: one all-reduce of the int mask
+                    full = jax.lax.psum(
+                        contrib[:n_pad].astype(jnp.int32), "shard"
+                    )
+                    mask = (
+                        jax.lax.dynamic_slice(full, (lo,), (rows,)) > 0
+                    )
+                else:
+                    mask = mask & masks_local[op[1]]
+            return mask
+
+        in_specs = (
+            tuple(P("shard", None) for _ in range(2 * n_dirs)),
+            P("shard"),
+            P(),
+            P(None, "shard"),
+        )
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=P("shard"),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    def run(
+        self,
+        plan: list,
+        start_mask: np.ndarray,
+        codes: list[int],
+        masks: list[np.ndarray],
+    ) -> np.ndarray:
+        """Execute a traversal plan; returns the final membership mask
+        (host bool ``[n_nodes]``).
+
+        ``plan`` entries: ``("hop", directions_tuple)`` consuming the
+        next entry of ``codes`` (edge-label code, -1 = any), or
+        ``("mask", i)`` ANDing with ``masks[i]``.
+        """
+        key = (tuple(
+            (op[0], tuple(op[1]) if op[0] == "hop" else op[1]) for op in plan
+        ), len(masks))
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = self._build(key[0])
+            self._compiled[key] = fn
+        start = np.zeros(self.n_pad, bool)
+        start[: self.n_nodes] = start_mask[: self.n_nodes]
+        if masks:
+            mm = np.zeros((len(masks), self.n_pad), bool)
+            for i, m in enumerate(masks):
+                mm[i, : self.n_nodes] = m[: self.n_nodes]
+        else:
+            mm = np.zeros((1, self.n_pad), bool)  # placeholder operand
+        adj_flat = tuple(
+            arr for name in sorted(self.arrays) for arr in self.arrays[name]
+        )
+        start_d = jax.device_put(
+            start, NamedSharding(self.mesh, P("shard"))
+        )
+        masks_d = jax.device_put(
+            mm, NamedSharding(self.mesh, P(None, "shard"))
+        )
+        codes_arr = jnp.asarray(
+            np.asarray(codes, np.int32) if codes else np.zeros(1, np.int32)
+        )
+        out = fn(adj_flat, start_d, codes_arr, masks_d)
+        return np.asarray(out)[: self.n_nodes]
+
+    def khop_count(
+        self,
+        direction: str,
+        start_mask: np.ndarray,
+        label_code: int,
+        hops: int,
+        keep_mask: np.ndarray | None = None,
+    ) -> int:
+        """Distinct nodes in the ``hops``-step frontier passing ``keep``
+        (the BASELINE config[2] shape) — convenience over :meth:`run`."""
+        plan = [("hop", (direction,)) for _ in range(hops)]
+        masks: list[np.ndarray] = []
+        if keep_mask is not None:
+            masks.append(keep_mask)
+            plan.append(("mask", 0))
+        final = self.run(plan, start_mask, [label_code] * hops, masks)
+        return int(final.sum())

@@ -306,6 +306,9 @@ def test_chef_agent_handoff(tmp_path, monkeypatch):
     fake.write_text("#!/bin/sh\necho AGENT-LAUNCHED with $1\n")
     fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
     monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    # handoff is TTY-gated (a non-interactive chef must never exec an
+    # agent nothing can drive); the harness opts in explicitly
+    monkeypatch.setenv("HELIX_CHEF_ASSUME_TTY", "1")
 
     proj = tmp_path / "proj"
     code, out, err = run_cli(["chef", "--path", str(proj)])
