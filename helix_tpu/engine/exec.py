@@ -306,6 +306,33 @@ def _has_invalidating_steps(entries: Any) -> bool:
     return False
 
 
+_DEVICE_BACKEND: bool | None = None
+
+
+def _prefer_device_traversal() -> bool:
+    """Route traversals device-first on accelerator backends (the
+    adaptive kernel measures ~40x the native C++ sweep on a v5e; the
+    XLA:CPU lowering is far slower than the sweep).  Overridable via
+    HELIX_TRAVERSAL_BACKEND=device|native|auto — e.g. remote-attached
+    dev chips where the per-query mask H2D dominates want ``native``."""
+    import os
+
+    mode = os.environ.get("HELIX_TRAVERSAL_BACKEND", "auto")
+    if mode == "device":
+        return True
+    if mode == "native":
+        return False
+    global _DEVICE_BACKEND
+    if _DEVICE_BACKEND is None:
+        try:
+            import jax
+
+            _DEVICE_BACKEND = jax.default_backend() != "cpu"
+        except Exception:
+            _DEVICE_BACKEND = False
+    return _DEVICE_BACKEND
+
+
 class Executor:
     """Executes one request; owns no long-lived state beyond the engine."""
 
@@ -742,14 +769,19 @@ class Executor:
                 thunk=lambda f=result: self.encode_frame(f),
             )
 
-        # Backend choice: the native multithreaded CSR sweep
-        # (native/bfs.cpp) walks a hop in milliseconds where XLA's
-        # scatter pays ~115 ms/hop at 1M nodes / 16M edges; the device
-        # kernels remain as the fallback (and the multi-chip story).
+        # Backend choice.  Round 3: the frontier-size-adaptive device
+        # kernel (ops/csr.py) measures ~0.2 ms for a labeled+filtered
+        # 2-hop at 1M nodes / 16M edges on a v5e — 40x the native C++
+        # sweep (~8 ms) — so TPU backends route device-first; CPU
+        # backends keep the native sweep (the XLA:CPU scatter lowering
+        # is far slower than the C++ sweep).  HELIX_TRAVERSAL_BACKEND
+        # (device|native|auto) overrides, e.g. for remote-attached dev
+        # chips where per-query H2D mask transfer dominates.
         try:
             from ..native import bfs_khop
         except Exception:
             bfs_khop = None
+        prefer_device = _prefer_device_traversal()
 
         # Resolve every body op up front; any non-vectorizable filter or
         # missing adjacency falls back to the host pipeline before any
@@ -815,6 +847,13 @@ class Executor:
             if mask is not None:
                 return complete(mask)
 
+        if prefer_device and all(
+            snap.padded_graph(direction) is not None
+            for op in plan if op[0] == "hop"
+            for direction, _ in op[1]
+        ):
+            return complete(self._run_device_plan(snap, plan, start))
+
         if bfs_khop is not None:
             mask = start.astype(np.uint8)
             for op in plan:
@@ -831,6 +870,12 @@ class Executor:
                     mask = mask & np.asarray(op[1], np.uint8)
             return complete(mask.astype(bool))
 
+        return complete(self._run_device_plan(snap, plan, start))
+
+    def _run_device_plan(
+        self, snap, plan: list, start: np.ndarray
+    ) -> np.ndarray:
+        """Single-device adaptive-kernel plan execution (ops/csr.py)."""
         import jax.numpy as jnp
 
         from ..ops.csr import khop_mask
@@ -849,7 +894,7 @@ class Executor:
                 mask = frontier
             else:
                 mask = mask & jnp.asarray(op[1])
-        return complete(np.asarray(mask, bool))
+        return np.asarray(mask, bool)
 
     def _run_sharded_traversal(self, snap, plan: list, start: np.ndarray):
         """Translate the resolved plan onto the multi-chip executor;

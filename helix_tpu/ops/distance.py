@@ -299,6 +299,17 @@ class PackedMatrix:
 
     ROW_PAD = 512
     DIM_PAD = 128
+    # Background growth: when the matrix passes GROW_FILL of capacity, a
+    # daemon thread pre-copies rows into the doubled buffers in
+    # COPY_SLICE_ROWS slices (yielding the GIL between slices), so the
+    # single-writer ingest path never stalls on an O(N) copy.  Measured:
+    # the synchronous doubling at 1M x 128-d rows costs 0.4 s on an idle
+    # core and 6-12 s under this host's CPU-steal storms — a cliff that
+    # landed exactly in the driver bench's 50k-doc ingest window.
+    # Overwrites during a pending grow are tracked and re-copied at swap.
+    GROW_FILL_NUM = 9
+    GROW_FILL_DEN = 10
+    COPY_SLICE_ROWS = 65536
 
     def __init__(self, dim: int, metric: str = "cosine"):
         self.dim = dim
@@ -311,16 +322,91 @@ class PackedMatrix:
         self.version = 0
         self._device: tuple[int, jax.Array, jax.Array] | None = None
         self._device32: tuple[int, jax.Array] | None = None
+        self._grow_thread = None
+        self._grow_buffers: tuple | None = None
+        self._grow_dirty: list[int] = []
 
-    def append(self, vec: np.ndarray) -> int:
-        if self.n == self.capacity:
-            self.capacity *= 2
+    # -- growth ------------------------------------------------------------
+
+    def _start_background_grow(self, target_capacity: int) -> None:
+        import threading
+
+        if self._grow_thread is not None:
+            return
+        n0 = self.n
+        grown = np.zeros((target_capacity, self.dim_pad), np.float32)
+        sq = np.zeros(target_capacity, np.float32)
+        src, src_sq = self.data, self.sq_norms
+        slice_rows = self.COPY_SLICE_ROWS
+
+        def copy() -> None:
+            import time as _time
+
+            for s in range(0, n0, slice_rows):
+                e = min(n0, s + slice_rows)
+                grown[s:e] = src[s:e]
+                _time.sleep(0)  # let serving threads interleave per slice
+            sq[:n0] = src_sq[:n0]
+
+        self._grow_buffers = (n0, grown, sq)
+        self._grow_dirty = []
+        thread = threading.Thread(
+            target=copy, daemon=True, name="packed-matrix-grow"
+        )
+        self._grow_thread = thread
+        thread.start()
+
+    def _swap_grown(self) -> None:
+        """Join the background copy and install the grown buffers (rows
+        appended or overwritten since the copy started are re-copied —
+        both sets are bounded and small)."""
+        thread = self._grow_thread
+        thread.join()
+        n0, grown, sq = self._grow_buffers
+        grown[n0 : self.n] = self.data[n0 : self.n]
+        sq[n0 : self.n] = self.sq_norms[n0 : self.n]
+        for pos in self._grow_dirty:
+            if pos < n0:
+                grown[pos] = self.data[pos]
+                sq[pos] = self.sq_norms[pos]
+        self.data = grown
+        self.sq_norms = sq
+        self.capacity = len(sq)
+        self._grow_thread = None
+        self._grow_buffers = None
+        self._grow_dirty = []
+
+    def _ensure_rows(self, count: int) -> None:
+        """Capacity for ``count`` more rows.  Normally the background
+        grow finished long before the buffer fills and the swap here is
+        a pointer exchange plus a tiny delta copy; the synchronous path
+        only remains for burst appends that outrun the copier."""
+        need = self.n + count
+        if self._grow_thread is not None and (
+            need > self.capacity or not self._grow_thread.is_alive()
+        ):
+            self._swap_grown()
+        while need > self.capacity:  # copier outrun (or disabled): grow now
+            self.capacity = max(self.capacity * 2, _round_up(need, self.ROW_PAD))
             grown = np.zeros((self.capacity, self.dim_pad), np.float32)
             grown[: self.n] = self.data[: self.n]
             self.data = grown
             sq = np.zeros(self.capacity, np.float32)
             sq[: self.n] = self.sq_norms[: self.n]
             self.sq_norms = sq
+
+    def _maybe_start_grow(self) -> None:
+        """Called AFTER rows land (so the background copy covers them and
+        the swap's delta stays small): start pre-growing past the fill
+        threshold."""
+        if (
+            self._grow_thread is None
+            and self.n * self.GROW_FILL_DEN > self.capacity * self.GROW_FILL_NUM
+        ):
+            self._start_background_grow(2 * self.capacity)
+
+    def append(self, vec: np.ndarray) -> int:
+        self._ensure_rows(1)
         row = np.zeros(self.dim_pad, np.float32)
         row[: self.dim] = vec
         if self.metric == "cosine":
@@ -332,19 +418,13 @@ class PackedMatrix:
         pos = self.n
         self.n += 1
         self.version += 1
+        self._maybe_start_grow()
         return pos
 
     def extend(self, vecs: np.ndarray) -> int:
         """Bulk append; returns the first assigned position."""
         count = len(vecs)
-        while self.n + count > self.capacity:
-            self.capacity *= 2
-            grown = np.zeros((self.capacity, self.dim_pad), np.float32)
-            grown[: self.n] = self.data[: self.n]
-            self.data = grown
-            sq = np.zeros(self.capacity, np.float32)
-            sq[: self.n] = self.sq_norms[: self.n]
-            self.sq_norms = sq
+        self._ensure_rows(count)
         block = np.zeros((count, self.dim_pad), np.float32)
         block[:, : self.dim] = vecs
         if self.metric == "cosine":
@@ -355,6 +435,7 @@ class PackedMatrix:
         first = self.n
         self.n += count
         self.version += 1
+        self._maybe_start_grow()
         return first
 
     def overwrite(self, pos: int, vec: np.ndarray | None) -> None:
@@ -368,6 +449,8 @@ class PackedMatrix:
                     row /= norm
         self.data[pos] = row
         self.sq_norms[pos] = float(np.dot(row, row))
+        if self._grow_thread is not None:
+            self._grow_dirty.append(pos)
         self.version += 1
 
     def _device_rows(self) -> int:

@@ -370,3 +370,28 @@ def test_traced_requests_keep_per_step_timings(engine, monkeypatch):
     steps = out["$trace"]["steps"]
     assert [s["step"] for s in steps][:2] == ["NWhere", "Out"]
     assert all("us" in s for s in steps)
+
+
+def test_backend_preference_routes_device(engine, monkeypatch):
+    """HELIX_TRAVERSAL_BACKEND=device runs the adaptive device kernels
+    (not the native sweep) and matches the host pipeline exactly."""
+    monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
+    request = khop_query(2, "FOLLOWS")
+    host = engine.execute(request)
+
+    monkeypatch.setenv("HELIX_TRAVERSAL_BACKEND", "device")
+    calls = []
+    original = Executor._run_device_plan
+
+    def spy(self, snap, plan, start):
+        out = original(self, snap, plan, start)
+        calls.append(out.sum())
+        return out
+
+    monkeypatch.setattr(Executor, "_run_device_plan", spy)
+    assert engine.execute(request) == host
+    assert len(calls) == 1
+
+    monkeypatch.setenv("HELIX_TRAVERSAL_BACKEND", "native")
+    assert engine.execute(request) == host
+    assert len(calls) == 1  # native route: no further device calls
