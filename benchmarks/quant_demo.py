@@ -1,0 +1,141 @@
+"""int8 quantized-residency demonstration at beyond-exact-HBM scale.
+
+Workload: N x 128-d clustered corpus whose exact tier (bf16+f32,
+6 bytes/dim) exceeds the declared HBM budget while the int8 tier
+(1 byte/dim + 4/row) fits.  Measures coarse+re-rank QPS and recall@10
+against a blocked exact-scan oracle — the direct comparison point for
+the round-2 host-IVF tier (BENCH_NOTES: ~3.8k QPS/host projected at
+recall 0.998, 416 MB streamed per batch).  The int8 tier streams
+nothing: the matrix is resident.
+
+Reproduce: python benchmarks/quant_demo.py --n 10000000 --queries 256
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_000_000)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--queries", type=int, default=256)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--rounds", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from helix_tpu.native import rerank as native_rerank
+    from helix_tpu.ops.distance import PackedMatrix
+    from helix_tpu.ops.quant import int8_coarse_topk, quantize_rows
+
+    n, d, b, k = args.n, args.d, args.queries, args.k
+    rng = np.random.default_rng(7)
+    print(f"# generating {n}x{d} clustered corpus...", file=sys.stderr)
+    n_clusters = 1000
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
+    chunk = 1_000_000
+    mat = PackedMatrix(d, "cosine")
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        assign = rng.integers(0, n_clusters, size=e - s)
+        block = centers[assign] + 0.3 * rng.normal(size=(e - s, d)).astype(
+            np.float32
+        )
+        block /= np.linalg.norm(block, axis=1, keepdims=True) + 1e-9
+        mat.extend(block)
+
+    qs = centers[rng.integers(0, n_clusters, size=b)] + 0.3 * rng.normal(
+        size=(b, d)
+    ).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    qs_pad = mat.prepare_queries(qs)
+
+    exact_gb = mat.n * mat.dim_pad * 6 / (1 << 30)
+    int8_gb = mat.n * (mat.dim_pad + 4) / (1 << 30)
+    print(
+        f"# residency: exact {exact_gb:.1f} GB, int8 {int8_gb:.2f} GB",
+        file=sys.stderr,
+    )
+
+    print("# quantizing + uploading int8 matrix...", file=sys.stderr)
+    t0 = time.perf_counter()
+    values, scales = quantize_rows(mat.data[: mat.n])
+    xs_i8 = jnp.asarray(values)
+    sc = jnp.asarray(scales)
+    sq = jnp.asarray(mat.sq_norms[: mat.n])
+    jax.block_until_ready(xs_i8)
+    upload_s = time.perf_counter() - t0
+
+    k_cand = max(8 * k, 64)
+    qd = jnp.asarray(qs_pad)
+    _, cand = int8_coarse_topk(xs_i8, sc, qd, jnp.int32(mat.n), sq, k=k_cand)
+    jax.block_until_ready(cand)
+
+    # Coarse-phase throughput: dispatch loop, one block at the end
+    # (the bench.py measurement pattern).
+    t0 = time.perf_counter()
+    for _ in range(args.rounds):
+        _, cand = int8_coarse_topk(
+            xs_i8, sc, qd, jnp.int32(mat.n), sq, k=k_cand
+        )
+    jax.block_until_ready(cand)
+    coarse_ms = (time.perf_counter() - t0) / args.rounds * 1000
+
+    # Full tier: coarse + exact f32 host re-rank.
+    t0 = time.perf_counter()
+    cand_h = np.asarray(cand, np.int64)
+    dists, pos = native_rerank(
+        mat.data[: mat.n], mat.sq_norms[: mat.n], qs_pad, cand_h, k, "cosine"
+    )
+    rerank_ms = (time.perf_counter() - t0) * 1000
+    qps = b / ((coarse_ms + rerank_ms) / 1000)
+
+    print("# oracle (blocked exact scan on host)...", file=sys.stderr)
+    oracle = np.zeros((b, k), np.int64)
+    best = np.full((b, 0), 0.0)
+    best_i = np.zeros((b, 0), np.int64)
+    for s in range(0, mat.n, chunk):
+        e = min(mat.n, s + chunk)
+        sims = qs_pad @ mat.data[s:e].T
+        ci = np.argsort(-sims, axis=1)[:, : k]
+        cs = np.take_along_axis(sims, ci, axis=1)
+        best = np.concatenate([best, cs], axis=1)
+        best_i = np.concatenate([best_i, ci + s], axis=1)
+        keep = np.argsort(-best, axis=1)[:, : k]
+        best = np.take_along_axis(best, keep, axis=1)
+        best_i = np.take_along_axis(best_i, keep, axis=1)
+    oracle = best_i
+
+    recall = float(np.mean([
+        len(set(pos[i][pos[i] >= 0]) & set(oracle[i])) / k for i in range(b)
+    ]))
+
+    import json
+
+    print(json.dumps({
+        "metric": f"int8 residency tier QPS (N={n}, d={d}, k={k})",
+        "value": round(qps, 1),
+        "unit": "QPS",
+        "recall_at_10": round(recall, 4),
+        "coarse_ms_per_batch": round(coarse_ms, 3),
+        "rerank_ms_per_batch": round(rerank_ms, 3),
+        "quantize_upload_s": round(upload_s, 2),
+        "exact_residency_gb": round(exact_gb, 2),
+        "int8_residency_gb": round(int8_gb, 2),
+        "batch": b,
+    }))
+
+
+if __name__ == "__main__":
+    main()
