@@ -30,6 +30,11 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--rounds", type=int, default=16)
+    ap.add_argument(
+        "--cache", default=None,
+        help="path to an .npy corpus cache (created when absent) so the "
+             "expensive synthesis can run in a separate invocation",
+    )
     args = ap.parse_args()
 
     import jax
@@ -41,19 +46,31 @@ def main() -> None:
 
     n, d, b, k = args.n, args.d, args.queries, args.k
     rng = np.random.default_rng(7)
-    print(f"# generating {n}x{d} clustered corpus...", file=sys.stderr)
     n_clusters = 1000
     centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
     chunk = 1_000_000
     mat = PackedMatrix(d, "cosine")
-    for s in range(0, n, chunk):
-        e = min(n, s + chunk)
-        assign = rng.integers(0, n_clusters, size=e - s)
-        block = centers[assign] + 0.3 * rng.normal(size=(e - s, d)).astype(
-            np.float32
-        )
-        block /= np.linalg.norm(block, axis=1, keepdims=True) + 1e-9
-        mat.extend(block)
+    import os
+
+    t_gen = time.perf_counter()
+    if args.cache and os.path.exists(args.cache):
+        print(f"# loading corpus cache {args.cache}...", file=sys.stderr, flush=True)
+        mat.extend(np.load(args.cache, mmap_mode="r"))
+    else:
+        print(f"# generating {n}x{d} clustered corpus...", file=sys.stderr, flush=True)
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            assign = rng.integers(0, n_clusters, size=e - s)
+            block = centers[assign] + 0.3 * rng.normal(
+                size=(e - s, d)
+            ).astype(np.float32)
+            block /= np.linalg.norm(block, axis=1, keepdims=True) + 1e-9
+            mat.extend(block)
+        if args.cache:
+            np.save(args.cache, mat.data[: mat.n, :d])
+            print(f"# cached corpus at {args.cache}", file=sys.stderr, flush=True)
+    print(f"# corpus ready in {time.perf_counter() - t_gen:.0f}s",
+          file=sys.stderr, flush=True)
 
     qs = centers[rng.integers(0, n_clusters, size=b)] + 0.3 * rng.normal(
         size=(b, d)
@@ -65,10 +82,10 @@ def main() -> None:
     int8_gb = mat.n * (mat.dim_pad + 4) / (1 << 30)
     print(
         f"# residency: exact {exact_gb:.1f} GB, int8 {int8_gb:.2f} GB",
-        file=sys.stderr,
+        file=sys.stderr, flush=True,
     )
 
-    print("# quantizing + uploading int8 matrix...", file=sys.stderr)
+    print("# quantizing + uploading int8 matrix...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     values, scales = quantize_rows(mat.data[: mat.n])
     xs_i8 = jnp.asarray(values)
@@ -101,7 +118,7 @@ def main() -> None:
     rerank_ms = (time.perf_counter() - t0) * 1000
     qps = b / ((coarse_ms + rerank_ms) / 1000)
 
-    print("# oracle (blocked exact scan on host)...", file=sys.stderr)
+    print("# oracle (blocked exact scan on host)...", file=sys.stderr, flush=True)
     oracle = np.zeros((b, k), np.int64)
     best = np.full((b, 0), 0.0)
     best_i = np.zeros((b, 0), np.int64)

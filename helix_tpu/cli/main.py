@@ -715,21 +715,150 @@ client = Client("http://localhost:{port}")
 """
 
 
+CHEF_DESIGN_GUIDE = """# helix-tpu design guide
+
+How to shape a schema that serves fast on this engine (written for the
+agent building this app; reference analog: chef.rs design guide).
+
+## Modeling
+
+- **Nodes** carry the entities (User, Doc, Message...); **edges** carry
+  typed relations (FOLLOWS, AUTHORED_BY).  Properties are schema-free —
+  consistency comes from your queries, not a DDL.
+- Use stable external identifiers in a property (`externalId`) with a
+  **unique equality index**; engine node ids are u64s you should treat
+  as opaque.
+- Multitenant apps: give vector/text indexes a `tenant_property` and
+  always search with `tenant_value` — missing tenants error, unknown
+  tenants return empty (never another tenant's data).
+
+## Index selection
+
+| Access pattern | Index |
+|---|---|
+| exact lookup (`externalId == x`) | `IndexSpec.node_equality` (unique) |
+| range scans / ORDER BY acceleration | `IndexSpec.node_range` |
+| semantic / embedding search | `create_vector_index_nodes` |
+| keyword search (BM25) | `create_text_index_nodes` |
+
+Every vector search is an exact MXU scan with device re-rank — recall
+is ~1.0 by construction, so tune `k`, not an ef parameter.
+
+## Query patterns that serve fast
+
+- **Batch everything**: one request with several named queries beats N
+  round trips; later queries can reference earlier results by name.
+- **Bulk ingest**: `for_each_param` over an array parameter is the
+  ingest fast path (vectorized end-to-end; ~50k docs/s sustained).
+- **Hybrid RAG**: vector top-k seeds a graph expansion in the same
+  batch: search -> `g().n(NodeRef.var("hits")).out("AUTHORED_BY")`.
+- Keep `returning([...])` tight: unreturned variables skip payload
+  encoding entirely.
+
+## Serving
+
+- Reads scale via replicas (`start --replica-of`); writes go to one
+  writer (`x-helix-require-writer`).  `x-helix-await-durable: false`
+  trades durability acknowledgment for write latency.
+- The seeded example data (`examples/seed.py`) shows all of the above
+  end-to-end; delete it once your real schema exists.
+"""
+
+CHEF_SEED = '''"""Seed example data into the running helix-tpu instance.
+
+Usage: python examples/seed.py [port]
+Writes a small contacts+notes graph with embeddings so vector, text,
+and graph queries all have something to return (chef scaffolding —
+delete once your real schema exists).
+"""
+
+import sys
+
+from helix_tpu import NodeRef, g, write_batch
+from helix_tpu.client import Client
+
+port = int(sys.argv[1]) if len(sys.argv) > 1 else {port}
+client = Client(f"http://localhost:{{port}}")
+
+PEOPLE = [
+    ("ada", "Ada Lovelace", "wrote the first algorithm"),
+    ("alan", "Alan Turing", "asked whether machines can think"),
+    ("grace", "Grace Hopper", "built the first compiler"),
+]
+# toy embeddings: any float vector works; real apps use a model
+VECS = [[1.0, 0.1, 0.0, 0.0], [0.0, 1.0, 0.1, 0.0], [0.1, 0.0, 1.0, 0.0]]
+
+batch = (
+    write_batch()
+    .var_as("idx", g().create_vector_index_nodes("Contact", "embedding"))
+    .var_as("txt", g().create_text_index_nodes("Contact", "bio"))
+)
+for (key, name, bio), vec in zip(PEOPLE, VECS):
+    batch = batch.var_as(key, g().add_n("Contact", {{
+        "externalId": key, "name": name, "bio": bio, "embedding": vec,
+    }}))
+batch = (
+    batch
+    .var_as("f1", g().n(NodeRef.var("ada")).add_e("KNOWS", NodeRef.var("alan")))
+    .var_as("f2", g().n(NodeRef.var("alan")).add_e("KNOWS", NodeRef.var("grace")))
+    .returning(["ada", "alan", "grace"])
+)
+out = client.query().dynamic(batch.to_dynamic_request()).send()
+print(f"seeded {{len(out)}} contacts + 2 edges")
+
+hits = client.query().dynamic(
+    __import__("helix_tpu").read_batch()
+    .var_as("hits", g().vector_search_nodes("Contact", "embedding", VECS[0], 2)
+            .value_map(["$id", "$distance", "name"]))
+    .returning(["hits"]).to_dynamic_request()
+).send()
+print("nearest to ada:", [h["name"] for h in hits["hits"]])
+'''
+
+
 def cmd_chef(args) -> int:
-    """Project bootstrapper: scaffold, start, and write the agent prompt
-    (a lean take on the reference's chef, helix-cli/src/commands/chef.rs)."""
+    """Project bootstrapper: scaffold, start, seed example data, and
+    write the agent prompt + design guide (reference chef,
+    helix-cli/src/commands/chef.rs:293-308 seeds + guides; :978 cook)."""
     root = Path(args.path).resolve() if args.path else Path.cwd()
     if not (root / "helix.toml").exists():
         init_args = argparse.Namespace(
             path=str(root), name=None, instance=args.instance, port=args.port
         )
         cmd_init(init_args)
+
+    # Interactive cook: ask what we're building so the agent prompt
+    # starts from the user's intent (TTY only; --describe for scripts).
+    description = getattr(args, "describe", None)
+    if description is None and sys.stdin.isatty() and not getattr(
+        args, "no_agent", False
+    ):
+        try:
+            print("chef: what are you building? (one line, empty to skip)")
+            description = input("> ").strip() or None
+        except (EOFError, KeyboardInterrupt):
+            description = None
+
+    prompt = CHEF_PROMPT.format(instance=args.instance, port=args.port)
+    if description:
+        prompt = (
+            f"# Goal\n\n{description}\n\n" + prompt
+            + "\nBuild toward the goal above; start from examples/seed.py "
+            "and the design guide (HELIX_DESIGN_GUIDE.md).\n"
+        )
     prompt_path = root / "HELIX_CHEF_PROMPT.md"
-    prompt_path.write_text(
-        CHEF_PROMPT.format(instance=args.instance, port=args.port),
-        encoding="utf-8",
-    )
+    prompt_path.write_text(prompt, encoding="utf-8")
     print(f"wrote {prompt_path}")
+
+    guide_path = root / "HELIX_DESIGN_GUIDE.md"
+    guide_path.write_text(CHEF_DESIGN_GUIDE, encoding="utf-8")
+    print(f"wrote {guide_path}")
+
+    seed_path = root / "examples" / "seed.py"
+    seed_path.parent.mkdir(parents=True, exist_ok=True)
+    seed_path.write_text(CHEF_SEED.format(port=args.port), encoding="utf-8")
+    print(f"wrote {seed_path}")
+
     if args.start:
         import os as _os
 
@@ -737,7 +866,25 @@ def cmd_chef(args) -> int:
         start_args = argparse.Namespace(
             instance=args.instance, port=args.port, foreground=False, disk=False
         )
-        return cmd_start(start_args)
+        code = cmd_start(start_args)
+        if code != 0:
+            return code
+        # seed the freshly started instance so the first query has data
+        # (inherit this process's package location: the project dir may
+        # not have helix_tpu importable on its own)
+        env = dict(os.environ)
+        pkg_parent = str(Path(__file__).resolve().parents[2])
+        env["PYTHONPATH"] = pkg_parent + os.pathsep + env.get("PYTHONPATH", "")
+        seed = subprocess.run(
+            [sys.executable, str(seed_path), str(args.port)],
+            capture_output=True, text=True, cwd=root, env=env,
+        )
+        if seed.returncode == 0:
+            print(seed.stdout.strip())
+        else:
+            print(f"seed script failed (instance is still up):\n"
+                  f"{seed.stderr.strip()[-500:]}")
+        return 0
     # Agent handoff (reference chef.rs hands off to Claude Code / Codex /
     # OpenCode): launch the first agent CLI on PATH with the prompt, or
     # print the command when none is installed / --no-agent.  Only when
@@ -1017,6 +1164,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--start", action="store_true")
     p.add_argument("--no-agent", action="store_true",
                    help="skip the agent-CLI handoff")
+    p.add_argument("--describe", default=None,
+                   help="one-line app description baked into the agent "
+                        "prompt (interactive chef asks when omitted)")
     p.set_defaults(fn=cmd_chef)
 
     p = sub.add_parser("update", help="self-update from the release source")

@@ -344,3 +344,55 @@ def test_skills_register_mcp(tmp_path):
     ]:
         config = json.loads((root / rel).read_text())
         assert "helix-tpu" in config[key], rel
+
+
+def test_chef_writes_guide_seed_and_describe(tmp_path):
+    """chef writes the design guide + runnable seed script alongside the
+    prompt; --describe bakes the goal into the prompt (reference chef
+    seeds data + writes a design guide, chef.rs:293-308)."""
+    proj = tmp_path / "app"
+    code, out, _ = run_cli([
+        "chef", "--path", str(proj), "--no-agent",
+        "--describe", "a memory layer for support agents",
+    ])
+    assert code == 0
+    prompt = (proj / "HELIX_CHEF_PROMPT.md").read_text()
+    assert prompt.startswith("# Goal")
+    assert "a memory layer for support agents" in prompt
+    guide = (proj / "HELIX_DESIGN_GUIDE.md").read_text()
+    assert "Index selection" in guide and "tenant_property" in guide
+    seed = (proj / "examples" / "seed.py").read_text()
+    assert "create_vector_index_nodes" in seed
+    # the seed script must be valid python
+    import ast
+
+    ast.parse(seed)
+
+
+def test_chef_seed_script_runs_against_instance(tmp_path, monkeypatch):
+    """The generated seed script executes against a live engine."""
+    import subprocess
+    import sys as _sys
+
+    from helix_tpu.server import HelixHTTPServer
+
+    proj = tmp_path / "app"
+    code, _, _ = run_cli(["chef", "--path", str(proj), "--no-agent"])
+    assert code == 0
+    server = HelixHTTPServer(host="127.0.0.1", port=0)
+    server.start()
+    try:
+        import os
+
+        env = dict(os.environ)
+        env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
+        out = subprocess.run(
+            [_sys.executable, str(proj / "examples" / "seed.py"),
+             str(server.port)],
+            capture_output=True, text=True, timeout=120, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-800:]
+        assert "seeded 3 contacts" in out.stdout
+        assert "nearest to ada:" in out.stdout and "Ada" in out.stdout
+    finally:
+        server.stop()
