@@ -124,3 +124,39 @@ def test_engine_sharded_serving_matches_exact():
         assert hits(sharded, data[qi]) == hits(exact, data[qi])
     part = next(iter(sharded.vectors.indexes.values())).partitions[("",)]
     assert part._shard_state is not None  # the sharded path actually ran
+
+
+@pytest.mark.parametrize("n_rows,k", [
+    (4001, 10),    # prime-ish: every shard split pads
+    (3999, 10),
+    (37, 16),      # k > per-shard row count (37/8 < 16): merge must
+                   # draw whole result sets across shards
+    (7, 12),       # k > total rows: short result, no padded-row leakage
+])
+def test_ragged_shard_sizes_and_k_overflow(n_rows, k):
+    """Non-divisible row counts and k exceeding per-shard hits — the
+    shard-boundary/padding cases the small aligned tests can't catch."""
+    rng = np.random.default_rng(n_rows)
+    data = rng.normal(size=(n_rows, 32)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    queries = rng.normal(size=(8, 32)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    mesh = make_mesh()
+    k_eff = min(k, n_rows)
+    search = ShardedVectorSearch(mesh, k=k_eff, chunk=256, bf16=False)
+    sq = np.sum(data * data, axis=1)
+    xs, sqd, n_valid = search.shard_arrays(data, sq)
+    dists, idx = search(xs, queries, n_valid, sqd)
+    idx = np.asarray(idx)
+    dists = np.asarray(dists)
+    # no padded-row indices may ever surface
+    finite = np.isfinite(dists)
+    assert np.all((idx >= 0) & (idx < n_rows) | ~finite)
+    expected = brute_force_ids(data, queries, k_eff)
+    assert np.array_equal(
+        np.sort(idx[finite].reshape(len(queries), -1), axis=1)
+        if finite.all() else np.sort(idx, axis=1),
+        np.sort(expected, axis=1),
+    )
+    assert np.all(np.diff(dists, axis=1) >= -1e-6)
