@@ -54,8 +54,21 @@ def main() -> None:
 
     t_gen = time.perf_counter()
     if args.cache and os.path.exists(args.cache):
-        print(f"# loading corpus cache {args.cache}...", file=sys.stderr, flush=True)
-        mat.extend(np.load(args.cache, mmap_mode="r"))
+        print(f"# adopting corpus cache {args.cache}...", file=sys.stderr, flush=True)
+        if args.cache.endswith(".dat"):
+            # raw float32 memmap [n, d], rows pre-normalized: adopt it
+            # as the packed matrix directly (d == dim_pad == 128), no
+            # 5 GB repack/renormalize pass
+            assert d == mat.dim_pad, "dat cache requires d == dim_pad"
+            mm = np.memmap(args.cache, dtype=np.float32, mode="r",
+                           shape=(n, d))
+            mat.data = mm
+            mat.sq_norms = np.ones(n, np.float32)
+            mat.n = n
+            mat.capacity = n
+            mat.version += 1
+        else:
+            mat.extend(np.load(args.cache, mmap_mode="r"))
     else:
         print(f"# generating {n}x{d} clustered corpus...", file=sys.stderr, flush=True)
         for s in range(0, n, chunk):
