@@ -338,6 +338,7 @@ class PackedMatrix:
         sq = np.zeros(target_capacity, np.float32)
         src, src_sq = self.data, self.sq_norms
         slice_rows = self.COPY_SLICE_ROWS
+        ok = [False]
 
         def copy() -> None:
             import time as _time
@@ -347,8 +348,9 @@ class PackedMatrix:
                 grown[s:e] = src[s:e]
                 _time.sleep(0)  # let serving threads interleave per slice
             sq[:n0] = src_sq[:n0]
+            ok[0] = True
 
-        self._grow_buffers = (n0, grown, sq)
+        self._grow_buffers = (n0, grown, sq, ok)
         self._grow_dirty = []
         thread = threading.Thread(
             target=copy, daemon=True, name="packed-matrix-grow"
@@ -359,10 +361,18 @@ class PackedMatrix:
     def _swap_grown(self) -> None:
         """Join the background copy and install the grown buffers (rows
         appended or overwritten since the copy started are re-copied —
-        both sets are bounded and small)."""
+        both sets are bounded and small).  A copier that died without
+        finishing is discarded: the synchronous fallback in
+        ``_ensure_rows`` grows instead (incomplete buffers must never
+        become the matrix)."""
         thread = self._grow_thread
         thread.join()
-        n0, grown, sq = self._grow_buffers
+        n0, grown, sq, ok = self._grow_buffers
+        self._grow_thread = None
+        self._grow_buffers = None
+        if not ok[0]:
+            self._grow_dirty = []
+            return
         grown[n0 : self.n] = self.data[n0 : self.n]
         sq[n0 : self.n] = self.sq_norms[n0 : self.n]
         for pos in self._grow_dirty:
@@ -372,8 +382,6 @@ class PackedMatrix:
         self.data = grown
         self.sq_norms = sq
         self.capacity = len(sq)
-        self._grow_thread = None
-        self._grow_buffers = None
         self._grow_dirty = []
 
     def _ensure_rows(self, count: int) -> None:

@@ -60,3 +60,23 @@ def test_burst_outrunning_copier_grows_synchronously():
     mat.extend(big)
     assert mat.n == 10_000 and mat.capacity >= 10_000
     np.testing.assert_allclose(mat.data[9_999, :8], big[-1])
+
+
+def test_failed_copier_falls_back_to_synchronous_growth():
+    """A copier thread that dies mid-copy must be discarded — the
+    synchronous path grows instead; incomplete buffers never become
+    the matrix."""
+    rng = np.random.default_rng(4)
+    mat = PackedMatrix(8, "l2")
+    rows = rng.normal(size=(460, 8)).astype(np.float32)
+    mat.extend(rows)
+
+    mat._start_background_grow(2 * mat.capacity)
+    n0, grown, sq, ok = mat._grow_buffers
+    mat._grow_thread.join()
+    ok[0] = False  # simulate a crash before completion
+    late = rng.normal(size=(200, 8)).astype(np.float32)
+    mat.extend(late)  # forces swap -> discard -> synchronous growth
+    assert mat.n == 660 and mat.capacity >= 660
+    np.testing.assert_allclose(mat.data[:460, :8], rows)
+    np.testing.assert_allclose(mat.data[460:660, :8], late)
