@@ -97,3 +97,42 @@ def test_degree_cap_returns_none():
     dst = np.zeros(300, np.int32)
     lab = np.zeros(300, np.int32)
     assert PaddedGraph.from_csr(indptr, dst, lab, 1, max_degree_cap=256) is None
+
+
+def test_adaptive_hop_tiers_match_oracle():
+    """Both the compact tier (small frontier) and the dense fallback
+    (frontier above every tier) must agree with a NumPy BFS oracle at a
+    size where the tier conds genuinely branch (n > 4096)."""
+    import jax.numpy as jnp
+
+    from helix_tpu.ops.csr import PaddedGraph, khop_mask
+
+    rng = np.random.default_rng(12)
+    n, deg = 10_000, 4
+    dst = rng.integers(0, n, size=n * deg).astype(np.int32)
+    lab = rng.integers(0, 3, size=n * deg).astype(np.int32)
+    indptr = np.arange(n + 1, dtype=np.int64) * deg
+    g = PaddedGraph.from_csr(indptr, dst, lab, n)
+
+    def oracle(mask, code, hops):
+        out = np.asarray(mask)
+        for _ in range(hops):
+            nxt = np.zeros(n, bool)
+            for u in np.nonzero(out)[0]:
+                sel = (lab[indptr[u]:indptr[u + 1]] == code) if code >= 0 \
+                    else np.ones(deg, bool)
+                nxt[dst[indptr[u]:indptr[u + 1]][sel]] = True
+            out = nxt
+        return out
+
+    small = rng.random(n) < 0.01   # ~100 live -> compact tier 4096
+    large = rng.random(n) < 0.9    # ~9000 live -> dense fallback
+    for start, code, hops in [
+        (small, 1, 2), (small, -1, 1), (large, 0, 1), (large, -1, 2),
+    ]:
+        got = np.asarray(khop_mask(
+            g.neighbors, g.edge_labels, jnp.asarray(start),
+            jnp.int32(code), hops,
+        ))
+        np.testing.assert_array_equal(got, oracle(start, code, hops),
+                                      err_msg=f"code={code} hops={hops}")
