@@ -31,6 +31,11 @@ VECTOR_DEFAULTS = {
     # MXU scan to the graph ANN index (None = exact always; the exact
     # scan wins below ~1M rows on TPU, see ops/beam.py).
     "ann_threshold": None,
+    # Multi-chip scale-out (None = single-device): live-vector count
+    # above which partitions shard row-wise across the device mesh, and
+    # node count above which traversals run edge-partitioned.
+    "shard_threshold": None,
+    "graph_shard_threshold": None,
 }
 
 DB_DEFAULTS = {

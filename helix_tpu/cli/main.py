@@ -288,6 +288,17 @@ def cmd_start(args) -> int:
                 if inst.vector.get("ann_threshold") is not None
                 else []
             ),
+            *(
+                ["--shard-threshold", str(inst.vector["shard_threshold"])]
+                if inst.vector.get("shard_threshold") is not None
+                else []
+            ),
+            *(
+                ["--graph-shard-threshold",
+                 str(inst.vector["graph_shard_threshold"])]
+                if inst.vector.get("graph_shard_threshold") is not None
+                else []
+            ),
             *([] if inst.db.get("bm25", True) else ["--no-bm25"]),
             *([] if inst.db.get("mcp", True) else ["--no-mcp"]),
             *(

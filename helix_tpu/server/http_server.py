@@ -54,6 +54,8 @@ class HelixHTTPServer:
         replica_of: str | None = None,
         snapshot_store: str | None = None,
         mcp: bool = True,
+        shard_threshold: int | None = None,
+        graph_shard_threshold: int | None = None,
     ):
         self.replica_of = replica_of
         self.follower = None
@@ -68,6 +70,8 @@ class HelixHTTPServer:
             ann_config=ann_config, hbm_budget_bytes=hbm_budget_bytes,
             bm25=bm25,
             secondary_indices=secondary_indices, snapshot_store=snapshot_store,
+            shard_threshold=shard_threshold,
+            graph_shard_threshold=graph_shard_threshold,
         )
         if replica_of:
             from ..engine.replication import Follower
@@ -236,6 +240,8 @@ def serve(
     snapshot_store: str | None = None,
     mcp: bool = True,
     native: bool = True,
+    shard_threshold: int | None = None,
+    graph_shard_threshold: int | None = None,
 ) -> None:
     import signal
     import sys
@@ -261,6 +267,8 @@ def serve(
         ann_config=ann_config, hbm_budget_bytes=hbm_budget_bytes, bm25=bm25,
         secondary_indices=secondary_indices, replica_of=replica_of,
         snapshot_store=snapshot_store, mcp=mcp,
+        shard_threshold=shard_threshold,
+        graph_shard_threshold=graph_shard_threshold,
     )
 
     def _shutdown(signum, frame):
@@ -304,6 +312,12 @@ def build_arg_parser():
                         help="object store url (s3://, file://, memory://) "
                              "checkpoints mirror to and fresh nodes "
                              "bootstrap from")
+    parser.add_argument("--shard-threshold", type=int, default=None,
+                        help="live-vector count above which partitions "
+                             "shard row-wise across the device mesh")
+    parser.add_argument("--graph-shard-threshold", type=int, default=None,
+                        help="node count above which traversals run "
+                             "edge-partitioned across the device mesh")
     parser.add_argument("--legacy-server", action="store_true",
                         help="serve from the pure-Python ThreadingHTTPServer "
                              "instead of the native epoll gateway")
@@ -330,4 +344,6 @@ if __name__ == "__main__":
         bm25=not args.no_bm25, secondary_indices=args.secondary_index,
         replica_of=args.replica_of, snapshot_store=args.snapshot_store,
         mcp=not args.no_mcp, native=not args.legacy_server,
+        shard_threshold=args.shard_threshold,
+        graph_shard_threshold=args.graph_shard_threshold,
     )

@@ -76,6 +76,8 @@ class NativeGateway:
         snapshot_store: str | None = None,
         mcp: bool = True,
         general_workers: int = 4,
+        shard_threshold: int | None = None,
+        graph_shard_threshold: int | None = None,
     ):
         from ..native import load
 
@@ -89,6 +91,8 @@ class NativeGateway:
             ann_config=ann_config, hbm_budget_bytes=hbm_budget_bytes,
             bm25=bm25,
             secondary_indices=secondary_indices, snapshot_store=snapshot_store,
+            shard_threshold=shard_threshold,
+            graph_shard_threshold=graph_shard_threshold,
         )
         if replica_of:
             from ..engine.replication import Follower
