@@ -169,3 +169,38 @@ def test_engine_routes_to_sharded_traversal(monkeypatch):
         eng.graph_shard_threshold = 1
         assert eng2_result == host
     assert len(runs) == 3  # every query actually took the sharded route
+
+
+def test_engine_sharded_membership_tail(monkeypatch):
+    """Membership-returning tails (dedup -> order_by -> values) through
+    the sharded route must reproduce the host pipeline byte-for-byte."""
+    from helix_tpu.dsl import DynamicQueryRequest, SourcePredicate, g, read_batch, write_batch
+    from helix_tpu.engine import Engine
+    from helix_tpu.engine.exec import Executor
+
+    eng = Engine(graph_shard_threshold=1)
+    rng = np.random.default_rng(6)
+    n = 180
+    batch = write_batch()
+    for i in range(n):
+        batch = batch.var_as(f"u{i}", g().add_n("U", {"i": int(i)}))
+    eng.execute(DynamicQueryRequest.write(batch).encode())
+    edges = write_batch()
+    for j in range(n * 3):
+        src, dst = int(rng.integers(1, n + 1)), int(rng.integers(1, n + 1))
+        edges = edges.var_as(f"e{j}", g().n({"Ids": [src]}).add_e("F", {"Ids": [dst]}))
+    eng.execute(DynamicQueryRequest.write(edges).encode())
+
+    req = DynamicQueryRequest.read(
+        read_batch().var_as(
+            "page",
+            g().n_where(SourcePredicate.lt("i", 6)).out("F").out("F")
+               .dedup().order_by("i", "Desc").limit(7).values(["i"]),
+        ).returning(["page"])
+    ).encode()
+
+    monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
+    sharded = eng.execute(req)
+    eng.graph_shard_threshold = None
+    host = eng.execute(req)
+    assert sharded == host and len(sharded["page"]) == 7
