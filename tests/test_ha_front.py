@@ -298,3 +298,63 @@ def test_failover_under_load_with_throughput():
         front.stop()
         for s in stubs:
             s.shutdown()
+
+
+def test_stale_keepalive_reconnects_after_backend_restart():
+    """A backend that restarts (new listener, same port) leaves the
+    front's pooled connection stale; the next proxied request must
+    transparently reconnect rather than fail."""
+    import http.client
+    import socket
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Stub(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        wbufsize = -1
+        canned = b'{"n": 2}'
+
+        def log_message(self, *args):
+            pass
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length") or 0))
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(self.canned)))
+            self.end_headers()
+            self.wfile.write(self.canned)
+
+        do_GET = do_POST
+
+    def start_stub(port=0):
+        httpd = ThreadingHTTPServer(("127.0.0.1", port), Stub)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        return httpd
+
+    stub = start_stub()
+    port = stub.server_port
+    front = HAFront(f"http://127.0.0.1:{port}", [], host="127.0.0.1",
+                    probe_s=5.0)
+    front.start()
+    try:
+        body = json.dumps(COUNT_USERS).encode()
+        status, payload = _post(front.port, "/v1/query", json.loads(body))
+        assert status == 200
+
+        # restart the backend on the SAME port: pooled socket goes stale
+        stub.shutdown()
+        stub.server_close()
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            try:
+                stub = start_stub(port)
+                break
+            except OSError:
+                time.sleep(0.2)
+
+        status, payload = _post(front.port, "/v1/query", json.loads(body))
+        assert status == 200 and payload == {"n": 2}
+    finally:
+        front.stop()
+        stub.shutdown()
