@@ -121,10 +121,17 @@ class GraphSnapshot:
 
     # ---- device padded adjacency ----------------------------------------
 
+    # Padded-adjacency budget: N x P x 8 bytes (slots + label codes) per
+    # direction, resident in HBM next to the vector matrices.  Beyond
+    # this the planner falls back to the native sweep / sharded path
+    # rather than silently OOMing the device.
+    PADDED_BYTES_CAP = 2 << 30
+
     def padded_graph(self, direction: str, max_degree_cap: int = 256):
         """Device-ready padded adjacency for ``out``/``in`` expansion
-        (ops/csr.py layout); None when the max degree exceeds the cap.
-        Cached per snapshot (epoch)."""
+        (ops/csr.py layout); None when the max degree exceeds the cap or
+        the padded layout would blow the HBM budget.  Cached per
+        snapshot (epoch)."""
         if direction in self._padded:
             return self._padded[direction]
         from ..ops.csr import PaddedGraph
@@ -135,6 +142,11 @@ class GraphSnapshot:
         else:
             indptr, order = self.in_indptr, self.in_edges
             endpoint = self.edge_src
+        degrees = np.diff(indptr)
+        max_deg = int(degrees.max()) if len(degrees) else 0
+        if self.n_nodes * max(max_deg, 1) * 8 > self.PADDED_BYTES_CAP:
+            self._padded[direction] = None
+            return None
         graph = PaddedGraph.from_csr(
             indptr,
             endpoint[order].astype(np.int32),
@@ -145,9 +157,14 @@ class GraphSnapshot:
         self._padded[direction] = graph
         return graph
 
+    # The sharded path splits the padded layout across the mesh, so its
+    # budget is host-side (one full copy during construction).
+    PADDED_HOST_BYTES_CAP = 16 << 30
+
     def padded_host(self, direction: str, max_degree_cap: int = 256):
         """Host-layout padded adjacency ``(neighbors, labels)`` (no
-        device upload); None above the degree cap.  Cached per snapshot."""
+        device upload); None above the degree or host-bytes cap.
+        Cached per snapshot."""
         key = f"padhost:{direction}"
         if key in self._padded:
             return self._padded[key]
@@ -159,6 +176,11 @@ class GraphSnapshot:
         else:
             indptr, order = self.in_indptr, self.in_edges
             endpoint = self.edge_src
+        degrees = np.diff(indptr)
+        max_deg = int(degrees.max()) if len(degrees) else 0
+        if self.n_nodes * max(max_deg, 1) * 8 > self.PADDED_HOST_BYTES_CAP:
+            self._padded[key] = None
+            return None
         host = PaddedGraph.host_arrays(
             indptr,
             endpoint[order].astype(np.int32),

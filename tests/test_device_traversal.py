@@ -395,3 +395,21 @@ def test_backend_preference_routes_device(engine, monkeypatch):
     monkeypatch.setenv("HELIX_TRAVERSAL_BACKEND", "native")
     assert engine.execute(request) == host
     assert len(calls) == 1  # native route: no further device calls
+
+
+def test_padded_graph_byte_cap_falls_back(engine, monkeypatch):
+    """A padded layout that would blow the HBM budget routes to the
+    native sweep instead of building the device arrays."""
+    from helix_tpu.engine.snapshot import GraphSnapshot
+
+    monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
+    monkeypatch.setattr(GraphSnapshot, "PADDED_BYTES_CAP", 1)
+    engine.snapshots._snapshot = None  # force a fresh snapshot object
+    snap = engine.snapshots.get()
+    assert snap.padded_graph("out") is None  # cap actually engaged
+    request = khop_query(2, "FOLLOWS")
+    monkeypatch.setenv("HELIX_TRAVERSAL_BACKEND", "native")
+    host_result = engine.execute(request)
+    monkeypatch.setenv("HELIX_TRAVERSAL_BACKEND", "device")
+    # device preference with no padded graph must fall back, not fail
+    assert engine.execute(request) == host_result
