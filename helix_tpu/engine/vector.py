@@ -284,12 +284,58 @@ class Partition:
     def _search_quant(
         self, queries: np.ndarray, k: int
     ) -> tuple[np.ndarray, np.ndarray]:
+        import jax
+
+        if len(jax.devices()) > 1:
+            return self._search_quant_sharded(queries, k)
         from ..ops.quant import QuantizedResident
 
         if self.quant is None:
             self.quant = QuantizedResident()
         return self.quant.search(
             self.matrix, queries, k, self.live_mask, self.metric
+        )
+
+    def _search_quant_sharded(
+        self, queries: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Mesh-sharded int8 coarse phase + exact f32 host re-rank (the
+        quantized rung at multi-chip scale)."""
+        from ..native import rerank as native_rerank
+        from ..ops.quant import ShardedInt8Search, quantize_rows
+        from ..parallel import make_mesh
+
+        n = self.matrix.n
+        k_cand = min(max(8 * k, 64), n)
+        state = self._shard_state
+        if (
+            state is None
+            or state.get("kind") != "int8"
+            or state["version"] != self.matrix.version
+            or state["k_cand"] != k_cand
+        ):
+            values, scales = quantize_rows(self.matrix.data[:n])
+            search = ShardedInt8Search(make_mesh(), k=k_cand, metric=self.metric)
+            arrays = search.shard_arrays(
+                values, scales, self.matrix.sq_norms[:n]
+            )
+            state = {
+                "kind": "int8", "version": self.matrix.version,
+                "k_cand": k_cand, "search": search, "arrays": arrays,
+            }
+            self._shard_state = state
+        search = state["search"]
+        xs_i8, scales, sq, n_valid = state["arrays"]
+        qs = self.matrix.prepare_queries(queries)
+        _, cand = search(xs_i8, scales, sq, qs, n_valid)
+        cand = np.asarray(cand, np.int64)
+        live = self.live_mask
+        cand = np.where(
+            (cand < n) & live[np.clip(cand, 0, n - 1)], cand, -1
+        )
+        return native_rerank(
+            self.matrix.data[:n], self.matrix.sq_norms[:n], qs, cand, k,
+            self.metric,
         )
 
     # -- beyond-HBM host-IVF tier ------------------------------------------
@@ -374,9 +420,14 @@ class Partition:
 
         n = self.matrix.n
         state = self._shard_state
-        if state is None or state["version"] != self.matrix.version:
+        if (
+            state is None
+            or state.get("kind", "exact") != "exact"
+            or state["version"] != self.matrix.version
+        ):
             mesh = make_mesh()
             state = {
+                "kind": "exact",
                 "version": self.matrix.version,
                 "mesh": mesh,
                 "searchers": {},

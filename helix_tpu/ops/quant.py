@@ -130,3 +130,95 @@ class QuantizedResident:
         return native_rerank(
             matrix.data[:n], matrix.sq_norms[:n], qs, cand, k, metric
         )
+
+
+class ShardedInt8Search:
+    """Multi-chip int8 coarse phase: rows shard across the mesh, each
+    device runs the int8 MXU matmul over its slice, and an ICI
+    all-gather merges per-shard candidates — the quantized rung of the
+    residency ladder at mesh scale (6x the per-chip capacity of the
+    sharded exact tier)."""
+
+    def __init__(self, mesh, k: int, metric: str = "cosine"):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.mesh = mesh
+        self.k = k
+        self.metric = metric
+        self.n_shard = int(mesh.shape["shard"])
+        self._P = P
+        self._NamedSharding = NamedSharding
+        self._fn = self._build()
+
+    def _build(self):
+        import jax
+
+        P = self._P
+        k = self.k
+        metric = self.metric
+        n_shard = self.n_shard
+
+        def shard_fn(xs_i8, scales, sq, qs, n_valid):
+            rows = xs_i8.shape[0]
+            shard_id = jax.lax.axis_index("shard")
+            local_valid = jnp.clip(n_valid - shard_id * rows, 0, rows)
+            sims, idx = int8_coarse_topk(
+                xs_i8, scales, qs, local_valid, sq,
+                k=min(k, rows), metric=metric,
+            )
+            global_i = idx + shard_id * rows
+            all_s = jax.lax.all_gather(sims, "shard", axis=0)
+            all_i = jax.lax.all_gather(global_i, "shard", axis=0)
+            b = qs.shape[0]
+            kk = all_s.shape[-1]
+            flat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(b, n_shard * kk)
+            flat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, n_shard * kk)
+            top_s, pos = jax.lax.top_k(flat_s, min(k, n_shard * kk))
+            top_i = jnp.take_along_axis(flat_i, pos, axis=1)
+            return top_s, top_i
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(
+                P("shard", None), P("shard"), P("shard"), P(None, None), P(),
+            ),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    def shard_arrays(self, values: np.ndarray, scales: np.ndarray,
+                     sq_norms: np.ndarray):
+        """Pad + device_put with row sharding; returns
+        ``(xs_i8, scales, sq, n_valid)``."""
+        import jax
+
+        P, NS = self._P, self._NamedSharding
+        n = len(values)
+        rows = -(-n // self.n_shard)
+        rows = ((rows + 127) // 128) * 128
+        total = rows * self.n_shard
+        if total != n:
+            pv = np.zeros((total, values.shape[1]), np.int8)
+            pv[:n] = values
+            ps = np.ones(total, np.float32)
+            ps[:n] = scales
+            pq = np.zeros(total, np.float32)
+            pq[:n] = sq_norms
+        else:
+            pv, ps, pq = values, scales, sq_norms
+        xs = jax.device_put(pv, NS(self.mesh, P("shard", None)))
+        sc = jax.device_put(ps, NS(self.mesh, P("shard")))
+        sq = jax.device_put(pq, NS(self.mesh, P("shard")))
+        return xs, sc, sq, n
+
+    def __call__(self, xs_i8, scales, sq, qs: np.ndarray, n_valid: int):
+        import jax
+
+        qd = jax.device_put(
+            np.asarray(qs, np.float32),
+            self._NamedSharding(self.mesh, self._P(None, None)),
+        )
+        return self._fn(xs_i8, scales, sq, qd, jnp.int32(n_valid))

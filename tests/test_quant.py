@@ -111,3 +111,69 @@ def test_tier_ladder_gating():
     assert part._use_quant() and not part._use_host_ivf()
     set_rows(20_000)  # int8 2.6 MB > 1 MB
     assert not part._use_quant() and part._use_host_ivf()
+
+
+def test_sharded_int8_matches_oracle_on_mesh():
+    """Mesh-sharded int8 coarse + merge on the 8-device virtual mesh:
+    the true top-10 must survive into the merged candidates, ragged row
+    counts included."""
+    from helix_tpu.ops.quant import ShardedInt8Search, quantize_rows
+    from helix_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(4)
+    n, d, k = 4001, 64, 10  # ragged over 8 shards
+    data, centers = clustered(rng, n, d)
+    qs = centers[rng.integers(0, 50, size=16)] + 0.3 * rng.normal(
+        size=(16, d)
+    ).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+
+    values, scales = quantize_rows(data)
+    search = ShardedInt8Search(make_mesh(), k=80)
+    xs, sc, sq, n_valid = search.shard_arrays(
+        values, scales, np.sum(data * data, axis=1).astype(np.float32)
+    )
+    _, cand = search(xs, sc, sq, qs, n_valid)
+    cand = np.asarray(cand)
+    assert np.all((cand >= 0) & (cand < ((n + 1023) // 1024) * 1024))
+    oracle = np.argsort(-(qs @ data.T), axis=1)[:, :k]
+    containment = np.mean([
+        len(set(oracle[i]) & set(cand[i])) / k for i in range(len(qs))
+    ])
+    assert containment >= 0.98, containment
+
+
+def test_partition_quant_sharded_end_to_end():
+    """With a mesh present, the quant tier serves through the sharded
+    int8 path and matches the brute-force oracle after re-rank."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(5)
+    n, d, k = 6_000, 64, 10
+    data, centers = clustered(rng, n, d)
+    dim_pad = 128
+    budget = int(n * dim_pad * 2)
+    part = Partition("cosine", hbm_budget_bytes=budget)
+    mat = PackedMatrix(d, "cosine")
+    mat.extend(data)
+    part.matrix = mat
+    part._ensure_capacity(mat.n)
+    part._ids[: mat.n] = np.arange(1, mat.n + 1, dtype=np.uint64)
+    part._live[: mat.n] = True
+    part.n_rows = mat.n
+    part._n_live = mat.n
+    assert part._use_quant()
+
+    qs = centers[rng.integers(0, 50, size=8)] + 0.3 * rng.normal(
+        size=(8, d)
+    ).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    ids, dists = part.search_many(qs, k)
+    assert part._shard_state and part._shard_state.get("kind") == "int8"
+    oracle = np.argsort(-(qs @ mat.data[:n, :d].T), axis=1)[:, :k] + 1
+    recall = np.mean([
+        len(set(ids[i]) & set(oracle[i])) / k for i in range(len(qs))
+    ])
+    assert recall >= 0.95, recall
+    assert np.all(np.diff(dists, axis=1) >= -1e-6)
