@@ -95,13 +95,31 @@ class QuantizedResident:
         if cached is not None and cached[0] == matrix.version:
             return cached[1], cached[2]
         n_rows = _round_up(max(matrix.n, 1), matrix.ROW_PAD)
+        if self._use_fused(matrix):
+            from .fused_topk import pad_rows_for_fused
+
+            n_rows = pad_rows_for_fused(matrix.n)
         rows = matrix.data[:n_rows]
+        if n_rows > len(matrix.data):
+            padded = np.zeros((n_rows, matrix.data.shape[1]), np.float32)
+            padded[: matrix.n] = matrix.data[: matrix.n]
+            rows = padded
         values, scales = quantize_rows(rows)
         xs_i8 = jnp.asarray(values)
         sc = jnp.asarray(scales)
         xs_i8.block_until_ready()
         self._cached = (matrix.version, xs_i8, sc)
         return xs_i8, sc
+
+    @staticmethod
+    def _use_fused(matrix) -> bool:
+        from .fused_topk import TILE
+
+        return (
+            jax.default_backend() == "tpu"
+            and matrix.metric == "cosine"
+            and matrix.n >= TILE
+        )
 
     def search(
         self, matrix, queries: np.ndarray, k: int, live_mask: np.ndarray,
@@ -118,11 +136,18 @@ class QuantizedResident:
         xs_i8, scales = self.arrays(matrix)
         qs = matrix.prepare_queries(queries)
         k_cand = min(max(8 * k, 64), n)
-        _, cand = int8_coarse_topk(
-            xs_i8, scales, jnp.asarray(qs), jnp.int32(n),
-            jnp.asarray(matrix.sq_norms[: xs_i8.shape[0]]),
-            k=k_cand, metric=metric,
-        )
+        from .fused_topk import TILE as _TILE
+
+        if self._use_fused(matrix) and xs_i8.shape[0] % _TILE == 0:
+            _, cand = int8_fused_coarse(
+                xs_i8, scales, jnp.asarray(qs), jnp.int32(n), k=k_cand
+            )
+        else:
+            _, cand = int8_coarse_topk(
+                xs_i8, scales, jnp.asarray(qs), jnp.int32(n),
+                jnp.asarray(matrix.sq_norms[: xs_i8.shape[0]]),
+                k=k_cand, metric=metric,
+            )
         cand = np.asarray(cand, np.int64)
         cand = np.where(
             (cand < n) & live_mask[np.clip(cand, 0, n - 1)], cand, -1
@@ -222,3 +247,157 @@ class ShardedInt8Search:
             self._NamedSharding(self.mesh, self._P(None, None)),
         )
         return self._fn(xs_i8, scales, sq, qd, jnp.int32(n_valid))
+
+
+# ---------------------------------------------------------------- fused
+#
+# Pallas fused int8 coarse kernel: same packed-bucket design as
+# ops/fused_topk.py (see its module docstring for the mantissa-packing
+# trick and recall model), with the matmul in int8 on the MXU and the
+# per-row de-scale fused before the bucket reduction.  HBM sees only
+# the 1-byte/dim matrix read plus the tiny bucket write — the XLA path
+# (int8_coarse_topk) round-trips a [B, N] f32 score matrix, which at
+# 10M rows is ~40x the matrix bytes.  int8 tiles also fit 2x the rows
+# of bf16 per VMEM block.
+
+from .fused_topk import BUCKET, MAX_QUERY_BLOCK, MIN_QUERY_BLOCK, NEG_SENTINEL, TILE
+
+_I8_MAX_TILE_BYTES = 4 * 1024 * 1024
+
+
+def _i8_tile_rows(d: int) -> int:
+    rows = _I8_MAX_TILE_BYTES // d
+    return max(512, min(TILE, (rows // 512) * 512))
+
+
+def _make_i8_kernel(tile_rows: int):
+    from jax.experimental import pallas as pl
+
+    buckets_per_tile = tile_rows // BUCKET
+
+    def _kernel(n_valid_ref, q_ref, qscale_ref, x_ref, xscale_ref, vals_ref):
+        tile_id = pl.program_id(0)
+        dots = jax.lax.dot_general(
+            x_ref[:], q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                               # [tile, B]
+        sims = (
+            dots.astype(jnp.float32)
+            * xscale_ref[:]                              # [tile, 1]
+            * qscale_ref[:]                              # [1, B]
+        )
+        rows = tile_id * tile_rows + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_rows, 1), 0
+        )
+        sims = jnp.where(rows < n_valid_ref[0, 0], sims, NEG_SENTINEL)
+        grouped = sims.reshape(buckets_per_tile, BUCKET, sims.shape[1])
+        vals = jnp.max(grouped, axis=1)
+        arg = jnp.argmax(grouped, axis=1).astype(jnp.int32)
+        bits = jax.lax.bitcast_convert_type(vals, jnp.int32)
+        packed = (bits & jnp.int32(~(BUCKET - 1))) | arg
+        vals_ref[:] = jax.lax.bitcast_convert_type(packed, jnp.float32)
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _i8_bucket_scores(
+    xs_i8: jax.Array,       # [N, D] int8, N padded to TILE
+    x_scales: jax.Array,    # [N, 1] f32
+    q_i8: jax.Array,        # [B, D] int8 (B lane-aligned)
+    q_scales: jax.Array,    # [1, B] f32
+    n_valid: jax.Array,
+    interpret: bool = False,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = xs_i8.shape
+    b = q_i8.shape[0]
+    assert n % TILE == 0, "matrix rows must be padded to the tile size"
+    tile_rows = _i8_tile_rows(d)
+    buckets_per_tile = tile_rows // BUCKET
+    num_tiles = n // tile_rows
+    grid_spec = pl.GridSpec(
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (buckets_per_tile, b), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    total_buckets = num_tiles * buckets_per_tile
+    (vals,) = pl.pallas_call(
+        _make_i8_kernel(tile_rows),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((total_buckets, b), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d + b * d + b * total_buckets * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        n_valid.reshape(1, 1).astype(jnp.int32),
+        q_i8, q_scales, xs_i8, x_scales,
+    )
+    return vals
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def int8_fused_coarse(
+    xs_i8: jax.Array,       # [N, D] int8, rows padded to TILE
+    x_scales: jax.Array,    # [N] f32
+    qs: jax.Array,          # [B, D] f32
+    n_valid: jax.Array,
+    *,
+    k: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused int8 coarse candidates: (packed scores [B, k], row ids).
+
+    Cosine only (scores are de-scaled dot products).  Candidates feed
+    the exact f32 host re-rank like the XLA coarse path.
+    """
+    b_in = qs.shape[0]
+    total_buckets = xs_i8.shape[0] // BUCKET
+    k_cand = min(k, total_buckets)
+    out_s = []
+    out_i = []
+    for lo in range(0, b_in, MAX_QUERY_BLOCK):
+        chunk = qs[lo:lo + MAX_QUERY_BLOCK]
+        b = chunk.shape[0]
+        b_pad = max(MIN_QUERY_BLOCK, ((b + 127) // 128) * 128)
+        if b_pad != b:
+            chunk = jnp.pad(chunk, ((0, b_pad - b), (0, 0)))
+        q_peak = jnp.max(jnp.abs(chunk), axis=1)
+        q_scales = jnp.where(q_peak > 0, q_peak / 127.0, 1.0)
+        q_i8 = jnp.clip(
+            jnp.round(chunk / q_scales[:, None]), -127, 127
+        ).astype(jnp.int8)
+        vals = _i8_bucket_scores(
+            xs_i8, x_scales.reshape(-1, 1), q_i8,
+            q_scales.reshape(1, -1), n_valid, interpret=interpret,
+        ).T                                             # [b_pad, buckets]
+        best_s, pos = jax.lax.approx_max_k(vals, k_cand, recall_target=0.95)
+        arg = jax.lax.bitcast_convert_type(best_s, jnp.int32) & jnp.int32(
+            BUCKET - 1
+        )
+        out_s.append(best_s[:b])
+        out_i.append((pos * BUCKET + arg)[:b])
+    sims = out_s[0] if len(out_s) == 1 else jnp.concatenate(out_s, axis=0)
+    ids = out_i[0] if len(out_i) == 1 else jnp.concatenate(out_i, axis=0)
+    return sims, ids

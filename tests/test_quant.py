@@ -177,3 +177,38 @@ def test_partition_quant_sharded_end_to_end():
     ])
     assert recall >= 0.95, recall
     assert np.all(np.diff(dists, axis=1) >= -1e-6)
+
+
+def test_int8_fused_kernel_interpret_matches_oracle():
+    """The fused int8 Pallas kernel (interpret mode on CPU) must keep
+    the true top-k inside its candidates and agree with the XLA coarse
+    path's quantized scores."""
+    import jax.numpy as jnp
+
+    from helix_tpu.ops.fused_topk import TILE
+    from helix_tpu.ops.quant import int8_fused_coarse
+
+    rng = np.random.default_rng(8)
+    n, d, k = TILE, 128, 10
+    n_live = n - 300  # padding rows must never win
+    data, centers = clustered(rng, n_live, d)
+    padded = np.zeros((n, d), np.float32)
+    padded[:n_live] = data
+    values, scales = quantize_rows(padded)
+    qs = centers[rng.integers(0, 50, size=4)] + 0.3 * rng.normal(
+        size=(4, d)
+    ).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+
+    sims, ids = int8_fused_coarse(
+        jnp.asarray(values), jnp.asarray(scales), jnp.asarray(qs),
+        jnp.int32(n_live), k=64, interpret=True,
+    )
+    ids = np.asarray(ids)
+    assert np.all((ids >= 0) & (ids < n))
+    assert np.all(ids < n_live)  # masked padding never surfaces
+    oracle = np.argsort(-(qs @ data.T), axis=1)[:, :k]
+    containment = np.mean([
+        len(set(oracle[i]) & set(ids[i])) / k for i in range(len(qs))
+    ])
+    assert containment >= 0.9, containment
