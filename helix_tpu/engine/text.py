@@ -85,12 +85,25 @@ class TextPartition:
         self.version += 1
 
     def _device_postings(self):
-        from ..ops.bm25 import DevicePostings
-
         cached = self._device
         if cached is not None and cached[0] == self.version:
             return cached[1]
-        built = DevicePostings.build(self.postings, self.doc_len)
+        import jax
+
+        if len(jax.devices()) > 1:
+            # doc-partitioned postings across the mesh (global IDF/avgdl
+            # travel with the query; ICI all-gather merges per-shard
+            # top-k) — the text workload's multi-chip path
+            from ..ops.bm25 import ShardedBM25
+            from ..parallel import make_mesh
+
+            built = ShardedBM25.build(
+                self.postings, self.doc_len, make_mesh()
+            )
+        else:
+            from ..ops.bm25 import DevicePostings
+
+            built = DevicePostings.build(self.postings, self.doc_len)
         self._device = (self.version, built)
         return built
 

@@ -158,3 +158,164 @@ class DevicePostings:
         # and would flip top-k membership at the path threshold
         order = np.lexsort((ids, -vals))
         return ids[order], vals[order]
+
+
+class ShardedBM25:
+    """Multi-chip BM25: documents partition across the mesh, each shard
+    scores its slice with the same Okapi kernel (global IDF/avgdl travel
+    with the query), and an ICI all-gather merges per-shard top-k —
+    completing the mesh story for the text workload family alongside
+    vectors (exact + int8) and graph traversal.
+
+    Per-shard postings widths shrink roughly by the shard count, so the
+    stacked layout costs about the same memory as the single-device
+    padding."""
+
+    def __init__(self, mesh, vocab, docs, tf, dl, rows_per_shard,
+                 avgdl, slot_to_doc, n_docs, df):
+        self.mesh = mesh
+        self.vocab = vocab
+        self.docs = docs            # [S, T, P] device, sharded on axis 0
+        self.tf = tf
+        self.dl = dl                # [S, rows]
+        self.rows_per_shard = rows_per_shard
+        self.avgdl = avgdl
+        self.slot_to_doc = slot_to_doc  # [S * rows] host (0 pads)
+        self.n_docs = n_docs
+        self.df = df
+        self._fn_cache: dict[int, object] = {}
+
+    @staticmethod
+    def build(postings, doc_len, mesh, max_postings_cap: int = 1 << 16):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = len(doc_len)
+        if n == 0:
+            return None
+        n_shard = int(mesh.shape["shard"])
+        rows = -(-n // n_shard)
+        rows = ((rows + 127) // 128) * 128
+        slot_to_doc_full = np.zeros(n_shard * rows, np.int64)
+        all_docs = np.fromiter(doc_len.keys(), np.int64, count=n)
+        slot_to_doc_full[:n] = 0  # filled below in shard order
+        lengths_full = np.zeros(n_shard * rows, np.float32)
+        doc_to_local: dict[int, tuple[int, int]] = {}
+        for i, doc in enumerate(all_docs):
+            shard, local = divmod(i, rows)
+            doc_to_local[int(doc)] = (shard, local)
+            slot_to_doc_full[shard * rows + local] = doc
+            lengths_full[shard * rows + local] = doc_len[int(doc)]
+        terms = sorted(postings.keys())
+        t = max(len(terms), 1)
+        # per-shard max postings width
+        width = 1
+        for term in terms:
+            counts = np.zeros(n_shard, np.int64)
+            for doc in postings[term]:
+                counts[doc_to_local[doc][0]] += 1
+            width = max(width, int(counts.max()))
+        if width > max_postings_cap:
+            return None
+        docs = np.full((n_shard, t, width), rows, np.int32)
+        tf = np.zeros((n_shard, t, width), np.float32)
+        df = np.zeros(t, np.int64)
+        fill = np.zeros((n_shard, t), np.int32)
+        for row, term in enumerate(terms):
+            bucket = postings[term]
+            df[row] = len(bucket)
+            for doc, freq in bucket.items():
+                shard, local = doc_to_local[doc]
+                col = fill[shard, row]
+                docs[shard, row, col] = local
+                tf[shard, row, col] = freq
+                fill[shard, row] += 1
+        spec = NamedSharding(mesh, P("shard", None, None))
+        return ShardedBM25(
+            mesh,
+            {term: i for i, term in enumerate(terms)},
+            jax.device_put(docs, spec),
+            jax.device_put(tf, spec),
+            jax.device_put(
+                lengths_full.reshape(n_shard, rows),
+                NamedSharding(mesh, P("shard", None)),
+            ),
+            rows,
+            float(lengths_full.sum() / n),
+            slot_to_doc_full,
+            n,
+            df,
+        )
+
+    def _fn(self, k: int):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        fn = self._fn_cache.get(k)
+        if fn is not None:
+            return fn
+        rows = self.rows_per_shard
+        n_shard = int(self.mesh.shape["shard"])
+        k_local = min(k, rows)
+
+        def shard_fn(docs, tf, dl, terms, idf, avgdl):
+            docs = docs[0]          # [T, P] local block
+            tf = tf[0]
+            dl = dl[0]              # [rows]
+            shard_id = jax.lax.axis_index("shard")
+            scores, idx = bm25_scores(
+                docs, tf, dl, avgdl, terms, idf, k=k_local
+            )
+            global_idx = idx + shard_id * rows
+            all_s = jax.lax.all_gather(scores, "shard", axis=0)  # [S, k]
+            all_i = jax.lax.all_gather(global_idx, "shard", axis=0)
+            flat_s = all_s.reshape(n_shard * k_local)
+            flat_i = all_i.reshape(n_shard * k_local)
+            top, pos = jax.lax.top_k(flat_s, min(k, n_shard * k_local))
+            return top, flat_i[pos]
+
+        fn = jax.jit(jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(
+                P("shard", None, None), P("shard", None, None),
+                P("shard", None), P(), P(), P(),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+        self._fn_cache[k] = fn
+        return fn
+
+    def search(self, tokens: list[str], k: int):
+        """(doc ids, scores desc) — None when the query exceeds the
+        kernel's term pad (caller serves on the host path)."""
+        import math
+
+        rows_list, idfs = [], []
+        for token in tokens:
+            row = self.vocab.get(token)
+            if row is None:
+                continue
+            rows_list.append(row)
+            df = self.df[row]
+            idfs.append(math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
+        if len(rows_list) > MAX_QUERY_TERMS:
+            return None
+        if not rows_list:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        pad = MAX_QUERY_TERMS - len(rows_list)
+        terms = np.array(rows_list + [-1] * pad, np.int32)
+        idf = np.array(idfs + [0.0] * pad, np.float32)
+        scores, slots = self._fn(k)(
+            self.docs, self.tf, self.dl,
+            jnp.asarray(terms), jnp.asarray(idf),
+            jnp.float32(self.avgdl),
+        )
+        scores = np.asarray(scores, np.float64)
+        slots = np.asarray(slots)
+        keep = scores > 0
+        ids = self.slot_to_doc[slots[keep]].astype(np.uint64)
+        vals = scores[keep]
+        order = np.lexsort((ids, -vals))
+        return ids[order], vals[order]
