@@ -479,13 +479,34 @@ class PackedMatrix:
         padded[: self.n] = source[: self.n]
         return padded
 
+    # Upload granularity: one multi-GB H2D RPC reliably wedges this
+    # environment's tunneled dev chip (and gains nothing elsewhere —
+    # per-chunk device_put pipelines fine over PCIe), so large matrices
+    # upload in slices and concatenate on device.
+    UPLOAD_CHUNK_BYTES = 256 << 20
+
+    @classmethod
+    def _upload(cls, host: np.ndarray, dtype=None) -> jax.Array:
+        rows = max(1, cls.UPLOAD_CHUNK_BYTES // max(host[0:1].nbytes, 1))
+        if len(host) <= rows:
+            out = jnp.asarray(host)
+            return out.astype(dtype) if dtype is not None else out
+        parts = []
+        for s in range(0, len(host), rows):
+            part = jax.device_put(host[s : s + rows])
+            if dtype is not None:
+                part = part.astype(dtype)
+            part.block_until_ready()
+            parts.append(part)
+        return jnp.concatenate(parts, axis=0)
+
     def device_arrays(self) -> tuple[jax.Array, jax.Array]:
         """(bfloat16 matrix, f32 squared norms), refreshed when stale."""
         n_rows = self._device_rows()
         cached = self._device
         if cached is not None and cached[0] == self.version:
             return cached[1], cached[2]
-        xs16 = jnp.asarray(self._rows_view(self.data, n_rows)).astype(jnp.bfloat16)
+        xs16 = self._upload(self._rows_view(self.data, n_rows), jnp.bfloat16)
         sq = jnp.asarray(self._rows_view(self.sq_norms, n_rows))
         xs16.block_until_ready()
         self._device = (self.version, xs16, sq)
@@ -497,7 +518,7 @@ class PackedMatrix:
         cached = self._device32
         if cached is not None and cached[0] == self.version:
             return cached[1]
-        xs32 = jnp.asarray(self.data[:n_rows])
+        xs32 = self._upload(self.data[:n_rows])
         xs32.block_until_ready()
         self._device32 = (self.version, xs32)
         return xs32

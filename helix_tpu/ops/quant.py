@@ -105,7 +105,9 @@ class QuantizedResident:
             padded[: matrix.n] = matrix.data[: matrix.n]
             rows = padded
         values, scales = quantize_rows(rows)
-        xs_i8 = jnp.asarray(values)
+        from .distance import PackedMatrix
+
+        xs_i8 = PackedMatrix._upload(values)  # chunked H2D (see _upload)
         sc = jnp.asarray(scales)
         xs_i8.block_until_ready()
         self._cached = (matrix.version, xs_i8, sc)
