@@ -59,14 +59,23 @@ def _device_backend_alive() -> bool:
         "x = jnp.arange(64.0).sum();"
         "assert float(x) == 2016.0"
     )
-    try:
-        result = subprocess.run(
-            [sys.executable, "-c", probe],
-            timeout=PROBE_TIMEOUT_S, capture_output=True,
-        )
-        return result.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    # The dev tunnel flaps: a wedged window can outlast one probe and
+    # clear before the next, so retry before conceding to CPU.
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
+    for attempt in range(attempts):
+        try:
+            result = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=PROBE_TIMEOUT_S, capture_output=True,
+            )
+            if result.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt + 1 < attempts:
+            print(f"# device probe attempt {attempt + 1} failed; retrying",
+                  file=sys.stderr)
+    return False
 
 
 
