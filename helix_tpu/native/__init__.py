@@ -29,7 +29,7 @@ class NativeBuildError(RuntimeError):
 def _build_library() -> Path:
     sources = [
         _HERE / "wal.cpp", _HERE / "rerank.cpp", _HERE / "bfs.cpp",
-        _HERE / "gateway.cpp",
+        _HERE / "gateway.cpp", _HERE / "haproxy.cpp",
     ]
     out = _HERE / "libhxnative.so"
     if out.exists() and all(
@@ -165,6 +165,39 @@ def load() -> ctypes.CDLL:
         lib.hxgw_request_alive.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         lib.hxgw_stats.restype = None
         lib.hxgw_stats.argtypes = [ctypes.c_void_p, u64p, u64p, u64p]
+        # -- HA proxy --------------------------------------------------
+        lib.hxha_create.restype = ctypes.c_void_p
+        lib.hxha_create.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.hxha_port.restype = ctypes.c_int
+        lib.hxha_port.argtypes = [ctypes.c_void_p]
+        lib.hxha_set_backends.restype = None
+        lib.hxha_set_backends.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.hxha_start.restype = ctypes.c_int
+        lib.hxha_start.argtypes = [ctypes.c_void_p]
+        lib.hxha_stop.restype = None
+        lib.hxha_stop.argtypes = [ctypes.c_void_p]
+        lib.hxha_destroy.restype = None
+        lib.hxha_destroy.argtypes = [ctypes.c_void_p]
+        lib.hxha_next_control.restype = ctypes.c_longlong
+        lib.hxha_next_control.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
+        lib.hxha_respond.restype = ctypes.c_int
+        lib.hxha_respond.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_longlong,
+        ]
+        lib.hxha_write_routes.restype = ctypes.c_longlong
+        lib.hxha_write_routes.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,
+        ]
+        lib.hxha_add_write_route.restype = None
+        lib.hxha_add_write_route.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.hxha_stats.restype = None
+        lib.hxha_stats.argtypes = [ctypes.c_void_p, u64p, u64p, u64p]
         _LIB = lib
         return lib
 

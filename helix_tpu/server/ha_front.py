@@ -18,16 +18,25 @@ A thin HTTP front over one primary (writer) and N read replicas:
   exist fleet-wide.
 
 Health is actively probed (``GET /v1/health`` every ``probe_s``) — the
-failure-detection half of the reference's gateway HA story.  This front
-is a correctness/topology layer; single-instance serving rides the
-native C++ gateway directly.
+failure-detection half of the reference's gateway HA story.
+
+The DATA PATH rides the native C++ epoll proxy (``native/haproxy.cpp``):
+client framing, routing, pooled keep-alive upstream connections, and
+failover all run in native code; Python keeps the health prober, the
+``/v1/ha`` topology endpoint, and the ``/v1/bundle`` broadcast (handed
+over through the proxy's control queue).  When the native toolchain is
+unavailable (or ``HELIX_HA_PYTHON=1``), the original pure-Python
+ThreadingHTTPServer front serves instead with identical semantics.
 """
 
 from __future__ import annotations
 
+import ctypes
 import http.client
 import json
+import os
 import re
+import socket
 import threading
 import time
 import urllib.error
@@ -78,10 +87,13 @@ class HAFront:
         self._stop = threading.Event()
         self._httpd: ThreadingHTTPServer | None = None
         self._threads: list[threading.Thread] = []
+        self._native: ctypes.CDLL | None = None
+        self._px: int | None = None  # native proxy handle
 
     # -- health -----------------------------------------------------------
 
     def _probe(self, backend: Backend) -> None:
+        was = backend.healthy
         try:
             with urllib.request.urlopen(
                 f"{backend.url}/v1/health", timeout=self.probe_timeout_s
@@ -90,11 +102,17 @@ class HAFront:
         except Exception as exc:
             backend.healthy = False
             backend.last_error = str(exc)
+        if backend.healthy != was and self._px is not None:
+            # transitions reach the native proxy immediately (not at the
+            # next health tick) so routing flips with the probe
+            self._push_backends()
 
     def _health_loop(self) -> None:
         while not self._stop.wait(self.probe_s):
             for backend in [self.primary, *self.replicas]:
                 self._probe(backend)
+            if self._px is not None:
+                self._push_backends()
 
     # -- routing ----------------------------------------------------------
 
@@ -276,6 +294,15 @@ class HAFront:
         }}).encode(), "application/json")
 
     def topology(self) -> dict:
+        learned = set(self._write_routes)
+        if self._px is not None and self._native is not None:
+            buf = ctypes.create_string_buffer(1 << 16)
+            n = self._native.hxha_write_routes(self._px, buf, len(buf))
+            if n > len(buf):
+                buf = ctypes.create_string_buffer(int(n) + 1)
+                n = self._native.hxha_write_routes(self._px, buf, len(buf))
+            if n > 0:
+                learned |= set(buf.raw[:n].decode().split("\n"))
         return {
             "primary": {
                 "url": self.primary.url, "healthy": self.primary.healthy,
@@ -283,12 +310,97 @@ class HAFront:
             "replicas": [
                 {"url": b.url, "healthy": b.healthy} for b in self.replicas
             ],
-            "write_routes_learned": sorted(self._write_routes),
+            "write_routes_learned": sorted(learned),
         }
+
+    # -- native proxy plumbing --------------------------------------------
+
+    @staticmethod
+    def _backend_addr(url: str) -> tuple[str, int]:
+        parsed = urllib.parse.urlsplit(url)
+        # the native proxy connects by IPv4 literal
+        return socket.gethostbyname(parsed.hostname or "127.0.0.1"), \
+            parsed.port or 80
+
+    def _push_backends(self) -> None:
+        lines = []
+        for backend in [self.primary, *self.replicas]:
+            host, port = self._backend_addr(backend.url)
+            role = "p" if backend.role == "primary" else "r"
+            lines.append(f"{role} {host} {port} {1 if backend.healthy else 0}")
+        self._native.hxha_set_backends(self._px, "\n".join(lines).encode())
+
+    def _control_loop(self) -> None:
+        """Serve /v1/ha and /v1/bundle handed over by the native proxy."""
+        lib, px = self._native, self._px
+        method = ctypes.create_string_buffer(16)
+        path = ctypes.create_string_buffer(256)
+        cap = 1 << 22
+        body = ctypes.create_string_buffer(cap)
+        blen = ctypes.c_longlong()
+        while not self._stop.is_set():
+            reqid = lib.hxha_next_control(
+                px, 200, method, len(method), path, len(path),
+                body, cap, ctypes.byref(blen),
+            )
+            if reqid == -1:
+                return
+            if reqid == -2:
+                cap = int(blen.value) + 1
+                body = ctypes.create_string_buffer(cap)
+                continue
+            if reqid == 0:
+                continue
+            try:
+                status, payload, ctype = self.handle(
+                    method.value.decode(), path.value.decode(),
+                    body.raw[: blen.value],
+                    {"Content-Type": "application/json"},
+                )
+            except Exception as exc:  # pragma: no cover - defensive
+                status, ctype = 500, "application/json"
+                payload = json.dumps(
+                    {"error": {"kind": "Internal", "message": str(exc)}}
+                ).encode()
+            lib.hxha_respond(px, reqid, status, ctype.encode(), payload,
+                             len(payload))
+
+    def _start_native(self) -> bool:
+        if os.environ.get("HELIX_HA_PYTHON"):
+            return False
+        try:
+            from helix_tpu.native import load
+
+            self._native = load()
+        except Exception:
+            return False
+        px = self._native.hxha_create(self.host.encode(), self.port)
+        if not px:
+            self._native = None
+            return False
+        self._px = px
+        self._push_backends()
+        self._native.hxha_start(px)
+        self.port = self._native.hxha_port(px)
+        self._ctl_thread = threading.Thread(
+            target=self._control_loop, daemon=True
+        )
+        return True
 
     # -- lifecycle --------------------------------------------------------
 
     def start(self) -> None:
+        for backend in [self.primary, *self.replicas]:
+            self._probe(backend)
+        if self._start_native():
+            self._threads = [
+                self._ctl_thread,
+                threading.Thread(target=self._health_loop, daemon=True),
+            ]
+            for t in self._threads:
+                t.start()
+            return
+
         front = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -316,8 +428,6 @@ class HAFront:
 
         self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
         self.port = self._httpd.server_port
-        for backend in [self.primary, *self.replicas]:
-            self._probe(backend)
         self._threads = [
             threading.Thread(target=self._httpd.serve_forever, daemon=True),
             threading.Thread(target=self._health_loop, daemon=True),
@@ -327,6 +437,13 @@ class HAFront:
 
     def stop(self) -> None:
         self._stop.set()
+        if self._px is not None:
+            self._native.hxha_stop(self._px)
+            # the control worker must exit before the handle dies
+            if getattr(self, "_ctl_thread", None) is not None:
+                self._ctl_thread.join(timeout=5)
+            self._native.hxha_destroy(self._px)
+            self._px = None
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd.server_close()

@@ -300,6 +300,62 @@ def test_failover_under_load_with_throughput():
             s.shutdown()
 
 
+def test_native_data_path_active():
+    """The front's data path must ride the native C++ proxy when the
+    toolchain is present (the pure-Python server is the fallback, not
+    the default), and the proxy's stats must account proxied traffic."""
+    import ctypes
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    pytest.importorskip("helix_tpu.native")
+    try:
+        from helix_tpu.native import load
+
+        load()
+    except Exception as exc:  # pragma: no cover - no toolchain
+        pytest.skip(f"native build unavailable: {exc}")
+
+    class Stub(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        wbufsize = -1
+
+        def log_message(self, *args):
+            pass
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length") or 0))
+            body = b'{"n": 3}'
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        do_GET = do_POST
+
+    stub = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    threading.Thread(target=stub.serve_forever, daemon=True).start()
+    front = HAFront(f"http://127.0.0.1:{stub.server_port}", [],
+                    host="127.0.0.1", probe_s=5.0)
+    front.start()
+    try:
+        assert front._px is not None, "native proxy did not start"
+        status, out = _post(front.port, "/v1/query", COUNT_USERS)
+        assert (status, out) == (200, {"n": 3})
+        proxied = ctypes.c_uint64()
+        retries = ctypes.c_uint64()
+        control = ctypes.c_uint64()
+        front._native.hxha_stats(
+            front._px, ctypes.byref(proxied), ctypes.byref(retries),
+            ctypes.byref(control),
+        )
+        assert proxied.value >= 1
+    finally:
+        front.stop()
+        stub.shutdown()
+
+
 def test_stale_keepalive_reconnects_after_backend_restart():
     """A backend that restarts (new listener, same port) leaves the
     front's pooled connection stale; the next proxied request must
