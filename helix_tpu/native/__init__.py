@@ -184,6 +184,8 @@ def load() -> ctypes.CDLL:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
             ctypes.c_char_p, ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_longlong),
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong),
         ]
         lib.hxha_respond.restype = ctypes.c_int
         lib.hxha_respond.argtypes = [

@@ -105,19 +105,27 @@ void build_response(std::string& out, int status, const char* ctype,
         case 200: reason = "OK"; break;
         case 400: reason = "Bad Request"; break;
         case 404: reason = "Not Found"; break;
+        case 502: reason = "Bad Gateway"; break;
         case 503: reason = "Service Unavailable"; break;
         default: reason = "Status"; break;
     }
-    char head[256];
-    int n = snprintf(head, sizeof head,
-                     "HTTP/1.1 %d %s\r\n"
-                     "Content-Type: %s\r\n"
-                     "Content-Length: %zu\r\n"
-                     "Connection: %s\r\n"
-                     "\r\n",
-                     status, reason, ctype, body_len,
-                     keep_alive ? "keep-alive" : "close");
-    out.append(head, n);
+    // string concatenation, not a fixed buffer: ctype arrives from the
+    // upstream response and may be arbitrarily long (a truncating
+    // snprintf whose return value exceeds the buffer would read past it)
+    char num[32];
+    out += "HTTP/1.1 ";
+    snprintf(num, sizeof num, "%d", status);
+    out += num;
+    out.push_back(' ');
+    out += reason;
+    out += "\r\nContent-Type: ";
+    out += ctype;
+    out += "\r\nContent-Length: ";
+    snprintf(num, sizeof num, "%zu", body_len);
+    out += num;
+    out += "\r\nConnection: ";
+    out += keep_alive ? "keep-alive" : "close";
+    out += "\r\n\r\n";
     out.append(body, body_len);
 }
 
@@ -202,11 +210,69 @@ struct Upstream {
     bool resp_ka = true;
     std::string ctype;
     double deadline;
+    // chunked transfer decoding (Transfer-Encoding: chunked responses
+    // from non-native backends; ours always send Content-Length)
+    enum { CH_SIZE, CH_DATA, CH_DATA_CRLF, CH_TRAILER } ch_state = CH_SIZE;
+    bool chunked = false;
+    size_t c_off = 0;
+    long long chunk_left = 0;
+    std::string decoded;
 };
+
+// incremental chunked-body decode: 0 = need more bytes, 1 = complete,
+// -1 = malformed framing
+int decode_chunks(Upstream* u) {
+    const std::string& in = u->in;
+    for (;;) {
+        switch (u->ch_state) {
+            case Upstream::CH_SIZE: {
+                size_t eol = in.find("\r\n", u->c_off);
+                if (eol == std::string::npos) return 0;
+                char* endp = nullptr;
+                long long sz =
+                    strtoll(in.c_str() + u->c_off, &endp, 16);
+                if (endp == in.c_str() + u->c_off || sz < 0) return -1;
+                u->c_off = eol + 2;
+                if (sz == 0) {
+                    u->ch_state = Upstream::CH_TRAILER;
+                    break;
+                }
+                u->chunk_left = sz;
+                u->ch_state = Upstream::CH_DATA;
+                break;
+            }
+            case Upstream::CH_DATA: {
+                size_t avail = in.size() - u->c_off;
+                size_t take = avail < (size_t)u->chunk_left
+                                  ? avail
+                                  : (size_t)u->chunk_left;
+                u->decoded.append(in, u->c_off, take);
+                u->c_off += take;
+                u->chunk_left -= (long long)take;
+                if (u->chunk_left > 0) return 0;
+                u->ch_state = Upstream::CH_DATA_CRLF;
+                break;
+            }
+            case Upstream::CH_DATA_CRLF:
+                if (in.size() - u->c_off < 2) return 0;
+                u->c_off += 2;
+                u->ch_state = Upstream::CH_SIZE;
+                break;
+            case Upstream::CH_TRAILER: {
+                size_t eol = in.find("\r\n", u->c_off);
+                if (eol == std::string::npos) return 0;
+                if (eol == u->c_off) return 1;  // empty line: done
+                u->c_off = eol + 2;             // skip a trailer line
+                break;
+            }
+        }
+    }
+}
 
 struct ControlReq {
     uint64_t reqid;
     std::string method, path, body;
+    std::string headers;  // raw filtered header lines ("K: v\r\n"...)
 };
 
 struct Proxy {
@@ -242,6 +308,13 @@ struct Proxy {
 
     std::atomic<uint64_t> n_proxied{0}, n_retries{0}, n_control{0};
 
+    // fds closed while processing the CURRENT epoll batch: later events
+    // in the same batch may reference them, and a new socket created in
+    // the meantime can reuse the number — skipping avoids tearing down
+    // the wrong connection (level-triggered epoll re-delivers anything
+    // real next cycle)
+    std::unordered_map<int, bool> dead_this_batch;
+
     size_t max_body = (size_t)1 << 31;
 };
 
@@ -260,6 +333,7 @@ void close_client(Proxy* px, ClientConn* c) {
     epoll_ctl(px->epoll_fd, EPOLL_CTL_DEL, c->fd, nullptr);
     close(c->fd);
     px->conns.erase(c->fd);
+    px->dead_this_batch[c->fd] = true;
     delete c;
 }
 
@@ -416,6 +490,7 @@ void close_upstream(Proxy* px, Upstream* u) {
     epoll_ctl(px->epoll_fd, EPOLL_CTL_DEL, u->fd, nullptr);
     close(u->fd);
     px->ups.erase(u->fd);
+    px->dead_this_batch[u->fd] = true;
     delete u;
     wake_waiter(px, b);
 }
@@ -468,26 +543,35 @@ void dispatch(Proxy* px, Request* rq) {
     u->reqid = rq->reqid;
     u->deadline = now_s() + px->upstream_timeout_s;
     // upstream request: proxy-owned framing headers + the client's
-    // non-hop headers verbatim (auth, content-type, x-helix-*)
-    char head[256];
-    int n = snprintf(head, sizeof head, "%s %s HTTP/1.1\r\nHost: %s:%d\r\n",
-                     rq->method.c_str(), rq->path.c_str(), b->host.c_str(),
-                     b->port);
-    u->out.assign(head, n);
+    // non-hop headers verbatim (auth, content-type, x-helix-*).  Built
+    // by string concatenation — the path is client-controlled and may
+    // exceed any fixed buffer.
+    char num[32];
+    u->out = rq->method;
+    u->out.push_back(' ');
+    u->out += rq->path;
+    u->out += " HTTP/1.1\r\nHost: ";
+    u->out += b->host;
+    snprintf(num, sizeof num, ":%d", b->port);
+    u->out += num;
+    u->out += "\r\n";
     u->out += rq->fwd_headers;
-    n = snprintf(head, sizeof head,
-                 "Content-Length: %zu\r\nConnection: keep-alive\r\n\r\n",
-                 rq->body.size());
-    u->out.append(head, n);
+    u->out += "Content-Length: ";
+    snprintf(num, sizeof num, "%zu", rq->body.size());
+    u->out += num;
+    u->out += "\r\nConnection: keep-alive\r\n\r\n";
     u->out += rq->body;
 
     // Pooled connection first — but never for a backend the prober has
     // marked down: a gracefully draining backend keeps answering on
     // established sockets after it stops accepting, and riding the pool
     // would hide the outage (writes must fail fast when the primary is
-    // down, not succeed while a stale socket lingers).
+    // down, not succeed while a stale socket lingers).  A stale-pool
+    // retry must also skip the pool: after a restart every pooled
+    // socket is stale, and popping a second one would burn the
+    // two-attempt budget without ever reaching the live backend.
     int fd = -1;
-    if (b->healthy.load(std::memory_order_relaxed)) {
+    if (!rq->retried_same && b->healthy.load(std::memory_order_relaxed)) {
         std::lock_guard<std::mutex> lk(px->b_mu);
         while (!b->idle.empty()) {
             fd = b->idle.back();
@@ -579,10 +663,14 @@ void upstream_complete(Proxy* px, Upstream* u) {
     int status = u->status;
     std::string ctype = u->ctype.empty() ? "application/json" : u->ctype;
     size_t body_off = u->hdr_end;
-    std::string body = u->in.substr(
-        body_off, u->body_need >= 0 ? (size_t)u->body_need
-                                    : std::string::npos);
-    bool reusable = u->resp_ka && u->body_need >= 0;
+    std::string body =
+        u->chunked ? std::move(u->decoded)
+                   : u->in.substr(body_off,
+                                  u->body_need >= 0 ? (size_t)u->body_need
+                                                    : std::string::npos);
+    // reusable only when the response framing was explicit (length or a
+    // completed chunk stream) — close-delimited conns are spent
+    bool reusable = u->resp_ka && (u->body_need >= 0 || u->chunked);
     int fd = u->fd;
     --b->active;
     epoll_ctl(px->epoll_fd, EPOLL_CTL_DEL, fd, nullptr);
@@ -601,7 +689,10 @@ void upstream_complete(Proxy* px, Upstream* u) {
             fd = -1;
         }
     }
-    if (fd >= 0) close(fd);
+    if (fd >= 0) {
+        close(fd);
+        px->dead_this_batch[fd] = true;
+    }
     wake_waiter(px, b);
 
     auto rit = px->reqs.find(reqid);
@@ -654,8 +745,9 @@ void upstream_readable(Proxy* px, Upstream* u) {
             continue;
         }
         if (r < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) break;
-        // EOF: valid end for close-delimited responses
-        if (u->have_header && u->body_need < 0) {
+        // EOF: valid end for close-delimited responses only (a chunked
+        // stream cut before its 0-chunk is a broken exchange)
+        if (u->have_header && !u->chunked && u->body_need < 0) {
             upstream_complete(px, u);
             return;
         }
@@ -686,6 +778,8 @@ void upstream_readable(Proxy* px, Upstream* u) {
                 while (v < he && (*v == ' ' || *v == '\t')) ++v;
                 if (iequal(h, nlen, "content-length")) {
                     u->body_need = atoll(v);
+                } else if (iequal(h, nlen, "transfer-encoding")) {
+                    if (he - v >= 7) u->chunked = true;
                 } else if (iequal(h, nlen, "connection")) {
                     if (he - v >= 5 && strncasecmp(v, "close", 5) == 0)
                         u->resp_ka = false;
@@ -696,7 +790,15 @@ void upstream_readable(Proxy* px, Upstream* u) {
             pos = eol + 2;
         }
     }
-    if (u->have_header && u->body_need >= 0 &&
+    if (!u->have_header) return;
+    if (u->chunked) {
+        if (u->c_off < u->hdr_end) u->c_off = u->hdr_end;
+        int rc = decode_chunks(u);
+        if (rc == 1) upstream_complete(px, u);
+        else if (rc == -1) upstream_fail(px, u);
+        return;
+    }
+    if (u->body_need >= 0 &&
         (long long)(u->in.size() - u->hdr_end) >= u->body_need) {
         upstream_complete(px, u);
     }
@@ -704,6 +806,12 @@ void upstream_readable(Proxy* px, Upstream* u) {
 
 // parse complete client requests out of c->rbuf; false if conn closed
 bool drain_client(Proxy* px, ClientConn* c) {
+    // dispatch() below can synchronously fail a request, deliver the
+    // error, flush, and — when the client asked Connection: close —
+    // delete this very connection.  Re-validate by (fd, gen) after
+    // every dispatch before touching `c` again.
+    const int cfd = c->fd;
+    const uint64_t cgen = c->gen;
     for (;;) {
         if (!c->have_header) {
             size_t hdr_end = c->rbuf.find("\r\n\r\n", c->roff);
@@ -795,6 +903,7 @@ bool drain_client(Proxy* px, ClientConn* c) {
             cr.method = rq->method;
             cr.path = rq->path;
             cr.body = rq->body;
+            cr.headers = rq->fwd_headers;
             {
                 std::lock_guard<std::mutex> lk(px->q_mu);
                 px->cqueue.push_back(std::move(cr));
@@ -816,6 +925,9 @@ bool drain_client(Proxy* px, ClientConn* c) {
         rq->is_write = is_write;
         if (!is_write) build_read_order(px, rq);
         dispatch(px, rq);
+        auto self = px->conns.find(cfd);
+        if (self == px->conns.end() || self->second->gen != cgen)
+            return false;  // conn died during a synchronous failure path
     }
 }
 
@@ -824,8 +936,10 @@ void io_loop(Proxy* px) {
     double last_sweep = now_s();
     while (px->running.load(std::memory_order_acquire)) {
         int n = epoll_wait(px->epoll_fd, events, 256, 100);
+        px->dead_this_batch.clear();
         for (int i = 0; i < n; ++i) {
             int fd = events[i].data.fd;
+            if (px->dead_this_batch.count(fd)) continue;
             if (fd == px->listen_fd) {
                 for (;;) {
                     int cfd = accept4(px->listen_fd, nullptr, nullptr,
@@ -925,6 +1039,7 @@ void io_loop(Proxy* px) {
                 px->idle_owner.erase(iit);
                 epoll_ctl(px->epoll_fd, EPOLL_CTL_DEL, fd, nullptr);
                 close(fd);
+                px->dead_this_batch[fd] = true;
                 continue;
             }
             // client socket
@@ -982,6 +1097,7 @@ void io_loop(Proxy* px) {
                 px->idle_owner.erase(ifd);
                 epoll_ctl(px->epoll_fd, EPOLL_CTL_DEL, ifd, nullptr);
                 close(ifd);
+                px->dead_this_batch[ifd] = true;
             }
             // fail over reads stuck on an unhealthy backend before the
             // 120 s budget: a zombie listener (bound socket, dead
@@ -1141,7 +1257,9 @@ void hxha_destroy(void* h) {
 long long hxha_next_control(void* h, int timeout_ms, char* method,
                             int method_cap, char* path, int path_cap,
                             char* body, long long body_cap,
-                            long long* body_len) {
+                            long long* body_len,
+                            char* headers, long long headers_cap,
+                            long long* headers_len) {
     Proxy* px = (Proxy*)h;
     std::unique_lock<std::mutex> lk(px->q_mu);
     if (px->cqueue.empty()) {
@@ -1154,10 +1272,14 @@ long long hxha_next_control(void* h, int timeout_ms, char* method,
         return px->running.load(std::memory_order_acquire) ? 0 : -1;
     hxha::ControlReq& cr = px->cqueue.front();
     *body_len = (long long)cr.body.size();
-    if ((long long)cr.body.size() > body_cap) return -2;
+    *headers_len = (long long)cr.headers.size();
+    if ((long long)cr.body.size() > body_cap ||
+        (long long)cr.headers.size() > headers_cap)
+        return -2;  // caller re-calls with buffers of the reported sizes
     snprintf(method, method_cap, "%s", cr.method.c_str());
     snprintf(path, path_cap, "%s", cr.path.c_str());
     memcpy(body, cr.body.data(), cr.body.size());
+    memcpy(headers, cr.headers.data(), cr.headers.size());
     long long reqid = (long long)cr.reqid;
     px->cqueue.pop_front();
     return reqid;

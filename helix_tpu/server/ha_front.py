@@ -105,14 +105,24 @@ class HAFront:
         if backend.healthy != was and self._px is not None:
             # transitions reach the native proxy immediately (not at the
             # next health tick) so routing flips with the probe
-            self._push_backends()
+            try:
+                self._push_backends()
+            except Exception:
+                pass
 
     def _health_loop(self) -> None:
         while not self._stop.wait(self.probe_s):
             for backend in [self.primary, *self.replicas]:
                 self._probe(backend)
+                if self._stop.is_set():
+                    return
             if self._px is not None:
-                self._push_backends()
+                try:
+                    self._push_backends()
+                except Exception:
+                    # a transient DNS failure must not kill the prober;
+                    # the previous topology stays in effect
+                    pass
 
     # -- routing ----------------------------------------------------------
 
@@ -234,6 +244,8 @@ class HAFront:
                 payload = json.loads(result[1])
                 payload["replica_errors"] = replica_errors
                 result = (200, json.dumps(payload).encode(), result[2])
+            if result is not None and result[0] == 200:
+                self._seed_write_routes(body)
             return result or (503, b'{"error": {"kind": "Unavailable"}}',
                               "application/json")
 
@@ -315,12 +327,20 @@ class HAFront:
 
     # -- native proxy plumbing --------------------------------------------
 
-    @staticmethod
-    def _backend_addr(url: str) -> tuple[str, int]:
-        parsed = urllib.parse.urlsplit(url)
-        # the native proxy connects by IPv4 literal
-        return socket.gethostbyname(parsed.hostname or "127.0.0.1"), \
-            parsed.port or 80
+    def _backend_addr(self, url: str) -> tuple[str, int]:
+        cached = getattr(self, "_addr_cache", None)
+        if cached is None:
+            cached = self._addr_cache = {}
+        addr = cached.get(url)
+        if addr is None:
+            parsed = urllib.parse.urlsplit(url)
+            # the native proxy connects by IPv4 literal; resolve once,
+            # not on every 0.5 s health tick
+            addr = cached[url] = (
+                socket.gethostbyname(parsed.hostname or "127.0.0.1"),
+                parsed.port or 80,
+            )
+        return addr
 
     def _push_backends(self) -> None:
         lines = []
@@ -337,25 +357,41 @@ class HAFront:
         path = ctypes.create_string_buffer(256)
         cap = 1 << 22
         body = ctypes.create_string_buffer(cap)
+        hcap = 1 << 16
+        hdrs = ctypes.create_string_buffer(hcap)
         blen = ctypes.c_longlong()
+        hlen = ctypes.c_longlong()
         while not self._stop.is_set():
             reqid = lib.hxha_next_control(
                 px, 200, method, len(method), path, len(path),
                 body, cap, ctypes.byref(blen),
+                hdrs, hcap, ctypes.byref(hlen),
             )
             if reqid == -1:
                 return
             if reqid == -2:
-                cap = int(blen.value) + 1
+                cap = max(cap, int(blen.value) + 1)
+                hcap = max(hcap, int(hlen.value) + 1)
                 body = ctypes.create_string_buffer(cap)
+                hdrs = ctypes.create_string_buffer(hcap)
                 continue
             if reqid == 0:
                 continue
+            # the proxy forwards the client's non-hop header lines
+            # verbatim so the broadcast path sees the same headers the
+            # pure-Python front would
+            headers = {}
+            for line in hdrs.raw[: hlen.value].decode(
+                "latin-1"
+            ).split("\r\n"):
+                name, sep, value = line.partition(":")
+                if sep:
+                    headers[name.strip()] = value.strip()
+            req_path = path.value.decode()
+            req_body = body.raw[: blen.value]
             try:
                 status, payload, ctype = self.handle(
-                    method.value.decode(), path.value.decode(),
-                    body.raw[: blen.value],
-                    {"Content-Type": "application/json"},
+                    method.value.decode(), req_path, req_body, headers,
                 )
             except Exception as exc:  # pragma: no cover - defensive
                 status, ctype = 500, "application/json"
@@ -364,6 +400,19 @@ class HAFront:
                 ).encode()
             lib.hxha_respond(px, reqid, status, ctype.encode(), payload,
                              len(payload))
+
+    def _seed_write_routes(self, bundle_body: bytes) -> None:
+        """A deployed bundle names its write routes up front — seed them
+        into the proxy so the first call never needs the replica
+        400-probe round trip."""
+        try:
+            routes = json.loads(bundle_body).get("write_routes") or {}
+        except Exception:
+            return
+        for name in routes:
+            self._write_routes.add(name)
+            if self._px is not None:
+                self._native.hxha_add_write_route(self._px, name.encode())
 
     def _start_native(self) -> bool:
         if os.environ.get("HELIX_HA_PYTHON"):
@@ -439,10 +488,16 @@ class HAFront:
         self._stop.set()
         if self._px is not None:
             self._native.hxha_stop(self._px)
-            # the control worker must exit before the handle dies
-            if getattr(self, "_ctl_thread", None) is not None:
-                self._ctl_thread.join(timeout=5)
-            self._native.hxha_destroy(self._px)
+            # every thread that touches the handle must exit before it
+            # is destroyed; if one is wedged (e.g. a broadcast stuck on
+            # a hung backend), LEAK the handle rather than free memory
+            # another thread is using
+            busy = False
+            for t in self._threads:
+                t.join(timeout=10)
+                busy = busy or t.is_alive()
+            if not busy:
+                self._native.hxha_destroy(self._px)
             self._px = None
         if self._httpd is not None:
             self._httpd.shutdown()

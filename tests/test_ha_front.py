@@ -414,3 +414,126 @@ def test_stale_keepalive_reconnects_after_backend_restart():
     finally:
         front.stop()
         stub.shutdown()
+
+
+def test_chunked_backend_response_through_native_proxy():
+    """A non-native backend may answer with Transfer-Encoding: chunked;
+    the native proxy must decode the chunk stream and relay a plain
+    Content-Length response (our own gateways always send lengths, but
+    the front cannot assume every fleet member is ours)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class ChunkedStub(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        wbufsize = -1
+
+        def log_message(self, *args):
+            pass
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length") or 0))
+            body = b'{"n": 7}'
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            # two data chunks + a trailer section terminator
+            for part in (body[:3], body[3:]):
+                self.wfile.write(b"%x\r\n" % len(part))
+                self.wfile.write(part)
+                self.wfile.write(b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+
+        do_GET = do_POST
+
+    stub = ThreadingHTTPServer(("127.0.0.1", 0), ChunkedStub)
+    threading.Thread(target=stub.serve_forever, daemon=True).start()
+    front = HAFront(f"http://127.0.0.1:{stub.server_port}", [],
+                    host="127.0.0.1", probe_s=5.0)
+    front.start()
+    try:
+        if front._px is None:
+            pytest.skip("native proxy unavailable")
+        # twice: the second request exercises the pooled connection the
+        # completed chunk stream left reusable
+        for _ in range(2):
+            status, out = _post(front.port, "/v1/query", COUNT_USERS)
+            assert (status, out) == (200, {"n": 7})
+    finally:
+        front.stop()
+        stub.shutdown()
+
+
+def test_bundle_deploy_seeds_write_routes(cluster):
+    """Deploying a bundle must seed its write routes into the front
+    up-front: the very first stored write call routes straight to the
+    primary with no replica 400-probe round trip."""
+    primary, replicas, front = cluster
+    bundle = {
+        "version": 5,
+        "read_routes": {}, "read_parameters": {},
+        "write_routes": {"add_user": {
+            "queries": WRITE_USER["query"]["queries"], "returns": []}},
+        "write_parameters": {"add_user": []},
+    }
+    status, _ = _post(front.port, "/v1/bundle", bundle)
+    assert status == 200
+    # learned BEFORE any stored call was made
+    assert "add_user" in front.topology()["write_routes_learned"]
+    status, _ = _post(front.port, "/v1/query/add_user", {})
+    assert status == 200
+    assert _wait(
+        lambda: Client(f"http://127.0.0.1:{primary.port}").query()
+        .dynamic(COUNT_USERS).send()["n"] == 1
+    )
+
+
+def test_control_path_forwards_client_headers():
+    """/v1/bundle rides the proxy's control queue; the client's non-hop
+    headers (e.g. auth tokens) must reach the Python handler and be
+    forwarded to the backends."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    seen: dict = {}
+
+    class RecordingStub(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        wbufsize = -1
+
+        def log_message(self, *args):
+            pass
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length") or 0))
+            if self.path == "/v1/bundle":
+                seen.update(self.headers.items())
+            body = b"{}"
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        do_GET = do_POST
+
+    stub = ThreadingHTTPServer(("127.0.0.1", 0), RecordingStub)
+    threading.Thread(target=stub.serve_forever, daemon=True).start()
+    front = HAFront(f"http://127.0.0.1:{stub.server_port}", [],
+                    host="127.0.0.1", probe_s=5.0)
+    front.start()
+    try:
+        if front._px is None:
+            pytest.skip("native proxy unavailable")
+        status, _ = _post(
+            front.port, "/v1/bundle",
+            {"version": 5, "read_routes": {}, "read_parameters": {},
+             "write_routes": {}, "write_parameters": {}},
+            headers={"Authorization": "Bearer control-token"},
+        )
+        assert status == 200
+        assert seen.get("Authorization") == "Bearer control-token"
+    finally:
+        front.stop()
+        stub.shutdown()
