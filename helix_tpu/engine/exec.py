@@ -36,8 +36,10 @@ from typing import Any, Callable
 
 import numpy as np
 
+from array import array as _pyarray
+
 from .. import wire
-from ..dsl import DateTime, PropertyValue
+from ..dsl import DateTime, PropertyValue, _require_finite
 from . import values as V
 from .errors import ParamError, QueryError, WriteError
 from .expr import Element, EvalContext, eval_expr, eval_predicate, predicate_mask
@@ -533,24 +535,57 @@ class Executor:
                     return False
                 rows.append(V.payload_of(item))
         of = PropertyValue.of
-        props_list: list[dict] = []
-        for item, row in zip(items, rows):
-            props = {}
-            for name, field, const in columns:
-                if field is None:
-                    props[name] = const
-                elif field == "":
-                    props[name] = of(item) if raw else item
+        # Column-major tagging: pull each field's column in one pass,
+        # sniff the column's element type once (set(map(type, ...)) is
+        # C-speed), and tag homogeneous columns with a specialized
+        # comprehension instead of per-cell ``of()`` dispatch — the
+        # measured ingest hot path (~1.5 us/doc at 128-d).
+        missing = object()
+        names: list[str] = []
+        tagged_cols: list[list] = []
+        n_rows = len(rows)
+        for name, field, const in columns:
+            names.append(name)
+            if field is None:
+                tagged_cols.append([const] * n_rows)
+                continue
+            if field == "":
+                tagged_cols.append(
+                    [of(item) for item in items] if raw else list(items)
+                )
+                continue
+            col = []
+            append = col.append
+            for row in rows:
+                value = row.get(field, missing)
+                if value is missing:
+                    # match the loop path: eval_expr raises on
+                    # unknown parameter paths
+                    raise QueryError(
+                        f"unknown parameter path: {prefix}{field}"
+                    )
+                append(value)
+            if raw:
+                kinds = set(map(type, col))
+                if kinds == {str}:
+                    col = [{"String": v} for v in col]
+                elif kinds == {_pyarray}:
+                    # fastjson fast_arrays rows: of()'s first branch,
+                    # inlined (typecode check stays — of() requires 'd')
+                    col = [
+                        {"F64Array": v} if v.typecode == "d" else of(v)
+                        for v in col
+                    ]
+                elif kinds == {int}:
+                    col = [{"I64": v} for v in col]
+                elif kinds == {float}:
+                    col = [{"F64": _require_finite(v)} for v in col]
                 else:
-                    value = row.get(field)
-                    if value is None and field not in row:
-                        # match the loop path: eval_expr raises on
-                        # unknown parameter paths
-                        raise QueryError(
-                            f"unknown parameter path: {prefix}{field}"
-                        )
-                    props[name] = of(value) if raw else value
-            props_list.append(props)
+                    col = [of(v) for v in col]
+            tagged_cols.append(col)
+        props_list: list[dict] = [
+            dict(zip(names, vals)) for vals in zip(*tagged_cols)
+        ]
         node_ids = self.store.add_nodes_bulk(
             add_n["label"], props_list, copy_props=False
         )

@@ -384,14 +384,17 @@ class GraphStore:
             self._next_node_id = first_id
             raise
         by_label = self.nodes_by_label.setdefault(label, [])
+        nodes_map, out_adj, in_adj = self.nodes, self.out_adj, self.in_adj
         for node in nodes:
-            self.nodes[node.id] = node
-            self.out_adj[node.id] = []
-            self.in_adj[node.id] = []
-        self.node_order.extend(n.id for n in nodes)
-        by_label.extend(n.id for n in nodes)
+            node_id = node.id
+            nodes_map[node_id] = node
+            out_adj[node_id] = []
+            in_adj[node_id] = []
+        ids = [n.id for n in nodes]
+        self.node_order.extend(ids)
+        by_label.extend(ids)
         self.bump()
-        return [n.id for n in nodes]
+        return ids
 
     def add_edge(self, label: str, src: int, dst: int, props: dict[str, Tagged]) -> int:
         if src not in self.nodes:

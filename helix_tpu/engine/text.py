@@ -219,6 +219,17 @@ class TextManager:
         for index in self._matching("node", node.label):
             index.insert_element(node)
 
+    def on_nodes_added_bulk(self, store: GraphStore, nodes: list) -> None:
+        """Bulk-ingest hook: resolve the matching indexes ONCE for the
+        whole batch (all rows share a label on the ForEach-AddN fast
+        path); a batch whose label has no text index costs one lookup
+        instead of a per-row generator walk."""
+        if not nodes:
+            return
+        for index in self._matching("node", nodes[0].label):
+            for node in nodes:
+                index.insert_element(node)
+
     def on_edge_added(self, store: GraphStore, edge: Edge) -> None:
         for index in self._matching("edge", edge.label):
             index.insert_element(edge)

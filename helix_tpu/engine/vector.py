@@ -40,10 +40,16 @@ def _tenant_key(value: Tagged) -> tuple:
 def _fast_vector(value):
     """Typed float arrays are pure floats by construction (PropertyValue
     coercion on write), so skip the per-element re-coercion
-    ``values.f32_vector`` does; everything else takes the slow path."""
+    ``values.f32_vector`` does; everything else takes the slow path.
+
+    Probed with ``dict.get`` rather than ``next(iter(.items()))`` — the
+    items-view + tuple allocation measured ~2x the cost of two gets on
+    the bulk-ingest path."""
     if type(value) is dict and len(value) == 1:
-        tag, payload = next(iter(value.items()))
-        if tag in ("F32Array", "F64Array") and (
+        payload = value.get("F64Array")
+        if payload is None:
+            payload = value.get("F32Array")
+        if payload is not None and (
             isinstance(payload, list) or type(payload).__name__ == "array"
         ):
             return payload
@@ -584,40 +590,57 @@ class VectorIndex:
         bulk-append (one matrix extend per partition instead of a
         per-row pack/normalize)."""
         groups: dict[tuple, tuple[list[int], list]] = {}
-        for element in elements:
-            value = element.props.get(self.defn.prop)
-            if value is None or V.is_null(value):
-                continue
-            vec = _fast_vector(value)
-            if vec is None:
-                continue
-            if self.defn.tenant_property is not None:
-                tenant_value = element.props.get(self.defn.tenant_property)
-                if tenant_value is None or V.is_null(tenant_value):
+        prop = self.defn.prop
+        tenant_prop = self.defn.tenant_property
+        fast_vector = _fast_vector
+        is_null = V.is_null
+        if tenant_prop is None:
+            # untenanted: one group, no per-element tenant branch (the
+            # bulk-ingest hot path)
+            ids, vecs = groups.setdefault(_UNTENANTED, ([], []))
+            for element in elements:
+                value = element.props.get(prop)
+                if value is None or is_null(value):
+                    continue
+                vec = fast_vector(value)
+                if vec is None:
+                    continue
+                ids.append(element.id)
+                vecs.append(vec)
+            if not ids:
+                del groups[_UNTENANTED]
+        else:
+            for element in elements:
+                value = element.props.get(prop)
+                if value is None or is_null(value):
+                    continue
+                vec = fast_vector(value)
+                if vec is None:
+                    continue
+                tenant_value = element.props.get(tenant_prop)
+                if tenant_value is None or is_null(tenant_value):
                     raise WriteError(
                         f"write to multitenant vector index {self.defn.label}."
-                        f"{self.defn.prop} requires tenant property "
-                        f"'{self.defn.tenant_property}'"
+                        f"{prop} requires tenant property '{tenant_prop}'"
                     )
                 try:
                     tenant = _tenant_key(tenant_value)
                 except QueryError:
                     raise WriteError(
-                        f"tenant property '{self.defn.tenant_property}' on "
-                        f"{self.defn.label}.{self.defn.prop} must be a "
-                        "scalar value"
+                        f"tenant property '{tenant_prop}' on "
+                        f"{self.defn.label}.{prop} must be a scalar value"
                     ) from None
-            else:
-                tenant = _UNTENANTED
-            ids, vecs = groups.setdefault(tenant, ([], []))
-            ids.append(element.id)
-            vecs.append(vec)
+                ids, vecs = groups.setdefault(tenant, ([], []))
+                ids.append(element.id)
+                vecs.append(vec)
         for tenant, (ids, vecs) in groups.items():
             try:
                 first = vecs[0]
-                if type(first).__name__ == "array" and all(
-                    type(v).__name__ == "array" and len(v) == len(first)
-                    for v in vecs
+                # type/length uniformity via set(map(...)): two C-speed
+                # passes, ~10x cheaper than a generator all() at 50k rows
+                if type(first).__name__ == "array" and (
+                    len(set(map(type, vecs))) == 1
+                    and len(set(map(len, vecs))) == 1
                 ):
                     # fast-parsed rows: one buffer join + frombuffer is
                     # ~3x np.asarray over 10k small array('d') objects

@@ -531,6 +531,69 @@ def test_foreach_bulk_ingest(engine):
     assert out["n"] == 3
 
 
+def test_foreach_bulk_unknown_field_raises(engine):
+    """A missing field in ANY row fails the whole batch with the same
+    error the per-iteration loop raises, leaving the store untouched."""
+    batch = write_batch().for_each_param(
+        "users",
+        write_batch().var_as(
+            "u",
+            g().add_n("User", [("name", {"Expr": {"Param": "users.name"}})]),
+        ),
+    )
+    with pytest.raises(QueryError, match="unknown parameter path: users.name"):
+        run_write(
+            engine, batch,
+            params={"users": [{"name": "a"}, {"nom": "b"}]},
+            types={"users": {"Array": "Object"}},
+        )
+    out = run_read(engine, read_batch().var_as("n", g().n_with_label("User").count()))
+    assert out["n"] == 0
+
+
+def test_foreach_bulk_mixed_column_types(engine):
+    """A column mixing strings, ints, floats, nulls, and nested values
+    tags per-cell exactly like scalar AddN would."""
+    batch = write_batch().for_each_param(
+        "rows",
+        write_batch().var_as(
+            "r",
+            g().add_n("Thing", [("v", {"Expr": {"Param": "rows.v"}})]),
+        ),
+    )
+    run_write(
+        engine, batch,
+        params={"rows": [{"v": "s"}, {"v": 3}, {"v": 2.5}, {"v": None},
+                         {"v": [1, 2, 3]}]},
+        types={"rows": {"Array": "Object"}},
+    )
+    out = run_read(
+        engine,
+        read_batch().var_as("vals", g().n_with_label("Thing").values(["v"])),
+    )
+    assert out["vals"] == ["s", 3, 2.5, None, [1, 2, 3]]
+
+
+def test_foreach_bulk_nonfinite_float_rejected(engine):
+    """float('inf') in a homogeneous float column must fail the write
+    like the scalar coercion does (finite-float contract)."""
+    batch = write_batch().for_each_param(
+        "rows",
+        write_batch().var_as(
+            "r",
+            g().add_n("Thing", [("v", {"Expr": {"Param": "rows.v"}})]),
+        ),
+    )
+    with pytest.raises((QueryError, WriteError)):
+        run_write(
+            engine, batch,
+            params={"rows": [{"v": 1.0}, {"v": float("inf")}]},
+            types={"rows": {"Array": "Object"}},
+        )
+    out = run_read(engine, read_batch().var_as("n", g().n_with_label("Thing").count()))
+    assert out["n"] == 0
+
+
 def test_params_in_predicates(social):
     out = run_read(
         social,
