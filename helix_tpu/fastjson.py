@@ -28,9 +28,12 @@ _IMPL: Any = None
 
 def _build_extension() -> Path:
     src = _HERE / "hxjson.cpp"
+    deps = [src, _HERE / "fastdouble.h", _HERE / "fastdouble_pow5.h"]
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
     out = _HERE / f"hxjson{suffix}"
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    if out.exists() and all(
+        out.stat().st_mtime >= d.stat().st_mtime for d in deps
+    ):
         return out
     include = sysconfig.get_paths()["include"]
     # build to a per-pid temp and rename: a direct -o <path> truncates

@@ -31,9 +31,10 @@ def _build_library() -> Path:
         _HERE / "wal.cpp", _HERE / "rerank.cpp", _HERE / "bfs.cpp",
         _HERE / "gateway.cpp", _HERE / "haproxy.cpp",
     ]
+    headers = [_HERE / "fastdouble.h", _HERE / "fastdouble_pow5.h"]
     out = _HERE / "libhxnative.so"
     if out.exists() and all(
-        out.stat().st_mtime >= s.stat().st_mtime for s in sources
+        out.stat().st_mtime >= s.stat().st_mtime for s in sources + headers
     ):
         return out
     # temp + rename: never truncate a .so another process has mapped,

@@ -45,6 +45,8 @@
 #include <unordered_map>
 #include <vector>
 
+#include "fastdouble.h"
+
 namespace {
 
 // ---------------------------------------------------------------- utils
@@ -297,10 +299,13 @@ bool parse_fast_body(const FastRoute& fr, const std::string& body,
             } else {
                 for (;;) {
                     double d;
-                    auto res = std::from_chars(p, end, d);
-                    if (res.ec != std::errc()) return false;
+                    // Eisel-Lemire (fastdouble.h): ~2.7x from_chars on
+                    // the 17-digit doubles repr() emits, and a search
+                    // request parses dim of them
+                    const char* np = hxfloat::parse_double(p, end, &d);
+                    if (!np) return false;
                     query.push_back((float)d);
-                    p = skip_ws(res.ptr, end);
+                    p = skip_ws(np, end);
                     if (p < end && *p == ',') { p = skip_ws(p + 1, end); continue; }
                     if (p < end && *p == ']') { ++p; break; }
                     return false;

@@ -28,6 +28,8 @@
 #include <string>
 #include <vector>
 
+#include "fastdouble.h"
+
 // ---------------------------------------------------------------- parser
 
 namespace {
@@ -143,13 +145,16 @@ struct Parser {
             if (!((c >= '0' && c <= '9') || c == '-')) { p = save; return 0; }
             const char* tok = q;
             double d;
-            auto res = std::from_chars(q, end, d);
-            if (res.ec != std::errc()) { p = save; return 0; }
+            // Eisel-Lemire fast path (fastdouble.h): float parsing
+            // dominates vector-ingest bodies (measured 8.8 of 9.0
+            // us/doc at 128-d under from_chars).
+            const char* np = hxfloat::parse_double(q, end, &d);
+            if (!np) { p = save; return 0; }
             // token scan: a '.', 'e' or 'E' marks a float literal
-            for (const char* t = tok; t < res.ptr; ++t)
+            for (const char* t = tok; t < np; ++t)
                 if (*t == '.' || *t == 'e' || *t == 'E') { any_float = true; break; }
             buf.push_back(d);
-            q = skip_ws_at(res.ptr);
+            q = skip_ws_at(np);
             if (q < end && *q == ',') { ++q; continue; }
             if (q < end && *q == ']') { ++q; break; }
             p = save;
@@ -318,11 +323,11 @@ struct Parser {
         if (p == start) return fail("invalid number");
         if (is_float) {
             double d;
-            auto res = std::from_chars(start, p, d);
-            if (res.ec == std::errc::result_out_of_range)
-                d = (start[0] == '-') ? -HUGE_VAL : HUGE_VAL;
-            else if (res.ec != std::errc() || res.ptr != p)
-                return fail("invalid number");
+            // parse_double maps overflow to +-inf and underflow to
+            // +-0 like stdlib json (from_chars result_out_of_range
+            // loses the direction).
+            const char* np = hxfloat::parse_double(start, p, &d);
+            if (np != p) return fail("invalid number");
             return PyFloat_FromDouble(d);
         }
         // integer: long long fast path, PyLong fallback for big ints

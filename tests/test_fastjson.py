@@ -86,6 +86,43 @@ def test_float_formatting_fuzz():
         assert fastjson.loads(fastjson.dumps(v)) == v
 
 
+def test_float_parse_differential():
+    """The Eisel-Lemire fast path (native/fastdouble.h) is bit-exact
+    with stdlib json on shortest-repr, 17-digit, random-decimal, and
+    boundary tokens (over/underflow keep their direction, subnormals
+    survive)."""
+    rng = random.Random(13)
+    tokens = [
+        "2.2250738585072011e-308", "2.2250738585072014e-308",
+        "4.9406564584124654e-324", "1.7976931348623157e308", "5e-324",
+        "2.4703282292062327e-324", "2.4703282292062328e-324",
+        "9007199254740993", "1e309", "-1e309", "1e-325", "-1e-325",
+        "1.00000000000000011102230246251565404236316680908203125",
+        "7.2057594037927933e16",
+    ]
+    for q in range(-340, 320, 7):
+        tokens.append(f"9.999999999999999e{q}")
+        tokens.append(f"1e{q}")
+    for _ in range(5000):
+        bits = rng.getrandbits(64)
+        (v,) = struct.unpack("<d", struct.pack("<Q", bits))
+        if math.isnan(v) or math.isinf(v):
+            continue
+        tokens.append(repr(v))
+        tokens.append(f"{v:.17g}")
+    for _ in range(5000):
+        digits = rng.choice("123456789") + "".join(
+            rng.choice("0123456789") for _ in range(rng.randint(0, 20)))
+        tokens.append(f"-{digits}e{rng.randint(-345, 315)}")
+    for tok in tokens:
+        expect = json.loads(tok)
+        for text in (tok, f"[{tok}]", "[" + ",".join([tok] * 40) + "]"):
+            got = fastjson.loads(text, fast_arrays=True)
+            while isinstance(got, (list,)) or type(got).__name__ == "array":
+                got = got[0]
+            assert struct.pack("<d", got) == struct.pack("<d", expect), tok
+
+
 def test_structure_fuzz():
     rng = random.Random(11)
 
