@@ -133,7 +133,11 @@ inline void slow_parse(const char* start, const char* tok_end, bool neg,
 // Parse a JSON number token at [p, end).  On success returns the
 // pointer past the token and stores the value; returns nullptr only
 // for a malformed token (leading junk).  Bit-exact with from_chars.
-inline const char* parse_double(const char* p, const char* end, double* out) {
+// ``saw_float`` (optional) is set when the token had a '.' or
+// exponent — callers that distinguish int-valued from float-valued
+// literals get it free instead of re-scanning the token.
+inline const char* parse_double(const char* p, const char* end, double* out,
+                                bool* saw_float = nullptr) {
     const char* start = p;
     bool neg = false;
     if (p < end && *p == '-') {
@@ -155,6 +159,7 @@ inline const char* parse_double(const char* p, const char* end, double* out) {
     }
     int64_t q = 0;
     if (p < end && *p == '.') {
+        if (saw_float) *saw_float = true;
         ++p;
         const char* frac_start = p;
         while (end - p >= 8 && eight_digits(p, &v8)) {
@@ -172,6 +177,7 @@ inline const char* parse_double(const char* p, const char* end, double* out) {
     }
     if (n_digits == 0) return nullptr;
     if (p < end && (*p == 'e' || *p == 'E')) {
+        if (saw_float) *saw_float = true;
         ++p;
         bool eneg = false;
         if (p < end && (*p == '+' || *p == '-')) {

@@ -48,8 +48,28 @@ struct Parser {
     // per-element PyFloat boxing (the bulk-ingest hot path).
     static constexpr size_t FAST_ARRAY_MIN = 32;
 
+    // Object-key intern cache: wire bodies repeat the same few keys
+    // tens of thousands of times ("title"/"emb" twice per ingest doc),
+    // and decoding each occurrence to a fresh PyUnicode is measurable
+    // (~1 us/doc at 128-d).  Open-addressed, keyed on FNV-1a of the
+    // raw escape-free bytes; entries own one reference, dropped in the
+    // destructor.  Collisions just overwrite (newest wins).
+    static constexpr size_t KEY_CACHE = 64;   // power of two
+    static constexpr uint32_t KEY_MAX = 40;
+    struct KeyEnt {
+        uint64_t h = 0;
+        uint32_t len = 0;
+        char bytes[KEY_MAX];
+        PyObject* obj = nullptr;
+    };
+    KeyEnt key_cache[KEY_CACHE];
+
     explicit Parser(const char* data, Py_ssize_t len)
         : p(data), end(data + len), begin(data) {}
+
+    ~Parser() {
+        for (auto& e : key_cache) Py_XDECREF(e.obj);
+    }
 
     void skip_ws() {
         while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r'))
@@ -105,7 +125,7 @@ struct Parser {
         for (;;) {
             skip_ws();
             if (p >= end || *p != '"') { Py_DECREF(d); return fail("expected object key"); }
-            PyObject* key = parse_string();
+            PyObject* key = parse_key();
             if (!key) { Py_DECREF(d); return nullptr; }
             skip_ws();
             if (p >= end || *p != ':') {
@@ -131,9 +151,12 @@ struct Parser {
     //  1 -> success, *out is an array.array('d'), p advanced past ']'
     //  0 -> not applicable (rewound; caller parses generically)
     // -1 -> hard parse error (PyErr set)
+    std::vector<double> num_scratch;  // reused across arrays
+
     int try_numeric_array(PyObject** out) {
         const char* save = p;
-        std::vector<double> buf;
+        std::vector<double>& buf = num_scratch;
+        buf.clear();
         bool any_float = false;
         const char* q = p;
         q = skip_ws_at(q);
@@ -143,16 +166,13 @@ struct Parser {
             if (q >= end) { p = save; return 0; }
             char c = *q;
             if (!((c >= '0' && c <= '9') || c == '-')) { p = save; return 0; }
-            const char* tok = q;
             double d;
             // Eisel-Lemire fast path (fastdouble.h): float parsing
             // dominates vector-ingest bodies (measured 8.8 of 9.0
-            // us/doc at 128-d under from_chars).
-            const char* np = hxfloat::parse_double(q, end, &d);
+            // us/doc at 128-d under from_chars); saw_float replaces a
+            // second token scan for '.'/'e'
+            const char* np = hxfloat::parse_double(q, end, &d, &any_float);
             if (!np) { p = save; return 0; }
-            // token scan: a '.', 'e' or 'E' marks a float literal
-            for (const char* t = tok; t < np; ++t)
-                if (*t == '.' || *t == 'e' || *t == 'E') { any_float = true; break; }
             buf.push_back(d);
             q = skip_ws_at(np);
             if (q < end && *q == ',') { ++q; continue; }
@@ -205,6 +225,46 @@ struct Parser {
             Py_DECREF(lst);
             return fail("expected ',' or ']'");
         }
+    }
+
+    // Object keys only: short escape-free keys hit the intern cache
+    // (one FNV-1a pass doubles as the scan); anything else falls back
+    // to parse_string with p still at the opening quote.
+    PyObject* parse_key() {
+        const char* start = p + 1;
+        const char* q = start;
+        uint64_t h = 1469598103934665603ULL;
+        while (q < end) {
+            unsigned char c = (unsigned char)*q;
+            if (c == '"') break;
+            if (c == '\\' || c < 0x20) return parse_string();
+            h = (h ^ c) * 1099511628211ULL;
+            ++q;
+        }
+        if (q >= end) return parse_string();  // unterminated: error path
+        uint32_t len = (uint32_t)(q - start);
+        if (len > KEY_MAX) {
+            PyObject* s = PyUnicode_DecodeUTF8(start, len, "strict");
+            if (s) p = q + 1;
+            return s;
+        }
+        KeyEnt& e = key_cache[h & (KEY_CACHE - 1)];
+        if (e.obj && e.h == h && e.len == len &&
+            memcmp(e.bytes, start, len) == 0) {
+            p = q + 1;
+            Py_INCREF(e.obj);
+            return e.obj;
+        }
+        PyObject* s = PyUnicode_DecodeUTF8(start, len, "strict");
+        if (!s) return nullptr;
+        p = q + 1;
+        Py_XDECREF(e.obj);
+        e.h = h;
+        e.len = len;
+        memcpy(e.bytes, start, len);
+        e.obj = s;
+        Py_INCREF(s);
+        return s;
     }
 
     static int hex4(const char* s) {
