@@ -148,6 +148,70 @@ def test_structure_fuzz():
         assert fastjson.loads(text) == json.loads(text)
 
 
+def test_adversarial_no_crash():
+    """Hostile input must raise ValueError, never crash or mis-parse:
+    key-cache boundaries (KEY_MAX, escaped-vs-plain collisions, dups),
+    mutated wire bodies, and raw garbage.  Where stdlib also accepts a
+    mutant, values must agree."""
+    rng = random.Random(42)
+    corpus = [
+        b'{"' + b"k" * 39 + b'": 1}',  # KEY_MAX boundary (40)
+        b'{"' + b"k" * 40 + b'": 1}',
+        b'{"' + b"k" * 41 + b'": 1}',
+        b'{"\\u0041same": 1, "Asame": 2}',
+        b"[" * 900 + b"]" * 900,
+        b'{"k\xc3\xa9": 1, "k\xc3\xa9": 2}',
+        b'{"": 1, "": 2}',
+        b"[0." + b"0" * 100 + b"1]",
+        b"[1" + b"0" * 400 + b"]",
+        b"[1e" + b"9" * 100 + b"]",
+    ]
+    for c in corpus:
+        try:
+            v = fastjson.loads(c)
+            sv = json.loads(c)
+            assert v == sv, (c, v, sv)
+        except ValueError:
+            pass
+    assert fastjson.loads(b'{"\\u0041b": 1, "Ab": 2}') == {"Ab": 2}
+
+    def norm(x):
+        if isinstance(x, list) or type(x).__name__ == "array":
+            return [norm(i) for i in x]
+        if isinstance(x, dict):
+            return {k: norm(v) for k, v in x.items()}
+        return x
+
+    base = json.dumps({"docs": [{"title": "x", "emb": [1.5] * 40}] * 5}).encode()
+    for i in range(4000):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            pos = rng.randrange(len(b))
+            op = rng.random()
+            if op < 0.4:
+                b[pos] = rng.randrange(256)
+            elif op < 0.7:
+                del b[pos]
+            else:
+                b.insert(pos, rng.randrange(256))
+        data = bytes(b)
+        try:
+            fastjson.loads(data, fast_arrays=bool(i & 1))
+        except (ValueError, RecursionError):
+            continue
+        try:
+            sv = json.loads(data)
+        except Exception:
+            continue
+        assert norm(fastjson.loads(data)) == norm(sv), data[:80]
+    for _ in range(4000):
+        data = bytes(rng.randrange(256) for _ in range(rng.randint(0, 120)))
+        try:
+            fastjson.loads(data)
+        except (ValueError, RecursionError):
+            pass
+
+
 def test_parity_corpus_round_trips():
     """Every committed parity fixture decodes identically to stdlib."""
     import pathlib
