@@ -1,4 +1,4 @@
-"""int8 quantized-residency demonstration at beyond-exact-HBM scale.
+"""int8/int4 quantized-residency demonstration at beyond-exact-HBM scale.
 
 Workload: N x 128-d clustered corpus whose exact tier (bf16+f32,
 6 bytes/dim) exceeds the declared HBM budget while the int8 tier
@@ -9,6 +9,8 @@ recall 0.998, 416 MB streamed per batch).  The int8 tier streams
 nothing: the matrix is resident.
 
 Reproduce: python benchmarks/quant_demo.py --n 10000000 --queries 256
+(add ``--bits 4`` for the packed int4 rung — 0.5 bytes/dim resident,
+fused Pallas kernel on TPU, 32x-k candidate re-rank)
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--rounds", type=int, default=16)
+    ap.add_argument("--bits", type=int, default=8, choices=(8, 4))
     ap.add_argument(
         "--cache", default=None,
         help="path to an .npy corpus cache (created when absent) so the "
@@ -43,6 +46,9 @@ def main() -> None:
     from helix_tpu.native import rerank as native_rerank
     from helix_tpu.ops.distance import PackedMatrix
     from helix_tpu.ops.quant import int8_coarse_topk, quantize_rows
+    from helix_tpu.ops.quant4 import (
+        int4_coarse_topk, int4_fused_coarse, quantize_rows_int4,
+    )
 
     n, d, b, k = args.n, args.d, args.queries, args.k
     rng = np.random.default_rng(7)
@@ -93,38 +99,67 @@ def main() -> None:
 
     exact_gb = mat.n * mat.dim_pad * 6 / (1 << 30)
     int8_gb = mat.n * (mat.dim_pad + 4) / (1 << 30)
+    int4_gb = mat.n * (mat.dim_pad // 2 + 4) / (1 << 30)
     print(
-        f"# residency: exact {exact_gb:.1f} GB, int8 {int8_gb:.2f} GB",
+        f"# residency: exact {exact_gb:.1f} GB, int8 {int8_gb:.2f} GB, "
+        f"int4 {int4_gb:.2f} GB",
         file=sys.stderr, flush=True,
     )
 
-    print("# quantizing + uploading int8 matrix...", file=sys.stderr, flush=True)
+    use_fused = jax.default_backend() == "tpu"
+    print(f"# quantizing + uploading int{args.bits} matrix...",
+          file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    values, scales = quantize_rows(mat.data[: mat.n])
-    xs_i8 = jnp.asarray(values)
+    if args.bits == 4:
+        rows_n = mat.n
+        if use_fused:
+            from helix_tpu.ops.fused_topk import pad_rows_for_fused
+
+            rows_n = pad_rows_for_fused(mat.n)
+        rows = mat.data[: min(rows_n, len(mat.data))]
+        if rows_n > len(rows):
+            pad = np.zeros((rows_n, mat.dim_pad), np.float32)
+            pad[: len(rows)] = rows
+            rows = pad
+        values, scales = quantize_rows_int4(rows)
+        k_cand = max(32 * k, 256)
+    else:
+        values, scales = quantize_rows(mat.data[: mat.n])
+        k_cand = max(8 * k, 64)
+    xs_q = PackedMatrix._upload(values)
     sc = jnp.asarray(scales)
-    sq = jnp.asarray(mat.sq_norms[: mat.n])
-    jax.block_until_ready(xs_i8)
+    sq = jnp.asarray(mat.sq_norms[: len(values)])
+    jax.block_until_ready(xs_q)
     upload_s = time.perf_counter() - t0
 
-    k_cand = max(8 * k, 64)
     qd = jnp.asarray(qs_pad)
-    _, cand = int8_coarse_topk(xs_i8, sc, qd, jnp.int32(mat.n), sq, k=k_cand)
+
+    def coarse():
+        if args.bits == 4:
+            if use_fused:
+                return int4_fused_coarse(
+                    xs_q, sc, qd, jnp.int32(mat.n), k=k_cand
+                )
+            return int4_coarse_topk(
+                xs_q, sc, qd, jnp.int32(mat.n), sq, k=k_cand
+            )
+        return int8_coarse_topk(xs_q, sc, qd, jnp.int32(mat.n), sq, k=k_cand)
+
+    _, cand = coarse()
     jax.block_until_ready(cand)
 
     # Coarse-phase throughput: dispatch loop, one block at the end
     # (the bench.py measurement pattern).
     t0 = time.perf_counter()
     for _ in range(args.rounds):
-        _, cand = int8_coarse_topk(
-            xs_i8, sc, qd, jnp.int32(mat.n), sq, k=k_cand
-        )
+        _, cand = coarse()
     jax.block_until_ready(cand)
     coarse_ms = (time.perf_counter() - t0) / args.rounds * 1000
 
     # Full tier: coarse + exact f32 host re-rank.
     t0 = time.perf_counter()
     cand_h = np.asarray(cand, np.int64)
+    cand_h = np.where(cand_h < mat.n, cand_h, -1)
     dists, pos = native_rerank(
         mat.data[: mat.n], mat.sq_norms[: mat.n], qs_pad, cand_h, k, "cosine"
     )
@@ -154,7 +189,7 @@ def main() -> None:
     import json
 
     print(json.dumps({
-        "metric": f"int8 residency tier QPS (N={n}, d={d}, k={k})",
+        "metric": f"int{args.bits} residency tier QPS (N={n}, d={d}, k={k})",
         "value": round(qps, 1),
         "unit": "QPS",
         "recall_at_10": round(recall, 4),
@@ -163,6 +198,10 @@ def main() -> None:
         "quantize_upload_s": round(upload_s, 2),
         "exact_residency_gb": round(exact_gb, 2),
         "int8_residency_gb": round(int8_gb, 2),
+        "int4_residency_gb": round(int4_gb, 2),
+        "bits": args.bits,
+        "fused": bool(use_fused and args.bits == 4),
+        "k_cand": k_cand,
         "batch": b,
     }))
 

@@ -98,10 +98,14 @@ class Partition:
         # 2. int8 quantized residency + exact f32 host re-rank
         #    (ops/quant.py, ~1 byte/dim — 6x the capacity, measured
         #    recall >= 0.99 at 8x candidate re-rank);
-        # 3. host-resident IVF with streamed probed cells (ops/ivf.py)
-        #    once even int8 cannot fit.
+        # 3. int4 packed residency + exact f32 host re-rank
+        #    (ops/quant4.py, 0.5 bytes/dim — 2x int8's capacity, wider
+        #    16x candidate re-rank);
+        # 4. host-resident IVF with streamed probed cells (ops/ivf.py)
+        #    once even int4 cannot fit.
         self.hbm_budget_bytes = hbm_budget_bytes
         self.quant = None
+        self.quant4 = None
         self.host_ivf = None
         self.host_ivf_rows = 0
         self.host_ivf_rebuild_fraction = 0.1
@@ -220,6 +224,10 @@ class Partition:
             dists, positions = self._search_quant(queries, k)
             id_table = self.id_table.copy()
             return lambda: self._map_hits(dists, positions, id_table)
+        if self._use_quant4():
+            dists, positions = self._search_quant4(queries, k)
+            id_table = self.id_table.copy()
+            return lambda: self._map_hits(dists, positions, id_table)
         if self._use_shard():
             dists, positions = self._search_sharded(queries, k)
             id_table = self.id_table.copy()
@@ -276,6 +284,10 @@ class Partition:
     def _quant_resident_bytes(self) -> int:
         # int8 matrix + one f32 scale per row
         return self.matrix.n * (self.matrix.dim_pad + 4)
+
+    def _quant4_resident_bytes(self) -> int:
+        # packed nibbles + one f32 scale per row
+        return self.matrix.n * (self.matrix.dim_pad // 2 + 4)
 
     # -- int8 quantized residency tier -------------------------------------
 
@@ -344,6 +356,35 @@ class Partition:
             self.metric,
         )
 
+    # -- int4 packed residency tier ----------------------------------------
+
+    def _use_quant4(self) -> bool:
+        if self.hbm_budget_bytes is None or self.matrix is None:
+            return False
+        return (
+            self._quant_resident_bytes() > self.hbm_budget_bytes
+            and self._quant4_resident_bytes() <= self.hbm_budget_bytes
+        )
+
+    def _search_quant4(
+        self, queries: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        import jax
+
+        if len(jax.devices()) > 1:
+            # On a mesh the corpus shards 1/n_dev per chip, so the int8
+            # rung fits per-shard whenever whole-corpus int4 does
+            # (int8/n_dev < int4 for n_dev >= 2) — route to the sharded
+            # int8 path rather than paying 4-bit noise.
+            return self._search_quant_sharded(queries, k)
+        from ..ops.quant4 import Int4Resident
+
+        if self.quant4 is None:
+            self.quant4 = Int4Resident()
+        return self.quant4.search(
+            self.matrix, queries, k, self.live_mask, self.metric
+        )
+
     # -- beyond-HBM host-IVF tier ------------------------------------------
 
     def _use_host_ivf(self) -> bool:
@@ -354,6 +395,7 @@ class Partition:
         return (
             self._exact_resident_bytes() > self.hbm_budget_bytes
             and self._quant_resident_bytes() > self.hbm_budget_bytes
+            and self._quant4_resident_bytes() > self.hbm_budget_bytes
         )
 
     def _ensure_host_ivf(self) -> None:

@@ -1,0 +1,323 @@
+"""int4 quantized residency tier: ~11x the exact tier's capacity.
+
+The rung below int8 on the residency ladder (``engine/vector.py``):
+rows quantize to **4-bit symmetric per-row** values packed two per
+byte, so the device-resident matrix costs 0.5 bytes/dim + 4 bytes/row
+— double the int8 rung's capacity, ~11x the exact bf16+f32 tier
+(reference capacity envelope: ``db_max_size_gb=20``,
+``helix-cli/src/config.rs:203-205``).
+
+Design notes (TPU-first):
+
+- **Column-halves packing.**  Byte ``j`` of a packed row holds column
+  ``j`` in its low nibble and column ``j + D/2`` in its high nibble.
+  Unpacking is then ``concat(lo_nibbles, hi_nibbles)`` along the lane
+  axis — no per-element interleave, which Mosaic would have to
+  implement as an expensive lane shuffle.  Better still, the fused
+  kernel never materializes the concat: the dot product splits into
+  ``lo . q[:, :D/2] + hi . q[:, D/2:]`` — two int8 MXU calls whose
+  int32 accumulators add.
+- **The coarse phase is bandwidth-bound**, so halving bytes read
+  roughly doubles the roofline QPS of the int8 rung at equal batch.
+- Nibbles hold [-7, 7] (symmetric; -8 is unused) with a per-row f32
+  scale; queries quantize to int8 on device (the query side keeps 8
+  bits — asymmetric precision costs nothing, the MXU is int8 x int8).
+- Candidates re-rank **exactly in f32 on the host** like the int8
+  rung; 4-bit noise only has to keep the true top-k inside the
+  candidate set, so the default candidate width is wider
+  (``32*k``, floor 256, vs int8's ``8*k``/64 — measured: the true
+  top-10 fully survives at 320 candidates on 64-d clustered data
+  where 160 reaches only ~0.91 containment).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_rows_int4(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-row int4, column-halves packed:
+    ``(packed uint8 [N, D/2], scales f32 [N])``.  D must be even
+    (PackedMatrix pads dims to a lane multiple).  Zero rows get
+    scale 1."""
+    n, d = rows.shape
+    assert d % 2 == 0, "packed int4 needs an even (padded) dim"
+    peak = np.abs(rows).max(axis=1)
+    scales = np.where(peak > 0, peak / 7.0, 1.0).astype(np.float32)
+    q = np.clip(np.rint(rows / scales[:, None]), -7, 7).astype(np.int8)
+    h = d // 2
+    lo = (q[:, :h] & 0x0F).astype(np.uint8)
+    hi = (q[:, h:] & 0x0F).astype(np.uint8)
+    return lo | (hi << 4), scales
+
+
+def unpack_int4(packed: np.ndarray | jax.Array):
+    """Inverse of the packing layout: int8 ``[N, D]`` in original
+    column order (numpy or jax, matching the input)."""
+    xp = jnp if isinstance(packed, jax.Array) else np
+    lo = (packed & 0x0F).astype(xp.int8)
+    lo = xp.where(lo > 7, lo - 16, lo)
+    hi = (packed >> 4).astype(xp.int8)
+    hi = xp.where(hi > 7, hi - 16, hi)
+    return xp.concatenate([lo, hi], axis=1)
+
+
+def _quantize_queries(qs: jax.Array) -> tuple[jax.Array, jax.Array]:
+    q_peak = jnp.max(jnp.abs(qs), axis=1)
+    q_scales = jnp.where(q_peak > 0, q_peak / 127.0, 1.0)
+    q_i8 = jnp.clip(
+        jnp.round(qs / q_scales[:, None]), -127, 127
+    ).astype(jnp.int8)
+    return q_i8, q_scales
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def int4_coarse_topk(
+    packed: jax.Array,      # [N, D/2] uint8 resident matrix
+    x_scales: jax.Array,    # [N] f32 per-row scales
+    qs: jax.Array,          # [B, D] f32 query batch
+    n_valid: jax.Array,     # scalar int32
+    sq_norms: jax.Array,    # [N] f32 squared norms (l2 only)
+    *,
+    k: int,
+    metric: str = "cosine",
+) -> tuple[jax.Array, jax.Array]:
+    """XLA coarse phase (correctness/CPU path; the Pallas kernel below
+    is the TPU serving path — XLA materializes the unpacked int8
+    matrix per call, giving up the bandwidth win)."""
+    n = packed.shape[0]
+    xs_i8 = unpack_int4(packed)
+    q_i8, q_scales = _quantize_queries(qs)
+    dots = jax.lax.dot_general(
+        q_i8, xs_i8,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    sims = dots.astype(jnp.float32) * q_scales[:, None] * x_scales[None, :]
+    if metric == "l2":
+        sims = 2.0 * sims - sq_norms[None, :]
+    cols = jnp.arange(n, dtype=jnp.int32)
+    sims = jnp.where((cols < n_valid)[None, :], sims, -jnp.inf)
+    return jax.lax.approx_max_k(sims, k, recall_target=0.99)
+
+
+# ---------------------------------------------------------------- fused
+#
+# Pallas fused int4 coarse kernel: the packed-bucket design of
+# ops/fused_topk.py (see its docstring for the mantissa-packing trick),
+# reading the PACKED nibbles from HBM and unpacking in VMEM.  The dot
+# splits over column halves so no lane interleave or concat is needed.
+
+from .fused_topk import BUCKET, MAX_QUERY_BLOCK, MIN_QUERY_BLOCK, NEG_SENTINEL, TILE
+
+_I4_MAX_TILE_BYTES = 4 * 1024 * 1024  # packed bytes per x-tile in VMEM
+
+
+def _i4_tile_rows(d_half: int) -> int:
+    rows = _I4_MAX_TILE_BYTES // max(d_half, 1)
+    return max(512, min(TILE, (rows // 512) * 512))
+
+
+def _make_i4_kernel(tile_rows: int, d_half: int):
+    from jax.experimental import pallas as pl
+
+    buckets_per_tile = tile_rows // BUCKET
+
+    def _kernel(n_valid_ref, q_ref, qscale_ref, x_ref, xscale_ref, vals_ref):
+        tile_id = pl.program_id(0)
+        p32 = x_ref[:].astype(jnp.int32)            # [tile, D/2]
+        lo = ((p32 << 28) >> 28).astype(jnp.int8)   # sign-extended nibble
+        hi = ((p32 << 24) >> 28).astype(jnp.int8)
+        q = q_ref[:]                                # [B, D] int8
+        dots = jax.lax.dot_general(
+            lo, q[:, :d_half],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ) + jax.lax.dot_general(
+            hi, q[:, d_half:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                           # [tile, B]
+        sims = dots.astype(jnp.float32) * xscale_ref[:] * qscale_ref[:]
+        rows = tile_id * tile_rows + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_rows, 1), 0
+        )
+        sims = jnp.where(rows < n_valid_ref[0, 0], sims, NEG_SENTINEL)
+        grouped = sims.reshape(buckets_per_tile, BUCKET, sims.shape[1])
+        vals = jnp.max(grouped, axis=1)
+        arg = jnp.argmax(grouped, axis=1).astype(jnp.int32)
+        bits = jax.lax.bitcast_convert_type(vals, jnp.int32)
+        packed = (bits & jnp.int32(~(BUCKET - 1))) | arg
+        vals_ref[:] = jax.lax.bitcast_convert_type(packed, jnp.float32)
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _i4_bucket_scores(
+    packed: jax.Array,      # [N, D/2] uint8, N padded to TILE
+    x_scales: jax.Array,    # [N, 1] f32
+    q_i8: jax.Array,        # [B, D] int8 (B lane-aligned)
+    q_scales: jax.Array,    # [1, B] f32
+    n_valid: jax.Array,
+    interpret: bool = False,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d_half = packed.shape
+    b = q_i8.shape[0]
+    assert n % TILE == 0, "matrix rows must be padded to the tile size"
+    tile_rows = _i4_tile_rows(d_half)
+    buckets_per_tile = tile_rows // BUCKET
+    num_tiles = n // tile_rows
+    grid_spec = pl.GridSpec(
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, 2 * d_half), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, d_half), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((buckets_per_tile, b), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    total_buckets = num_tiles * buckets_per_tile
+    (vals,) = pl.pallas_call(
+        _make_i4_kernel(tile_rows, d_half),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((total_buckets, b), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * 2 * d_half,
+            bytes_accessed=n * d_half + b * 2 * d_half + b * total_buckets * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        n_valid.reshape(1, 1).astype(jnp.int32),
+        q_i8, q_scales, packed, x_scales,
+    )
+    return vals
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def int4_fused_coarse(
+    packed: jax.Array,      # [N, D/2] uint8, rows padded to TILE
+    x_scales: jax.Array,    # [N] f32
+    qs: jax.Array,          # [B, D] f32
+    n_valid: jax.Array,
+    *,
+    k: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused int4 coarse candidates: (packed scores [B, k], row ids).
+    Cosine only, like ``int8_fused_coarse``."""
+    b_in = qs.shape[0]
+    total_buckets = packed.shape[0] // BUCKET
+    k_cand = min(k, total_buckets)
+    out_s = []
+    out_i = []
+    for lo in range(0, b_in, MAX_QUERY_BLOCK):
+        chunk = qs[lo:lo + MAX_QUERY_BLOCK]
+        b = chunk.shape[0]
+        b_pad = max(MIN_QUERY_BLOCK, ((b + 127) // 128) * 128)
+        if b_pad != b:
+            chunk = jnp.pad(chunk, ((0, b_pad - b), (0, 0)))
+        q_i8, q_scales = _quantize_queries(chunk)
+        vals = _i4_bucket_scores(
+            packed, x_scales.reshape(-1, 1), q_i8,
+            q_scales.reshape(1, -1), n_valid, interpret=interpret,
+        ).T                                             # [b_pad, buckets]
+        best_s, pos = jax.lax.approx_max_k(vals, k_cand, recall_target=0.95)
+        arg = jax.lax.bitcast_convert_type(best_s, jnp.int32) & jnp.int32(
+            BUCKET - 1
+        )
+        out_s.append(best_s[:b])
+        out_i.append((pos * BUCKET + arg)[:b])
+    sims = out_s[0] if len(out_s) == 1 else jnp.concatenate(out_s, axis=0)
+    ids = out_i[0] if len(out_i) == 1 else jnp.concatenate(out_i, axis=0)
+    return sims, ids
+
+
+class Int4Resident:
+    """Device-resident packed int4 copy of a packed matrix, refreshed
+    by version (mirrors ``ops/quant.py`` QuantizedResident)."""
+
+    def __init__(self):
+        self._cached: tuple | None = None  # (version, packed, scales)
+
+    def arrays(self, matrix) -> tuple[jax.Array, jax.Array]:
+        from .distance import PackedMatrix, _round_up
+
+        cached = self._cached
+        if cached is not None and cached[0] == matrix.version:
+            return cached[1], cached[2]
+        n_rows = _round_up(max(matrix.n, 1), matrix.ROW_PAD)
+        if self._use_fused(matrix):
+            from .fused_topk import pad_rows_for_fused
+
+            n_rows = pad_rows_for_fused(matrix.n)
+        rows = matrix.data[:n_rows]
+        if n_rows > len(matrix.data):
+            padded = np.zeros((n_rows, matrix.data.shape[1]), np.float32)
+            padded[: matrix.n] = matrix.data[: matrix.n]
+            rows = padded
+        packed, scales = quantize_rows_int4(rows)
+        xs = PackedMatrix._upload(packed)  # chunked H2D
+        sc = jnp.asarray(scales)
+        xs.block_until_ready()
+        self._cached = (matrix.version, xs, sc)
+        return xs, sc
+
+    @staticmethod
+    def _use_fused(matrix) -> bool:
+        from .fused_topk import TILE
+
+        return (
+            jax.default_backend() == "tpu"
+            and matrix.metric == "cosine"
+            and matrix.n >= TILE
+        )
+
+    def search(
+        self, matrix, queries: np.ndarray, k: int, live_mask: np.ndarray,
+        metric: str,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Coarse int4 top-k + exact f32 host re-rank.  Candidate width
+        32*k (floor 256): 4-bit noise needs more coarse headroom than
+        int8's 8*k to keep the true top-k in the re-rank set."""
+        from ..native import rerank as native_rerank
+
+        n = matrix.n
+        packed, scales = self.arrays(matrix)
+        qs = matrix.prepare_queries(queries)
+        k_cand = min(max(32 * k, 256), n)
+        from .fused_topk import TILE as _TILE
+
+        if self._use_fused(matrix) and packed.shape[0] % _TILE == 0:
+            _, cand = int4_fused_coarse(
+                packed, scales, jnp.asarray(qs), jnp.int32(n), k=k_cand
+            )
+        else:
+            _, cand = int4_coarse_topk(
+                packed, scales, jnp.asarray(qs), jnp.int32(n),
+                jnp.asarray(matrix.sq_norms[: packed.shape[0]]),
+                k=k_cand, metric=metric,
+            )
+        cand = np.asarray(cand, np.int64)
+        cand = np.where(
+            (cand < n) & live_mask[np.clip(cand, 0, n - 1)], cand, -1
+        )
+        return native_rerank(
+            matrix.data[:n], matrix.sq_norms[:n], qs, cand, k, metric
+        )
