@@ -36,6 +36,10 @@ VECTOR_DEFAULTS = {
     # node count above which traversals run edge-partitioned.
     "shard_threshold": None,
     "graph_shard_threshold": None,
+    # Candidate-pool floor re-ranked in exact f32 by the quantized
+    # residency tiers (ef_search analog for the int8/int4 rungs;
+    # None = per-tier default: 8*k int8, 32*k int4).
+    "quant_candidates": None,
 }
 
 DB_DEFAULTS = {

@@ -299,6 +299,11 @@ def cmd_start(args) -> int:
                 if inst.vector.get("graph_shard_threshold") is not None
                 else []
             ),
+            *(
+                ["--quant-candidates", str(inst.vector["quant_candidates"])]
+                if inst.vector.get("quant_candidates") is not None
+                else []
+            ),
             *([] if inst.db.get("bm25", True) else ["--no-bm25"]),
             *([] if inst.db.get("mcp", True) else ["--no-mcp"]),
             *(

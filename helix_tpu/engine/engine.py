@@ -38,6 +38,7 @@ class Engine:
         secondary_indices: list[str] | None = None,
         snapshot_store: str | None = None,
         graph_shard_threshold: int | None = None,
+        quant_candidates: int | None = None,
     ):
         self.store = GraphStore()
         self.snapshots = SnapshotCache(self.store)
@@ -45,6 +46,7 @@ class Engine:
             metric=metric, batch_window_ms=batch_window_ms,
             ann_config=ann_config, shard_threshold=shard_threshold,
             hbm_budget_bytes=hbm_budget_bytes,
+            quant_candidates=quant_candidates,
         )
         self.texts = TextManager()
         self.store.add_write_hook(self.vectors)

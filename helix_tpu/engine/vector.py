@@ -74,6 +74,7 @@ class Partition:
         ann_config: dict | None = None,
         shard_threshold: int | None = None,
         hbm_budget_bytes: int | None = None,
+        quant_candidates: int | None = None,
     ):
         self.metric = metric
         self.matrix: PackedMatrix | None = None
@@ -104,6 +105,12 @@ class Partition:
         # 4. host-resident IVF with streamed probed cells (ops/ivf.py)
         #    once even int4 cannot fit.
         self.hbm_budget_bytes = hbm_budget_bytes
+        # Candidate-pool floor for the quantized rungs (the reference's
+        # ef_search analog, ``config.rs:199-201``): quantization noise
+        # only has to keep the true top-k inside this many re-ranked
+        # candidates, so raising it trades QPS for recall on dense,
+        # near-duplicate-heavy corpora (see BENCH_NOTES int4 curve).
+        self.quant_candidates = quant_candidates
         self.quant = None
         self.quant4 = None
         self.host_ivf = None
@@ -311,7 +318,8 @@ class Partition:
         if self.quant is None:
             self.quant = QuantizedResident()
         return self.quant.search(
-            self.matrix, queries, k, self.live_mask, self.metric
+            self.matrix, queries, k, self.live_mask, self.metric,
+            k_cand_floor=self.quant_candidates,
         )
 
     def _search_quant_sharded(
@@ -324,7 +332,7 @@ class Partition:
         from ..parallel import make_mesh
 
         n = self.matrix.n
-        k_cand = min(max(8 * k, 64), n)
+        k_cand = min(max(8 * k, 64, self.quant_candidates or 0), n)
         state = self._shard_state
         if (
             state is None
@@ -382,7 +390,8 @@ class Partition:
         if self.quant4 is None:
             self.quant4 = Int4Resident()
         return self.quant4.search(
-            self.matrix, queries, k, self.live_mask, self.metric
+            self.matrix, queries, k, self.live_mask, self.metric,
+            k_cand_floor=self.quant_candidates,
         )
 
     # -- beyond-HBM host-IVF tier ------------------------------------------
@@ -581,12 +590,14 @@ class VectorIndex:
         ann_config: dict | None = None,
         shard_threshold: int | None = None,
         hbm_budget_bytes: int | None = None,
+        quant_candidates: int | None = None,
     ):
         self.defn = defn
         self.metric = metric
         self.ann_config = ann_config
         self.shard_threshold = shard_threshold
         self.hbm_budget_bytes = hbm_budget_bytes
+        self.quant_candidates = quant_candidates
         self.partitions: dict[tuple, Partition] = {}
 
     def partition_for(self, tenant: tuple) -> Partition:
@@ -596,6 +607,7 @@ class VectorIndex:
                 self.metric, ann_config=self.ann_config,
                 shard_threshold=self.shard_threshold,
                 hbm_budget_bytes=self.hbm_budget_bytes,
+                quant_candidates=self.quant_candidates,
             )
             self.partitions[tenant] = part
         return part
@@ -734,11 +746,13 @@ class VectorManager:
         ann_config: dict | None = None,
         shard_threshold: int | None = None,
         hbm_budget_bytes: int | None = None,
+        quant_candidates: int | None = None,
     ):
         self.metric = metric
         self.ann_config = ann_config
         self.shard_threshold = shard_threshold
         self.hbm_budget_bytes = hbm_budget_bytes
+        self.quant_candidates = quant_candidates
         self.indexes: dict[tuple, VectorIndex] = {}
         self.batcher = None
         if batch_window_ms is not None:
@@ -755,6 +769,7 @@ class VectorManager:
             defn, self.metric, ann_config=self.ann_config,
             shard_threshold=self.shard_threshold,
             hbm_budget_bytes=self.hbm_budget_bytes,
+            quant_candidates=self.quant_candidates,
         )
         self.indexes[defn.key()] = index
         table = (

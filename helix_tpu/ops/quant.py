@@ -125,19 +125,20 @@ class QuantizedResident:
 
     def search(
         self, matrix, queries: np.ndarray, k: int, live_mask: np.ndarray,
-        metric: str,
+        metric: str, k_cand_floor: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Coarse int8 top-k + exact f32 host re-rank.
 
         Returns (distances [B, k], positions) ascending, tombstones
-        dropped via the re-rank's sentinel path.
+        dropped via the re-rank's sentinel path.  ``k_cand_floor``
+        (the ef_search analog) widens the re-ranked candidate pool.
         """
         from ..native import rerank as native_rerank
 
         n = matrix.n
         xs_i8, scales = self.arrays(matrix)
         qs = matrix.prepare_queries(queries)
-        k_cand = min(max(8 * k, 64), n)
+        k_cand = min(max(8 * k, 64, k_cand_floor or 0), n)
         from .fused_topk import TILE as _TILE
 
         if self._use_fused(matrix) and xs_i8.shape[0] % _TILE == 0:

@@ -291,17 +291,19 @@ class Int4Resident:
 
     def search(
         self, matrix, queries: np.ndarray, k: int, live_mask: np.ndarray,
-        metric: str,
+        metric: str, k_cand_floor: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Coarse int4 top-k + exact f32 host re-rank.  Candidate width
         32*k (floor 256): 4-bit noise needs more coarse headroom than
-        int8's 8*k to keep the true top-k in the re-rank set."""
+        int8's 8*k to keep the true top-k in the re-rank set.
+        ``k_cand_floor`` (the ef_search analog) widens it further for
+        dense, near-duplicate-heavy corpora (BENCH_NOTES int4 curve)."""
         from ..native import rerank as native_rerank
 
         n = matrix.n
         packed, scales = self.arrays(matrix)
         qs = matrix.prepare_queries(queries)
-        k_cand = min(max(32 * k, 256), n)
+        k_cand = min(max(32 * k, 256, k_cand_floor or 0), n)
         from .fused_topk import TILE as _TILE
 
         if self._use_fused(matrix) and packed.shape[0] % _TILE == 0:

@@ -56,6 +56,7 @@ class HelixHTTPServer:
         mcp: bool = True,
         shard_threshold: int | None = None,
         graph_shard_threshold: int | None = None,
+        quant_candidates: int | None = None,
     ):
         self.replica_of = replica_of
         self.follower = None
@@ -70,6 +71,7 @@ class HelixHTTPServer:
             ann_config=ann_config, hbm_budget_bytes=hbm_budget_bytes,
             bm25=bm25,
             secondary_indices=secondary_indices, snapshot_store=snapshot_store,
+            quant_candidates=quant_candidates,
             shard_threshold=shard_threshold,
             graph_shard_threshold=graph_shard_threshold,
         )
@@ -242,6 +244,7 @@ def serve(
     native: bool = True,
     shard_threshold: int | None = None,
     graph_shard_threshold: int | None = None,
+    quant_candidates: int | None = None,
 ) -> None:
     import signal
     import sys
@@ -267,6 +270,7 @@ def serve(
         ann_config=ann_config, hbm_budget_bytes=hbm_budget_bytes, bm25=bm25,
         secondary_indices=secondary_indices, replica_of=replica_of,
         snapshot_store=snapshot_store, mcp=mcp,
+        quant_candidates=quant_candidates,
         shard_threshold=shard_threshold,
         graph_shard_threshold=graph_shard_threshold,
     )
@@ -297,6 +301,10 @@ def build_arg_parser():
                              "the graph ANN index")
     parser.add_argument("--ann-m", type=int, default=16)
     parser.add_argument("--ann-ef-search", type=int, default=768)
+    parser.add_argument("--quant-candidates", type=int, default=None,
+                        help="candidate-pool floor re-ranked in exact f32 "
+                             "by the quantized residency tiers (ef_search "
+                             "analog; default 8*k for int8, 32*k for int4)")
     parser.add_argument("--hbm-budget-gb", type=float, default=None,
                         help="device-memory budget for resident vector "
                              "matrices; partitions beyond it serve from "
@@ -344,6 +352,7 @@ if __name__ == "__main__":
         bm25=not args.no_bm25, secondary_indices=args.secondary_index,
         replica_of=args.replica_of, snapshot_store=args.snapshot_store,
         mcp=not args.no_mcp, native=not args.legacy_server,
+        quant_candidates=args.quant_candidates,
         shard_threshold=args.shard_threshold,
         graph_shard_threshold=args.graph_shard_threshold,
     )

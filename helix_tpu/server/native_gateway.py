@@ -78,6 +78,7 @@ class NativeGateway:
         general_workers: int = 4,
         shard_threshold: int | None = None,
         graph_shard_threshold: int | None = None,
+        quant_candidates: int | None = None,
     ):
         from ..native import load
 
@@ -93,6 +94,7 @@ class NativeGateway:
             secondary_indices=secondary_indices, snapshot_store=snapshot_store,
             shard_threshold=shard_threshold,
             graph_shard_threshold=graph_shard_threshold,
+            quant_candidates=quant_candidates,
         )
         if replica_of:
             from ..engine.replication import Follower

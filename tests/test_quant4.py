@@ -170,6 +170,46 @@ def test_partition_int4_on_mesh_routes_to_sharded_int8():
     assert recall >= 0.95, recall
 
 
+def test_quant_candidates_knob_plumbed_and_widens_pool(monkeypatch):
+    """`quant_candidates` (ef_search analog) reaches the tier call and
+    raises the coarse pool above the per-tier default."""
+    from helix_tpu.engine.vector import VectorManager
+    from helix_tpu.ops import quant4 as q4mod
+
+    mgr = VectorManager(hbm_budget_bytes=123, quant_candidates=999)
+    from helix_tpu.engine.store import IndexDef
+
+    defn = IndexDef("NodeVector", {
+        "label": "D", "property": "emb", "tenant_property": None})
+    from helix_tpu.engine.vector import VectorIndex
+
+    idx = VectorIndex(defn, "cosine",
+                      quant_candidates=mgr.quant_candidates,
+                      hbm_budget_bytes=mgr.hbm_budget_bytes)
+    part = idx.partition_for(("",))
+    assert part.quant_candidates == 999
+
+    rng = np.random.default_rng(5)
+    data, _ = clustered(rng, 2000, 64)
+    for i, row in enumerate(data):
+        part.add(i + 1, row)
+    seen = {}
+    orig = q4mod.int4_coarse_topk
+
+    def spy(packed, scales, qs, n_valid, sq, *, k, metric="cosine"):
+        seen["k"] = k
+        return orig(packed, scales, qs, n_valid, sq, k=k, metric=metric)
+
+    monkeypatch.setattr(q4mod, "int4_coarse_topk", spy)
+    from helix_tpu.ops.quant4 import Int4Resident
+
+    tier = Int4Resident()
+    tier.search(part.matrix, data[:2], 10, part.live_mask, "cosine",
+                k_cand_floor=part.quant_candidates)
+    # floor 999 beats the 32*k=320 default, clamped to n=2000
+    assert seen["k"] == 999
+
+
 def test_int4_fused_kernel_interpret_matches_oracle():
     """The fused int4 Pallas kernel (interpret mode on CPU) must keep
     the true top-k inside its candidates, mask padding rows, and split
