@@ -42,7 +42,10 @@ from .. import wire
 from ..dsl import DateTime, PropertyValue, _require_finite
 from . import values as V
 from .errors import ParamError, QueryError, WriteError
-from .expr import Element, EvalContext, eval_expr, eval_predicate, predicate_mask
+from .expr import (
+    Element, EvalContext, eval_expr, eval_predicate, expr_is_static,
+    predicate_mask,
+)
 from .frame import Frame, concat_frames
 from .snapshot import GraphSnapshot, SnapshotCache, gather_ranges
 from .store import GraphStore
@@ -1223,7 +1226,22 @@ class _QueryState:
         tag = next(iter(predicate)) if isinstance(predicate, dict) else predicate
         if tag == "And":
             conjuncts = predicate["And"]
-        best: np.ndarray | None = None
+        # Fold element-independent *Expr conjuncts into literal form so
+        # the index planner sees them: the stored-route point-lookup
+        # pattern (reference `#[register] fn get_user(email)`) arrives
+        # as EqExpr(prop, Param), and without the fold it full-scans
+        # (measured 57 ms/lookup at 100k rows vs ~30 us indexed).
+        conjuncts = [self._fold_static_expr(part) for part in conjuncts]
+        # Pick the SMALLEST candidate set by length before materializing
+        # any of them: the `$label` conjunct's table holds every row of
+        # the label, and building that array per query costs ~4 ms at
+        # 100k rows — 1000x the point-lookup it was losing to anyway.
+        best_len: int | None = None
+        best_rows: Any = None
+        def consider(rows) -> None:
+            nonlocal best_len, best_rows
+            if best_len is None or len(rows) < best_len:
+                best_len, best_rows = len(rows), rows
         for part in conjuncts:
             ptag = next(iter(part)) if isinstance(part, dict) else part
             if ptag not in ("Eq", "Gt", "Gte", "Lt", "Lte", "Between"):
@@ -1239,8 +1257,7 @@ class _QueryState:
                     if store_kind == "node"
                     else self.store.edges_by_label
                 )
-                ids = np.array(table.get(label, ()), UINT64)
-                best = ids if best is None or len(ids) < len(best) else best
+                consider(table.get(label, ()))
                 continue
             if prop.startswith("$"):
                 continue
@@ -1249,24 +1266,49 @@ class _QueryState:
                 continue
             for idx in self.store.scalar_indexes_for(store_kind, label, prop):
                 if ptag == "Eq" and idx.spec_tag.endswith("Equality"):
-                    ids = np.array(idx.impl.lookup(body[1]), UINT64)
+                    consider(idx.impl.lookup(body[1]))
                 elif idx.spec_tag.endswith("Range"):
                     if ptag == "Eq":
-                        ids = np.array(idx.impl.scan(body[1], body[1]), UINT64)
+                        consider(idx.impl.scan(body[1], body[1]))
                     elif ptag == "Between":
-                        ids = np.array(idx.impl.scan(body[1], body[2]), UINT64)
+                        consider(idx.impl.scan(body[1], body[2]))
                     elif ptag in ("Gt", "Gte"):
-                        ids = np.array(
-                            idx.impl.scan(lo=body[1], lo_strict=(ptag == "Gt")), UINT64
+                        consider(
+                            idx.impl.scan(lo=body[1], lo_strict=(ptag == "Gt"))
                         )
                     else:
-                        ids = np.array(
-                            idx.impl.scan(hi=body[1], hi_strict=(ptag == "Lt")), UINT64
+                        consider(
+                            idx.impl.scan(hi=body[1], hi_strict=(ptag == "Lt"))
                         )
-                else:
-                    continue
-                best = ids if best is None or len(ids) < len(best) else best
-        return best
+        if best_rows is None:
+            return None
+        return np.array(best_rows, UINT64)
+
+    _STATIC_EXPR_FOLD = {
+        "EqExpr": "Eq", "GtExpr": "Gt", "GteExpr": "Gte",
+        "LtExpr": "Lt", "LteExpr": "Lte", "BetweenExpr": "Between",
+    }
+
+    def _fold_static_expr(self, part: Any) -> Any:
+        """Rewrite an ``*Expr`` predicate whose expressions don't read
+        the element (Param/Constant/Timestamp/arithmetic) into its
+        literal twin, evaluated once against the query parameters.
+        The full predicate still re-verifies each candidate row after
+        planning, so the rewrite only ever narrows the scan."""
+        if not isinstance(part, dict):
+            return part
+        tag = next(iter(part))
+        lit = self._STATIC_EXPR_FOLD.get(tag)
+        if lit is None:
+            return part
+        body = part[tag]
+        exprs = body[1:]
+        if not all(expr_is_static(e) for e in exprs):
+            return part
+        vals = [eval_expr(e, None, self.ctx) for e in exprs]
+        if any(v is MISSING for v in vals):
+            return part
+        return {lit: [body[0], *vals]}
 
     @staticmethod
     def _conjunct_label(conjuncts: list) -> str | None:

@@ -194,6 +194,25 @@ def eval_expr(node: Any, element: Element | None, ctx: EvalContext) -> Tagged:
     raise QueryError(f"unknown expression variant: {tag}")
 
 
+def expr_is_static(node: Any) -> bool:
+    """True when an Expr AST node never reads the current element —
+    it can be evaluated once per query (planner folds, stream bounds)
+    instead of per row."""
+    if node in ("Timestamp", "DateTimeNow"):
+        return True
+    if not isinstance(node, dict):
+        return False  # "Id" and any unknown unit tag are element-bound
+    tag = next(iter(node))
+    body = node[tag]
+    if tag in ("Constant", "Param"):
+        return True
+    if tag in ("Add", "Sub", "Mul", "Div", "Mod"):
+        return expr_is_static(body[0]) and expr_is_static(body[1])
+    if tag == "Neg":
+        return expr_is_static(body)
+    return False  # Property, Case, unknown tags
+
+
 def _cmp_tagged(op: str, left: Tagged, right: Tagged) -> bool:
     if left is MISSING or right is MISSING:
         return False

@@ -46,9 +46,18 @@ def gather_ranges(
 
 
 class PropertyColumn:
-    """One property over all elements of a kind, aligned to snapshot slots."""
+    """One property over all elements of a kind, aligned to snapshot slots.
 
-    __slots__ = ("numeric", "numeric_mask", "strings", "string_mask", "present")
+    The public arrays are exact-length VIEWS over capacity-padded
+    backing buffers (``_bufs``), so append-only epoch extensions write
+    the tail in place (amortized O(tail)) instead of copying the column
+    — safe for concurrent readers of the previous snapshot, whose views
+    cover only the untouched prefix."""
+
+    __slots__ = (
+        "numeric", "numeric_mask", "strings", "string_mask", "present",
+        "_bufs",
+    )
 
     def __init__(self, n: int):
         self.numeric = np.zeros(n, np.float64)
@@ -56,6 +65,27 @@ class PropertyColumn:
         self.strings: np.ndarray | None = None  # object array, lazily
         self.string_mask: np.ndarray | None = None
         self.present = np.zeros(n, bool)
+        self._bufs: dict[str, np.ndarray] = {}
+
+
+def _grown(
+    bufs: dict[str, np.ndarray], name: str, view: np.ndarray | None,
+    n_old: int, n_new: int, dtype, fill=0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(buffer, view[:n_new]) with the tail slots writable: reuses the
+    backing buffer when it has capacity, else reallocates at 2x."""
+    buf = bufs.get(name)
+    if buf is None and view is not None and len(view) == n_old:
+        buf = view  # exactly-sized initial build
+    if buf is None or len(buf) < n_new:
+        cap = max(n_new, 2 * (len(buf) if buf is not None else n_old), 1024)
+        new = np.full(cap, fill, dtype=dtype) if fill is not None else np.empty(
+            cap, dtype=dtype
+        )
+        if n_old and view is not None:
+            new[:n_old] = view[:n_old]
+        buf = new
+    return buf, buf[:n_new]
 
 
 class GraphSnapshot:
@@ -63,6 +93,7 @@ class GraphSnapshot:
 
     def __init__(self, store: GraphStore):
         self.epoch = store.epoch
+        self.struct_epoch = store.struct_epoch
         self._store = store
 
         # ---- nodes ----
@@ -112,6 +143,91 @@ class GraphSnapshot:
 
         self._columns: dict[tuple[str, str], PropertyColumn] = {}
         self._padded: dict[str, object] = {}
+        self._node_bufs: dict[str, np.ndarray] = {}
+
+    @classmethod
+    def extended(cls, prev: "GraphSnapshot", store: GraphStore) -> "GraphSnapshot":
+        """Snapshot for a node-APPEND-only epoch delta: reuse prev's
+        edge/CSR arrays untouched, copy-extend the node arrays and any
+        cached property columns with just the appended rows, instead of
+        the full per-row Python rebuild (seconds at 1M rows vs ~ms).
+
+        Safety: prev's slot dicts are taken over and extended in place.
+        That is sound under the engine's RWLock discipline — writes are
+        exclusive, every query re-fetches the snapshot at its start, so
+        no reader can still be using ``prev`` when the first post-write
+        read triggers this extension (SnapshotCache serializes it)."""
+        self = cls.__new__(cls)
+        self.epoch = store.epoch
+        self.struct_epoch = store.struct_epoch
+        self._store = store
+        old_n = prev.n_nodes
+        order = store.node_order
+        n = len(order)
+        tail = order[old_n:]
+
+        bufs = prev._node_bufs
+        self._node_bufs = bufs
+        buf, self.node_ids = _grown(
+            bufs, "node_ids", prev.node_ids, old_n, n, UINT64
+        )
+        buf[old_n:n] = tail
+        bufs["node_ids"] = buf
+        self.n_nodes = n
+        self.node_labels = prev.node_labels
+        self.label_code = prev.label_code
+        buf, self.node_label_codes = _grown(
+            bufs, "node_label_codes", prev.node_label_codes, old_n, n, np.int32
+        )
+        for i, nid in enumerate(tail, start=old_n):
+            label = store.nodes[nid].label
+            code = self.label_code.get(label)
+            if code is None:
+                code = len(self.node_labels)
+                self.label_code[label] = code
+                self.node_labels.append(label)
+            buf[i] = code
+        bufs["node_label_codes"] = buf
+
+        # edges are untouched by append-only epochs
+        self.edge_ids = prev.edge_ids
+        self.n_edges = prev.n_edges
+        self.edge_labels = prev.edge_labels
+        self.edge_label_code = prev.edge_label_code
+        self.edge_label_codes = prev.edge_label_codes
+        self.edge_src = prev.edge_src
+        self.edge_dst = prev.edge_dst
+
+        self._node_slot = prev._node_slot
+        for i, nid in enumerate(tail, start=old_n):
+            self._node_slot[int(nid)] = i
+        self._edge_slot = prev._edge_slot
+
+        # CSR: new nodes have no incident edges — indptr extends with
+        # the terminal value, edge index arrays carry over
+        buf, self.out_indptr = _grown(
+            bufs, "out_indptr", prev.out_indptr, old_n + 1, n + 1, np.int64
+        )
+        buf[old_n + 1 : n + 1] = buf[old_n]
+        bufs["out_indptr"] = buf
+        self.out_edges = prev.out_edges
+        buf, self.in_indptr = _grown(
+            bufs, "in_indptr", prev.in_indptr, old_n + 1, n + 1, np.int64
+        )
+        buf[old_n + 1 : n + 1] = buf[old_n]
+        bufs["in_indptr"] = buf
+        self.in_edges = prev.in_edges
+
+        self._columns = {}
+        for (kind, prop), col in prev._columns.items():
+            if kind != "node":
+                self._columns[(kind, prop)] = col
+                continue
+            self._columns[(kind, prop)] = _extend_node_column(
+                col, store, tail, prop, n
+            )
+        self._padded = {}
+        return self
 
     def _build_csr(self, endpoint: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         order = np.argsort(endpoint, kind="stable")
@@ -274,7 +390,7 @@ class GraphSnapshot:
         col = PropertyColumn(n)
         strings: list[Any] = []
         any_string = False
-        for i, eid in enumerate(order):
+        for i, eid in enumerate(order[:n]):
             value = V.get_path(table[eid].props, prop)
             if value is V.MISSING or V.is_null(value):
                 strings.append(None)
@@ -300,16 +416,107 @@ class GraphSnapshot:
         return col
 
 
+def _extend_node_column(
+    col: PropertyColumn, store: GraphStore, tail: list, prop: str, n: int
+) -> PropertyColumn:
+    """Extend a cached node column with the appended rows in place
+    (amortized O(tail) via the capacity buffers)."""
+    old_n = len(col.present)
+    out = PropertyColumn.__new__(PropertyColumn)
+    bufs = col._bufs
+    out._bufs = bufs
+    nbuf, out.numeric = _grown(bufs, "numeric", col.numeric, old_n, n, np.float64)
+    bufs["numeric"] = nbuf
+    mbuf, out.numeric_mask = _grown(
+        bufs, "numeric_mask", col.numeric_mask, old_n, n, bool
+    )
+    bufs["numeric_mask"] = mbuf
+    pbuf, out.present = _grown(bufs, "present", col.present, old_n, n, bool)
+    bufs["present"] = pbuf
+    nbuf[old_n:n] = 0.0
+    mbuf[old_n:n] = False
+    pbuf[old_n:n] = False
+    any_string = col.strings is not None
+    tail_strings: list[Any] | None = None
+    table = store.nodes
+    for j, nid in enumerate(tail):
+        i = old_n + j
+        value = V.get_path(table[nid].props, prop)
+        if value is V.MISSING or V.is_null(value):
+            if tail_strings is not None:
+                tail_strings.append(None)
+            continue
+        pbuf[i] = True
+        num = V.as_number(value)
+        if num is not None:
+            nbuf[i] = float(num)
+            mbuf[i] = True
+            if tail_strings is not None:
+                tail_strings.append(None)
+        elif V.tag_of(value) == "String":
+            if tail_strings is None:
+                # first string in this tail: backfill Nones for the
+                # rows already processed
+                tail_strings = [None] * j
+            tail_strings.append(V.payload_of(value))
+            any_string = True
+        elif V.tag_of(value) == "Bool":
+            nbuf[i] = 1.0 if V.payload_of(value) else 0.0
+            if tail_strings is not None:
+                tail_strings.append(None)
+        else:
+            if tail_strings is not None:
+                tail_strings.append(None)
+    if any_string:
+        sbuf, out.strings = _grown(
+            bufs, "strings", col.strings, old_n, n, object, fill=None
+        )
+        smbuf, out.string_mask = _grown(
+            bufs, "string_mask", col.string_mask, old_n, n, bool
+        )
+        if tail_strings is not None:
+            sbuf[old_n:n] = tail_strings
+            smbuf[old_n:n] = [s is not None for s in tail_strings]
+        else:
+            sbuf[old_n:n] = None
+            smbuf[old_n:n] = False
+        bufs["strings"] = sbuf
+        bufs["string_mask"] = smbuf
+    else:
+        out.strings = None
+        out.string_mask = None
+    return out
+
+
 class SnapshotCache:
-    """Epoch-keyed snapshot holder attached to a store."""
+    """Epoch-keyed snapshot holder attached to a store.
+
+    Node-append-only epoch deltas (ingest) extend the previous snapshot
+    (GraphSnapshot.extended); anything structural rebuilds."""
 
     def __init__(self, store: GraphStore):
         self._store = store
         self._snapshot: GraphSnapshot | None = None
+        import threading
+
+        self._lock = threading.Lock()
 
     def get(self) -> GraphSnapshot:
         snap = self._snapshot
-        if snap is None or snap.epoch != self._store.epoch:
-            snap = GraphSnapshot(self._store)
+        store = self._store
+        if snap is not None and snap.epoch == store.epoch:
+            return snap
+        with self._lock:
+            snap = self._snapshot
+            if snap is not None and snap.epoch == store.epoch:
+                return snap
+            if (
+                snap is not None
+                and snap.struct_epoch == store.struct_epoch
+                and len(store.node_order) >= snap.n_nodes
+            ):
+                snap = GraphSnapshot.extended(snap, store)
+            else:
+                snap = GraphSnapshot(store)
             self._snapshot = snap
-        return snap
+            return snap

@@ -184,12 +184,25 @@ class GraphStore:
         self._next_edge_id = 1
         self.indexes: dict[tuple, IndexDef] = {}
         self.epoch = 0
+        # Structural epoch: bumped by mutations that invalidate slot
+        # layout, edges, or existing property values.  Pure node
+        # APPENDS (add_node / add_nodes_bulk — the ingest hot path)
+        # bump only ``epoch``, letting the snapshot layer extend its
+        # arrays instead of rebuilding them per write (at 1M rows a
+        # full rebuild costs seconds; an extension costs ~ms).
+        self.struct_epoch = 0
         # Observers (vector/text index managers) notified on writes.
         self._write_hooks: list[Any] = []
 
     # -- epoch / hooks ------------------------------------------------
 
     def bump(self) -> None:
+        self.epoch += 1
+        self.struct_epoch += 1
+
+    def bump_append(self) -> None:
+        """Node-append-only mutation: snapshot arrays stay valid as a
+        prefix (see GraphSnapshot.extended)."""
         self.epoch += 1
 
     def add_write_hook(self, hook: Any) -> None:
@@ -333,7 +346,7 @@ class GraphStore:
         self.nodes_by_label.setdefault(label, []).append(node_id)
         self.out_adj[node_id] = []
         self.in_adj[node_id] = []
-        self.bump()
+        self.bump_append()
         return node_id
 
     def add_nodes_bulk(
@@ -393,7 +406,7 @@ class GraphStore:
         ids = [n.id for n in nodes]
         self.node_order.extend(ids)
         by_label.extend(ids)
-        self.bump()
+        self.bump_append()
         return ids
 
     def add_edge(self, label: str, src: int, dst: int, props: dict[str, Tagged]) -> int:

