@@ -1252,12 +1252,10 @@ class _QueryState:
                 label = V.text_of(body[1])
                 if label is None:
                     continue
-                table = (
-                    self.store.nodes_by_label
-                    if store_kind == "node"
-                    else self.store.edges_by_label
-                )
-                consider(table.get(label, ()))
+                # snapshot-cached uint64 array, extended per append
+                # epoch — np.array(list-of-100k-ints) per query was a
+                # 4 ms tax on every labeled scan
+                consider(self.snap.label_ids(store_kind, label))
                 continue
             if prop.startswith("$"):
                 continue
@@ -1282,6 +1280,9 @@ class _QueryState:
                         )
         if best_rows is None:
             return None
+        if isinstance(best_rows, np.ndarray):
+            # cached snapshot array: callers treat frames as immutable
+            return best_rows
         return np.array(best_rows, UINT64)
 
     _STATIC_EXPR_FOLD = {

@@ -45,6 +45,20 @@ def gather_ranges(
     return src_rows, positions
 
 
+def _dense_slot_array(ids: np.ndarray) -> np.ndarray | None:
+    """id -> slot lookup array when the id space is dense enough
+    (ids are u64 counters, so it almost always is); None otherwise."""
+    n = len(ids)
+    if n == 0:
+        return np.full(1024, -1, np.int64)
+    max_id = int(ids.max())
+    if max_id > 4 * n + 1024:
+        return None
+    arr = np.full(max_id + 1, -1, np.int64)
+    arr[ids.astype(np.int64)] = np.arange(n, dtype=np.int64)
+    return arr
+
+
 class PropertyColumn:
     """One property over all elements of a kind, aligned to snapshot slots.
 
@@ -123,6 +137,8 @@ class GraphSnapshot:
         node_slot = {int(nid): i for i, nid in enumerate(store.node_order)}
         self._node_slot = node_slot
         self._edge_slot = {int(eid): i for i, eid in enumerate(store.edge_order)}
+        self._node_slot_arr = _dense_slot_array(self.node_ids)
+        self._edge_slot_arr = _dense_slot_array(self.edge_ids)
         for i, eid in enumerate(store.edge_order):
             edge = store.edges[eid]
             code = self.edge_label_code.get(edge.label)
@@ -144,6 +160,7 @@ class GraphSnapshot:
         self._columns: dict[tuple[str, str], PropertyColumn] = {}
         self._padded: dict[str, object] = {}
         self._node_bufs: dict[str, np.ndarray] = {}
+        self._label_ids: dict[tuple[str, str], np.ndarray] = {}
 
     @classmethod
     def extended(cls, prev: "GraphSnapshot", store: GraphStore) -> "GraphSnapshot":
@@ -202,6 +219,33 @@ class GraphSnapshot:
         for i, nid in enumerate(tail, start=old_n):
             self._node_slot[int(nid)] = i
         self._edge_slot = prev._edge_slot
+        arr = prev._node_slot_arr
+        if arr is not None and tail:
+            max_id = max(tail)
+            if max_id >= len(arr):
+                grown = np.full(
+                    max(max_id + 1, 2 * len(arr)), -1, np.int64
+                )
+                grown[: len(arr)] = arr
+                arr = grown
+            arr[np.asarray(tail, np.int64)] = np.arange(
+                old_n, n, dtype=np.int64
+            )
+        self._node_slot_arr = arr
+        self._edge_slot_arr = prev._edge_slot_arr
+        # per-label id arrays: append each tail id to its label's
+        # cached array (only labels already materialized)
+        self._label_ids = prev._label_ids
+        if tail:
+            by_label: dict[str, list] = {}
+            for nid in tail:
+                by_label.setdefault(store.nodes[nid].label, []).append(nid)
+            for label, ids_ in by_label.items():
+                cached = self._label_ids.get(("node", label))
+                if cached is not None:
+                    self._label_ids[("node", label)] = np.concatenate(
+                        [cached, np.asarray(ids_, UINT64)]
+                    )
 
         # CSR: new nodes have no incident edges — indptr extends with
         # the terminal value, edge index arrays carry over
@@ -228,6 +272,31 @@ class GraphSnapshot:
             )
         self._padded = {}
         return self
+
+    def patch_cell(self, kind: str, eid: int, prop: str) -> None:
+        """Apply one property-value mutation to the cached columns:
+        exact-match columns patch in place at the element's slot;
+        dotted-path columns derived from the property drop (lazy
+        rebuild).  Safe under the RWLock discipline: the first read
+        after a write applies patches before any reader uses the
+        snapshot, and pre-write readers have already drained."""
+        slot_map = self._node_slot if kind == "node" else self._edge_slot
+        slot = slot_map.get(int(eid))
+        table = self._store.nodes if kind == "node" else self._store.edges
+        rec = table.get(int(eid))
+        for key in list(self._columns.keys()):
+            k, p = key
+            if k != kind:
+                continue
+            if p == prop:
+                if slot is None or rec is None:
+                    del self._columns[key]
+                    continue
+                _patch_column_cell(
+                    self._columns[key], slot, V.get_path(rec.props, p)
+                )
+            elif p.split(".", 1)[0] == prop:
+                del self._columns[key]
 
     def _build_csr(self, endpoint: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         order = np.argsort(endpoint, kind="stable")
@@ -351,26 +420,76 @@ class GraphSnapshot:
 
     def node_slots(self, ids: np.ndarray) -> np.ndarray:
         """Map node ids to slots; raises KeyError on unknown ids."""
+        arr = self._node_slot_arr
+        if arr is not None:
+            idx = np.asarray(ids, np.int64)
+            ok = (idx >= 0) & (idx < len(arr))
+            slots = np.where(ok, arr[np.where(ok, idx, 0)], -1)
+            if (slots < 0).any():
+                bad = idx[slots < 0]
+                raise KeyError(int(bad[0]))
+            return slots
         return np.fromiter(
             (self._node_slot[int(i)] for i in ids), np.int64, count=len(ids)
         )
 
     def node_slots_or_neg(self, ids: np.ndarray) -> np.ndarray:
+        arr = self._node_slot_arr
+        if arr is not None:
+            idx = np.asarray(ids, np.int64)
+            ok = (idx >= 0) & (idx < len(arr))
+            return np.where(ok, arr[np.where(ok, idx, 0)], -1)
         get = self._node_slot.get
         return np.fromiter(
             (get(int(i), -1) for i in ids), np.int64, count=len(ids)
         )
 
     def edge_slots(self, ids: np.ndarray) -> np.ndarray:
+        arr = self._edge_slot_arr
+        if arr is not None:
+            idx = np.asarray(ids, np.int64)
+            ok = (idx >= 0) & (idx < len(arr))
+            slots = np.where(ok, arr[np.where(ok, idx, 0)], -1)
+            if (slots < 0).any():
+                bad = idx[slots < 0]
+                raise KeyError(int(bad[0]))
+            return slots
         return np.fromiter(
             (self._edge_slot[int(i)] for i in ids), np.int64, count=len(ids)
         )
 
     def edge_slots_or_neg(self, ids: np.ndarray) -> np.ndarray:
+        arr = self._edge_slot_arr
+        if arr is not None:
+            idx = np.asarray(ids, np.int64)
+            ok = (idx >= 0) & (idx < len(arr))
+            return np.where(ok, arr[np.where(ok, idx, 0)], -1)
         get = self._edge_slot.get
         return np.fromiter(
             (get(int(i), -1) for i in ids), np.int64, count=len(ids)
         )
+
+    def label_ids(self, kind: str, label: str) -> np.ndarray:
+        """uint64 id array of one label's elements, cached per snapshot
+        (extended in place by append epochs)."""
+        key = (kind, label)
+        cached = self._label_ids.get(key)
+        if cached is not None:
+            return cached
+        table = (
+            self._store.nodes_by_label if kind == "node"
+            else self._store.edges_by_label
+        )
+        rows = table.get(label, ())
+        n = self.n_nodes if kind == "node" else self.n_edges
+        arr = np.array(rows, UINT64)
+        if len(arr) and kind == "node":
+            # guard against rows appended after this snapshot's epoch
+            arr = arr[self.node_slots_or_neg(arr) >= 0]
+        elif len(arr):
+            arr = arr[self.edge_slots_or_neg(arr) >= 0]
+        self._label_ids[key] = arr
+        return arr
 
     # ---- property columns --------------------------------------------------
 
@@ -414,6 +533,36 @@ class GraphSnapshot:
             col.string_mask = np.array([s is not None for s in strings], bool)
         self._columns[key] = col
         return col
+
+
+def _patch_column_cell(col: PropertyColumn, slot: int, value) -> None:
+    """Rewrite one cell of a cached column from a fresh tagged value."""
+    col.present[slot] = False
+    col.numeric[slot] = 0.0
+    col.numeric_mask[slot] = False
+    if col.strings is not None:
+        col.strings[slot] = None
+        col.string_mask[slot] = False
+    if value is V.MISSING or V.is_null(value):
+        return
+    col.present[slot] = True
+    num = V.as_number(value)
+    if num is not None:
+        col.numeric[slot] = float(num)
+        col.numeric_mask[slot] = True
+        return
+    tag = V.tag_of(value)
+    if tag == "String":
+        if col.strings is None:
+            n = len(col.present)
+            col.strings = np.full(n, None, dtype=object)
+            col.string_mask = np.zeros(n, bool)
+            col._bufs["strings"] = col.strings
+            col._bufs["string_mask"] = col.string_mask
+        col.strings[slot] = V.payload_of(value)
+        col.string_mask[slot] = True
+    elif tag == "Bool":
+        col.numeric[slot] = 1.0 if V.payload_of(value) else 0.0
 
 
 def _extend_node_column(
@@ -516,7 +665,12 @@ class SnapshotCache:
                 and len(store.node_order) >= snap.n_nodes
             ):
                 snap = GraphSnapshot.extended(snap, store)
+                # patches after extension: an element appended and then
+                # patched within the same delta already has its slot
+                for kind, eid, prop in store.pending_patches:
+                    snap.patch_cell(kind, eid, prop)
             else:
                 snap = GraphSnapshot(store)
+            store.pending_patches.clear()
             self._snapshot = snap
             return snap

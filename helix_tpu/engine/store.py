@@ -191,6 +191,10 @@ class GraphStore:
         # arrays instead of rebuilding them per write (at 1M rows a
         # full rebuild costs seconds; an extension costs ~ms).
         self.struct_epoch = 0
+        # Property patches since the last snapshot sync: (kind, id,
+        # prop) cells the snapshot layer can patch in place instead of
+        # rebuilding columns (slots are unaffected by value changes).
+        self.pending_patches: list[tuple[str, int, str]] = []
         # Observers (vector/text index managers) notified on writes.
         self._write_hooks: list[Any] = []
 
@@ -199,6 +203,17 @@ class GraphStore:
     def bump(self) -> None:
         self.epoch += 1
         self.struct_epoch += 1
+        self.pending_patches.clear()  # a rebuild covers them
+
+    def bump_patch(self, kind: str, element_id: int, name: str) -> None:
+        """Property-value mutation: slot layout and every other column
+        stay valid; the snapshot layer patches this one cell."""
+        self.epoch += 1
+        self.pending_patches.append((kind, element_id, name))
+        if len(self.pending_patches) > 20_000:
+            # degenerate churn: one rebuild beats 20k cell patches
+            self.struct_epoch += 1
+            self.pending_patches.clear()
 
     def bump_append(self) -> None:
         """Node-append-only mutation: snapshot arrays stay valid as a
@@ -493,7 +508,7 @@ class GraphStore:
                 if had_old:
                     impl.insert(element_id, old)
             raise
-        self.bump()
+        self.bump_patch(kind, element_id, name)
 
     def remove_property(self, kind: str, element_id: int, name: str) -> None:
         el = self.node(element_id) if kind == "node" else self.edge(element_id)
@@ -521,7 +536,7 @@ class GraphStore:
                 except Exception:
                     pass
             raise
-        self.bump()
+        self.bump_patch(kind, element_id, name)
 
     def drop_edge(self, edge_id: int) -> None:
         edge = self.edges.pop(edge_id, None)

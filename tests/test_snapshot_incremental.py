@@ -160,3 +160,74 @@ def test_rolled_back_append_not_visible():
     except Exception:
         pass
     assert _count(engine, "U") == 1
+
+
+def test_property_patch_epochs(monkeypatch):
+    """set_property / remove_property patch the cached column cell in
+    place — no rebuild — including numeric->string transitions and
+    dotted-path column invalidation."""
+    engine = Engine()
+    for i in range(40):
+        _add(engine, "U", {"age": {"I64": i}, "meta": {"Object": {"k": {"I64": i}}}})
+
+    def count_where(pred):
+        out = engine.execute({"request_type": "read", "query_name": "c",
+            "query": {"queries": [{"Query": {"name": "c", "steps": [
+                {"NWhere": {"And": [{"Eq": ["$label", {"String": "U"}]}, pred]}},
+                "Count"], "condition": None}}], "returns": ["c"]},
+            "parameters": {}, "parameter_types": {}})
+        return out["c"]
+
+    assert count_where({"Gt": ["age", {"I64": 35}]}) == 4       # build column
+    assert count_where({"Gt": ["meta.k", {"I64": 35}]}) == 4    # dotted column
+    builds = {"n": 0}
+    orig_init = GraphSnapshot.__init__
+
+    def spy_init(self, store):
+        builds["n"] += 1
+        orig_init(self, store)
+
+    monkeypatch.setattr(GraphSnapshot, "__init__", spy_init)
+
+    def set_prop(i, name, value):
+        engine.execute({"request_type": "write", "query_name": "u",
+            "query": {"queries": [{"Query": {"name": "s", "steps": [
+                {"NWhere": {"And": [{"Eq": ["$label", {"String": "U"}]},
+                                     {"Eq": ["age", {"I64": i}]}]}},
+                {"SetProperty": [name, {"Value": value}]}], "condition": None}}],
+                "returns": []}, "parameters": {}, "parameter_types": {}})
+
+    set_prop(0, "age", {"I64": 100})
+    assert count_where({"Gt": ["age", {"I64": 35}]}) == 5
+    # numeric -> string transition in a patched cell
+    set_prop(1, "age", {"String": "old"})
+    assert count_where({"Eq": ["age", {"String": "old"}]}) == 1
+    # ages > 35 are {36..39, 100}: the "old" row (was 1) never counted
+    assert count_where({"Gt": ["age", {"I64": 35}]}) == 5
+    # patching the parent property invalidates the dotted column
+    set_prop(2, "meta", {"Object": {"k": {"I64": 99}}})
+    assert count_where({"Gt": ["meta.k", {"I64": 35}]}) == 5
+    # remove_property
+    engine.execute({"request_type": "write", "query_name": "rm",
+        "query": {"queries": [{"Query": {"name": "s", "steps": [
+            {"NWhere": {"And": [{"Eq": ["$label", {"String": "U"}]},
+                                 {"Eq": ["age", {"I64": 100}]}]}},
+            {"RemoveProperty": "age"}], "condition": None}}], "returns": []},
+        "parameters": {}, "parameter_types": {}})
+    assert count_where({"IsNull": "age"}) == 1
+    assert builds["n"] == 0, "patch epochs must not rebuild"
+
+
+def test_label_ids_cache_tracks_appends():
+    engine = Engine()
+    for i in range(10):
+        _add(engine, "A", {"x": {"I64": i}})
+    assert _count(engine, "A") == 10  # materializes the label cache
+    for i in range(5):
+        _add(engine, "A", {"x": {"I64": 100 + i}})
+        _add(engine, "B", {"x": {"I64": i}})
+    assert _count(engine, "A") == 15
+    assert _count(engine, "B") == 5
+    snap = engine.snapshots.get()
+    ids = snap.label_ids("node", "A")
+    assert len(ids) == 15 and len(np.unique(ids)) == 15
