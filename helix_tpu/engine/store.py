@@ -216,8 +216,8 @@ class GraphStore:
             self.pending_patches.clear()
 
     def bump_append(self) -> None:
-        """Node-append-only mutation: snapshot arrays stay valid as a
-        prefix (see GraphSnapshot.extended)."""
+        """Append-only mutation (node or edge): snapshot arrays stay
+        valid as a prefix (see GraphSnapshot.extended)."""
         self.epoch += 1
 
     def add_write_hook(self, hook: Any) -> None:
@@ -456,7 +456,7 @@ class GraphStore:
         self.edges_by_label.setdefault(label, []).append(edge_id)
         self.out_adj[src].append(edge_id)
         self.in_adj[dst].append(edge_id)
-        self.bump()
+        self.bump_append()  # edge APPEND: snapshot extends + re-sorts CSR
         return edge_id
 
     def set_property(self, kind: str, element_id: int, name: str, value: Tagged) -> None:

@@ -231,3 +231,41 @@ def test_label_ids_cache_tracks_appends():
     snap = engine.snapshots.get()
     ids = snap.label_ids("node", "A")
     assert len(ids) == 15 and len(np.unique(ids)) == 15
+
+
+def test_edge_append_csr_merge_matches_full_build():
+    """The vectorized CSR merge for appended edges must produce exactly
+    what a from-scratch build produces (same stable order), across
+    interleaved node/edge appends and new labels."""
+    import numpy.testing as npt
+
+    rng = np.random.default_rng(9)
+    engine = Engine()
+    for i in range(50):
+        _add(engine, "N", {"k": {"I64": i}})
+    ids = engine.store.nodes_by_label["N"]
+    for _ in range(200):
+        engine.store.add_edge("rel", int(rng.choice(ids)), int(rng.choice(ids)), {})
+    engine.snapshots.get()  # materialize, then extend incrementally
+    for round_ in range(5):
+        _add(engine, "N", {"k": {"I64": 1000 + round_}})
+        ids = engine.store.nodes_by_label["N"]
+        label = "rel" if round_ % 2 == 0 else f"rel{round_}"  # new labels too
+        for _ in range(30):
+            engine.store.add_edge(
+                label, int(rng.choice(ids)), int(rng.choice(ids)), {})
+        snap = engine.snapshots.get()
+        snap.csr_arrays("out")  # materialize the kernel cache mid-chain
+        fresh = GraphSnapshot(engine.store)
+        npt.assert_array_equal(snap.out_indptr, fresh.out_indptr)
+        npt.assert_array_equal(snap.out_edges, fresh.out_edges)
+        npt.assert_array_equal(snap.in_indptr, fresh.in_indptr)
+        npt.assert_array_equal(snap.in_edges, fresh.in_edges)
+        npt.assert_array_equal(snap.edge_src, fresh.edge_src)
+        npt.assert_array_equal(snap.edge_dst, fresh.edge_dst)
+        npt.assert_array_equal(snap.edge_label_codes, fresh.edge_label_codes)
+        for d in ("out", "in"):
+            a = snap.csr_arrays(d)
+            b = fresh.csr_arrays(d)
+            for x, y in zip(a, b):
+                npt.assert_array_equal(x, y)
