@@ -102,3 +102,69 @@ def test_batcher_adaptive_window_skips_wait_for_lone_request():
     assert lone_latency < 0.25, (
         f"lone request paid the straggler window: {lone_latency:.3f}s"
     )
+
+
+def test_hammer_appends_patches_and_scans():
+    """Concurrent bulk appends, property patches, and filtered scans
+    over the incremental-snapshot machinery: reads must always observe
+    a committed prefix (count is a multiple of the batch size) and
+    patched values must never tear (age is always one of the two
+    committed constants)."""
+    engine = Engine(secondary_indices=["P.key"])
+    seed = DynamicQueryRequest.write(
+        write_batch().var_as(
+            "p", g().add_n("P", {"key": "k0", "age": 1})
+        )
+    ).encode()
+    engine.execute(seed)
+
+    def append(i):
+        batch = write_batch()
+        for j in range(10):
+            batch = batch.var_as(
+                f"p{j}", g().add_n("P", {"key": f"a{i}-{j}", "age": 1})
+            )
+        engine.execute(DynamicQueryRequest.write(batch).encode())
+
+    def patch(i):
+        engine.execute({
+            "request_type": "write", "query_name": "u",
+            "query": {"queries": [{"Query": {"name": "s", "steps": [
+                {"NWhere": {"And": [
+                    {"Eq": ["$label", {"String": "P"}]},
+                    {"Eq": ["key", {"String": "k0"}]},
+                ]}},
+                {"SetProperty": ["age", {"Value": {"I64": 1 if i % 2 else 7}}]}],
+                "condition": None}}], "returns": []},
+            "parameters": {}, "parameter_types": {}})
+
+    def scan(_):
+        out = engine.execute({
+            "request_type": "read", "query_name": "r",
+            "query": {"queries": [
+                {"Query": {"name": "total", "steps": [
+                    {"NWhere": {"Eq": ["$label", {"String": "P"}]}},
+                    "Count"], "condition": None}},
+                {"Query": {"name": "aged", "steps": [
+                    {"NWhere": {"And": [
+                        {"Eq": ["$label", {"String": "P"}]},
+                        {"Eq": ["key", {"String": "k0"}]},
+                    ]}}, {"Values": ["age"]}], "condition": None}},
+            ], "returns": ["total", "aged"]},
+            "parameters": {}, "parameter_types": {}})
+        assert (out["total"] - 1) % 10 == 0, out
+        assert out["aged"] in ([1], [7]), out
+
+    with concurrent.futures.ThreadPoolExecutor(10) as pool:
+        futures = [pool.submit(append, i) for i in range(40)]
+        futures += [pool.submit(patch, i) for i in range(60)]
+        futures += [pool.submit(scan, i) for i in range(150)]
+        for future in concurrent.futures.as_completed(futures):
+            future.result()
+    final = engine.execute({
+        "request_type": "read", "query_name": "r",
+        "query": {"queries": [{"Query": {"name": "c", "steps": [
+            {"NWhere": {"Eq": ["$label", {"String": "P"}]}}, "Count"],
+            "condition": None}}], "returns": ["c"]},
+        "parameters": {}, "parameter_types": {}})
+    assert final["c"] == 401
