@@ -1557,6 +1557,71 @@ class _QueryState:
 
     _step_RangeBy = _step_Range
 
+    def _frame_column(self, frame: Frame, prop: str):
+        """(column, slots) for a node/edge frame whose ids all resolve
+        in the snapshot; None -> caller uses the per-row path (rows
+        frames, $-virtuals, ids not yet snapshotted mid-write)."""
+        if frame.kind not in ("nodes", "edges") or prop.startswith("$"):
+            return None
+        snap = self.snap
+        kind = "node" if frame.kind == "nodes" else "edge"
+        slots = (
+            snap.node_slots_or_neg(frame.ids)
+            if kind == "node"
+            else snap.edge_slots_or_neg(frame.ids)
+        )
+        if (slots < 0).any():
+            return None
+        return snap.column(kind, prop), slots
+
+    def _order_fast(
+        self, frame: Frame, orderings: list[tuple[str, str]]
+    ) -> Frame | None:
+        """Vectorized multi-key ordering over property columns.  Exactly
+        mirrors the per-row path's semantics: stable, missing last in
+        either direction, cross-family order by family name ("num" <
+        "str"), within-family inversion on Desc.  Bails (None) on
+        bool/bytes/array values, NaNs, or unresolvable ids."""
+        per_key = []
+        for prop, direction in orderings:
+            got = self._frame_column(frame, prop)
+            if got is None:
+                return None
+            col, slots = got
+            present = col.present[slots]
+            nmask = col.numeric_mask[slots]
+            smask = (
+                col.string_mask[slots]
+                if col.string_mask is not None
+                else np.zeros(len(slots), bool)
+            )
+            if (present & ~(nmask | smask)).any():
+                return None
+            code = np.zeros(len(slots), np.float64)
+            if nmask.any():
+                vals = col.numeric[slots]
+                if np.isnan(vals[nmask]).any():
+                    return None
+                code[nmask] = vals[nmask]
+            if smask.any():
+                svals = np.asarray(col.strings[slots][smask], dtype=str)
+                _, inv = np.unique(svals, return_inverse=True)
+                code[smask] = inv
+            if direction == "Desc":
+                code = -code
+            fam = np.full(len(slots), 2, np.int8)  # missing: always last
+            fam[nmask] = 0
+            fam[smask] = 1
+            per_key.append((code, fam))
+        # np.lexsort: last key is primary; within one ordering the
+        # family outranks the value code
+        seq: list[np.ndarray] = []
+        for code, fam in reversed(per_key):
+            seq.append(code)
+            seq.append(fam)
+        order = np.lexsort(seq)
+        return frame.take(order.astype(np.int64))
+
     def _sort_keys(self, frame: Frame, prop: str) -> list:
         keys = []
         for i in range(len(frame)):
@@ -1568,6 +1633,9 @@ class _QueryState:
     def _order(self, frame: Frame, orderings: list[tuple[str, str]]) -> Frame:
         if len(frame) <= 1 or frame.kind == "rows":
             return frame
+        fast = self._order_fast(frame, orderings)
+        if fast is not None:
+            return fast
         idx = list(range(len(frame)))
         # Stable multi-key ordering: apply keys in reverse significance;
         # missing/incomparable values sort last regardless of direction.
@@ -1736,6 +1804,32 @@ class _QueryState:
         return Terminal(groups, len(frame))
 
     def _step_GroupCount(self, frame: Frame, prop: str) -> Terminal:
+        # Vectorized path for the common all-strings (category) column:
+        # unique + counts in first-occurrence order, missing -> "null"
+        # (a literal "null" string merges with missing exactly like the
+        # per-row dict would).
+        got = self._frame_column(frame, prop) if len(frame) else None
+        if got is not None:
+            col, slots = got
+            present = col.present[slots]
+            smask = (
+                col.string_mask[slots]
+                if col.string_mask is not None
+                else np.zeros(len(slots), bool)
+            )
+            if not (present & ~smask).any():
+                arr = np.empty(len(slots), dtype=object)
+                arr[:] = "null"
+                if col.strings is not None:
+                    arr[smask] = col.strings[slots][smask]
+                su = np.asarray(arr, dtype=str)
+                uniq, first, cnt = np.unique(
+                    su, return_index=True, return_counts=True
+                )
+                order = np.argsort(first, kind="stable")
+                return Terminal(
+                    {str(uniq[i]): int(cnt[i]) for i in order}, len(frame)
+                )
         counts: dict[str, int] = {}
         for i in range(len(frame)):
             value = self.ex.element_at(frame, i).get(prop)
@@ -1747,6 +1841,27 @@ class _QueryState:
         fn, prop = body
         if fn == "Count":
             return Terminal(len(frame), len(frame))
+        got = self._frame_column(frame, prop) if len(frame) else None
+        if got is not None and fn in ("Sum", "Min", "Max", "Mean"):
+            col, slots = got
+            nmask = col.numeric_mask[slots]
+            vals = col.numeric[slots][nmask]
+            if len(vals) == 0:
+                return Terminal(None, len(frame))
+            ints = col.int_mask[slots][nmask]
+            # float64 can't hold exact i64 sums past 2^53: delegate
+            if not (ints.all() and np.abs(vals).max() >= 2**53):
+                if fn == "Mean":
+                    return Terminal(float(vals.sum() / len(vals)), len(frame))
+                if fn == "Sum":
+                    total = vals.sum()
+                    out = int(total) if ints.all() else float(total)
+                    return Terminal(out, len(frame))
+                i = int(vals.argmin() if fn == "Min" else vals.argmax())
+                v = vals[i]
+                return Terminal(
+                    int(v) if ints[i] else float(v), len(frame)
+                )
         nums = []
         for i in range(len(frame)):
             value = self.ex.element_at(frame, i).get(prop)

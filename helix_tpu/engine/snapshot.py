@@ -69,13 +69,17 @@ class PropertyColumn:
     cover only the untouched prefix."""
 
     __slots__ = (
-        "numeric", "numeric_mask", "strings", "string_mask", "present",
-        "_bufs",
+        "numeric", "numeric_mask", "int_mask", "strings", "string_mask",
+        "present", "_bufs",
     )
 
     def __init__(self, n: int):
         self.numeric = np.zeros(n, np.float64)
         self.numeric_mask = np.zeros(n, bool)
+        # int_mask: the numeric value came from an integral tag
+        # (I64/DateTime) — aggregation/grouping need int-vs-float
+        # fidelity on the wire ("10" vs "10.0")
+        self.int_mask = np.zeros(n, bool)
         self.strings: np.ndarray | None = None  # object array, lazily
         self.string_mask: np.ndarray | None = None
         self.present = np.zeros(n, bool)
@@ -646,6 +650,7 @@ class GraphSnapshot:
             if num is not None:
                 col.numeric[i] = float(num)
                 col.numeric_mask[i] = True
+                col.int_mask[i] = isinstance(num, int)
                 strings.append(None)
             elif V.tag_of(value) == "String":
                 strings.append(V.payload_of(value))
@@ -667,6 +672,7 @@ def _patch_column_cell(col: PropertyColumn, slot: int, value) -> None:
     col.present[slot] = False
     col.numeric[slot] = 0.0
     col.numeric_mask[slot] = False
+    col.int_mask[slot] = False
     if col.strings is not None:
         col.strings[slot] = None
         col.string_mask[slot] = False
@@ -677,6 +683,7 @@ def _patch_column_cell(col: PropertyColumn, slot: int, value) -> None:
     if num is not None:
         col.numeric[slot] = float(num)
         col.numeric_mask[slot] = True
+        col.int_mask[slot] = isinstance(num, int)
         return
     tag = V.tag_of(value)
     if tag == "String":
@@ -709,9 +716,12 @@ def _extend_node_column(
     bufs["numeric_mask"] = mbuf
     pbuf, out.present = _grown(bufs, "present", col.present, old_n, n, bool)
     bufs["present"] = pbuf
+    ibuf, out.int_mask = _grown(bufs, "int_mask", col.int_mask, old_n, n, bool)
+    bufs["int_mask"] = ibuf
     nbuf[old_n:n] = 0.0
     mbuf[old_n:n] = False
     pbuf[old_n:n] = False
+    ibuf[old_n:n] = False
     any_string = col.strings is not None
     tail_strings: list[Any] | None = None
     table = store.nodes
@@ -727,6 +737,7 @@ def _extend_node_column(
         if num is not None:
             nbuf[i] = float(num)
             mbuf[i] = True
+            ibuf[i] = isinstance(num, int)
             if tail_strings is not None:
                 tail_strings.append(None)
         elif V.tag_of(value) == "String":

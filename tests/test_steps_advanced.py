@@ -540,3 +540,70 @@ def test_order_by_desc_array_properties(engine):
     ).encode())["r"]
     assert asc == [0, 2, 1]
     assert desc == [1, 2, 0]
+
+
+def test_ordering_grouping_fast_paths_match_slow(monkeypatch):
+    """The vectorized OrderBy/GroupCount/AggregateBy paths must agree
+    exactly with the per-row implementations across mixed int/float/
+    string/missing data (and bail identically on bool values)."""
+    import random
+
+    import helix_tpu.engine.exec as exec_mod
+    from helix_tpu.engine import Engine
+
+    rng = random.Random(3)
+    for trial, allow_bool in ((0, False), (1, False), (2, True)):
+        engine = Engine()
+        rows = []
+        for i in range(300):
+            roll = rng.random()
+            if roll < 0.3:
+                v = {"I64": rng.randint(-5, 5)}
+            elif roll < 0.55:
+                v = {"F64": rng.choice([-2.5, 0.0, 1.0, 3.25, 5.0])}
+            elif roll < 0.8:
+                v = {"String": rng.choice(["a", "b", "zz", "5", "null"])}
+            elif roll < 0.9 and allow_bool:
+                v = {"Bool": rng.random() < 0.5}
+            else:
+                v = None  # missing
+            props = [["i", {"Value": {"I64": i}}]]
+            if v is not None:
+                props.append(["v", {"Value": v}])
+            rows.append(props)
+            engine.execute({"request_type": "write", "query_name": "w",
+                "query": {"queries": [{"Query": {"name": "n", "steps": [
+                    {"AddN": {"label": "M", "properties": props}}],
+                    "condition": None}}], "returns": []},
+                "parameters": {}, "parameter_types": {}})
+
+        def run(steps):
+            return engine.execute({"request_type": "read", "query_name": "q",
+                "query": {"queries": [{"Query": {"name": "r", "steps":
+                    [{"NWhere": {"Eq": ["$label", {"String": "M"}]}}] + steps,
+                    "condition": None}}], "returns": ["r"]},
+                "parameters": {}, "parameter_types": {}})
+
+        queries = [
+            [{"OrderBy": ["v", "Asc"]}, {"Values": ["i"]}],
+            [{"OrderBy": ["v", "Desc"]}, {"Values": ["i"]}],
+            [{"OrderByMultiple": [["v", "Asc"], ["i", "Desc"]]},
+             {"Values": ["i"]}],
+            [{"GroupCount": "v"}],
+            [{"AggregateBy": ["Sum", "v"]}],
+            [{"AggregateBy": ["Min", "v"]}],
+            [{"AggregateBy": ["Max", "v"]}],
+            [{"AggregateBy": ["Mean", "v"]}],
+        ]
+        fast = [run(q) for q in queries]
+        # disable every fast path and rerun
+        monkeypatch.setattr(
+            exec_mod._QueryState, "_frame_column",
+            lambda self, frame, prop: None,
+        )
+        slow = [run(q) for q in queries]
+        monkeypatch.undo()
+        for q, f, s in zip(queries, fast, slow):
+            assert f == s, (trial, q, f, s)
+            # int-vs-float fidelity, not just equality
+            assert repr(f) == repr(s), (trial, q, f, s)
