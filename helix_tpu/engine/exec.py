@@ -1700,7 +1700,52 @@ class _QueryState:
             labels.append(record.label)
         return Terminal(labels, len(frame))
 
+    def _plain_columns(self, frame: Frame, props: list[str]):
+        """Per-prop (plain-value object array, presence mask) pairs via
+        the snapshot columns, or None when any prop holds something the
+        columns can't render exactly (DateTime -> RFC3339, bools,
+        bytes, arrays, objects) or an id is unsnapshotted."""
+        per_prop = []
+        for prop in props:
+            got = self._frame_column(frame, prop)
+            if got is None:
+                return None
+            col, slots = got
+            present = col.present[slots]
+            nmask = col.numeric_mask[slots]
+            smask = (
+                col.string_mask[slots]
+                if col.string_mask is not None
+                else np.zeros(len(slots), bool)
+            )
+            if (present & ~(nmask | smask)).any() or col.dt_mask[slots].any():
+                return None
+            plain = np.empty(len(slots), dtype=object)
+            vals = col.numeric[slots]
+            im = nmask & col.int_mask[slots]
+            fm = nmask & ~col.int_mask[slots]
+            if im.any():
+                plain[np.nonzero(im)[0]] = vals[im].astype(np.int64).tolist()
+            if fm.any():
+                plain[np.nonzero(fm)[0]] = vals[fm].tolist()
+            if smask.any():
+                plain[smask] = col.strings[slots][smask]
+            per_prop.append((plain, present))
+        return per_prop
+
     def _step_Values(self, frame: Frame, props: list[str]) -> Terminal:
+        if len(frame) > 64:
+            per_prop = self._plain_columns(frame, props)
+            if per_prop is not None:
+                if len(per_prop) == 1:
+                    plain, present = per_prop[0]
+                    return Terminal(plain[present].tolist(), len(frame))
+                mat = np.stack([p for p, _ in per_prop], axis=1)
+                pres = np.stack([m for _, m in per_prop], axis=1)
+                flat = pres.ravel()
+                return Terminal(
+                    mat.ravel()[flat].tolist(), len(frame)
+                )
         out = []
         for i in range(len(frame)):
             element = self.ex.element_at(frame, i)
@@ -1722,6 +1767,27 @@ class _QueryState:
         return row
 
     def _step_ValueMap(self, frame: Frame, props: Any) -> Terminal:
+        if props is not None and len(frame) > 64:
+            per_prop = self._plain_columns(frame, props)
+            if per_prop is not None:
+                if all(m.all() for _, m in per_prop):
+                    # dense: one zip over the converted columns
+                    cols = [p.tolist() for p, _ in per_prop]
+                    rows: list = [
+                        dict(zip(props, t)) for t in zip(*cols)
+                    ]
+                else:
+                    plains = [p for p, _ in per_prop]
+                    masks = [m for _, m in per_prop]
+                    rows = [
+                        {
+                            prop: plains[j][i]
+                            for j, prop in enumerate(props)
+                            if masks[j][i]
+                        }
+                        for i in range(len(frame))
+                    ]
+                return Terminal(rows, len(frame))
         rows = [self._value_map_row(frame, i, props) for i in range(len(frame))]
         return Terminal(rows, len(frame))
 

@@ -69,8 +69,8 @@ class PropertyColumn:
     cover only the untouched prefix."""
 
     __slots__ = (
-        "numeric", "numeric_mask", "int_mask", "strings", "string_mask",
-        "present", "_bufs",
+        "numeric", "numeric_mask", "int_mask", "dt_mask", "strings",
+        "string_mask", "present", "_bufs",
     )
 
     def __init__(self, n: int):
@@ -80,6 +80,9 @@ class PropertyColumn:
         # (I64/DateTime) — aggregation/grouping need int-vs-float
         # fidelity on the wire ("10" vs "10.0")
         self.int_mask = np.zeros(n, bool)
+        # dt_mask: the value is a DateTime (numeric for compares, but
+        # renders as RFC3339 — value exports must not emit the millis)
+        self.dt_mask = np.zeros(n, bool)
         self.strings: np.ndarray | None = None  # object array, lazily
         self.string_mask: np.ndarray | None = None
         self.present = np.zeros(n, bool)
@@ -651,6 +654,8 @@ class GraphSnapshot:
                 col.numeric[i] = float(num)
                 col.numeric_mask[i] = True
                 col.int_mask[i] = isinstance(num, int)
+                if V.tag_of(value) == "DateTime":
+                    col.dt_mask[i] = True
                 strings.append(None)
             elif V.tag_of(value) == "String":
                 strings.append(V.payload_of(value))
@@ -673,6 +678,7 @@ def _patch_column_cell(col: PropertyColumn, slot: int, value) -> None:
     col.numeric[slot] = 0.0
     col.numeric_mask[slot] = False
     col.int_mask[slot] = False
+    col.dt_mask[slot] = False
     if col.strings is not None:
         col.strings[slot] = None
         col.string_mask[slot] = False
@@ -684,6 +690,7 @@ def _patch_column_cell(col: PropertyColumn, slot: int, value) -> None:
         col.numeric[slot] = float(num)
         col.numeric_mask[slot] = True
         col.int_mask[slot] = isinstance(num, int)
+        col.dt_mask[slot] = V.tag_of(value) == "DateTime"
         return
     tag = V.tag_of(value)
     if tag == "String":
@@ -718,10 +725,13 @@ def _extend_node_column(
     bufs["present"] = pbuf
     ibuf, out.int_mask = _grown(bufs, "int_mask", col.int_mask, old_n, n, bool)
     bufs["int_mask"] = ibuf
+    dbuf, out.dt_mask = _grown(bufs, "dt_mask", col.dt_mask, old_n, n, bool)
+    bufs["dt_mask"] = dbuf
     nbuf[old_n:n] = 0.0
     mbuf[old_n:n] = False
     pbuf[old_n:n] = False
     ibuf[old_n:n] = False
+    dbuf[old_n:n] = False
     any_string = col.strings is not None
     tail_strings: list[Any] | None = None
     table = store.nodes
@@ -738,6 +748,7 @@ def _extend_node_column(
             nbuf[i] = float(num)
             mbuf[i] = True
             ibuf[i] = isinstance(num, int)
+            dbuf[i] = V.tag_of(value) == "DateTime"
             if tail_strings is not None:
                 tail_strings.append(None)
         elif V.tag_of(value) == "String":

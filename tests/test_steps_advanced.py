@@ -561,8 +561,10 @@ def test_ordering_grouping_fast_paths_match_slow(monkeypatch):
                 v = {"I64": rng.randint(-5, 5)}
             elif roll < 0.55:
                 v = {"F64": rng.choice([-2.5, 0.0, 1.0, 3.25, 5.0])}
-            elif roll < 0.8:
+            elif roll < 0.75:
                 v = {"String": rng.choice(["a", "b", "zz", "5", "null"])}
+            elif roll < 0.8:
+                v = {"DateTime": rng.randint(0, 2_000_000_000_000)}
             elif roll < 0.9 and allow_bool:
                 v = {"Bool": rng.random() < 0.5}
             else:
@@ -585,6 +587,9 @@ def test_ordering_grouping_fast_paths_match_slow(monkeypatch):
                 "parameters": {}, "parameter_types": {}})
 
         queries = [
+            [{"Values": ["v"]}],
+            [{"Values": ["v", "i"]}],
+            [{"ValueMap": ["v", "i"]}],
             [{"OrderBy": ["v", "Asc"]}, {"Values": ["i"]}],
             [{"OrderBy": ["v", "Desc"]}, {"Values": ["i"]}],
             [{"OrderByMultiple": [["v", "Asc"], ["i", "Desc"]]},
