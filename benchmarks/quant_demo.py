@@ -110,22 +110,35 @@ def main() -> None:
     print(f"# quantizing + uploading int{args.bits} matrix...",
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
+    # Quantize in 1M-row chunks: one monolithic numpy pass over a 5 GB
+    # corpus churns five 5 GB temporaries and thrashes for 10+ minutes
+    # on this box; chunked it is ~150 s (BENCH_NOTES int4 staging note).
     if args.bits == 4:
         rows_n = mat.n
         if use_fused:
             from helix_tpu.ops.fused_topk import pad_rows_for_fused
 
             rows_n = pad_rows_for_fused(mat.n)
-        rows = mat.data[: min(rows_n, len(mat.data))]
-        if rows_n > len(rows):
-            pad = np.zeros((rows_n, mat.dim_pad), np.float32)
-            pad[: len(rows)] = rows
-            rows = pad
-        values, scales = quantize_rows_int4(rows)
+        qfn = quantize_rows_int4
         k_cand = max(32 * k, 256)
     else:
-        values, scales = quantize_rows(mat.data[: mat.n])
+        rows_n = mat.n
+        qfn = quantize_rows
         k_cand = max(8 * k, 64)
+    vparts, sparts = [], []
+    for s0 in range(0, mat.n, chunk):
+        e0 = min(mat.n, s0 + chunk)
+        vp, sp = qfn(np.asarray(mat.data[s0:e0]))
+        vparts.append(vp)
+        sparts.append(sp)
+    if rows_n > mat.n:
+        pad_rows = np.zeros((rows_n - mat.n, mat.dim_pad), np.float32)
+        vp, sp = qfn(pad_rows)
+        vparts.append(vp)
+        sparts.append(sp)
+    values = np.concatenate(vparts)
+    scales = np.concatenate(sparts)
+    del vparts, sparts
     xs_q = PackedMatrix._upload(values)
     sc = jnp.asarray(scales)
     sq = jnp.asarray(mat.sq_norms[: len(values)])

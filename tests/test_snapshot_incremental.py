@@ -269,3 +269,28 @@ def test_edge_append_csr_merge_matches_full_build():
             b = fresh.csr_arrays(d)
             for x, y in zip(a, b):
                 npt.assert_array_equal(x, y)
+
+
+def test_edge_property_patch():
+    """Edge SetProperty patches cached edge columns (kind='edge')."""
+    engine = Engine()
+    _add(engine, "A", {"x": {"I64": 1}})
+    _add(engine, "A", {"x": {"I64": 2}})
+    a, b = engine.store.nodes_by_label["A"]
+    e1 = engine.store.add_edge("rel", a, b, {"w": {"I64": 10}})
+    e2 = engine.store.add_edge("rel", b, a, {"w": {"I64": 20}})
+
+    def heavy():
+        out = engine.execute({"request_type": "read", "query_name": "q",
+            "query": {"queries": [{"Query": {"name": "r", "steps": [
+                {"EWhere": {"And": [{"Eq": ["$label", {"String": "rel"}]},
+                                     {"Gt": ["w", {"I64": 15}]}]}}, "Count"],
+                "condition": None}}], "returns": ["r"]},
+            "parameters": {}, "parameter_types": {}})
+        return out["r"]
+
+    assert heavy() == 1  # builds the edge column
+    engine.store.set_property("edge", e1, "w", {"I64": 100})
+    assert heavy() == 2
+    engine.store.remove_property("edge", e2, "w")
+    assert heavy() == 1
