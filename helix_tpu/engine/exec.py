@@ -1602,6 +1602,10 @@ class _QueryState:
                 vals = col.numeric[slots]
                 if np.isnan(vals[nmask]).any():
                     return None
+                im = nmask & col.int_mask[slots]
+                # distinct i64s past 2^53 collapse to equal f64 keys
+                if im.any() and np.abs(vals[im]).max() >= 2.0**53:
+                    return None
                 code[nmask] = vals[nmask]
             if smask.any():
                 svals = np.asarray(col.strings[slots][smask], dtype=str)
@@ -1724,12 +1728,21 @@ class _QueryState:
             vals = col.numeric[slots]
             im = nmask & col.int_mask[slots]
             fm = nmask & ~col.int_mask[slots]
+            # float64 cells round i64 magnitudes past 2^53: exact path
+            if im.any() and np.abs(vals[im]).max() >= 2.0**53:
+                return None
             if im.any():
                 plain[np.nonzero(im)[0]] = vals[im].astype(np.int64).tolist()
             if fm.any():
                 plain[np.nonzero(fm)[0]] = vals[fm].tolist()
             if smask.any():
                 plain[smask] = col.strings[slots][smask]
+            # explicit Nulls export as None (the per-row path's
+            # to_plain("Null")), distinct from absent properties
+            nulls = col.null_mask[slots]
+            if nulls.any():
+                plain[nulls] = None
+                present = present | nulls
             per_prop.append((plain, present))
         return per_prop
 
@@ -1915,19 +1928,41 @@ class _QueryState:
             if len(vals) == 0:
                 return Terminal(None, len(frame))
             ints = col.int_mask[slots][nmask]
-            # float64 can't hold exact i64 sums past 2^53: delegate
-            if not (ints.all() and np.abs(vals).max() >= 2**53):
+            # float64 cells are exact only below 2^53; above that the
+            # column itself is rounded — delegate to the per-row path
+            # (which reads the original tagged ints)
+            maxabs = float(np.abs(vals).max())
+            # int64 accumulation is exact only while the running total
+            # cannot overflow; past that delegate to Python-int sums
+            int_sum_ok = ints.all() and len(vals) * max(maxabs, 1.0) < 2.0**62
+            if not (ints.any() and np.abs(vals[ints]).max() >= 2.0**53):
                 if fn == "Mean":
-                    return Terminal(float(vals.sum() / len(vals)), len(frame))
-                if fn == "Sum":
-                    total = vals.sum()
-                    out = int(total) if ints.all() else float(total)
-                    return Terminal(out, len(frame))
-                i = int(vals.argmin() if fn == "Min" else vals.argmax())
-                v = vals[i]
-                return Terminal(
-                    int(v) if ints[i] else float(v), len(frame)
-                )
+                    if int_sum_ok:
+                        # int64 accumulation is exact (the sum itself
+                        # can cross 2^53 where float64 accumulation
+                        # starts dropping ulps); division of the exact
+                        # int matches Python's sum(ints)/len
+                        total_i = int(vals.astype(np.int64).sum())
+                        return Terminal(total_i / len(vals), len(frame))
+                    if ints.all():
+                        pass  # exact-overflow risk: per-row path below
+                    else:
+                        return Terminal(
+                            float(vals.sum() / len(vals)), len(frame)
+                        )
+                elif fn == "Sum":
+                    if int_sum_ok:
+                        return Terminal(
+                            int(vals.astype(np.int64).sum()), len(frame)
+                        )
+                    if not ints.all():
+                        return Terminal(float(vals.sum()), len(frame))
+                else:
+                    i = int(vals.argmin() if fn == "Min" else vals.argmax())
+                    v = vals[i]
+                    return Terminal(
+                        int(v) if ints[i] else float(v), len(frame)
+                    )
         nums = []
         for i in range(len(frame)):
             value = self.ex.element_at(frame, i).get(prop)

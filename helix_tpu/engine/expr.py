@@ -317,19 +317,14 @@ def eval_predicate(node: Any, element: Element | None, ctx: EvalContext) -> bool
 # ---------------------------------------------------------------------------
 
 def _resolve_static(node: Any, ctx: EvalContext) -> Tagged:
-    """Evaluate an element-independent expr; MISSING if element-dependent."""
-    if node == "Timestamp":
-        return {"I64": ctx.now_ms}
-    if node == "DateTimeNow":
-        return {"DateTime": ctx.now_ms}
-    if not isinstance(node, dict):
+    """Evaluate an element-independent expr; MISSING if element-dependent.
+
+    Shares ``expr_is_static`` with the planner's predicate fold
+    (exec._fold_static_expr) so the two paths agree on what counts as
+    static — including arithmetic over params/constants."""
+    if not expr_is_static(node):
         return MISSING
-    tag = next(iter(node))
-    if tag == "Constant":
-        return node[tag]
-    if tag == "Param":
-        return ctx.param(node[tag])
-    return MISSING
+    return eval_expr(node, None, ctx)
 
 
 def predicate_mask(

@@ -70,7 +70,7 @@ class PropertyColumn:
 
     __slots__ = (
         "numeric", "numeric_mask", "int_mask", "dt_mask", "strings",
-        "string_mask", "present", "_bufs",
+        "string_mask", "present", "null_mask", "_bufs",
     )
 
     def __init__(self, n: int):
@@ -86,6 +86,9 @@ class PropertyColumn:
         self.strings: np.ndarray | None = None  # object array, lazily
         self.string_mask: np.ndarray | None = None
         self.present = np.zeros(n, bool)
+        # explicit Null values (distinct from absent: exports emit None
+        # for them, exactly like the per-row to_plain path)
+        self.null_mask = np.zeros(n, bool)
         self._bufs: dict[str, np.ndarray] = {}
 
 
@@ -394,12 +397,14 @@ class GraphSnapshot:
 
         self._columns = {}
         for (kind, prop), col in prev._columns.items():
-            if kind != "node":
-                self._columns[(kind, prop)] = col
-                continue
-            self._columns[(kind, prop)] = _extend_node_column(
-                col, store, tail, prop, n
-            )
+            if kind == "node":
+                self._columns[(kind, prop)] = _extend_column(
+                    col, store.nodes, tail, prop, n
+                )
+            else:
+                self._columns[(kind, prop)] = _extend_column(
+                    col, store.edges, etail, prop, ne
+                )
         if not etail:
             # no edge delta: device/padded caches are invalidated only
             # by node-count growth (rebuilt lazily); the merged CSR
@@ -646,6 +651,8 @@ class GraphSnapshot:
         for i, eid in enumerate(order[:n]):
             value = V.get_path(table[eid].props, prop)
             if value is V.MISSING or V.is_null(value):
+                if value is not V.MISSING:
+                    col.null_mask[i] = True
                 strings.append(None)
                 continue
             col.present[i] = True
@@ -679,10 +686,12 @@ def _patch_column_cell(col: PropertyColumn, slot: int, value) -> None:
     col.numeric_mask[slot] = False
     col.int_mask[slot] = False
     col.dt_mask[slot] = False
+    col.null_mask[slot] = False
     if col.strings is not None:
         col.strings[slot] = None
         col.string_mask[slot] = False
     if value is V.MISSING or V.is_null(value):
+        col.null_mask[slot] = value is not V.MISSING
         return
     col.present[slot] = True
     num = V.as_number(value)
@@ -706,10 +715,10 @@ def _patch_column_cell(col: PropertyColumn, slot: int, value) -> None:
         col.numeric[slot] = 1.0 if V.payload_of(value) else 0.0
 
 
-def _extend_node_column(
-    col: PropertyColumn, store: GraphStore, tail: list, prop: str, n: int
+def _extend_column(
+    col: PropertyColumn, table: dict, tail: list, prop: str, n: int
 ) -> PropertyColumn:
-    """Extend a cached node column with the appended rows in place
+    """Extend a cached node/edge column with the appended rows in place
     (amortized O(tail) via the capacity buffers)."""
     old_n = len(col.present)
     out = PropertyColumn.__new__(PropertyColumn)
@@ -727,18 +736,22 @@ def _extend_node_column(
     bufs["int_mask"] = ibuf
     dbuf, out.dt_mask = _grown(bufs, "dt_mask", col.dt_mask, old_n, n, bool)
     bufs["dt_mask"] = dbuf
+    ubuf, out.null_mask = _grown(bufs, "null_mask", col.null_mask, old_n, n, bool)
+    bufs["null_mask"] = ubuf
     nbuf[old_n:n] = 0.0
     mbuf[old_n:n] = False
     pbuf[old_n:n] = False
     ibuf[old_n:n] = False
     dbuf[old_n:n] = False
+    ubuf[old_n:n] = False
     any_string = col.strings is not None
     tail_strings: list[Any] | None = None
-    table = store.nodes
     for j, nid in enumerate(tail):
         i = old_n + j
         value = V.get_path(table[nid].props, prop)
         if value is V.MISSING or V.is_null(value):
+            if value is not V.MISSING:
+                ubuf[i] = True
             if tail_strings is not None:
                 tail_strings.append(None)
             continue
@@ -814,11 +827,17 @@ class SnapshotCache:
                 and len(store.node_order) >= snap.n_nodes
                 and len(store.edge_order) >= snap.n_edges
             ):
-                snap = GraphSnapshot.extended(snap, store)
-                # patches after extension: an element appended and then
-                # patched within the same delta already has its slot
-                for kind, eid, prop in store.pending_patches:
-                    snap.patch_cell(kind, eid, prop)
+                try:
+                    snap = GraphSnapshot.extended(snap, store)
+                    # patches after extension: an element appended and
+                    # then patched within the same delta has its slot
+                    for kind, eid, prop in store.pending_patches:
+                        snap.patch_cell(kind, eid, prop)
+                except Exception:
+                    # a failed extension/patch must never poison the
+                    # cache (every later read would re-raise): fall
+                    # back to the full rebuild, which is always valid
+                    snap = GraphSnapshot(store)
             else:
                 snap = GraphSnapshot(store)
             store.pending_patches.clear()

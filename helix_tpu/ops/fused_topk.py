@@ -60,9 +60,15 @@ MAX_TILE_BYTES = 4 * 1024 * 1024
 
 
 def _tile_rows(d: int) -> int:
-    rows = MAX_TILE_BYTES // (d * 2)
-    rows = max(512, min(TILE, (rows // 512) * 512))
-    return rows
+    """Rows per VMEM tile: the largest power of two within the byte
+    budget.  MUST divide TILE (rows are padded to TILE, and the grid is
+    n // tile_rows — a non-divisor silently drops the tail rows from
+    the scan; every power of two in [512, 8192] divides 8192)."""
+    budget = MAX_TILE_BYTES // (d * 2)
+    t = 512
+    while t * 2 <= min(budget, TILE):
+        t *= 2
+    return t
 
 # Finite "masked row" sentinel (see module docstring re: NaNs).
 NEG_SENTINEL = -3.0e38

@@ -269,8 +269,13 @@ _I8_MAX_TILE_BYTES = 4 * 1024 * 1024
 
 
 def _i8_tile_rows(d: int) -> int:
-    rows = _I8_MAX_TILE_BYTES // d
-    return max(512, min(TILE, (rows // 512) * 512))
+    # largest power of two in budget: must divide TILE (see
+    # fused_topk._tile_rows — a non-divisor drops tail rows)
+    budget = _I8_MAX_TILE_BYTES // d
+    t = 512
+    while t * 2 <= min(budget, TILE):
+        t *= 2
+    return t
 
 
 def _make_i8_kernel(tile_rows: int):

@@ -118,8 +118,13 @@ _I4_MAX_TILE_BYTES = 4 * 1024 * 1024  # packed bytes per x-tile in VMEM
 
 
 def _i4_tile_rows(d_half: int) -> int:
-    rows = _I4_MAX_TILE_BYTES // max(d_half, 1)
-    return max(512, min(TILE, (rows // 512) * 512))
+    # largest power of two in budget: must divide TILE (see
+    # fused_topk._tile_rows — a non-divisor drops tail rows)
+    budget = _I4_MAX_TILE_BYTES // max(d_half, 1)
+    t = 512
+    while t * 2 <= min(budget, TILE):
+        t *= 2
+    return t
 
 
 def _make_i4_kernel(tile_rows: int, d_half: int):

@@ -265,3 +265,18 @@ def test_int4_fused_kernel_interpret_matches_oracle():
         np.isin(ids[i], bucket_arg[i]).mean() for i in range(len(qs))
     ])
     assert match >= 0.98, match
+
+
+def test_tile_sizes_divide_padded_rows():
+    """Review finding: tile sizes must divide TILE (rows pad to TILE and
+    the grid floors n // tile_rows — a non-divisor silently drops tail
+    rows from the scan).  Sweep the dims the capacity table advertises
+    plus awkward ones."""
+    from helix_tpu.ops.fused_topk import TILE, _tile_rows
+    from helix_tpu.ops.quant import _i8_tile_rows
+    from helix_tpu.ops.quant4 import _i4_tile_rows
+
+    for d in (8, 64, 128, 384, 768, 960, 1536, 2048, 2560, 3072, 4096, 8192):
+        assert TILE % _tile_rows(d) == 0, d
+        assert TILE % _i8_tile_rows(d) == 0, d
+        assert TILE % _i4_tile_rows(max(d // 2, 1)) == 0, d

@@ -294,3 +294,88 @@ def test_edge_property_patch():
     assert heavy() == 2
     engine.store.remove_property("edge", e2, "w")
     assert heavy() == 1
+
+
+def test_edge_column_survives_edge_append():
+    """Review finding: a cached edge column must extend when edges are
+    appended (previously carried over stale -> IndexError, and a patch
+    on the new edge poisoned the snapshot cache permanently)."""
+    engine = Engine()
+    _add(engine, "A", {"x": {"I64": 1}})
+    _add(engine, "A", {"x": {"I64": 2}})
+    a, b = engine.store.nodes_by_label["A"]
+    engine.store.add_edge("rel", a, b, {"w": {"I64": 10}})
+
+    def count_heavy():
+        out = engine.execute({"request_type": "read", "query_name": "q",
+            "query": {"queries": [{"Query": {"name": "r", "steps": [
+                {"EWhere": {"And": [{"Eq": ["$label", {"String": "rel"}]},
+                                     {"Gt": ["w", {"I64": 5}]}]}}, "Count"],
+                "condition": None}}], "returns": ["r"]},
+            "parameters": {}, "parameter_types": {}})
+        return out["r"]
+
+    assert count_heavy() == 1          # materialize the edge column
+    e2 = engine.store.add_edge("rel", b, a, {"w": {"I64": 7}})
+    assert count_heavy() == 2          # column extended, not stale
+    engine.store.set_property("edge", e2, "w", {"I64": 1})
+    assert count_heavy() == 1          # patch on the appended edge
+    assert count_heavy() == 1          # and the cache is not poisoned
+
+
+def test_big_int_fidelity_on_fast_paths():
+    """Review finding: i64 values past 2^53 must round-trip exactly
+    through Values/ValueMap/AggregateBy/OrderBy regardless of which
+    path (columnar or per-row) serves the query."""
+    engine = Engine()
+    big = 9007199254740993  # 2^53 + 1
+    for i in range(200):
+        _add(engine, "B", {"v": {"I64": big + (i % 2)}})
+
+    def read(steps):
+        return engine.execute({"request_type": "read", "query_name": "q",
+            "query": {"queries": [{"Query": {"name": "r", "steps":
+                [{"NWhere": {"Eq": ["$label", {"String": "B"}]}}] + steps,
+                "condition": None}}], "returns": ["r"]},
+            "parameters": {}, "parameter_types": {}})["r"]
+
+    vals = read([{"Values": ["v"]}])
+    assert set(vals) == {big, big + 1} and vals.count(big) == 100
+    vm = read([{"ValueMap": ["v"]}])
+    assert vm[0]["v"] == big
+    assert read([{"AggregateBy": ["Sum", "v"]}]) == 100 * big + 100 * (big + 1)
+    assert read([{"AggregateBy": ["Max", "v"]}]) == big + 1
+    ordered = read([{"OrderBy": ["v", "Desc"]}, {"Limit": 1}, {"Values": ["v"]}])
+    assert ordered == [big + 1]
+    # exact sums that overflow naive int64 accumulation
+    assert read([{"AggregateBy": ["Mean", "v"]}]) == (200 * big + 100) / 200
+
+
+def test_null_vs_missing_export_fidelity():
+    """Review finding: explicit Null properties export as None on the
+    columnar path, identical to the per-row path (not dropped)."""
+    engine = Engine()
+    for i in range(100):
+        props = [["i", {"Value": {"I64": i}}]]
+        if i % 3 == 0:
+            props.append(["v", {"Value": "Null"}])
+        elif i % 3 == 1:
+            props.append(["v", {"Value": {"I64": i}}])
+        # i % 3 == 2: property absent entirely
+        engine.execute({"request_type": "write", "query_name": "w",
+            "query": {"queries": [{"Query": {"name": "n", "steps": [
+                {"AddN": {"label": "Z", "properties": props}}], "condition": None}}],
+                "returns": []}, "parameters": {}, "parameter_types": {}})
+
+    def read(steps):
+        return engine.execute({"request_type": "read", "query_name": "q",
+            "query": {"queries": [{"Query": {"name": "r", "steps":
+                [{"NWhere": {"Eq": ["$label", {"String": "Z"}]}}] + steps,
+                "condition": None}}], "returns": ["r"]},
+            "parameters": {}, "parameter_types": {}})["r"]
+
+    vals = read([{"Values": ["v"]}])
+    # 34 Nulls (None) + 33 ints; 33 absent rows skipped
+    assert len(vals) == 67 and vals.count(None) == 34
+    vm = read([{"ValueMap": ["v"]}])
+    assert vm[0] == {"v": None} and vm[1] == {"v": 1} and vm[2] == {}
