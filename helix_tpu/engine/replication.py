@@ -142,7 +142,12 @@ class Follower:
         if self.api_key:
             req.add_header("Authorization", f"Bearer {self.api_key}")
         with urllib.request.urlopen(req, timeout=30) as resp:
-            return json.loads(resp.read())
+            # native codec with the numeric-array fast path: bulk
+            # ingest records are multi-MB vector bodies, and the
+            # follower re-parses every one the primary accepted
+            from .. import fastjson
+
+            return fastjson.loads(resp.read(), fast_arrays=True)
 
     def _reseed(self) -> None:
         """Bootstrap from the primary's seed snapshot when this replica
