@@ -601,7 +601,7 @@ def main() -> None:
     if padded.neighbors.size * 4 * 8 + matrix_bytes < 10 << 30:
         out = hybrid_expand(
             padded.neighbors, padded.edge_labels, seed_pads[0],
-            jnp2.int32(-1), 1, keep, k=k,
+            jnp2.int32(-1), 1, keep,
         )
         jax.block_until_ready(out)
         t0 = time.perf_counter()
@@ -611,7 +611,7 @@ def main() -> None:
             )
             mask, cnt = hybrid_expand(
                 padded.neighbors, padded.edge_labels, idx[0].astype(jnp2.int32),
-                jnp2.int32(-1), 1, keep, k=k,
+                jnp2.int32(-1), 1, keep,
             )
         jax.block_until_ready(cnt)
         hybrid_device_ms = (time.perf_counter() - t0) / 8 * 1000

@@ -66,11 +66,11 @@ class PaddedGraph:
         degree exceeds the cap (callers fall back to the host gather
         path).  The sharded multi-chip path (parallel/graph.py) consumes
         this directly so it can upload per-shard slices."""
+        assert indptr[0] == 0, "CSR views must be rebased to offset 0"
         degrees = np.diff(indptr)
         p = int(degrees.max()) if len(degrees) and degrees.max() > 0 else 1
         if p > max_degree_cap:
             return None
-        p = max(1, p)
         neighbors = np.full((n_nodes, p), n_nodes, np.int32)
         labels = np.full((n_nodes, p), -1, np.int32)
         total = int(degrees.sum())
@@ -177,7 +177,7 @@ def khop_count(
     return jnp.sum(mask & keep_mask)
 
 
-@functools.partial(jax.jit, static_argnames=("hops", "k"))
+@functools.partial(jax.jit, static_argnames=("hops",))
 def hybrid_expand(
     neighbors: jax.Array,
     edge_labels: jax.Array,
@@ -185,7 +185,6 @@ def hybrid_expand(
     label_code: jax.Array,
     hops: int,
     keep_mask: jax.Array,
-    k: int,
 ) -> tuple[jax.Array, jax.Array]:
     """Hybrid RAG step (BASELINE config[3]): seed slots from a vector
     top-k, expand the graph neighborhood on device, return the filtered

@@ -33,6 +33,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from typing import Any
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # Plan ops (static compile key):
@@ -81,7 +83,7 @@ class ShardedGraph:
                 jax.device_put(nb, spec),
                 jax.device_put(lb, spec),
             )
-        self._compiled: dict[tuple, any] = {}
+        self._compiled: dict[tuple, Any] = {}
 
     # -- plan execution ----------------------------------------------------
 
@@ -170,6 +172,10 @@ class ShardedGraph:
             for i, m in enumerate(masks):
                 mm[i, : self.n_nodes] = m[: self.n_nodes]
         else:
+            if any(op[0] == "mask" for op in plan):
+                raise ValueError(
+                    "plan contains a mask op but no masks were provided"
+                )
             mm = np.zeros((1, self.n_pad), bool)  # placeholder operand
         adj_flat = tuple(
             arr for name in sorted(self.arrays) for arr in self.arrays[name]

@@ -85,7 +85,7 @@ def test_hybrid_expand(graph):
     mask, count = hybrid_expand(
         padded.neighbors, padded.edge_labels,
         jnp.asarray(np.pad(seeds, (0, 7), constant_values=n)),
-        jnp.int32(-1), 1, jnp.asarray(keep), k=10,
+        jnp.int32(-1), 1, jnp.asarray(keep),
     )
     want = bfs_oracle(n, indptr, dst, lab, seeds.tolist(), 1, -1)
     assert np.array_equal(np.asarray(mask), want)
