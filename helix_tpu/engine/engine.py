@@ -109,13 +109,18 @@ class Engine:
                     result = executor.execute(
                         request, now_ms=now_ms, trace=steps_trace
                     )
-                    self.replication.append(
-                        request, now_ms, approx_bytes=request_bytes
-                    )
+                    # durability BEFORE shipping: a record a follower
+                    # can fetch must already be in the WAL, or a crash
+                    # in between leaves the replica ahead of a primary
+                    # that forgot the write
                     if self.persistence is not None:
                         self.persistence.log_write(
                             request, now_ms, sync=await_durable
                         )
+                    self.replication.append(
+                        request, now_ms, approx_bytes=request_bytes
+                    )
+                    if self.persistence is not None:
                         self._writes_since_checkpoint += 1
                         if self._writes_since_checkpoint >= self.checkpoint_every:
                             self._checkpoint_unlocked()

@@ -18,9 +18,10 @@ loses only unacknowledged writes.  ``x-helix-await-durable: false``
 
 from __future__ import annotations
 
+import array
 import hashlib
 import io
-import json
+import logging
 import os
 import pickle
 from pathlib import Path
@@ -55,6 +56,30 @@ def read_snapshot_blob(blob: bytes) -> Any:
             raise RuntimeError("snapshot checksum mismatch (corrupted file)")
         return restricted_loads(payload)
     return restricted_loads(blob)
+
+
+def read_snapshot_file(path: str | Path) -> Any:
+    """Streaming variant of :func:`read_snapshot_blob` for on-disk
+    snapshots: hash in a first chunked pass, then unpickle straight from
+    the file handle.  Peak memory is the unpickled objects, not
+    2x-the-blob (a multi-GB snapshot must not need its own size again
+    just to start up)."""
+    with open(path, "rb") as fh:
+        head = fh.read(len(_SNAPSHOT_MAGIC))
+        if head != _SNAPSHOT_MAGIC:
+            fh.seek(0)
+            return restricted_load(fh)  # legacy bare pickle
+        digest = fh.read(32)
+        hasher = hashlib.sha256()
+        while True:
+            chunk = fh.read(1 << 22)
+            if not chunk:
+                break
+            hasher.update(chunk)
+        if hasher.digest() != digest:
+            raise RuntimeError("snapshot checksum mismatch (corrupted file)")
+        fh.seek(len(_SNAPSHOT_MAGIC) + 32)
+        return restricted_load(fh)
 
 
 #: pickle globals a snapshot is allowed to reference: plain containers,
@@ -108,6 +133,12 @@ class Persistence:
 
             snapshot_store = open_store(snapshot_store)
         self.snapshot_store = snapshot_store
+        # Mirror health: a flaky object store must not fail the write
+        # path, but silent staleness turns a later bootstrap-from-mirror
+        # into silent data loss — so failures are logged and surfaced
+        # (``/v1/health`` reports these).
+        self.mirror_failures = 0
+        self.mirror_error: str | None = None
         # Monotonic WAL record sequence; persists across restarts through
         # recover().  The snapshot records the last sequence it contains
         # (its watermark) so a crash between snapshot-replace and
@@ -124,8 +155,7 @@ class Persistence:
         watermark = 0
         payload = None
         if self.snapshot_path.exists():
-            with open(self.snapshot_path, "rb") as fh:
-                payload = read_snapshot_blob(fh.read())
+            payload = read_snapshot_file(self.snapshot_path)
         elif self.snapshot_store is not None:
             from .objstore import SNAPSHOT_KEY
 
@@ -138,8 +168,14 @@ class Persistence:
         self._seq = watermark
         replayed = 0
         if self.wal_path.exists():
+            from .. import fastjson
+
             for record in replay(self.wal_path):
-                entry = json.loads(record)
+                # Native codec with the boxing-free array path: a WAL
+                # full of bulk-ingest ForEach bodies replays at codec
+                # speed and feeds exec.py's fast_arrays ingest path,
+                # matching the follower feed (replication.Follower).
+                entry = fastjson.loads(record, fast_arrays=True)
                 seq = entry.get("seq")
                 if seq is not None:
                     if seq <= watermark:
@@ -187,10 +223,16 @@ class Persistence:
 
             try:
                 self.snapshot_store.put(SNAPSHOT_KEY, blob)
-            except Exception:
+                self.mirror_error = None
+            except Exception as exc:
                 # The local checkpoint is authoritative; a flaky mirror
-                # must not fail the write path.
-                pass
+                # must not fail the write path — but it must be visible.
+                self.mirror_failures += 1
+                self.mirror_error = str(exc)
+                logging.getLogger("helix_tpu.persist").warning(
+                    "snapshot mirror upload failed (%d so far): %s",
+                    self.mirror_failures, exc,
+                )
         if self.wal is not None:
             self.wal.reset()
 
@@ -303,8 +345,14 @@ class _VectorExtractor:
             kind = _VECTOR_TAGS.get(tag)
             if kind is None:
                 continue
+            # Bulk-ingest fast path stores vectors as array.array
+            # (exec.py fast_arrays), interactive writes as lists; both
+            # must hit the stacked-block compaction.
             vec = value[tag]
-            if not isinstance(vec, list) or len(vec) < VECTOR_EXTRACT_MIN_LEN:
+            if (
+                not isinstance(vec, (list, array.array))
+                or len(vec) < VECTOR_EXTRACT_MIN_LEN
+            ):
                 continue
             key = (tag, len(vec))
             rows = self._groups.setdefault(key, [])
@@ -351,7 +399,11 @@ class _VectorRehydrator:
 
 def _spec_fields(defn: Any) -> dict:
     fields: dict[str, Any] = {"label": defn.label, "property": defn.prop}
-    if defn.spec_tag.endswith("Equality") and defn.kind == "node":
+    if defn.spec_tag.endswith("Equality"):
+        # Edge equality too: the wire layer accepts {"EdgeEquality":
+        # {..., "unique": true}} and IndexDef enforces it, so dropping
+        # the flag here would silently un-unique the index across a
+        # checkpoint/restore or replica seed.
         fields["unique"] = defn.unique
     if defn.spec_tag.endswith("Range") and defn.direction != "Asc":
         fields["direction"] = defn.direction

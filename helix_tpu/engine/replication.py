@@ -20,11 +20,13 @@ re-executes the primary's record stream in order.
 
 from __future__ import annotations
 
+import http.client
 import json
 import threading
 import time
 import urllib.error
 import urllib.request
+import uuid
 from typing import Any
 
 RING_CAP = 65536
@@ -53,6 +55,12 @@ class ReplicationLog:
         self._bytes = 0
         self._start_seq = 0
         self._lock = threading.Lock()
+        # Lineage token: ring sequence numbers are only comparable
+        # within one epoch.  A restarted primary starts a fresh ring
+        # (and a fresh epoch), so followers holding positions from the
+        # previous process detect the change and reseed instead of
+        # silently stalling or applying a colliding sequence space.
+        self.epoch = uuid.uuid4().hex
 
     def append(
         self, request: dict, now_ms: int, approx_bytes: int | None = None
@@ -76,13 +84,28 @@ class ReplicationLog:
                 self._start_seq += 1
             return seq
 
+    # One replication page stops at this many bytes (bulk-ingest
+    # records are multi-MB; an uncapped 512-record page could serialize
+    # the whole 256 MB ring into one response body on both sides).
+    PAGE_BYTES = 32 << 20
+
     def since(self, after_seq: int, limit: int = 512) -> tuple[list[dict], bool]:
-        """(records with seq > after_seq, caller_is_too_far_behind)."""
+        """(records with seq > after_seq, caller_must_reseed)."""
         with self._lock:
-            if after_seq + 1 < self._start_seq:
+            head = self._start_seq + len(self._records) - 1
+            if after_seq + 1 < self._start_seq or after_seq > head:
+                # behind the ring, or holding a position this ring never
+                # issued (previous primary epoch)
                 return [], True
             start = max(after_seq + 1 - self._start_seq, 0)
-            return list(self._records[start:start + limit]), False
+            out: list[dict] = []
+            total = 0
+            for record in self._records[start:start + limit]:
+                out.append(record)
+                total += record.get("bytes", 0)
+                if total >= self.PAGE_BYTES:
+                    break
+            return out, False
 
     def head_seq(self) -> int:
         with self._lock:
@@ -90,11 +113,13 @@ class ReplicationLog:
 
     def reset_to(self, next_seq: int) -> None:
         """Drop all records and continue numbering at ``next_seq``
-        (replica seeded from a snapshot watermark)."""
+        (replica seeded from a snapshot watermark).  The epoch rolls:
+        cascaded followers of this node must reseed too."""
         with self._lock:
             self._records = []
             self._bytes = 0
             self._start_seq = next_seq
+            self.epoch = uuid.uuid4().hex
 
 
 class _SeedUnpickler:
@@ -126,6 +151,10 @@ class Follower:
         self.primary_url = primary_url.rstrip("/")
         self.api_key = api_key
         self.applied_seq = -1
+        # primary lineage this replica's position belongs to; None
+        # forces a reseed on (re)connect, which is also how apply
+        # failures bound their damage (reseed > silently skipping)
+        self.primary_epoch: str | None = None
         self.last_error: str | None = None
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -170,13 +199,27 @@ class Follower:
         while not self._stop.is_set():
             try:
                 payload = self._fetch()
-            except (urllib.error.URLError, OSError, json.JSONDecodeError) as exc:
+            except (
+                urllib.error.URLError, OSError, ValueError,
+                http.client.HTTPException,
+            ) as exc:
+                # ValueError covers both stdlib JSONDecodeError and the
+                # native codec's parse errors; HTTPException covers
+                # connections dropped mid-body (IncompleteRead).  The
+                # follower thread must never die silently.
                 self.last_error = str(exc)
                 self._stop.wait(POLL_INTERVAL_S * 4)
                 continue
-            if payload.get("reseed_required"):
+            epoch = payload.get("epoch")
+            if (
+                payload.get("reseed_required")
+                or (epoch is not None and epoch != self.primary_epoch)
+            ):
+                # new primary lineage (restart, or our first contact):
+                # sequence numbers are not comparable across epochs
                 try:
                     self._reseed()
+                    self.primary_epoch = epoch
                 except Exception as exc:
                     self.last_error = f"reseed failed: {exc}"
                     self._stop.wait(POLL_INTERVAL_S * 4)
@@ -189,8 +232,14 @@ class Follower:
                         request_bytes=record.get("bytes"),
                     )
                     self.applied_seq = record["seq"]
-                except Exception as exc:  # keep following despite one bad record
-                    self.last_error = f"apply failed at seq {record['seq']}: {exc}"
-                    self.applied_seq = record["seq"]
+                except Exception as exc:
+                    # a record this replica cannot apply leaves it
+                    # divergent: reseed from the primary's snapshot
+                    # rather than skipping the write forever
+                    self.last_error = (
+                        f"apply failed at seq {record['seq']}: {exc}; reseeding"
+                    )
+                    self.primary_epoch = None
+                    break
             if not records:
                 self._stop.wait(POLL_INTERVAL_S)

@@ -85,6 +85,7 @@ def dispatch(
                     "records": records,
                     "reseed_required": reseed,
                     "head_seq": engine.replication.head_seq(),
+                    "epoch": engine.replication.epoch,
                 })
             if path.startswith("/v1/events"):
                 query = parse_qs(urlparse(path).query)
@@ -103,13 +104,23 @@ def dispatch(
                     pickle.dump(engine.export_replica_seed(), fh, protocol=5)
                 return FileResult(200, tmp)
             if path == "/v1/health":
-                return JsonResult(200, {
+                health = {
                     "status": "ok",
                     "nodes": engine.store.node_count(),
                     "edges": engine.store.edge_count(),
                     "epoch": engine.store.epoch,
                     "routes": sorted(engine.routes),
-                })
+                }
+                persistence = getattr(engine, "persistence", None)
+                if persistence is not None and getattr(
+                    persistence, "snapshot_store", None
+                ) is not None:
+                    # mirror staleness is a data-loss hazard on a later
+                    # bootstrap-from-mirror; make it observable
+                    health["mirror_failures"] = persistence.mirror_failures
+                    if persistence.mirror_error is not None:
+                        health["mirror_error"] = persistence.mirror_error
+                return JsonResult(200, health)
             return JsonResult(
                 404, {"error": {"kind": "NotFound", "message": path}}
             )

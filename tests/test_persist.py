@@ -368,3 +368,187 @@ def test_malicious_snapshot_rejected(tmp_path):
     (data / "snapshot.bin").write_bytes(evil)
     with pytest.raises(Exception, match="forbidden"):
         Engine(data_dir=str(data))
+
+
+def test_array_vector_props_extract_into_blocks():
+    """The bulk-ingest fast path stores vectors as array.array
+    ({"F64Array": array('d', ...)}, exec.py fast_arrays); the snapshot
+    compaction must stack those into numpy blocks exactly like lists."""
+    from array import array
+
+    from helix_tpu.engine.persist import _REF_KEY, _VectorExtractor
+
+    ex = _VectorExtractor()
+    out = ex.strip({"emb": {"F64Array": array("d", [float(i) for i in range(16)])}})
+    assert _REF_KEY in out["emb"]
+    out2 = ex.strip({"emb": {"F32Array": [1.0] * 16}})
+    assert _REF_KEY in out2["emb"]
+    blocks = ex.blocks()
+    assert blocks[("F64Array", 16)].shape == (1, 16)
+    assert blocks[("F32Array", 16)].shape == (1, 16)
+
+
+def test_array_vector_checkpoint_roundtrip(tmp_path):
+    """End-to-end: vectors held as array.array survive checkpoint ->
+    recover with search intact (and go through the block path)."""
+    from array import array
+
+    from helix_tpu.engine.persist import build_snapshot_payload
+
+    data = tmp_path / "data"
+    eng = Engine(data_dir=str(data))
+    eng.execute(wreq(
+        write_batch()
+        .var_as("idx", g().create_vector_index_nodes("Doc", "emb"))
+        .var_as("d", g().add_n("Doc", {"i": 1, "emb": [float(x) for x in range(16)]}))
+    ))
+    # emulate the fast-ingest representation on the stored row
+    nid = next(iter(eng.store.nodes))
+    eng.store.nodes[nid].props["emb"] = {
+        "F64Array": array("d", [float(x) for x in range(16)])
+    }
+    payload = build_snapshot_payload(eng)
+    assert payload["vector_blocks"], "array.array vectors must be stacked"
+    eng.checkpoint()
+    eng.persistence.close()
+
+    eng2 = Engine(data_dir=str(data))
+    out = eng2.execute(rreq(
+        read_batch().var_as(
+            "hit",
+            g().vector_search_nodes("Doc", "emb", [float(x) for x in range(16)], 1)
+            .value_map(["i"]),
+        )
+    ))
+    assert out["hit"][0]["i"] == 1
+    eng2.close()
+
+
+def test_streaming_snapshot_file_read(tmp_path):
+    """read_snapshot_file: framed, legacy, and corrupted files behave
+    exactly like the in-memory reader without a full-blob copy."""
+    import pickle
+
+    from helix_tpu.engine.persist import (
+        frame_snapshot_blob,
+        read_snapshot_file,
+    )
+
+    payload = {"version": 2, "hello": [1, 2, 3]}
+    blob = pickle.dumps(payload, protocol=5)
+    framed = tmp_path / "framed.bin"
+    framed.write_bytes(frame_snapshot_blob(blob))
+    assert read_snapshot_file(framed) == payload
+
+    legacy = tmp_path / "legacy.bin"
+    legacy.write_bytes(blob)
+    assert read_snapshot_file(legacy) == payload
+
+    corrupt = bytearray(frame_snapshot_blob(blob))
+    corrupt[-1] ^= 0xFF
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(bytes(corrupt))
+    with pytest.raises(RuntimeError, match="checksum"):
+        read_snapshot_file(bad)
+
+
+def test_mirror_failures_are_visible(tmp_path):
+    """Object-store mirror upload failures must be observable (health
+    surfaces them), not silently swallowed (silent staleness = silent
+    data loss on a later bootstrap-from-mirror)."""
+    from helix_tpu.dsl import DynamicQueryRequest
+
+    class Broken:
+        def put(self, key, data):
+            raise OSError("bucket down")
+
+        def get(self, key):
+            return None
+
+    eng = Engine(data_dir=str(tmp_path / "n"))
+    eng.persistence.snapshot_store = Broken()
+    eng.execute(DynamicQueryRequest.write(
+        write_batch().var_as("a", g().add_n("A"))
+    ).encode())
+    eng.checkpoint()
+    assert eng.persistence.mirror_failures == 1
+    assert "bucket down" in eng.persistence.mirror_error
+
+    from types import SimpleNamespace
+
+    from helix_tpu.server.routes import dispatch
+
+    srv = SimpleNamespace(engine=eng, replica_of=None, mcp_enabled=False)
+    result = dispatch(srv, "GET", "/v1/health", b"")
+    assert result.payload["mirror_failures"] == 1
+    assert "bucket down" in result.payload["mirror_error"]
+
+    # a later success clears the error (count stays as history)
+    class Fine:
+        def put(self, key, data):
+            pass
+
+        def get(self, key):
+            return None
+
+    eng.persistence.snapshot_store = Fine()
+    eng.checkpoint()
+    assert eng.persistence.mirror_error is None
+    assert eng.persistence.mirror_failures == 1
+    eng.close()
+
+
+def test_unique_edge_index_survives_recovery(tmp_path):
+    """EdgeEquality {unique: true} arrives via raw wire specs; the
+    checkpoint must preserve the flag or restored nodes silently accept
+    duplicates the primary rejected."""
+    data = tmp_path / "data"
+    eng = Engine(data_dir=str(data))
+    eng.execute(wreq(
+        write_batch().var_as(
+            "idx",
+            g().create_index(
+                {"EdgeEquality": {"label": "Ref", "property": "slot",
+                                  "unique": True}}
+            ),
+        )
+    ))
+    eng.execute(wreq(
+        write_batch()
+        .var_as("a", g().add_n("N"))
+        .var_as("b", g().add_n("N"))
+    ))
+    eng.execute(wreq(
+        write_batch()
+        .var_as("src", g().n_with_label("N").limit(1))
+        .var_as(
+            "e",
+            g().n(NodeRef.var("src")).add_e("Ref", NodeRef.var("src"),
+                                            {"slot": 1}),
+        )
+    ))
+    with pytest.raises(Exception, match="unique"):
+        eng.execute(wreq(
+            write_batch()
+            .var_as("src", g().n_with_label("N").limit(1))
+            .var_as(
+                "e2",
+                g().n(NodeRef.var("src")).add_e("Ref", NodeRef.var("src"),
+                                                {"slot": 1}),
+            )
+        ))
+    eng.checkpoint()
+    eng.persistence.close()
+
+    eng2 = Engine(data_dir=str(data))
+    with pytest.raises(Exception, match="unique"):
+        eng2.execute(wreq(
+            write_batch()
+            .var_as("src", g().n_with_label("N").limit(1))
+            .var_as(
+                "e2",
+                g().n(NodeRef.var("src")).add_e("Ref", NodeRef.var("src"),
+                                                {"slot": 1}),
+            )
+        ))
+    eng2.close()

@@ -307,6 +307,127 @@ def test_replica_seeds_through_native_gateway_stream():
         primary.stop(close_engine=True)
 
 
+def test_since_rejects_positions_the_ring_never_issued():
+    """A seq beyond the live head belongs to a previous primary epoch
+    (colliding sequence space after a restart): force a reseed instead
+    of silently returning an empty page forever."""
+    from helix_tpu.engine.replication import ReplicationLog
+
+    ring = ReplicationLog()
+    ring.append({"i": 0}, now_ms=0)
+    records, reseed = ring.since(5)
+    assert reseed is True and records == []
+    # exactly at head: normal empty tail, no reseed
+    records, reseed = ring.since(0)
+    assert reseed is False and records == []
+    # an empty fresh ring tails normally from -1
+    empty = ReplicationLog()
+    records, reseed = empty.since(-1)
+    assert reseed is False and records == []
+
+
+def test_page_byte_cap_bounds_response_size():
+    """Bulk-ingest records are multi-MB; one replication page stops at
+    PAGE_BYTES so neither side serializes the whole ring per poll."""
+    from helix_tpu.engine.replication import ReplicationLog
+
+    ring = ReplicationLog()
+    ring.PAGE_BYTES = 10_000  # instance override for the test
+    for i in range(10):
+        ring.append({"i": i}, now_ms=i, approx_bytes=3_000)
+    page1, reseed = ring.since(-1, limit=512)
+    assert not reseed
+    assert [r["request"]["i"] for r in page1] == [0, 1, 2, 3]
+    # the next poll picks up exactly where the capped page stopped
+    page2, reseed = ring.since(page1[-1]["seq"])
+    assert not reseed
+    assert page2[0]["seq"] == page1[-1]["seq"] + 1
+    assert [r["request"]["i"] for r in page2] == [4, 5, 6, 7]
+
+
+def test_epoch_rolls_on_reset():
+    from helix_tpu.engine.replication import ReplicationLog
+
+    ring = ReplicationLog()
+    first = ring.epoch
+    ring.reset_to(7)
+    assert ring.epoch != first
+    assert ring.head_seq() == 6
+
+
+def test_follower_reseeds_after_primary_epoch_change(pair):
+    """A restarted primary issues a fresh (colliding) sequence space.
+    The follower detects the epoch change and reseeds from the snapshot
+    instead of applying new-epoch records on top of old-epoch state."""
+    from helix_tpu.engine import Engine
+
+    primary, replica = pair
+    pclient = Client(f"http://127.0.0.1:{primary.port}")
+    rclient = Client(f"http://127.0.0.1:{replica.port}")
+    for i in range(5):
+        pclient.execute(DynamicQueryRequest.write(
+            write_batch().var_as("u", g().add_n("User", {"i": i}))
+        ).encode())
+    assert wait_for(lambda: count_users(rclient) == 5)
+
+    # Simulate a primary restart that lost all state: replace engine
+    # state wholesale with an empty seed (ring renumbers from 0 and the
+    # epoch rolls, exactly like a fresh process).
+    old_epoch = primary.engine.replication.epoch
+    primary.engine.load_replica_seed(Engine().export_replica_seed())
+    assert primary.engine.replication.epoch != old_epoch
+    for i in range(2):
+        pclient.execute(DynamicQueryRequest.write(
+            write_batch().var_as("u", g().add_n("User", {"i": 100 + i}))
+        ).encode())
+
+    # Follower is at applied_seq=4 from the OLD epoch; the new ring's
+    # head is 1.  Epoch mismatch (and the never-issued position) force
+    # a reseed; the replica converges to the restarted primary's state.
+    assert wait_for(lambda: count_users(rclient) == 2), (
+        f"replica saw {count_users(rclient)}, follower error: "
+        f"{replica.follower.last_error}"
+    )
+    ids_p = pclient.execute(DynamicQueryRequest.read(
+        read_batch().var_as("ids", g().n_with_label("User").id())
+    ).encode())["ids"]
+    ids_r = rclient.execute(DynamicQueryRequest.read(
+        read_batch().var_as("ids", g().n_with_label("User").id())
+    ).encode())["ids"]
+    assert ids_p == ids_r
+
+
+def test_follower_reseeds_after_apply_failure(pair):
+    """A record the replica cannot apply leaves it divergent; the
+    follower must reseed from the snapshot, never skip the write."""
+    primary, replica = pair
+    pclient = Client(f"http://127.0.0.1:{primary.port}")
+    rclient = Client(f"http://127.0.0.1:{replica.port}")
+
+    # let the first-contact reseed finish so the write below arrives
+    # through the tailing path (apply_replicated), not the seed snapshot
+    assert wait_for(lambda: replica.follower.primary_epoch is not None)
+
+    orig = replica.engine.apply_replicated
+    failures = {"n": 0}
+
+    def flaky(request, now_ms, request_bytes=None):
+        if failures["n"] == 0:
+            failures["n"] += 1
+            raise RuntimeError("injected apply failure")
+        return orig(request, now_ms, request_bytes=request_bytes)
+
+    replica.engine.apply_replicated = flaky
+    pclient.execute(DynamicQueryRequest.write(
+        write_batch().var_as("u", g().add_n("User", {"i": 1}))
+    ).encode())
+    assert wait_for(lambda: count_users(rclient) == 1), (
+        f"replica saw {count_users(rclient)}, follower error: "
+        f"{replica.follower.last_error}"
+    )
+    assert failures["n"] == 1  # the bad apply happened exactly once
+
+
 def test_ring_byte_cap_evicts_bulk_records():
     """Bulk-ingest records are multi-MB each; the ring caps retained
     BYTES, not just record count, so a burst of big writes cannot pin
