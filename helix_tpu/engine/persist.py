@@ -373,28 +373,37 @@ class _VectorExtractor:
 class _VectorRehydrator:
     """Re-inflates vector references from the stacked matrices.
 
-    Each block converts to nested Python lists ONCE (`ndarray.tolist`
-    on the whole matrix is a single C call); per-row `.tolist()` was
-    the recovery hot spot at 100k+ vectors."""
+    Rows come back as ``array.array('d')`` carved out of the block's
+    f64 byte buffer — a memcpy per row instead of the per-element
+    boxing ``ndarray.tolist`` pays (this was the restart hot spot at
+    200k+ vectors; f32 blocks widen losslessly, so the observable
+    values match what ``tolist`` produced).  Mutates the props dict in
+    place: extracted rows always live in dicts ``_VectorExtractor.strip``
+    created (or the unpickler did), never in a caller's live store."""
 
     def __init__(self, blocks: dict):
+        import numpy as np
+
+        self._np = np
         self._blocks = blocks
-        self._rows: dict[tuple, list] = {}
+        self._bufs: dict[tuple, memoryview] = {}
 
     def props(self, props: dict) -> dict:
-        out = None
         for name, value in props.items():
             if not (isinstance(value, dict) and _REF_KEY in value):
                 continue
             tag, width, row = value[_REF_KEY]
             key = (tag, width)
-            rows = self._rows.get(key)
-            if rows is None:
-                rows = self._rows[key] = self._blocks[key].tolist()
-            if out is None:
-                out = dict(props)
-            out[name] = {tag: rows[row]}
-        return out if out is not None else props
+            buf = self._bufs.get(key)
+            if buf is None:
+                block = self._np.ascontiguousarray(
+                    self._blocks[key], self._np.float64
+                )
+                buf = self._bufs[key] = memoryview(block.tobytes())
+            vec = array.array("d")
+            vec.frombytes(buf[row * width * 8 : (row + 1) * width * 8])
+            props[name] = {tag: vec}
+        return props
 
 
 def _spec_fields(defn: Any) -> dict:

@@ -692,14 +692,23 @@ class VectorIndex:
                 first = vecs[0]
                 # type/length uniformity via set(map(...)): two C-speed
                 # passes, ~10x cheaper than a generator all() at 50k rows
-                if type(first).__name__ == "array" and (
-                    len(set(map(type, vecs))) == 1
+                if (
+                    type(first).__name__ == "array"
+                    and first.typecode in ("d", "f")
+                    and len(set(map(type, vecs))) == 1
+                    and len({v.typecode for v in vecs}) == 1
                     and len(set(map(len, vecs))) == 1
                 ):
                     # fast-parsed rows: one buffer join + frombuffer is
-                    # ~3x np.asarray over 10k small array('d') objects
-                    joined = b"".join(memoryview(v).cast("B") for v in vecs)
-                    block = np.frombuffer(joined, np.float64).reshape(
+                    # ~3x np.asarray over 10k small array('d') objects.
+                    # dtype follows the typecode — joining 'f' rows as
+                    # f64 would reinterpret the bytes, not convert them.
+                    # (bytes.join reads the arrays' buffers directly;
+                    # wrapping each in memoryview().cast measured 10x
+                    # slower at 200k rows)
+                    joined = b"".join(vecs)
+                    dtype = np.float64 if first.typecode == "d" else np.float32
+                    block = np.frombuffer(joined, dtype).reshape(
                         len(vecs), len(first)
                     ).astype(np.float32)
                 else:
