@@ -43,8 +43,8 @@ from ..dsl import DateTime, PropertyValue, _require_finite
 from . import values as V
 from .errors import ParamError, QueryError, WriteError
 from .expr import (
-    Element, EvalContext, eval_expr, eval_predicate, expr_is_static,
-    predicate_mask,
+    _RAW_DOCS_TAG, Element, EvalContext, eval_expr, eval_predicate,
+    expr_is_static, predicate_mask,
 )
 from .frame import Frame, concat_frames
 from .snapshot import GraphSnapshot, SnapshotCache, gather_ranges
@@ -118,10 +118,6 @@ def convert_parameters(
     return out
 
 
-#: marker tag for deferred bulk-ingest arrays; payload is (raw, declared_ty).
-#: EvalContext.param converts through it lazily (expr.py), so only the
-#: ForEach bulk fast path ever sees raw rows.
-_RAW_DOCS_TAG = "__HxRawDocs__"
 
 
 def _bulk_add_n_columns(body: dict, param_name: str):
@@ -586,9 +582,14 @@ class Executor:
                 else:
                     col = [of(v) for v in col]
             tagged_cols.append(col)
-        props_list: list[dict] = [
-            dict(zip(names, vals)) for vals in zip(*tagged_cols)
-        ]
+        if tagged_cols:
+            props_list: list[dict] = [
+                dict(zip(names, vals)) for vals in zip(*tagged_cols)
+            ]
+        else:
+            # zero-property AddN: zip(*[]) is empty, but the loop path
+            # still creates one (bare) node per item
+            props_list = [{} for _ in rows]
         node_ids = self.store.add_nodes_bulk(
             add_n["label"], props_list, copy_props=False
         )
@@ -783,20 +784,36 @@ class Executor:
                 if tags[tail_start] == "OrderBy"
                 else [(p, o) for p, o in order_payload]
             )
-            composite = list(zip(*(
-                state._sort_keys(frame, prop)
-                for prop, _ in orderings
-            ))) if len(frame) else []
-            # Detect COMPARE-equal ties (1 vs 1.0, 0.0 vs -0.0): sort
-            # the comparable keys and test adjacency — a repr/hash set
-            # would miss keys that differ textually but sort equal.
-            if len(composite) > 1:
-                srt = sorted(composite)
-                if any(
-                    not (a < b) and not (b < a)
-                    for a, b in zip(srt, srt[1:])
-                ):
-                    return None  # tied keys: host pipeline decides order
+            if len(frame) > 1:
+                codes = state._order_codes(frame, orderings)
+                if codes is not None:
+                    # vectorized tie test: equal (fam, code) rows are
+                    # exactly the per-row comparator's ties (1 vs 1.0,
+                    # 0.0 vs -0.0 share a code; NaN/2^53 already bailed)
+                    comp = np.stack(
+                        [a for cf in codes for a in cf], axis=1
+                    )
+                    if len(np.unique(comp, axis=0)) < len(comp):
+                        return None  # host pipeline decides order
+                else:
+                    # per-row fallback; normalize missing keys so the
+                    # comparison sort can't hit None-vs-tuple TypeError
+                    composite = [
+                        tuple(
+                            (k is None, () if k is None else k)
+                            for k in row
+                        )
+                        for row in zip(*(
+                            state._sort_keys(frame, prop)
+                            for prop, _ in orderings
+                        ))
+                    ]
+                    srt = sorted(composite)
+                    if any(
+                        not (a < b) and not (b < a)
+                        for a, b in zip(srt, srt[1:])
+                    ):
+                        return None  # tied keys: host pipeline decides
             result: Any = frame
             for step in steps[tail_start:]:
                 result = state.apply(result, step)
@@ -1574,14 +1591,15 @@ class _QueryState:
             return None
         return snap.column(kind, prop), slots
 
-    def _order_fast(
+    def _order_codes(
         self, frame: Frame, orderings: list[tuple[str, str]]
-    ) -> Frame | None:
-        """Vectorized multi-key ordering over property columns.  Exactly
-        mirrors the per-row path's semantics: stable, missing last in
-        either direction, cross-family order by family name ("num" <
-        "str"), within-family inversion on Desc.  Bails (None) on
-        bool/bytes/array values, NaNs, or unresolvable ids."""
+    ) -> list[tuple[np.ndarray, np.ndarray]] | None:
+        """Per-ordering ``(code, fam)`` sort-key arrays over the
+        property columns, or None when the columns can't represent the
+        ordering exactly (bool/bytes/array values, NaNs, ints past
+        2^53, unresolvable ids).  ``fam`` ranks family (num < str <
+        missing); equal ``(fam, code)`` pairs are exactly the rows the
+        per-row comparator would call tied."""
         per_key = []
         for prop, direction in orderings:
             got = self._frame_column(frame, prop)
@@ -1617,6 +1635,19 @@ class _QueryState:
             fam[nmask] = 0
             fam[smask] = 1
             per_key.append((code, fam))
+        return per_key
+
+    def _order_fast(
+        self, frame: Frame, orderings: list[tuple[str, str]]
+    ) -> Frame | None:
+        """Vectorized multi-key ordering over property columns.  Exactly
+        mirrors the per-row path's semantics: stable, missing last in
+        either direction, cross-family order by family name ("num" <
+        "str"), within-family inversion on Desc.  Bails (None) on
+        bool/bytes/array values, NaNs, or unresolvable ids."""
+        per_key = self._order_codes(frame, orderings)
+        if per_key is None:
+            return None
         # np.lexsort: last key is primary; within one ordering the
         # family outranks the value code
         seq: list[np.ndarray] = []

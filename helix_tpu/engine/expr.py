@@ -31,6 +31,12 @@ from .store import GraphStore
 Tagged = Any
 MISSING = V.MISSING
 
+#: marker tag for deferred bulk-ingest arrays; payload is (raw,
+#: declared_ty).  Lives here (not exec.py) so both the lazy
+#: ``EvalContext.param`` conversion and exec's ForEach bulk fast path
+#: import the same name — a rename on either side fails at import time.
+_RAW_DOCS_TAG = "__HxRawDocs__"
+
 
 class EvalContext:
     """Per-request evaluation state: bound parameters + batch clock."""
@@ -44,10 +50,10 @@ class EvalContext:
     def _materialize(self, name: str, value: Tagged) -> Tagged:
         """Deferred bulk arrays (exec._RAW_DOCS_TAG markers) convert on
         first generic access; the ForEach bulk path reads them raw."""
-        if isinstance(value, dict) and len(value) == 1 and "__HxRawDocs__" in value:
+        if isinstance(value, dict) and len(value) == 1 and _RAW_DOCS_TAG in value:
             from .exec import _convert_param
 
-            raw, ty = value["__HxRawDocs__"]
+            raw, ty = value[_RAW_DOCS_TAG]
             value = _convert_param(raw, ty, name)
             self.params[name] = value
         return value
@@ -134,6 +140,11 @@ def eval_expr(node: Any, element: Element | None, ctx: EvalContext) -> Tagged:
         return {"I64": ctx.now_ms}
     if node == "DateTimeNow":
         return {"DateTime": ctx.now_ms}
+    if not isinstance(node, dict) or not node:
+        # bare-string unit variants other than the three above (wire
+        # validation passes expr payloads through): typed error, not a
+        # TypeError-500 from indexing a string
+        raise QueryError(f"unknown expression variant: {node!r}")
     tag = next(iter(node))
     body = node[tag]
     if tag == "Property":
@@ -457,15 +468,12 @@ def _try_vector_mask(
 
 
 def _haskey_mask(snap, kind, frame, slots, prop, present):
-    store_table = snap._store.nodes if kind == "node" else snap._store.edges
-    ids = frame.ids
-    out = present.copy()
-    unknown = np.nonzero(~present)[0]
-    for i in unknown:
-        rec = store_table.get(int(ids[i]))
-        if rec is not None and V.get_path(rec.props, prop) is not MISSING:
-            out[i] = True
-    return out
+    # present = any non-null value; null_mask = explicit Null.  Their
+    # union is exactly "the key exists" — no per-row store lookups (the
+    # old loop did one dict hit per absent row, ~1M/query on sparse
+    # props; the column already tracks explicit Nulls).
+    col = snap.column(kind, prop)
+    return present | col.null_mask[slots]
 
 
 def _column_cmp(
@@ -493,12 +501,14 @@ def _column_cmp(
         num = V.as_number(value)
         if num is None:
             return np.zeros(len(slots), bool)
-        ids = frame.ids.astype(np.float64)
-        return _np_cmp(op, ids, float(num), np.ones(len(slots), bool))
+        return _id_cmp(frame.ids, op, num)
     if prop == "$distance" or prop == "$score":
         colv = frame.dist if prop == "$distance" else frame.score
         if colv is None:
-            return np.zeros(len(slots), bool)
+            # the stream has no distances HERE, but a caller resolving
+            # masks position-independently (the device planner uses an
+            # all-nodes frame) must fall back, not bake all-False
+            return None
         num = V.as_number(value)
         if num is None:
             return np.zeros(len(slots), bool)
@@ -552,6 +562,61 @@ def _column_cmp(
         # tag was Bool; fall back elementwise to respect family rules.
         return None
     return None
+
+
+_U64_MAX = (1 << 64) - 1
+
+
+def _id_cmp(ids: np.ndarray, op: str, num) -> np.ndarray:
+    """Exact comparison of uint64 ids against a numeric literal.
+
+    ids >= 2^53 do not survive a float64 cast (the rest of the module
+    guards this boundary; see ``_order_fast``), so order ops reduce to
+    integer thresholds computed in Python's exact arithmetic."""
+    import math
+
+    n = len(ids)
+    if num != num:  # NaN never compares equal/ordered; Neq is all-True
+        return np.ones(n, bool) if op == "Neq" else np.zeros(n, bool)
+    if num == math.inf:
+        ones = op in ("Neq", "Lt", "Lte")
+        return np.ones(n, bool) if ones else np.zeros(n, bool)
+    if num == -math.inf:
+        ones = op in ("Neq", "Gt", "Gte")
+        return np.ones(n, bool) if ones else np.zeros(n, bool)
+    is_int = num == int(num)
+    if op == "Eq":
+        if not is_int or num < 0 or num > _U64_MAX:
+            return np.zeros(n, bool)
+        return ids == np.uint64(int(num))
+    if op == "Neq":
+        if not is_int or num < 0 or num > _U64_MAX:
+            return np.ones(n, bool)
+        return ids != np.uint64(int(num))
+    # Order ops: ids OP num  <=>  ids >= / <= an integer threshold.
+    if op == "Gt":
+        lo = math.floor(num) + 1
+    elif op == "Gte":
+        lo = math.ceil(num)
+    else:
+        lo = None
+    if lo is not None:
+        if lo <= 0:
+            return np.ones(n, bool)
+        if lo > _U64_MAX:
+            return np.zeros(n, bool)
+        return ids >= np.uint64(lo)
+    if op == "Lt":
+        hi = math.ceil(num) - 1
+    elif op == "Lte":
+        hi = math.floor(num)
+    else:
+        return np.zeros(n, bool)
+    if hi < 0:
+        return np.zeros(n, bool)
+    if hi >= _U64_MAX:
+        return np.ones(n, bool)
+    return ids <= np.uint64(hi)
 
 
 def _np_cmp(op: str, data: np.ndarray, rhs: float, valid: np.ndarray) -> np.ndarray:

@@ -413,3 +413,85 @@ def test_padded_graph_byte_cap_falls_back(engine, monkeypatch):
     monkeypatch.setenv("HELIX_TRAVERSAL_BACKEND", "device")
     # device preference with no padded graph must fall back, not fail
     assert engine.execute(request) == host_result
+
+
+def test_distance_filter_falls_back_to_host(monkeypatch):
+    """VectorSearch -> Where($distance) -> hop -> Dedup -> Count: the
+    planner resolves filters against an all-nodes frame that has no
+    distances, so it must FALL BACK, not bake an all-False mask."""
+    eng = Engine()
+    batch = write_batch().var_as(
+        "idx", g().create_vector_index_nodes("Doc", "v"))
+    for i in range(8):
+        batch = batch.var_as(
+            f"d{i}", g().add_n("Doc", {"i": i, "v": [float(i), 1.0]}))
+    eng.execute(DynamicQueryRequest.write(batch).encode())
+    edges = write_batch()
+    for i in range(1, 8):
+        edges = edges.var_as(
+            f"e{i}", g().n({"Ids": [i]}).add_e("REL", {"Ids": [i + 1]}))
+    eng.execute(DynamicQueryRequest.write(edges).encode())
+
+    query = DynamicQueryRequest.read(
+        read_batch().var_as(
+            "n",
+            g().vector_search_nodes("Doc", "v", [0.0, 1.0], 8)
+            .where(Predicate.lt("$distance", 10.0))
+            .out("REL").dedup().count(),
+        )
+    ).encode()
+    host = eng.execute(query)
+    monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
+    device = eng.execute(query)
+    assert device == host
+    assert host["n"] > 0  # the filter keeps everything at lt 10.0
+    eng.close()
+
+
+def test_orderby_tail_with_missing_keys(engine, monkeypatch):
+    """Ordered membership tail where some rows lack the sort property:
+    must not crash (None-vs-tuple sort), must match the host order."""
+    query = DynamicQueryRequest.read(
+        read_batch().var_as(
+            "vals",
+            g().n_where(SourcePredicate.lt("i", 5))
+            .out("FOLLOWS").dedup()
+            .order_by("maybe_missing", "Asc").values(["i"]),
+        )
+    ).encode()
+    host = engine.execute(query)
+    monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
+    device = engine.execute(query)
+    assert device == host
+
+
+def test_orderby_tail_mixed_bool_and_missing_keys(monkeypatch):
+    """Bool sort keys bail the column codes (per-row fallback); mixing
+    in rows that lack the property exercises the None-normalized sort
+    that used to raise TypeError."""
+    eng = Engine()
+    batch = write_batch()
+    for i in range(12):
+        props = {"i": i}
+        if i % 3 != 0:
+            props["flag"] = bool(i % 2)  # every third row lacks it
+        batch = batch.var_as(f"u{i}", g().add_n("User", props))
+    eng.execute(DynamicQueryRequest.write(batch).encode())
+    edges = write_batch()
+    for i in range(1, 12):
+        edges = edges.var_as(
+            f"e{i}", g().n({"Ids": [i]}).add_e("REL", {"Ids": [i + 1]}))
+    eng.execute(DynamicQueryRequest.write(edges).encode())
+
+    query = DynamicQueryRequest.read(
+        read_batch().var_as(
+            "vals",
+            g().n_where(SourcePredicate.lt("i", 3))
+            .out("REL").dedup().order_by("flag", "Asc").values(["i"]),
+        )
+    ).encode()
+    host = eng.execute(query)
+    monkeypatch.setattr(Executor, "device_traversal_min_nodes", 1)
+    device = eng.execute(query)
+    assert device == host
+    eng.close()

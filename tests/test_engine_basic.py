@@ -780,3 +780,114 @@ def test_secondary_indices_bootstrap():
         ),
     )
     assert out["hit"] == 1
+
+
+def test_foreach_bulk_zero_property_addn(engine):
+    """ForEach bulk AddN with an empty properties list must create one
+    bare node per item (the fast path's zip(*[]) collapsed to zero)."""
+    batch = write_batch().for_each_param(
+        "items", write_batch().var_as("u", g().add_n("Thing", []))
+    )
+    run_write(
+        engine, batch,
+        params={"items": [{}, {}, {}]},
+        types={"items": {"Array": "Object"}},
+    )
+    out = run_read(
+        engine, read_batch().var_as("n", g().n_with_label("Thing").count())
+    )
+    assert out["n"] == 3
+
+
+def test_id_predicate_beyond_2p53(engine):
+    """$id comparisons must be exact past 2^53 (no float64 round-trip)."""
+    big = (1 << 53) + 2  # adjacent even ids collapse under f64
+    run_write(engine, write_batch().var_as("a", g().add_n("B", {"i": 1})))
+    # forge a large-id node directly in the store (ids are u64 by contract)
+    node_id = engine.store.node_order[-1]
+    node = engine.store.nodes.pop(node_id)
+    engine.store.node_order.remove(node_id)
+    engine.store.nodes_by_label["B"].remove(node_id)
+    node.id = big
+    engine.store.nodes[big] = node
+    engine.store.node_order.append(big)
+    engine.store.nodes_by_label["B"].append(big)
+    engine.store.out_adj[big] = engine.store.out_adj.pop(node_id)
+    engine.store.in_adj[big] = engine.store.in_adj.pop(node_id)
+    engine.store.bump()
+
+    # Eq on the NEIGHBOURING float-equal integer must NOT match
+    out = run_read(
+        engine,
+        read_batch().var_as(
+            "n", g().n_with_label("B")
+            .where(Predicate.eq("$id", big + 1)).count()
+        ),
+    )
+    assert out["n"] == 0
+    out = run_read(
+        engine,
+        read_batch().var_as(
+            "n", g().n_with_label("B")
+            .where(Predicate.eq("$id", big)).count()
+        ),
+    )
+    assert out["n"] == 1
+    # order ops exact at the boundary
+    out = run_read(
+        engine,
+        read_batch().var_as(
+            "n", g().n_with_label("B")
+            .where(Predicate.gt("$id", big)).count()
+        ),
+    )
+    assert out["n"] == 0
+    out = run_read(
+        engine,
+        read_batch().var_as(
+            "n", g().n_with_label("B")
+            .where(Predicate.gte("$id", big)).count()
+        ),
+    )
+    assert out["n"] == 1
+
+
+def test_unknown_expression_variant_is_query_error(engine):
+    """A bare-string Expr unit variant other than Id/Timestamp/
+    DateTimeNow must raise the typed QueryError, not TypeError."""
+    req = {
+        "request_type": "read",
+        "query_name": None,
+        "query": {
+            "queries": [{"Query": {"name": "n", "steps": [
+                {"N": "All"},
+                {"Where": {"Compare": {
+                    "left": "Foo", "op": "Eq",
+                    "right": {"Constant": {"I64": 1}},
+                }}},
+                "Count",
+            ], "condition": None}}],
+            "returning": [],
+        },
+        "parameters": {},
+    }
+    run_write(engine, write_batch().var_as("a", g().add_n("X")))
+    with pytest.raises(QueryError, match="unknown expression variant"):
+        engine.execute(req)
+
+
+def test_haskey_counts_explicit_nulls_vectorized(engine):
+    """HasKey over the vectorized mask path: explicit Null counts as
+    having the key; absent does not (column null_mask route)."""
+    batch = write_batch()
+    batch = batch.var_as("a", g().add_n("K", {"p": 1}))
+    batch = batch.var_as("b", g().add_n("K", {"p": None}))
+    batch = batch.var_as("c", g().add_n("K", {"q": 2}))
+    run_write(engine, batch)
+    out = run_read(
+        engine,
+        read_batch().var_as(
+            "n", g().n_with_label("K").has_key("p").count()
+        ),
+    )
+    assert out["n"] == 2  # value + explicit Null, not the absent row
