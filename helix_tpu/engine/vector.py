@@ -338,19 +338,27 @@ class Partition:
             state is None
             or state.get("kind") != "int8"
             or state["version"] != self.matrix.version
-            or state["k_cand"] != k_cand
         ):
-            values, scales = quantize_rows(self.matrix.data[:n])
-            search = ShardedInt8Search(make_mesh(), k=k_cand, metric=self.metric)
-            arrays = search.shard_arrays(
-                values, scales, self.matrix.sq_norms[:n]
-            )
+            # Arrays are keyed by matrix version only — quantization
+            # and the (GBs at 10M rows) H2D upload must not repeat when
+            # clients alternate k; searchers compile per k_cand and
+            # share the arrays (row padding is k-independent).
             state = {
                 "kind": "int8", "version": self.matrix.version,
-                "k_cand": k_cand, "search": search, "arrays": arrays,
+                "mesh": make_mesh(), "searchers": {}, "arrays": None,
             }
             self._shard_state = state
-        search = state["search"]
+        search = state["searchers"].get(k_cand)
+        if search is None:
+            search = ShardedInt8Search(
+                state["mesh"], k=k_cand, metric=self.metric
+            )
+            state["searchers"][k_cand] = search
+        if state["arrays"] is None:
+            values, scales = quantize_rows(self.matrix.data[:n])
+            state["arrays"] = search.shard_arrays(
+                values, scales, self.matrix.sq_norms[:n]
+            )
         xs_i8, scales, sq, n_valid = state["arrays"]
         qs = self.matrix.prepare_queries(queries)
         _, cand = search(xs_i8, scales, sq, qs, n_valid)

@@ -569,7 +569,8 @@ def resident_topk_auto(
     from .fused_topk import fused_topk, supports_fused
 
     if supports_fused(
-        int(xs16.shape[0]), int(xs16.shape[1]), metric, jax.default_backend()
+        int(xs16.shape[0]), int(xs16.shape[1]), metric,
+        jax.default_backend(), k=k,
     ):
         return fused_topk(xs16, xs32, qs, n_valid, sq, k=k, rerank=rerank)
     return topk_resident(

@@ -59,16 +59,23 @@ BUCKET = 64
 MAX_TILE_BYTES = 4 * 1024 * 1024
 
 
-def _tile_rows(d: int) -> int:
-    """Rows per VMEM tile: the largest power of two within the byte
-    budget.  MUST divide TILE (rows are padded to TILE, and the grid is
-    n // tile_rows — a non-divisor silently drops the tail rows from
-    the scan; every power of two in [512, 8192] divides 8192)."""
-    budget = MAX_TILE_BYTES // (d * 2)
+def tile_rows_for(row_bytes: int) -> int:
+    """Rows per VMEM tile for a matrix whose rows cost ``row_bytes``:
+    the largest power of two within the byte budget.  MUST divide TILE
+    (rows are padded to TILE, and the grid is n // tile_rows — a
+    non-divisor silently drops the tail rows from the scan; every power
+    of two in [512, 8192] divides 8192).  Shared by the bf16, int8, and
+    packed-int4 kernels; callers gate on ``budget >= 512`` via
+    ``supports_fused``/``_use_fused`` before reaching here."""
+    budget = MAX_TILE_BYTES // max(row_bytes, 1)
     t = 512
     while t * 2 <= min(budget, TILE):
         t *= 2
     return t
+
+
+def _tile_rows(d: int) -> int:
+    return tile_rows_for(d * 2)  # bf16
 
 # Finite "masked row" sentinel (see module docstring re: NaNs).
 NEG_SENTINEL = -3.0e38
@@ -193,10 +200,21 @@ def fused_topk(
         )
         valid = best_s > jnp.float32(NEG_SENTINEL / 2)
         exact = jnp.where(valid, exact, -jnp.inf)
-        top_s, top_pos = jax.lax.top_k(exact, k)
+        # The bucket reduction yields at most k_cand candidates; a k
+        # beyond that (heavy tombstone inflation) pads with overflow
+        # slots instead of crashing lax.top_k at trace time.  The
+        # dispatcher (supports_fused) prefers the XLA path in that
+        # regime; this is the in-kernel backstop.
+        k_top = min(k, k_cand)
+        top_s, top_pos = jax.lax.top_k(exact, k_top)
         top_i = jnp.take_along_axis(best_i, top_pos, axis=1)
         filled = jnp.take_along_axis(valid, top_pos, axis=1)
         top_i = jnp.where(filled, top_i, -1)
+        if k_top < k:
+            pad = k - k_top
+            top_s = jnp.pad(top_s, ((0, 0), (0, pad)),
+                            constant_values=-jnp.inf)
+            top_i = jnp.pad(top_i, ((0, 0), (0, pad)), constant_values=-1)
         out_d.append((1.0 - top_s)[:b])
         out_i.append(top_i[:b])
     dists = out_d[0] if len(out_d) == 1 else jnp.concatenate(out_d, axis=0)
@@ -205,14 +223,21 @@ def fused_topk(
 
 
 def supports_fused(n_rows_padded: int, dim_pad: int, metric: str,
-                   backend: str) -> bool:
-    """Serving-path gate: TPU backend, cosine, fused-padded rows."""
+                   backend: str, k: int | None = None) -> bool:
+    """Serving-path gate: TPU backend, cosine, fused-padded rows, the
+    smallest row tile (512) within the VMEM budget (wide dims would
+    blow the tile budget and fail at Mosaic compile time), and — when
+    ``k`` is given — a bucket count that can actually supply k
+    candidates (one winner per 64-row bucket; past that the XLA path
+    serves the full pool instead of overflow padding)."""
     return (
         backend == "tpu"
         and metric == "cosine"
         and n_rows_padded % TILE == 0
         and n_rows_padded >= TILE
         and dim_pad % 128 == 0
+        and MAX_TILE_BYTES // (dim_pad * 2) >= 512
+        and (k is None or k <= n_rows_padded // BUCKET)
     )
 
 

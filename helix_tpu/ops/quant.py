@@ -30,6 +30,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _quantize_queries(qs: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Device-side symmetric per-query int8: ``(q_i8, scales)``."""
+    q_peak = jnp.max(jnp.abs(qs), axis=1)
+    q_scales = jnp.where(q_peak > 0, q_peak / 127.0, 1.0)
+    q_i8 = jnp.clip(
+        jnp.round(qs / q_scales[:, None]), -127, 127
+    ).astype(jnp.int8)
+    return q_i8, q_scales
+
+
 def quantize_rows(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Symmetric per-row int8: ``(values int8 [N, D], scales f32 [N])``.
     Zero rows get scale 1 (values all zero)."""
@@ -59,11 +69,7 @@ def int8_coarse_topk(
     standard ``2 q.x - |x|^2`` ordering surrogate).
     """
     n = xs_i8.shape[0]
-    q_peak = jnp.max(jnp.abs(qs), axis=1)
-    q_scales = jnp.where(q_peak > 0, q_peak / 127.0, 1.0)
-    q_i8 = jnp.clip(
-        jnp.round(qs / q_scales[:, None]), -127, 127
-    ).astype(jnp.int8)
+    q_i8, q_scales = _quantize_queries(qs)
     dots = jax.lax.dot_general(
         q_i8, xs_i8,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -86,14 +92,18 @@ class QuantizedResident:
     version (same scheme as PackedMatrix's bf16 cache)."""
 
     def __init__(self):
-        self._cached: tuple | None = None  # (version, xs_i8, scales)
+        # (version, xs_i8, scales, sq_dev) — sq_dev is the device copy
+        # of the squared norms (l2 de-scale operand); caching it here
+        # keeps the serving hot path free of per-query H2D transfers
+        # (~40 MB/query-batch at 10M rows before this).
+        self._cached: tuple | None = None
 
-    def arrays(self, matrix) -> tuple[jax.Array, jax.Array]:
+    def arrays(self, matrix) -> tuple[jax.Array, jax.Array, jax.Array]:
         from .distance import _round_up
 
         cached = self._cached
         if cached is not None and cached[0] == matrix.version:
-            return cached[1], cached[2]
+            return cached[1], cached[2], cached[3]
         n_rows = _round_up(max(matrix.n, 1), matrix.ROW_PAD)
         if self._use_fused(matrix):
             from .fused_topk import pad_rows_for_fused
@@ -109,9 +119,17 @@ class QuantizedResident:
 
         xs_i8 = PackedMatrix._upload(values)  # chunked H2D (see _upload)
         sc = jnp.asarray(scales)
+        if matrix.metric == "l2":
+            sq = np.zeros(n_rows, np.float32)
+            sq[: matrix.n] = matrix.sq_norms[: matrix.n]
+            sq_dev = jnp.asarray(sq)
+        else:
+            # cosine never reads the operand; a 1-element dummy keeps
+            # the jit signature satisfied without an N-sized upload
+            sq_dev = jnp.zeros((1,), jnp.float32)
         xs_i8.block_until_ready()
-        self._cached = (matrix.version, xs_i8, sc)
-        return xs_i8, sc
+        self._cached = (matrix.version, xs_i8, sc, sq_dev)
+        return xs_i8, sc, sq_dev
 
     @staticmethod
     def _use_fused(matrix) -> bool:
@@ -121,6 +139,8 @@ class QuantizedResident:
             jax.default_backend() == "tpu"
             and matrix.metric == "cosine"
             and matrix.n >= TILE
+            # row tile must stay within the VMEM budget at this width
+            and _I8_MAX_TILE_BYTES // matrix.data.shape[1] >= 512
         )
 
     def search(
@@ -136,20 +156,27 @@ class QuantizedResident:
         from ..native import rerank as native_rerank
 
         n = matrix.n
-        xs_i8, scales = self.arrays(matrix)
+        xs_i8, scales, sq_dev = self.arrays(matrix)
         qs = matrix.prepare_queries(queries)
         k_cand = min(max(8 * k, 64, k_cand_floor or 0), n)
-        from .fused_topk import TILE as _TILE
+        from .fused_topk import BUCKET as _BUCKET, TILE as _TILE
 
-        if self._use_fused(matrix) and xs_i8.shape[0] % _TILE == 0:
+        # The fused kernel yields one candidate per 64-row bucket; when
+        # that cannot supply the requested pool (small corpus or a wide
+        # k_cand_floor), the XLA path serves the full pool instead of
+        # silently shrinking it below the recall target.
+        if (
+            self._use_fused(matrix)
+            and xs_i8.shape[0] % _TILE == 0
+            and k_cand <= xs_i8.shape[0] // _BUCKET
+        ):
             _, cand = int8_fused_coarse(
                 xs_i8, scales, jnp.asarray(qs), jnp.int32(n), k=k_cand
             )
         else:
             _, cand = int8_coarse_topk(
                 xs_i8, scales, jnp.asarray(qs), jnp.int32(n),
-                jnp.asarray(matrix.sq_norms[: xs_i8.shape[0]]),
-                k=k_cand, metric=metric,
+                sq_dev, k=k_cand, metric=metric,
             )
         cand = np.asarray(cand, np.int64)
         cand = np.where(
@@ -269,13 +296,9 @@ _I8_MAX_TILE_BYTES = 4 * 1024 * 1024
 
 
 def _i8_tile_rows(d: int) -> int:
-    # largest power of two in budget: must divide TILE (see
-    # fused_topk._tile_rows — a non-divisor drops tail rows)
-    budget = _I8_MAX_TILE_BYTES // d
-    t = 512
-    while t * 2 <= min(budget, TILE):
-        t *= 2
-    return t
+    from .fused_topk import tile_rows_for
+
+    return tile_rows_for(d)  # 1 byte/element
 
 
 def _make_i8_kernel(tile_rows: int):
@@ -391,11 +414,7 @@ def int8_fused_coarse(
         b_pad = max(MIN_QUERY_BLOCK, ((b + 127) // 128) * 128)
         if b_pad != b:
             chunk = jnp.pad(chunk, ((0, b_pad - b), (0, 0)))
-        q_peak = jnp.max(jnp.abs(chunk), axis=1)
-        q_scales = jnp.where(q_peak > 0, q_peak / 127.0, 1.0)
-        q_i8 = jnp.clip(
-            jnp.round(chunk / q_scales[:, None]), -127, 127
-        ).astype(jnp.int8)
+        q_i8, q_scales = _quantize_queries(chunk)
         vals = _i8_bucket_scores(
             xs_i8, x_scales.reshape(-1, 1), q_i8,
             q_scales.reshape(1, -1), n_valid, interpret=interpret,

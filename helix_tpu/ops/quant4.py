@@ -66,13 +66,7 @@ def unpack_int4(packed: np.ndarray | jax.Array):
     return xp.concatenate([lo, hi], axis=1)
 
 
-def _quantize_queries(qs: jax.Array) -> tuple[jax.Array, jax.Array]:
-    q_peak = jnp.max(jnp.abs(qs), axis=1)
-    q_scales = jnp.where(q_peak > 0, q_peak / 127.0, 1.0)
-    q_i8 = jnp.clip(
-        jnp.round(qs / q_scales[:, None]), -127, 127
-    ).astype(jnp.int8)
-    return q_i8, q_scales
+from .quant import _quantize_queries  # shared device-side query int8
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
@@ -118,13 +112,9 @@ _I4_MAX_TILE_BYTES = 4 * 1024 * 1024  # packed bytes per x-tile in VMEM
 
 
 def _i4_tile_rows(d_half: int) -> int:
-    # largest power of two in budget: must divide TILE (see
-    # fused_topk._tile_rows — a non-divisor drops tail rows)
-    budget = _I4_MAX_TILE_BYTES // max(d_half, 1)
-    t = 512
-    while t * 2 <= min(budget, TILE):
-        t *= 2
-    return t
+    from .fused_topk import tile_rows_for
+
+    return tile_rows_for(d_half)  # packed: 1 byte per 2 elements
 
 
 def _make_i4_kernel(tile_rows: int, d_half: int):
@@ -259,14 +249,16 @@ class Int4Resident:
     by version (mirrors ``ops/quant.py`` QuantizedResident)."""
 
     def __init__(self):
-        self._cached: tuple | None = None  # (version, packed, scales)
+        # (version, packed, scales, sq_dev) — sq_dev caches the l2
+        # de-scale operand on device (cosine gets a 1-element dummy)
+        self._cached: tuple | None = None
 
-    def arrays(self, matrix) -> tuple[jax.Array, jax.Array]:
+    def arrays(self, matrix) -> tuple[jax.Array, jax.Array, jax.Array]:
         from .distance import PackedMatrix, _round_up
 
         cached = self._cached
         if cached is not None and cached[0] == matrix.version:
-            return cached[1], cached[2]
+            return cached[1], cached[2], cached[3]
         n_rows = _round_up(max(matrix.n, 1), matrix.ROW_PAD)
         if self._use_fused(matrix):
             from .fused_topk import pad_rows_for_fused
@@ -280,9 +272,15 @@ class Int4Resident:
         packed, scales = quantize_rows_int4(rows)
         xs = PackedMatrix._upload(packed)  # chunked H2D
         sc = jnp.asarray(scales)
+        if matrix.metric == "l2":
+            sq = np.zeros(n_rows, np.float32)
+            sq[: matrix.n] = matrix.sq_norms[: matrix.n]
+            sq_dev = jnp.asarray(sq)
+        else:
+            sq_dev = jnp.zeros((1,), jnp.float32)
         xs.block_until_ready()
-        self._cached = (matrix.version, xs, sc)
-        return xs, sc
+        self._cached = (matrix.version, xs, sc, sq_dev)
+        return xs, sc, sq_dev
 
     @staticmethod
     def _use_fused(matrix) -> bool:
@@ -292,6 +290,8 @@ class Int4Resident:
             jax.default_backend() == "tpu"
             and matrix.metric == "cosine"
             and matrix.n >= TILE
+            # packed row tile must fit the VMEM budget at this width
+            and _I4_MAX_TILE_BYTES // max(matrix.data.shape[1] // 2, 1) >= 512
         )
 
     def search(
@@ -306,20 +306,27 @@ class Int4Resident:
         from ..native import rerank as native_rerank
 
         n = matrix.n
-        packed, scales = self.arrays(matrix)
+        packed, scales, sq_dev = self.arrays(matrix)
         qs = matrix.prepare_queries(queries)
         k_cand = min(max(32 * k, 256, k_cand_floor or 0), n)
         from .fused_topk import TILE as _TILE
 
-        if self._use_fused(matrix) and packed.shape[0] % _TILE == 0:
+        # One candidate per 64-row bucket: when the bucket count cannot
+        # supply the documented candidate floor, the XLA path serves
+        # the full pool instead of silently narrowing it (recall would
+        # drop below the measured target with no warning).
+        if (
+            self._use_fused(matrix)
+            and packed.shape[0] % _TILE == 0
+            and k_cand <= packed.shape[0] // BUCKET
+        ):
             _, cand = int4_fused_coarse(
                 packed, scales, jnp.asarray(qs), jnp.int32(n), k=k_cand
             )
         else:
             _, cand = int4_coarse_topk(
                 packed, scales, jnp.asarray(qs), jnp.int32(n),
-                jnp.asarray(matrix.sq_norms[: packed.shape[0]]),
-                k=k_cand, metric=metric,
+                sq_dev, k=k_cand, metric=metric,
             )
         cand = np.asarray(cand, np.int64)
         cand = np.where(

@@ -186,6 +186,14 @@ class ShardedGraph:
         masks_d = jax.device_put(
             mm, NamedSharding(self.mesh, P(None, "shard"))
         )
+        n_hops = sum(1 for op in plan if op[0] == "hop")
+        if len(codes) < n_hops:
+            # a missing code would otherwise read the placeholder's 0 —
+            # a REAL label code — and silently label-filter the hop
+            raise ValueError(
+                f"plan contains {n_hops} hop ops but only "
+                f"{len(codes)} label codes were provided"
+            )
         codes_arr = jnp.asarray(
             np.asarray(codes, np.int32) if codes else np.zeros(1, np.int32)
         )

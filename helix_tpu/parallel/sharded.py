@@ -46,6 +46,9 @@ def _local_topk(xs, qs, n_valid, sq_norms, k, chunk, metric):
     n, _ = xs.shape
     b = qs.shape[0]
     chunk = pick_chunk(n, min(chunk, n))
+    # top_k/approx_max_k reject k wider than the scanned chunk; the
+    # caller pads the merged result back out to the requested k
+    k = min(k, chunk)
     num_chunks = n // chunk
     col_base = jnp.arange(chunk, dtype=jnp.int32)
 
@@ -111,7 +114,9 @@ def _local_fused(xs16, xs32, qs16, qs32, local_valid, k):
     )
     valid = best_packed[:b] > jnp.float32(NEG_SENTINEL / 2)
     exact = jnp.where(valid, exact, -jnp.inf)
-    best_s, top_pos = jax.lax.top_k(exact, k)
+    # at most k_cand candidates exist (one winner per bucket): clamp,
+    # and let the caller pad the merged result back out to k
+    best_s, top_pos = jax.lax.top_k(exact, min(k, k_cand))
     best_i = jnp.take_along_axis(cand_i[:b], top_pos, axis=1)
     return best_s, best_i
 
@@ -178,14 +183,30 @@ class ShardedVectorSearch:
                     xs_c, qs_c, local_valid, sq_norms, k, chunk, metric
                 )
             global_i = best_i + shard_id * rows
-            # ICI merge: gather every shard's candidates, re-select top-k.
-            all_s = jax.lax.all_gather(best_s, "shard", axis=0)   # [S, B, k]
+            # ICI merge: gather every shard's candidates, re-select
+            # top-k.  Per-shard paths clamp k to their candidate width
+            # (chunk / bucket count), so k_local can be < k; the merged
+            # result pads overflow slots (dist +inf, id -1) rather than
+            # asking top_k for more columns than exist.
+            k_local = best_s.shape[1]
+            all_s = jax.lax.all_gather(best_s, "shard", axis=0)   # [S, B, kl]
             all_i = jax.lax.all_gather(global_i, "shard", axis=0)
             b = qs.shape[0]
-            flat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(b, n_shard * k)
-            flat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, n_shard * k)
-            top_s, pos = jax.lax.top_k(flat_s, k)
+            flat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(
+                b, n_shard * k_local
+            )
+            flat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(
+                b, n_shard * k_local
+            )
+            k_final = min(k, n_shard * k_local)
+            top_s, pos = jax.lax.top_k(flat_s, k_final)
             top_i = jnp.take_along_axis(flat_i, pos, axis=1)
+            if k_final < k:
+                pad = k - k_final
+                top_s = jnp.pad(top_s, ((0, 0), (0, pad)),
+                                constant_values=-jnp.inf)
+                top_i = jnp.pad(top_i, ((0, 0), (0, pad)),
+                                constant_values=-1)
             if metric == "cosine":
                 dists = 1.0 - top_s
             else:

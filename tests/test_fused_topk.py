@@ -131,3 +131,38 @@ def test_resident_topk_auto_falls_back_on_cpu():
         k=k, metric="cosine",
     )
     assert np.asarray(ids)[:, 0].tolist() == list(range(b))  # self-hits
+
+
+def test_supports_fused_gates():
+    """Dispatcher gates: wide dims (VMEM tile budget) and k beyond the
+    bucket count route to the XLA path instead of crashing/overflowing
+    inside the fused kernel."""
+    from helix_tpu.ops.fused_topk import BUCKET, TILE, supports_fused
+
+    n = 8 * TILE
+    assert supports_fused(n, 128, "cosine", "tpu")
+    assert supports_fused(n, 128, "cosine", "tpu", k=n // BUCKET)
+    # k beyond one-candidate-per-bucket: refuse
+    assert not supports_fused(n, 128, "cosine", "tpu", k=n // BUCKET + 1)
+    # d=8192 gives a 256-row budget < the 512-row minimum tile: refuse
+    assert not supports_fused(n, 8192, "cosine", "tpu")
+    assert supports_fused(n, 4096, "cosine", "tpu")
+    assert not supports_fused(n, 128, "l2", "tpu")
+    assert not supports_fused(n, 128, "cosine", "cpu")
+    assert not supports_fused(n + 64, 128, "cosine", "tpu")
+
+
+def test_tile_rows_shared_helper():
+    from helix_tpu.ops.fused_topk import TILE, tile_rows_for
+    from helix_tpu.ops.quant import _i8_tile_rows
+    from helix_tpu.ops.quant4 import _i4_tile_rows
+
+    # bf16 at 128-d: full budget -> full tile
+    assert tile_rows_for(128 * 2) == TILE
+    # int8 fits 2x the rows of bf16 at equal width (same byte budget)
+    assert _i8_tile_rows(4096) == 2 * tile_rows_for(4096 * 2)
+    # packed int4 halves the bytes again
+    assert _i4_tile_rows(4096 // 2) == 2 * _i8_tile_rows(4096)
+    # every result divides TILE (non-divisors would drop tail rows)
+    for rb in (64, 128, 999, 4096, 8192, 100_000):
+        assert TILE % tile_rows_for(rb) == 0

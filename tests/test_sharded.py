@@ -160,3 +160,35 @@ def test_ragged_shard_sizes_and_k_overflow(n_rows, k):
         np.sort(expected, axis=1),
     )
     assert np.all(np.diff(dists, axis=1) >= -1e-6)
+
+
+@pytest.mark.parametrize("n_rows,k", [
+    (1000, 800),   # k wider than the per-shard chunk: locals clamp,
+                   # the merge re-expands
+    (100, 640),    # k wider than the whole corpus: overflow slots pad
+])
+def test_k_wider_than_per_shard_chunk(n_rows, k):
+    """k exceeding the per-shard scan width used to crash lax.top_k at
+    trace time; per-shard paths now clamp and the merge pads."""
+    rng = np.random.default_rng(k)
+    data = rng.normal(size=(n_rows, 32)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    queries = rng.normal(size=(4, 32)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    mesh = make_mesh()
+    search = ShardedVectorSearch(mesh, k=k, chunk=256, bf16=False)
+    sq = np.sum(data * data, axis=1)
+    xs, sqd, n_valid = search.shard_arrays(data, sq)
+    dists, idx = search(xs, queries, n_valid, sqd)
+    dists = np.asarray(dists)
+    idx = np.asarray(idx)
+    assert dists.shape == (4, k) and idx.shape == (4, k)
+    finite = np.isfinite(dists)
+    # every live row must be found, in distance order, before overflow
+    k_real = min(k, n_rows)
+    assert finite[:, :k_real].all()
+    assert np.all((idx[finite] >= 0) & (idx[finite] < n_rows))
+    expected = brute_force_ids(data, queries, k_real)
+    got = np.where(finite, idx, -1)[:, :k_real]
+    assert np.array_equal(np.sort(got, axis=1), np.sort(expected, axis=1))

@@ -204,3 +204,17 @@ def test_engine_sharded_membership_tail(monkeypatch):
     eng.graph_shard_threshold = None
     host = eng.execute(req)
     assert sharded == host and len(sharded["page"]) == 7
+
+
+def test_missing_label_codes_raise(mesh):
+    """A hop op with no label code must raise, not silently filter to
+    edge-label code 0 (a real label)."""
+    n = 64
+    rng = np.random.default_rng(5)
+    indptr, dst, lab = random_graph(rng, n, 4)
+    nb, lb = padded(indptr, dst, lab, n)
+    graph = ShardedGraph(mesh, n, {"out": (nb, lb)})
+    start = np.zeros(n, bool)
+    start[0] = True
+    with pytest.raises(ValueError, match="label codes"):
+        graph.run([("hop", ("out",))], start, codes=[], masks=[])
