@@ -25,15 +25,22 @@ from .store import Edge, GraphStore, IndexDef, Node
 
 Tagged = Any
 
-_TOKEN = re.compile(r"[a-z0-9]+")
+# Word characters minus underscore: for ASCII text this is exactly the
+# old [a-z0-9]+ behavior (after casefold), but Unicode letters/digits
+# now tokenize instead of silently vanishing — a non-Latin corpus used
+# to index zero tokens per doc (deflating IDF/avgdl for the whole
+# partition) and be unsearchable.
+_TOKEN = re.compile(r"[^\W_]+")
 _UNTENANTED = ("",)
 
+# Okapi constants; ops/bm25.py declares the same values for the device
+# kernel (kept in lockstep by tests/test_bm25_device.py).
 K1 = 1.2
 B = 0.75
 
 
 def tokenize(text: str) -> list[str]:
-    return _TOKEN.findall(text.lower())
+    return _TOKEN.findall(text.casefold())
 
 
 def _tenant_key(value: Tagged) -> tuple:
@@ -84,10 +91,24 @@ class TextPartition:
                     del self.postings[token]
         self.version += 1
 
+    # Writes since the last device build before a rebuild is justified:
+    # rebuilding is O(total postings) + a full device transfer, so an
+    # interleaved write/search workload must not pay it per search.
+    # Until the corpus quiesces (or drifts this far), stale-version
+    # searches serve from the host index — correct, just not
+    # device-accelerated.
+    REBUILD_MIN_WRITES = 2048
+
     def _device_postings(self):
         cached = self._device
         if cached is not None and cached[0] == self.version:
             return cached[1]
+        if (
+            cached is not None
+            and cached[1] is not None
+            and self.version - cached[0] < self.REBUILD_MIN_WRITES
+        ):
+            return None  # hysteresis: host path until writes amortize
         import jax
 
         if len(jax.devices()) > 1:
@@ -119,7 +140,7 @@ class TextPartition:
                     return hit
                 # more known terms than the kernel pad: host path scores
                 # every term (silent truncation would change rankings)
-        avgdl = self.total_len / n_docs if n_docs else 1.0
+        avgdl = self.total_len / n_docs
         scores: dict[int, float] = {}
         for token in tokenize(query):
             bucket = self.postings.get(token)
@@ -165,8 +186,16 @@ class TextIndex:
         self.partitions.setdefault(tenant, TextPartition()).add(element.id, text)
 
     def remove_element(self, element_id: int) -> None:
-        for part in self.partitions.values():
+        # Prune emptied tenant partitions: a tenant-churn workload would
+        # otherwise grow this dict forever and pay an O(dead tenants)
+        # scan on every delete.
+        dead = []
+        for tenant, part in self.partitions.items():
             part.remove(element_id)
+            if not part.doc_len:
+                dead.append(tenant)
+        for tenant in dead:
+            del self.partitions[tenant]
 
     def search(
         self, query: str, k: int, tenant_value: Tagged | None

@@ -8,8 +8,13 @@ query scores by scatter-adding each query term's weighted contributions
 into a dense ``[N]`` score vector — static shapes throughout (query
 terms padded to ``MAX_QUERY_TERMS``).
 
-Okapi BM25 with the same constants as the host index (k1=1.2, b=0.75),
-so device and host scores match bit-for-bit in float32.
+Okapi BM25 with the same constants as the host index (k1=1.2, b=0.75).
+Scores agree with the host path to float32 precision (the host
+accumulates in float64, the kernel in float32 scatter-adds, so
+near-tied docs below one f32 ulp apart can rank differently across the
+path threshold).  Top-k MEMBERSHIP under exact ties matches the host
+rule (-score, doc id) by construction: doc slots are assigned in
+ascending doc-id order, and ``lax.top_k`` breaks ties by lowest slot.
 """
 
 from __future__ import annotations
@@ -23,6 +28,45 @@ import numpy as np
 K1 = 1.2
 B = 0.75
 MAX_QUERY_TERMS = 16
+
+
+def _prepare_terms(vocab, df, n_docs, tokens):
+    """Shared query prep for the single-device and sharded paths:
+    ``(terms, idf)`` padded to MAX_QUERY_TERMS, ``None`` when the query
+    has more known terms than the pad (caller -> host path), or
+    ``(None, None)`` when nothing matched the vocabulary."""
+    import math
+
+    rows, idfs = [], []
+    for token in tokens:
+        row = vocab.get(token)
+        if row is None:
+            continue
+        rows.append(row)
+        d = df[row]
+        idfs.append(math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+    if len(rows) > MAX_QUERY_TERMS:
+        return None
+    if not rows:
+        return (None, None)
+    pad = MAX_QUERY_TERMS - len(rows)
+    return (
+        np.array(rows + [-1] * pad, np.int32),
+        np.array(idfs + [0.0] * pad, np.float32),
+    )
+
+
+def _finalize(scores, slots, slot_to_doc):
+    """Shared postprocess: drop zero scores, map slots to doc ids, and
+    order by (-score, id) — membership already matches the host rule
+    because slots are id-ordered (see the build methods)."""
+    scores = np.asarray(scores, np.float64)
+    slots = np.asarray(slots)
+    keep = scores > 0
+    ids = slot_to_doc[slots[keep]].astype(np.uint64)
+    vals = scores[keep]
+    order = np.lexsort((ids, -vals))
+    return ids[order], vals[order]
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -90,9 +134,15 @@ class DevicePostings:
         n = len(doc_len)
         if n == 0:
             return None
-        slot_to_doc = np.fromiter(doc_len.keys(), np.int64, count=n)
+        # Slot order IS the tie-break order: lax.top_k keeps the
+        # lowest slot among equal scores, so ascending-id slots make
+        # device membership match the host's (-score, id) rule even
+        # when ties straddle rank k.
+        slot_to_doc = np.sort(np.fromiter(doc_len.keys(), np.int64, count=n))
         doc_to_slot = {int(d): i for i, d in enumerate(slot_to_doc)}
-        lengths = np.fromiter(doc_len.values(), np.float32, count=n)
+        lengths = np.array(
+            [doc_len[int(d)] for d in slot_to_doc], np.float32
+        )
         terms = sorted(postings.keys())
         widths = [len(postings[t]) for t in terms]
         p = max(widths) if widths else 1
@@ -126,38 +176,18 @@ class DevicePostings:
         kernel's pad width — the caller serves it on the host path so
         results never silently drop terms.  Unknown tokens are filtered
         BEFORE the cap (they score nothing on either path)."""
-        import math
-
-        rows, idfs = [], []
-        for token in tokens:
-            row = self.vocab.get(token)
-            if row is None:
-                continue
-            rows.append(row)
-            df = self.df[row]
-            idfs.append(math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
-        if len(rows) > MAX_QUERY_TERMS:
+        prepared = _prepare_terms(self.vocab, self.df, self.n_docs, tokens)
+        if prepared is None:
             return None
-        if not rows:
+        terms, idf = prepared
+        if terms is None:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
-        pad = MAX_QUERY_TERMS - len(rows)
-        terms = np.array(rows + [-1] * pad, np.int32)
-        idf = np.array(idfs + [0.0] * pad, np.float32)
         scores, slots = bm25_scores(
             self.post_docs, self.post_tf, self.doc_len,
             jnp.float32(self.avgdl),
             jnp.asarray(terms), jnp.asarray(idf), k=k,
         )
-        scores = np.asarray(scores, np.float64)
-        slots = np.asarray(slots)
-        keep = scores > 0
-        ids = self.slot_to_doc[slots[keep]].astype(np.uint64)
-        vals = scores[keep]
-        # tie-break exactly like the host path ((-score, doc_id)): the
-        # device top-k orders ties by slot, which differs from doc id
-        # and would flip top-k membership at the path threshold
-        order = np.lexsort((ids, -vals))
-        return ids[order], vals[order]
+        return _finalize(scores, slots, self.slot_to_doc)
 
 
 class ShardedBM25:
@@ -197,8 +227,11 @@ class ShardedBM25:
         rows = -(-n // n_shard)
         rows = ((rows + 127) // 128) * 128
         slot_to_doc_full = np.zeros(n_shard * rows, np.int64)
-        all_docs = np.fromiter(doc_len.keys(), np.int64, count=n)
-        slot_to_doc_full[:n] = 0  # filled below in shard order
+        # ascending-id assignment: within a shard lax.top_k's
+        # lowest-slot tie-break = lowest id, and the shard-major merge
+        # flatten prefers earlier shards = lower ids — together the
+        # host's (-score, id) membership rule, exactly
+        all_docs = np.sort(np.fromiter(doc_len.keys(), np.int64, count=n))
         lengths_full = np.zeros(n_shard * rows, np.float32)
         doc_to_local: dict[int, tuple[int, int]] = {}
         for i, doc in enumerate(all_docs):
@@ -290,32 +323,15 @@ class ShardedBM25:
     def search(self, tokens: list[str], k: int):
         """(doc ids, scores desc) — None when the query exceeds the
         kernel's term pad (caller serves on the host path)."""
-        import math
-
-        rows_list, idfs = [], []
-        for token in tokens:
-            row = self.vocab.get(token)
-            if row is None:
-                continue
-            rows_list.append(row)
-            df = self.df[row]
-            idfs.append(math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
-        if len(rows_list) > MAX_QUERY_TERMS:
+        prepared = _prepare_terms(self.vocab, self.df, self.n_docs, tokens)
+        if prepared is None:
             return None
-        if not rows_list:
+        terms, idf = prepared
+        if terms is None:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
-        pad = MAX_QUERY_TERMS - len(rows_list)
-        terms = np.array(rows_list + [-1] * pad, np.int32)
-        idf = np.array(idfs + [0.0] * pad, np.float32)
         scores, slots = self._fn(k)(
             self.docs, self.tf, self.dl,
             jnp.asarray(terms), jnp.asarray(idf),
             jnp.float32(self.avgdl),
         )
-        scores = np.asarray(scores, np.float64)
-        slots = np.asarray(slots)
-        keep = scores > 0
-        ids = self.slot_to_doc[slots[keep]].astype(np.uint64)
-        vals = scores[keep]
-        order = np.lexsort((ids, -vals))
-        return ids[order], vals[order]
+        return _finalize(scores, slots, self.slot_to_doc)

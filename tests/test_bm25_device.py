@@ -114,3 +114,111 @@ def test_single_device_postings_still_covered(corpus):
     h_ids, h_scores = host.search("graph vector tpu", 10)
     d_ids, d_scores = device.search(tokenize("graph vector tpu"), 10)
     assert np.allclose(sorted(h_scores), sorted(d_scores), rtol=1e-5)
+
+
+def test_tie_membership_matches_host_across_paths():
+    """Equal-scoring docs straddling rank k: device top-k membership
+    must follow the host's (-score, id) rule even when insertion order
+    (and so dict order) diverges from id order."""
+    host = TextPartition(device_threshold=10**9)
+    dev = TextPartition(device_threshold=1)
+    # 30 identical docs -> all tie; insert in scrambled order, then
+    # churn a few (remove+reinsert moves them to the dict's tail)
+    ids = list(range(1, 31))
+    rng = np.random.default_rng(7)
+    rng.shuffle(ids)
+    for part in (host, dev):
+        for doc_id in ids:
+            part.add(doc_id, "alpha beta gamma")
+        for doc_id in (3, 11, 27):
+            part.remove(doc_id)
+            part.add(doc_id, "alpha beta gamma")
+    h_ids, _ = host.search("alpha", 10)
+    d_ids, _ = dev.search("alpha", 10)
+    assert d_ids.tolist() == h_ids.tolist() == list(range(1, 11))
+
+
+def test_sharded_tie_membership(corpus):
+    """Same rule through the sharded path (shard-major merge prefers
+    lower ids among exact ties)."""
+    import jax
+
+    from helix_tpu.ops.bm25 import ShardedBM25
+    from helix_tpu.parallel import make_mesh
+
+    part = TextPartition()
+    ids = list(range(1, 41))
+    rng = np.random.default_rng(9)
+    rng.shuffle(ids)
+    for doc_id in ids:
+        part.add(doc_id, "delta epsilon")
+    built = ShardedBM25.build(part.postings, part.doc_len, make_mesh())
+    got_ids, _ = built.search(tokenize("delta"), 12)
+    assert got_ids.tolist() == list(range(1, 13))
+
+
+def test_unicode_tokenization_searchable():
+    """Non-Latin text must tokenize and be searchable (the old ASCII
+    regex dropped it, deflating partition stats and returning no hits)."""
+    assert tokenize("Foo_Bar-baz9") == ["foo", "bar", "baz9"]
+    assert tokenize("naïve Café") == ["naïve", "café"]
+    assert tokenize("Москва 東京abc") == ["москва", "東京abc"]
+
+    part = TextPartition(device_threshold=10**9)
+    part.add(1, "café culture in Wien")
+    part.add(2, "coffee culture in Vienna")
+    ids, scores = part.search("café", 5)
+    assert ids.tolist() == [1] and scores[0] > 0
+    # doc stats now count unicode tokens
+    assert part.doc_len[1] == 4
+
+
+def test_device_rebuild_hysteresis(corpus):
+    """A trickle of writes must not rebuild the device layout per
+    search: stale-version searches serve host until the drift passes
+    REBUILD_MIN_WRITES, and results stay read-your-writes correct."""
+    part = TextPartition(device_threshold=1)
+    for doc_id, text in list(corpus.items())[:60]:
+        part.add(doc_id, text)
+    part.search("graph", 5)          # builds
+    built_version = part._device[0]
+    part.add(7777, "graph graph graph graph graph")
+    ids, _ = part.search("graph", 5)
+    assert 7777 in ids.tolist()      # host path, fresh data visible
+    assert part._device[0] == built_version  # no rebuild yet
+    # enough churn -> the next search rebuilds
+    part.REBUILD_MIN_WRITES = 2
+    part.add(7778, "graph graph")
+    part.search("graph", 5)
+    assert part._device[0] == part.version
+
+
+def test_tenant_partition_pruning():
+    from helix_tpu.engine.store import GraphStore
+    from helix_tpu.engine.text import TextIndex
+
+    store = GraphStore()
+    store.create_index({"NodeText": {
+        "label": "Doc", "property": "body", "tenant_property": "org",
+    }}, if_not_exists=True)
+    defn = next(iter(store.indexes.values()))
+    index = TextIndex(defn)
+    class _El:
+        def __init__(self, i, org):
+            self.id = i
+            self.props = {"body": {"String": f"text {i}"},
+                          "org": {"String": org}}
+    for i in range(4):
+        index.insert_element(_El(i, f"org{i}"))
+    assert len(index.partitions) == 4
+    for i in range(3):
+        index.remove_element(i)
+    assert len(index.partitions) == 1  # emptied tenants pruned
+
+
+def test_okapi_constants_in_lockstep():
+    from helix_tpu.engine import text as host_mod
+    from helix_tpu.ops import bm25 as dev_mod
+
+    assert host_mod.K1 == dev_mod.K1
+    assert host_mod.B == dev_mod.B
