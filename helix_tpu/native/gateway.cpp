@@ -43,6 +43,7 @@
 #include <string>
 #include <thread>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 #include "fastdouble.h"
@@ -178,6 +179,7 @@ struct Conn {
     // incremental header parse state
     bool have_header = false;
     size_t body_need = 0;
+    bool body_bad = false;  // malformed Content-Length: reject, never reparse
     std::string method, path;
     int flags = 0;
     bool authorized = true;
@@ -195,6 +197,8 @@ struct Gateway {
 
     std::mutex conn_mu;    // guards conns + reqs + generation
     std::unordered_map<int, Conn*> conns;
+    // fds closed during the current epoll batch (IO thread only)
+    std::unordered_set<int> dead_batch;
     std::unordered_map<uint64_t, ReqState> reqs;
     uint64_t next_reqid = 1;
     uint64_t next_gen = 1;
@@ -260,6 +264,13 @@ bool parse_fast_body(const FastRoute& fr, const std::string& body,
     k = fr.k_default;
     bool have_vec = false;
     int wrapper_depth = 0;
+    // strict member framing: a comma REQUIRES another member, a member
+    // not followed by a comma REQUIRES '}' — the interpreter's parser
+    // rejects trailing/missing commas, and a 200-vs-400 that depends
+    // on which internal path served the request breaks the "semantics
+    // match the interpreter exactly" contract
+    bool prev_comma = false;
+    int members_here = 0;
 
     p = skip_ws(p, end);
     if (p >= end || *p != '{') return false;
@@ -267,6 +278,7 @@ bool parse_fast_body(const FastRoute& fr, const std::string& body,
     for (;;) {
         p = skip_ws(p, end);
         if (p < end && *p == '}') {
+            if (prev_comma) return false;  // trailing comma
             ++p;
             if (wrapper_depth > 0) {
                 --wrapper_depth;
@@ -276,6 +288,8 @@ bool parse_fast_body(const FastRoute& fr, const std::string& body,
             }
             break;
         }
+        if (members_here > 0 && !prev_comma) return false;  // missing comma
+        prev_comma = false;
         std::string key;
         p = parse_plain_string(p, end, key);
         if (!p) return false;
@@ -286,8 +300,10 @@ bool parse_fast_body(const FastRoute& fr, const std::string& body,
             p < end && *p == '{') {
             ++wrapper_depth;
             ++p;
+            members_here = 0;  // fresh object: its own member framing
             continue;
         }
+        ++members_here;
         if (key == fr.vec_key) {
             if (p >= end || *p != '[') return false;
             ++p;
@@ -339,8 +355,8 @@ bool parse_fast_body(const FastRoute& fr, const std::string& body,
             return false;  // unknown key -> slow path
         }
         p = skip_ws(p, end);
-        if (p < end && *p == ',') { ++p; continue; }
-        // loop top handles '}'
+        if (p < end && *p == ',') { ++p; prev_comma = true; continue; }
+        // loop top handles '}' (and rejects a missing comma)
     }
     p = skip_ws(p, end);
     if (p != end) return false;
@@ -374,6 +390,11 @@ void build_response(std::string& out, int status, const char* ctype,
                      "\r\n",
                      status, reason, ctype, body_len,
                      keep_alive ? "keep-alive" : "close");
+    // snprintf returns the WOULD-BE length on truncation; appending
+    // that many bytes would read past the stack buffer (a long caller
+    // content-type is enough to get here).
+    if (n < 0) n = 0;
+    if ((size_t)n > sizeof head - 1) n = sizeof head - 1;
     out.append(head, n);
     out.append(body, body_len);
 }
@@ -392,6 +413,11 @@ void close_conn(Gateway* gw, Conn* c) {
         std::lock_guard<std::mutex> lk(gw->conn_mu);
         gw->conns.erase(c->fd);
     }
+    // Stale-event guard (same scheme as haproxy.cpp): a later event in
+    // the SAME epoll batch may still carry this fd, and accept() can
+    // already have reused it for a brand-new connection — without this
+    // the stale EPOLLHUP/EPOLLIN would be applied to the new conn.
+    gw->dead_batch.insert(c->fd);
     delete c;
 }
 
@@ -422,7 +448,8 @@ bool flush_conn(Gateway* gw, Conn* c) {
         c->wbuf.clear();
         c->woff = 0;
         arm_writable(gw, c, false);
-        if (c->close_after_flush && !c->streaming_active) {
+        if (c->close_after_flush && !c->streaming_active &&
+            c->ready.empty()) {  // parked responses must drain first
             close_conn(gw, c);
             return false;
         }
@@ -432,10 +459,19 @@ bool flush_conn(Gateway* gw, Conn* c) {
 
 // deliver a completed response body (wire bytes) for (conn, seq)
 // caller holds no locks; IO thread only
-void deliver_response(Gateway* gw, Conn* c, uint64_t seq, std::string&& wire) {
+// Returns false when the conn was closed (and freed) during the flush;
+// callers must not touch c afterwards.
+bool deliver_response(Gateway* gw, Conn* c, uint64_t seq, std::string&& wire) {
     if (seq != c->next_send_seq) {
-        c->ready.emplace(seq, std::move(wire));
-        return;
+        auto it = c->ready.find(seq);
+        if (it == c->ready.end()) {
+            c->ready.emplace(seq, std::move(wire));
+        } else {
+            // a stream chunk for this seq was parked first: the header
+            // goes in FRONT of it (emplace would silently drop it)
+            it->second.insert(0, wire);
+        }
+        return true;
     }
     c->wbuf += wire;
     ++c->next_send_seq;
@@ -445,15 +481,15 @@ void deliver_response(Gateway* gw, Conn* c, uint64_t seq, std::string&& wire) {
         ++c->next_send_seq;
         it = c->ready.erase(it);
     }
-    flush_conn(gw, c);
+    return flush_conn(gw, c);
 }
 
-void enqueue_error(Gateway* gw, Conn* c, uint64_t seq, int status,
+bool enqueue_error(Gateway* gw, Conn* c, uint64_t seq, int status,
                    const char* json_body, bool keep_alive) {
     std::string wire;
     build_response(wire, status, "application/json", json_body,
                    strlen(json_body), keep_alive);
-    deliver_response(gw, c, seq, std::move(wire));
+    return deliver_response(gw, c, seq, std::move(wire));
 }
 
 // Parse whatever complete requests sit in the conn's read buffer.
@@ -503,7 +539,15 @@ bool drain_requests(Gateway* gw, Conn* c) {
                     size_t vlen = he - v;
                     if (iequal(h, nlen, "content-length")) {
                         unsigned long long cl = 0;
-                        std::from_chars(v, he, cl);
+                        auto [ptr, ec] = std::from_chars(v, he, cl);
+                        const char* q = ptr;
+                        while (q < he && (*q == ' ' || *q == '\t')) ++q;
+                        if (ec != std::errc() || ptr == v || q != he) {
+                            // malformed value: treating it as 0 would
+                            // re-parse the body bytes as the next
+                            // pipelined request (request smuggling)
+                            c->body_bad = true;
+                        }
                         c->body_need = (size_t)cl;
                     } else if (iequal(h, nlen, "transfer-encoding")) {
                         if (vlen >= 7) chunked = true;
@@ -536,22 +580,31 @@ bool drain_requests(Gateway* gw, Conn* c) {
             c->roff = hdr_end + 4;
             c->have_header = true;
             if (chunked) {
+                c->close_after_flush = true;  // BEFORE the flush
                 uint64_t seq = c->next_issue_seq++;
-                enqueue_error(gw, c, seq, 501,
-                              "{\"error\": {\"kind\": \"NotImplemented\", "
-                              "\"message\": \"chunked bodies unsupported\"}}",
-                              false);
+                return enqueue_error(
+                    gw, c, seq, 501,
+                    "{\"error\": {\"kind\": \"NotImplemented\", "
+                    "\"message\": \"chunked bodies unsupported\"}}",
+                    false);
+            }
+            if (c->body_bad) {
                 c->close_after_flush = true;
-                return true;
+                uint64_t seq = c->next_issue_seq++;
+                return enqueue_error(
+                    gw, c, seq, 400,
+                    "{\"error\": {\"kind\": \"BadRequest\", "
+                    "\"message\": \"malformed Content-Length\"}}",
+                    false);
             }
             if (c->body_need > gw->max_body) {
-                uint64_t seq = c->next_issue_seq++;
-                enqueue_error(gw, c, seq, 413,
-                              "{\"error\": {\"kind\": \"PayloadTooLarge\", "
-                              "\"message\": \"request body too large\"}}",
-                              false);
                 c->close_after_flush = true;
-                return true;
+                uint64_t seq = c->next_issue_seq++;
+                return enqueue_error(
+                    gw, c, seq, 413,
+                    "{\"error\": {\"kind\": \"PayloadTooLarge\", "
+                    "\"message\": \"request body too large\"}}",
+                    false);
             }
         }
         // body
@@ -571,9 +624,10 @@ bool drain_requests(Gateway* gw, Conn* c) {
         bool ka = c->keep_alive;
 
         if (!c->authorized) {
-            enqueue_error(gw, c, seq, 401,
-                          "{\"error\": {\"kind\": \"Unauthorized\", "
-                          "\"message\": \"invalid api key\"}}", ka);
+            if (!enqueue_error(gw, c, seq, 401,
+                               "{\"error\": {\"kind\": \"Unauthorized\", "
+                               "\"message\": \"invalid api key\"}}", ka))
+                return false;  // conn died mid-flush
             continue;
         }
 
@@ -627,8 +681,10 @@ void io_loop(Gateway* gw) {
     epoll_event events[256];
     while (gw->running.load(std::memory_order_acquire)) {
         int n = epoll_wait(gw->epoll_fd, events, 256, 100);
+        gw->dead_batch.clear();
         for (int i = 0; i < n; ++i) {
             int fd = events[i].data.fd;
+            if (gw->dead_batch.count(fd)) continue;  // closed this batch
             if (fd == gw->listen_fd) {
                 for (;;) {
                     int cfd = accept4(gw->listen_fd, nullptr, nullptr,
@@ -707,8 +763,17 @@ void io_loop(Gateway* gw) {
                             c = cit->second;
                     }
                     if (!c) continue;
-                    c->wbuf += data;
-                    flush_conn(gw, c);
+                    if (c->next_send_seq > st.seq) {
+                        // stream header already on the wire: append live
+                        c->wbuf += data;
+                        flush_conn(gw, c);
+                    } else {
+                        // stream response still parked behind earlier
+                        // pipelined responses: chunks join the parked
+                        // header so the byte stream stays in sequence
+                        // order (the file-header ordering promise)
+                        c->ready[st.seq] += data;
+                    }
                 }
                 for (uint64_t reqid : ends) {
                     ReqState st;
@@ -730,8 +795,12 @@ void io_loop(Gateway* gw) {
                     if (c) {
                         c->streaming_active = false;
                         c->close_after_flush = true;
-                        if (c->wbuf.empty()) close_conn(gw, c);
-                        else flush_conn(gw, c);
+                        // parked responses (incl. the stream's own
+                        // header+chunks) must still drain before close
+                        if (c->wbuf.empty() && c->ready.empty())
+                            close_conn(gw, c);
+                        else
+                            flush_conn(gw, c);
                     }
                 }
                 continue;
@@ -1087,6 +1156,8 @@ int hxgw_respond_stream_start(void* h, unsigned long long reqid, int status,
                      "Connection: close\r\n"
                      "\r\n",
                      status, ctype);
+    if (n < 0) n = 0;
+    if ((size_t)n > sizeof head - 1) n = sizeof head - 1;  // truncated
     {
         std::lock_guard<std::mutex> lk(gw->resp_mu);
         gw->resp_queue.emplace_back(reqid, std::string(head, n));

@@ -851,9 +851,25 @@ bool drain_client(Proxy* px, ClientConn* c) {
                     const char* v = colon + 1;
                     while (v < he && (*v == ' ' || *v == '\t')) ++v;
                     if (iequal(h, nlen, "content-length")) {
-                        unsigned long long cl = 0;
-                        cl = strtoull(v, nullptr, 10);
+                        // reject a malformed value rather than treating
+                        // it as 0 and reparsing the body bytes as the
+                        // next request (smuggling primitive)
+                        char* endp = nullptr;
+                        unsigned long long cl = strtoull(v, &endp, 10);
+                        const char* q = endp;
+                        while (q < he && (*q == ' ' || *q == '\t')) ++q;
+                        if (endp == v || q != he) {
+                            close_client(px, c);
+                            return false;
+                        }
                         c->body_need = (size_t)cl;
+                    } else if (iequal(h, nlen, "transfer-encoding")) {
+                        // chunked request bodies are not deframed here;
+                        // forwarding with body_need=0 would silently
+                        // drop the body and parse the chunk framing as
+                        // the next request (the gateway 501s this too)
+                        close_client(px, c);
+                        return false;
                     } else if (iequal(h, nlen, "connection")) {
                         if (he - v >= 5 && strncasecmp(v, "close", 5) == 0)
                             c->keep_alive = false;

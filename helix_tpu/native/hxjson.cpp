@@ -312,11 +312,20 @@ struct Parser {
         }
         // slow path with escapes
         std::string buf(start, p - start);
+        // stdlib json accepts lone \uD800-\uDFFF escapes and returns
+        // the unpaired surrogate in the Python string; our UTF-8 buffer
+        // then holds a surrogate encoding that "strict" rejects, so
+        // those strings decode with "surrogatepass" instead (raw
+        // invalid UTF-8 input still fails: the flag is only set by a
+        // validated \u escape)
+        bool lone_surrogate = false;
         while (p < end) {
             unsigned char c = (unsigned char)*p;
             if (c == '"') {
                 ++p;
-                return PyUnicode_DecodeUTF8(buf.data(), buf.size(), "strict");
+                return PyUnicode_DecodeUTF8(
+                    buf.data(), buf.size(),
+                    lone_surrogate ? "surrogatepass" : "strict");
             }
             if (c == '\\') {
                 if (p + 1 >= end) return fail("bad escape");
@@ -346,6 +355,8 @@ struct Parser {
                                 p += 6;
                             }
                         }
+                        if (cp >= 0xD800 && cp <= 0xDFFF)
+                            lone_surrogate = true;  // unpaired escape
                         append_utf8(buf, cp);
                         break;
                     }

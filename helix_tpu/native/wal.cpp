@@ -83,7 +83,10 @@ bool write_all(int fd, const void* data, size_t len) {
 
 extern "C" {
 
-// Open (or create) a WAL for appending. Returns nullptr on failure.
+// Open (or create) a WAL for appending. Returns nullptr on failure —
+// including a file whose header is torn or not a WAL: appending past a
+// bad header would fsync-acknowledge records that replay can never
+// read (the reader rejects the file wholesale on a magic mismatch).
 void* hxwal_open(const char* path) {
   int fd = ::open(path, O_CREAT | O_RDWR | O_APPEND, 0644);
   if (fd < 0) return nullptr;
@@ -96,15 +99,31 @@ void* hxwal_open(const char* path) {
       ::close(fd);
       return nullptr;
     }
+  } else {
+    uint8_t header[kHeaderSize];
+    bool ok = size >= static_cast<off_t>(kHeaderSize) &&
+              ::pread(fd, header, sizeof(header), 0) ==
+                  static_cast<ssize_t>(sizeof(header)) &&
+              memcmp(header, kMagic, sizeof(kMagic)) == 0;
+    if (!ok) {
+      ::close(fd);
+      return nullptr;
+    }
   }
   Writer* w = new Writer();
   w->fd = fd;
   return w;
 }
 
+// Largest record either side of the log accepts.  Append and replay
+// MUST agree: a record the writer fsync-acknowledges but the reader
+// rejects as corrupt would silently truncate replay at that point.
+constexpr uint32_t kMaxRecord = 1u << 30;
+
 // Append one record; sync!=0 fsyncs before returning. Returns 0 on success.
 int hxwal_append(void* handle, const void* data, uint32_t len, int sync) {
   Writer* w = static_cast<Writer*>(handle);
+  if (len > kMaxRecord) return -1;  // reader would reject it on replay
   uint32_t crc = crc32(static_cast<const uint8_t*>(data), len);
   uint8_t frame[8];
   memcpy(frame, &len, 4);
@@ -161,10 +180,12 @@ long hxwal_reader_next(void* handle, const void** data_out) {
   uint32_t len, crc;
   memcpy(&len, frame, 4);
   memcpy(&crc, frame + 4, 4);
-  if (len > (1u << 30)) return -1;  // corrupt length
+  if (len > kMaxRecord) return -1;  // corrupt length
   if (len > r->cap) {
     size_t cap = len ? len : 1;
-    r->buf = static_cast<uint8_t*>(realloc(r->buf, cap));
+    uint8_t* grown = static_cast<uint8_t*>(realloc(r->buf, cap));
+    if (!grown) return -1;  // keep buf/cap consistent on OOM
+    r->buf = grown;
     r->cap = cap;
   }
   if (len && fread(r->buf, 1, len, r->fp) != len) return -1;  // torn tail

@@ -249,3 +249,18 @@ def test_nan_null_mode_is_strict_json():
     assert json.loads(blob) == {"v": [1.0, None]}
     # default mode keeps lossless stdlib-compatible literals (WAL round-trip)
     assert fastjson.dumps(float("nan")) == "NaN"
+
+
+def test_lone_surrogate_escapes_match_stdlib():
+    """stdlib json accepts unpaired \\uD800-\\uDFFF escapes and returns
+    the lone surrogate; the native codec must agree instead of raising
+    UnicodeDecodeError."""
+    import json as stdlib_json
+
+    from helix_tpu import fastjson
+
+    for payload in (r'"\ud800"', r'"\udfff"', r'"a\ud800b"',
+                    r'"\ud800\ud800"', r'"😀"'):
+        assert fastjson.loads(payload) == stdlib_json.loads(payload), payload
+    # valid pairs still decode to the astral character
+    assert fastjson.loads(r'"😀"') == "\U0001F600"

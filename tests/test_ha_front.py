@@ -537,3 +537,37 @@ def test_control_path_forwards_client_headers():
     finally:
         front.stop()
         stub.shutdown()
+
+
+def test_proxy_rejects_chunked_and_bad_content_length(cluster):
+    """The native proxy must not forward a chunked request with an
+    empty body (its chunk framing would parse as the next request —
+    smuggling), nor honor a malformed Content-Length as 0."""
+    import socket
+
+    primary, replicas, front = cluster
+    for raw in (
+        b"POST /v1/query HTTP/1.1\r\nHost: x\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\n0\r\n\r\n",
+        b"POST /v1/query HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: 2abc\r\n\r\n"
+        b"GET /v1/health HTTP/1.1\r\n\r\n",
+    ):
+        with socket.create_connection(
+            ("127.0.0.1", front.port), timeout=5
+        ) as s:
+            s.sendall(raw)
+            buf = b""
+            deadline = time.time() + 5
+            while time.time() < deadline:
+                try:
+                    chunk = s.recv(65536)
+                except TimeoutError:
+                    break
+                if not chunk:
+                    break
+                buf += chunk
+        # the connection must be torn down without proxying anything;
+        # no smuggled /v1/health response may ever appear
+        assert b'"nodes"' not in buf and b'"status"' not in buf

@@ -481,3 +481,72 @@ def test_responses_are_strict_json(gateway):
     parsed = json.loads(body, parse_constant=_reject)
     (row,) = parsed["n"]
     assert row["x"] is None and row["y"] is None
+
+
+def test_malformed_content_length_rejected(gateway):
+    """A Content-Length that doesn't parse must 400 and close — treating
+    it as 0 would reparse the body bytes as the next pipelined request
+    (request smuggling)."""
+    raw = (
+        b"POST /v1/query HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: +17\r\n\r\n"
+        b"GET /v1/health HTTP"
+    )
+    with socket.create_connection(("127.0.0.1", gateway.port), timeout=10) as s:
+        s.sendall(raw)
+        buf = b""
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+    assert b"400" in buf.split(b"\r\n", 1)[0]
+    assert buf.count(b"HTTP/1.1") == 1  # the smuggled bytes never parsed
+
+
+def test_trailing_ows_in_content_length_ok(gateway):
+    body = b"{}"
+    raw = (
+        b"GET /v1/health HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b" \r\n\r\n" + body
+    )
+    with socket.create_connection(("127.0.0.1", gateway.port), timeout=10) as s:
+        s.sendall(raw)
+        buf = b""
+        deadline = time.time() + 10
+        while b"\r\n\r\n" not in buf and time.time() < deadline:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+    assert buf.startswith(b"HTTP/1.1 200")
+
+
+def test_fast_path_rejects_malformed_commas(gateway, client):
+    """Trailing/missing commas are invalid JSON: the fast path must
+    decline (-> interpreter 400), never 200 a body the slow path would
+    reject."""
+    good = json.dumps({"q": _query_vec(3), "k": 2})
+    trailing = good[:-1] + ",}"
+    missing = good.replace('], "k"', '] "k"')
+    for bad in (trailing, missing):
+        raw = (
+            b"POST /v1/query/vsearch HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Content-Length: " + str(len(bad)).encode() + b"\r\n\r\n"
+            + bad.encode()
+        )
+        with socket.create_connection(
+            ("127.0.0.1", gateway.port), timeout=10
+        ) as s:
+            s.sendall(raw)
+            buf = b""
+            deadline = time.time() + 10
+            while b"\r\n\r\n" not in buf and time.time() < deadline:
+                chunk = s.recv(65536)
+                if not chunk:
+                    break
+                buf += chunk
+        status = buf.split(b"\r\n", 1)[0]
+        assert b"400" in status or b"500" in status, (bad, buf[:200])

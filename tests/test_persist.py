@@ -552,3 +552,28 @@ def test_unique_edge_index_survives_recovery(tmp_path):
             )
         ))
     eng2.close()
+
+
+def test_poisoned_wal_header_fails_loudly(tmp_path):
+    """A WAL whose header is torn or not a WAL must refuse to open:
+    appending past a bad header would fsync-acknowledge records that
+    replay can never read (reader rejects the whole file on magic
+    mismatch)."""
+    bad = tmp_path / "bad.wal"
+    bad.write_bytes(b"NOTAWAL!" + b"x" * 32)
+    with pytest.raises(OSError):
+        Wal(bad)
+    torn = tmp_path / "torn.wal"
+    torn.write_bytes(b"HXW")  # crash mid-header-write
+    with pytest.raises(OSError):
+        Wal(torn)
+    # a valid header (even with a torn record tail) still opens
+    good = tmp_path / "good.wal"
+    w = Wal(good)
+    w.append(b"rec")
+    w.close()
+    with open(good, "ab") as fh:
+        fh.write(b"\xff\xff")
+    w2 = Wal(good)
+    w2.append(b"rec2")
+    w2.close()
