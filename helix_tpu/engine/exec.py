@@ -2231,6 +2231,11 @@ class _QueryState:
             if len(out) == 0:
                 continue
             covered_local = np.unique(out.src)
+            # Remap provenance out of the attempt-local basis before the
+            # merge: pending-row -> frame-row -> the frame's OWN src, so
+            # an enclosing per-traverser construct (Optional/Coalesce)
+            # sees coverage in its basis, not indices into our subset.
+            out.src = frame.src[pending[out.src]]
             outputs.append(out)
             covered_abs = set(int(i) for i in pending[covered_local])
             pending = np.array(
@@ -2246,6 +2251,11 @@ class _QueryState:
             [i for i in range(len(frame)) if i not in covered], np.int64
         )
         keep = frame.take(missing_rows)
+        if len(out):
+            # out.src is frame-row-local (reset above); keep.src is in
+            # the frame's own basis (via take) — compose so the merged
+            # stream has ONE provenance basis for enclosing constructs
+            out.src = frame.src[out.src]
         parts = [p for p in (out, keep) if len(p) > 0]
         if not parts:
             return Frame.empty(frame.kind)

@@ -120,7 +120,10 @@ class Frame:
             None if self.rows is None else list(self.rows),
             None if self.dist is None else self.dist.copy(),
             None if self.score is None else self.score.copy(),
-            self.src.copy(),
+            # keep provenance lazy: forcing self.src here would allocate
+            # an O(n) arange on every Union branch / Bind even when no
+            # consumer ever reads it
+            None if self._src is None else self._src.copy(),
             dict(self.bindings),
             None if self.anchor is None else self.anchor.copy(),
         )
@@ -162,7 +165,7 @@ class Frame:
             np.asarray(new_ids, UINT64),
             src=self.src[src_rows],
             bindings={k: b.take(src_rows) for k, b in self.bindings.items()},
-            anchor=anchor if anchor is not None else None,
+            anchor=anchor,
         )
 
     def with_binding(self, name: str) -> "Frame":
@@ -183,22 +186,63 @@ class Frame:
         return out
 
 
+def _merge_bindings(frames: list[Frame]) -> dict[str, Binding]:
+    """Bindings present in ALL parts concatenate row-aligned; their
+    dist/score columns survive the merge (NaN-filled where a part lacks
+    them), exactly like the frame-level hit metadata."""
+    shared = set(frames[0].bindings)
+    for f in frames[1:]:
+        shared &= set(f.bindings)
+    bindings = {}
+    for name in shared:
+        parts = [f.bindings[name] for f in frames]
+        if any(p.kind != parts[0].kind for p in parts):
+            continue
+        dist = (
+            np.concatenate([
+                p.dist if p.dist is not None else np.full(len(p.ids), np.nan)
+                for p in parts
+            ])
+            if any(p.dist is not None for p in parts)
+            else None
+        )
+        score = (
+            np.concatenate([
+                p.score if p.score is not None else np.full(len(p.ids), np.nan)
+                for p in parts
+            ])
+            if any(p.score is not None for p in parts)
+            else None
+        )
+        bindings[name] = Binding(
+            parts[0].kind, np.concatenate([p.ids for p in parts]),
+            dist, score,
+        )
+    return bindings
+
+
 def concat_frames(frames: list[Frame]) -> Frame:
     """Concatenate compatible frames (same kind); bindings kept only when
     present in all parts."""
+    # The empty result's KIND comes from the inputs, not a default: an
+    # all-empty concat of edge frames must stay an edge stream (a
+    # follow-on endpoint step would otherwise reject a valid query).
+    kind = frames[0].kind if frames else "nodes"
     frames = [f for f in frames if len(f) > 0]
     if not frames:
-        return Frame.empty()
+        return Frame.empty(kind)
     kind = frames[0].kind
     if any(f.kind != kind for f in frames):
         # Mixed kinds collapse to rows of encoded elements; callers that
         # need mixed streams (Union over node+edge branches) handle encoding.
         raise ValueError("cannot concatenate frames of different kinds")
+    src = np.concatenate([f.src for f in frames])
     if kind == "rows":
         rows: list[Any] = []
         for f in frames:
             rows.extend(f.rows or [])
-        return Frame.of_rows(rows)
+        return Frame("rows", rows=rows, src=src,
+                     bindings=_merge_bindings(frames))
     ids = np.concatenate([f.ids for f in frames])
     dist = (
         np.concatenate([
@@ -214,25 +258,13 @@ def concat_frames(frames: list[Frame]) -> Frame:
         if any(f.score is not None for f in frames)
         else None
     )
-    src = np.concatenate([f.src for f in frames])
+    # Anchors survive only when EVERY part has them (a part without
+    # anchors has no meaningful fill value — OtherN falls back to
+    # dst-endpoint semantics for the merged stream).
     anchor = (
-        np.concatenate([
-            f.anchor if f.anchor is not None else np.zeros(len(f), UINT64)
-            for f in frames
-        ])
+        np.concatenate([f.anchor for f in frames])
         if all(f.anchor is not None for f in frames)
         else None
     )
-    shared = set(frames[0].bindings)
-    for f in frames[1:]:
-        shared &= set(f.bindings)
-    bindings = {}
-    for name in shared:
-        parts = [f.bindings[name] for f in frames]
-        if any(p.kind != parts[0].kind for p in parts):
-            continue
-        bindings[name] = Binding(
-            parts[0].kind, np.concatenate([p.ids for p in parts])
-        )
-    return Frame(kind, ids, dist=dist, score=score, src=src, bindings=bindings,
-                 anchor=anchor)
+    return Frame(kind, ids, dist=dist, score=score, src=src,
+                 bindings=_merge_bindings(frames), anchor=anchor)

@@ -5,7 +5,8 @@ import pytest
 
 from helix_tpu.dsl import (
     AggregateFunction, BindingProjection, BindingRef, Expr, NodeRef, Order,
-    Predicate, RepeatConfig, SourcePredicate, g, read_batch, sub, write_batch,
+    Predicate, RepeatConfig, SourcePredicate, SubTraversal, g, read_batch, sub,
+    write_batch,
 )
 from helix_tpu.engine import Engine, QueryError
 
@@ -612,3 +613,79 @@ def test_ordering_grouping_fast_paths_match_slow(monkeypatch):
             assert f == s, (trial, q, f, s)
             # int-vs-float fidelity, not just equality
             assert repr(f) == repr(s), (trial, q, f, s)
+
+
+def test_both_e_empty_then_other_n(engine):
+    """An all-empty edge concat must stay an EDGE stream: BothE on a
+    node with no matching edges followed by OtherN returns empty, not
+    QueryError('endpoint step requires an edge stream')."""
+    run(engine, write_batch().var_as("p", g().add_n("P")))
+    out = run(
+        engine,
+        read_batch().var_as(
+            "n", g().n_with_label("P").both_e("NOPE").other_n().count()
+        ),
+    )
+    assert out["n"] == 0
+
+
+def test_optional_over_coalesce_provenance(engine):
+    """Nested Optional(Coalesce(...)): the Coalesce result's provenance
+    must be in the enclosing basis, or Optional mis-attributes which
+    input rows were covered (confirmed wrong-rows repro)."""
+    batch = (
+        write_batch()
+        .var_as("n1", g().add_n("U", {"name": "n1"}))
+        .var_as("n2", g().add_n("U", {"name": "n2"}))
+        .var_as("n3", g().add_n("U", {"name": "n3"}))
+        .var_as("x", g().add_n("T", {"name": "x"}))
+        .var_as("y", g().add_n("T", {"name": "y"}))
+        .var_as("e1", g().n(NodeRef.var("n1")).add_e("POSTED", NodeRef.var("x")))
+        .var_as("e2", g().n(NodeRef.var("n3")).add_e("COMMENTED", NodeRef.var("y")))
+    )
+    run(engine, batch)
+    out = run(
+        engine,
+        read_batch().var_as(
+            "r",
+            g().n_with_label("U")
+            .optional(SubTraversal(({"Coalesce": [
+                sub().out("POSTED").encode(),
+                sub().out("COMMENTED").encode(),
+            ]},)))
+            .values(["name"]),
+        ),
+    )
+    # n1 -> x (coalesce branch 1), n3 -> y (branch 2), n2 uncovered ->
+    # kept as itself.  The bug returned [x, y, n3] (n2 mis-covered).
+    assert sorted(out["r"]) == ["n2", "x", "y"]
+
+
+def test_binding_distance_survives_union_merge(engine):
+    """A Bind capture made on a vector-hit stream keeps $distance
+    through a Union merge (concat used to drop binding dist/score)."""
+    batch = (
+        write_batch()
+        .var_as("i", g().create_vector_index_nodes("D", "v"))
+        .var_as("a", g().add_n("D", {"name": "a", "v": [1.0, 0.0]}))
+        .var_as("b", g().add_n("D", {"name": "b", "v": [0.0, 1.0]}))
+    )
+    run(engine, batch)
+    out = run(
+        engine,
+        read_batch().var_as(
+            "r",
+            g().vector_search_nodes("D", "v", [1.0, 0.0], 2)
+            .bind("hit")
+            .union([
+                sub().limit(1),
+                sub().skip(1),
+            ])
+            .project_bindings([
+                BindingProjection.binding("hit", "$distance", "d"),
+            ]),
+        ),
+    )
+    dists = [row["d"] for row in out["r"]]
+    assert len(dists) == 2 and all(d is not None for d in dists)
+    assert min(dists) < 1e-6  # the exact hit's distance survived

@@ -255,3 +255,63 @@ def test_create_index_failed_backfill_not_registered(engine):
         write_batch().var_as("i", g().create_vector_index_nodes("P", "emb")),
     )
     assert len(_vsearch(engine, "P", "emb", [1.0, 0.0])) == 1
+
+
+def test_bulk_rollback_survives_failing_unwind_hook():
+    """A hook failing mid-batch whose own drop path ALSO raises must not
+    mask the original error, skip the remaining unwind, or leave the id
+    counter advanced."""
+    from helix_tpu.engine.store import GraphStore
+
+    class Bomb:
+        def on_index_created(self, store, defn): pass
+        def on_index_dropped(self, store, defn): pass
+        def on_node_added(self, store, node): pass
+        def on_nodes_added_bulk(self, store, nodes):
+            raise RuntimeError("bulk hook exploded")
+        def on_node_dropped(self, store, node):
+            raise RuntimeError("unwind also explodes")
+        def on_edge_added(self, store, edge): pass
+        def on_edge_dropped(self, store, edge): pass
+        def on_property_set(self, store, kind, element, name, old): pass
+
+    store = GraphStore()
+    store.add_write_hook(Bomb())
+    before = store.save_counters()
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="bulk hook exploded"):
+        store.add_nodes_bulk("N", [{}, {}, {}])
+    assert store.save_counters() == before  # ids not burned
+    assert store.node_count() == 0
+
+
+def test_high_degree_drop_node_batched_path():
+    """drop_node over >64 incident edges takes the batched removal path;
+    the resulting store state must match the per-edge path exactly."""
+    from helix_tpu.engine.store import GraphStore
+
+    def build(n_edges):
+        s = GraphStore()
+        hub = s.add_node("H", {})
+        others = [s.add_node("O", {"i": {"I64": i}}) for i in range(n_edges)]
+        eids = []
+        for i, o in enumerate(others):
+            if i % 2:
+                eids.append(s.add_edge("E", hub, o, {}))
+            else:
+                eids.append(s.add_edge("E", o, hub, {}))
+        # extra edge not touching the hub must survive
+        keep = s.add_edge("E", others[0], others[1], {})
+        return s, hub, keep
+
+    for n_edges in (8, 100):   # small path and batched path
+        s, hub, keep = build(n_edges)
+        s.drop_node(hub)
+        assert hub not in s.nodes
+        assert s.edge_count() == 1 and keep in s.edges
+        assert s.edge_order == [keep]
+        assert list(s.edges_by_label["E"]) == [keep]
+        # no dangling adjacency entries anywhere
+        for adj in (s.out_adj, s.in_adj):
+            for node_id, lst in adj.items():
+                assert all(e in s.edges for e in lst), (node_id, lst)
