@@ -88,18 +88,45 @@ class DynamicBatcher:
             groups: dict[int, list[_Pending]] = {}
             for entry in batch:
                 groups.setdefault(id(entry.partition), []).append(entry)
-            for entries in groups.values():
-                self._dispatch(entries)
+            # Dispatch EVERY group before forcing any result: the exact
+            # tier's async path puts each group's device work (and D2H)
+            # on the wire at dispatch time, so concurrent partitions
+            # overlap instead of serializing one round trip per group
+            # (the pattern the native gateway's batch loop uses).
+            started = [
+                (entries, self._start(entries))
+                for entries in groups.values()
+            ]
+            for entries, fin in started:
+                if fin is not None:
+                    self._finish(entries, fin)
             self._last_dispatch = time.monotonic()
 
-    def _dispatch(self, entries: list[_Pending]) -> None:
+    def _start(self, entries: list[_Pending]):
+        """Dispatch one group; returns its finalize closure (or None
+        after failing every waiter)."""
         partition = entries[0].partition
         try:
             queries = np.stack([e.query for e in entries])
             k_max = max(e.k for e in entries)
-            ids, dists = partition.search_many(queries, k_max)
+            async_fn = getattr(partition, "search_many_async", None)
+            if async_fn is not None:
+                fin = async_fn(queries, k_max)
+            else:
+                result = partition.search_many(queries, k_max)
+                fin = lambda r=result: r  # noqa: E731
             self.dispatches += 1
             self.coalesced += len(entries) - 1
+            return fin
+        except Exception as exc:  # propagate to every waiter
+            for entry in entries:
+                entry.error = exc
+                entry.event.set()
+            return None
+
+    def _finish(self, entries: list[_Pending], fin) -> None:
+        try:
+            ids, dists = fin()
             for row, entry in enumerate(entries):
                 # Rows are compacted valid-left; ragged short rows pad
                 # with +inf sentinels that must not surface as hits.

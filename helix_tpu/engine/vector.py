@@ -32,6 +32,11 @@ _UNTENANTED = ("",)
 
 def _tenant_key(value: Tagged) -> tuple:
     comp = V.as_comparable(value)
+    if comp is not None and comp[0] in ("numarr", "strarr"):
+        # arrays are comparable but NOT scalars: a client accidentally
+        # passing the vector itself as tenant_value would get silently
+        # isolated per-vector partitions instead of the promised error
+        comp = None
     if comp is None:
         raise QueryError("tenant_value must be a scalar value")
     return comp
@@ -175,7 +180,11 @@ class Partition:
                 f"vector dimension mismatch: index dim {self.matrix.dim}, "
                 f"got {vecs.shape[1]}"
             )
-        if any(i in self.pos for i in ids):
+        if len(set(ids)) != len(ids) or any(i in self.pos for i in ids):
+            # duplicates (intra-batch or vs existing) take the per-row
+            # path, whose remove+reinsert keeps pos/live consistent —
+            # bulk-appending a duplicate would leave an untombstonable
+            # ghost row behind the first occurrence
             for element_id, vec in zip(ids, vecs):
                 self.add(element_id, vec)
             return
@@ -225,30 +234,36 @@ class Partition:
             return lambda: empty
         if self._use_host_ivf():
             dists, positions = self._search_host_ivf(queries, k)
-            id_table = self.id_table.copy()
+            id_table = self.id_table  # stable view; see exact tier below
+            return lambda: self._map_hits(dists, positions, id_table)
+        if self._use_host_exact():
+            dists, positions = self._search_host_exact(queries, k)
+            id_table = self.id_table
             return lambda: self._map_hits(dists, positions, id_table)
         if self._use_quant():
             dists, positions = self._search_quant(queries, k)
-            id_table = self.id_table.copy()
+            id_table = self.id_table  # stable view; see exact tier below
             return lambda: self._map_hits(dists, positions, id_table)
         if self._use_quant4():
             dists, positions = self._search_quant4(queries, k)
-            id_table = self.id_table.copy()
+            id_table = self.id_table  # stable view; see exact tier below
             return lambda: self._map_hits(dists, positions, id_table)
         if self._use_shard():
             dists, positions = self._search_sharded(queries, k)
-            id_table = self.id_table.copy()
+            id_table = self.id_table  # stable view; see exact tier below
             return lambda: self._map_hits(dists, positions, id_table)
         if self._use_ann():
             dists, positions = self._search_ann(queries, k)
-            id_table = self.id_table.copy()
+            id_table = self.id_table  # stable view; see exact tier below
             return lambda: self._map_hits(dists, positions, id_table)
         inner = search_packed_async(
             self.matrix, queries, k, valid_mask=self.live_mask
         )
-        # id-table snapshot: rows appended between dispatch and finalize
-        # must not shift the mapping (positions are dispatch-time)
-        id_table = self.id_table.copy()
+        # dispatch-time id-table snapshot: the view is already stable
+        # (_ids is append-only; _ensure_capacity reallocates instead of
+        # mutating), so no O(n) copy is needed — ~80 MB/dispatch at 10M
+        # rows before this
+        id_table = self.id_table
 
         def finalize():
             dists, positions = inner()
@@ -404,6 +419,46 @@ class Partition:
 
     # -- beyond-HBM host-IVF tier ------------------------------------------
 
+    def _use_host_exact(self) -> bool:
+        """Beyond-budget rung for non-cosine metrics: host-IVF is
+        cosine-only, and without this an over-budget l2 corpus fell
+        through to the exact tier and uploaded past the HBM budget
+        (device OOM) — the budget knob silently ignored exactly when it
+        mattered."""
+        if self.hbm_budget_bytes is None or self.metric == "cosine":
+            return False
+        if self.matrix is None:
+            return False
+        return self._quant4_resident_bytes() > self.hbm_budget_bytes
+
+    def _search_host_exact(
+        self, queries: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact numpy scan on the host-resident matrix — slow but
+        correct when no device rung fits the budget."""
+        qs = self.matrix.prepare_queries(queries)
+        n = self.matrix.n
+        data = self.matrix.data[:n]
+        sims = qs @ data.T
+        if self.metric == "l2":
+            d = (
+                self.matrix.sq_norms[:n][None, :]
+                - 2.0 * sims
+                + np.sum(qs * qs, axis=1, keepdims=True)
+            )
+        else:
+            d = 1.0 - sims
+        live = self.live_mask
+        d = np.where(live[None, :], d, np.inf)
+        k_eff = min(k, n)
+        idx = np.argpartition(d, k_eff - 1, axis=1)[:, :k_eff]
+        part_d = np.take_along_axis(d, idx, axis=1)
+        order = np.argsort(part_d, axis=1, kind="stable")
+        return (
+            np.take_along_axis(part_d, order, axis=1).astype(np.float64),
+            np.take_along_axis(idx, order, axis=1).astype(np.int64),
+        )
+
     def _use_host_ivf(self) -> bool:
         if self.hbm_budget_bytes is None or self.metric != "cosine":
             return False
@@ -439,7 +494,10 @@ class Partition:
         the delta rows; tombstoned rows drop via the sentinel path."""
         self._ensure_host_ivf()
         qs = self.matrix.prepare_queries(queries)
-        k_eff = min(k, self.host_ivf_rows)
+        # widen by the tombstone count so the dead-drop below can still
+        # return k live hits (same scheme as the exact tier's k_query)
+        n_dead = self.n_rows - self._n_live
+        k_eff = min(k + n_dead, self.host_ivf_rows)
         dists, positions = self.host_ivf.search(
             qs, k_eff, nprobe=32, normalize=False
         )
@@ -507,7 +565,10 @@ class Partition:
                 bf16=jax.default_backend() == "tpu",
             )
             state["searchers"][k_scan] = searcher
-            state["arrays"] = None
+            # arrays stay: shard_arrays depends only on mesh/tile/fused
+            # (k-independent), so alternating k must not re-upload the
+            # matrix (GBs of H2D at 10M rows) — same invariant as the
+            # int8 tier
         if state["arrays"] is None:
             state["arrays"] = searcher.shard_arrays(
                 self.matrix.data[:n], self.matrix.sq_norms[:n]
@@ -561,8 +622,13 @@ class Partition:
         # Pad + normalize queries to the matrix layout (the ANN was built
         # over the padded rows).
         qs = self.matrix.prepare_queries(queries)
+        # Widen by the tombstone count (like the exact tier's k_query):
+        # dead hits are dropped below, and without headroom a half-dead
+        # partition would return far fewer than k despite ample live rows.
+        n_dead = self.n_rows - self._n_live
+        k_search = min(k + n_dead, self.ann_rows)
         dists, positions = self.ann.search(
-            qs, min(k, self.ann_rows), ef=ef,
+            qs, k_search, ef=max(ef, k_search),
             iters=config.get("iters", 8),
         )
         n = self.matrix.n
@@ -572,20 +638,18 @@ class Partition:
             sims = qs @ delta.T
             delta_d = (1.0 - sims).astype(np.float32)
             delta_i = np.arange(self.ann_rows, n)[None, :].repeat(len(queries), 0)
-            merged_d = np.concatenate([dists, delta_d], axis=1)
-            merged_i = np.concatenate([positions, delta_i], axis=1)
-            order = np.argsort(merged_d, axis=1, kind="stable")[:, :k]
-            dists = np.take_along_axis(merged_d, order, axis=1)
-            positions = np.take_along_axis(merged_i, order, axis=1)
-        # Tombstones: drop dead rows (rare; slots backfill from overflow).
+            dists = np.concatenate([dists, delta_d], axis=1)
+            positions = np.concatenate([positions, delta_i], axis=1)
+        # Tombstones to +inf, then one ascending sort + trim to k (the
+        # merge must NOT pre-trim before the dead-drop).
         live = self.live_mask
         dead = ~live[np.clip(positions, 0, max(len(live) - 1, 0))]
-        if dead.any():
-            dists = np.where(dead, np.inf, dists)
-            order = np.argsort(dists, axis=1, kind="stable")
-            dists = np.take_along_axis(dists, order, axis=1)
-            positions = np.take_along_axis(positions, order, axis=1)
-        return dists, positions
+        dists = np.where(dead, np.inf, dists)
+        order = np.argsort(dists, axis=1, kind="stable")[:, :k]
+        return (
+            np.take_along_axis(dists, order, axis=1),
+            np.take_along_axis(positions, order, axis=1),
+        )
 
 
 class VectorIndex:
@@ -858,18 +922,21 @@ class VectorManager:
         if k <= 0:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         vec = np.asarray(query, np.float32)
+        part = index.partition_for_search(tenant_value)
+        if part is None or part.matrix is None or part.live_count() == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        if len(vec) != part.matrix.dim:
+            # validated on BOTH paths: without this the unbatched route
+            # surfaced a numpy-flavored ValueError 500 where a batched
+            # deployment returned a clean QueryError
+            raise QueryError(
+                f"query_vector dimension {len(vec)} does not match index "
+                f"dimension {part.matrix.dim}"
+            )
         if self.batcher is not None:
-            part = index.partition_for_search(tenant_value)
-            if part is None or part.matrix is None or part.live_count() == 0:
-                return np.empty(0, np.uint64), np.empty(0, np.float64)
-            if len(vec) != part.matrix.dim:
-
-                raise QueryError(
-                    f"query_vector dimension {len(vec)} does not match index "
-                    f"dimension {part.matrix.dim}"
-                )
             # Coalesce concurrent searches against the same partition into
             # one device dispatch (see engine/batching.py).
             ids, dists = self.batcher.submit(part, vec, k)
             return ids, dists
-        return index.search(vec, k, tenant_value)
+        ids, dists = part.search(vec, k)
+        return ids, dists

@@ -67,7 +67,8 @@ def topk_scores(
 
     Returns ``(distance [B, k], indices [B, k])`` ascending.  Used by the
     driver entry point and anywhere a single jittable function is needed;
-    the serving path uses :func:`coarse_topk` + the native re-rank.
+    the serving path uses :func:`resident_topk_auto` (fused/XLA
+    coarse phase) + the native re-rank.
     """
     n, _ = xs.shape
     b = qs.shape[0]
@@ -232,57 +233,6 @@ def topk_resident(
         q_sq = jnp.sum(qs * qs, axis=1, keepdims=True)
         dists = -best_s + q_sq
     return dists, best_i
-
-
-@functools.partial(jax.jit, static_argnames=("k_scan", "chunk", "metric"))
-def coarse_topk(
-    xs16: jax.Array,        # [N, D] bfloat16 resident matrix
-    qs: jax.Array,          # [B, D] float32 query batch
-    n_valid: jax.Array,
-    sq_norms: jax.Array,
-    *,
-    k_scan: int,
-    chunk: int = 131072,
-    metric: str = "cosine",
-) -> jax.Array:
-    """Coarse candidate indices ``[B, k_scan]`` (device phase only)."""
-    n, _ = xs16.shape
-    b = qs.shape[0]
-    qs_c = qs.astype(jnp.bfloat16)
-    if b * n * 4 <= SINGLE_SHOT_BYTES:
-        sims = jnp.dot(qs_c, xs16.T, preferred_element_type=jnp.float32)
-        if metric == "l2":
-            sims = 2.0 * sims - sq_norms[None, :]
-        cols = jnp.arange(n, dtype=jnp.int32)
-        sims = jnp.where((cols < n_valid)[None, :], sims, -jnp.inf)
-        _, idx = jax.lax.approx_max_k(sims, k_scan, recall_target=0.99)
-        return idx
-    chunk = pick_chunk(n, min(chunk, n))
-    col_base = jnp.arange(chunk, dtype=jnp.int32)
-
-    def body(carry, start):
-        cs, ci = carry
-        block = jax.lax.dynamic_slice_in_dim(xs16, start, chunk, axis=0)
-        sims = jnp.dot(qs_c, block.T, preferred_element_type=jnp.float32)
-        cols = start + col_base
-        if metric == "l2":
-            sq = jax.lax.dynamic_slice_in_dim(sq_norms, start, chunk, axis=0)
-            sims = 2.0 * sims - sq[None, :]
-        sims = jnp.where((cols < n_valid)[None, :], sims, -jnp.inf)
-        s_chunk, i_local = jax.lax.approx_max_k(sims, k_scan, recall_target=0.99)
-        i_chunk = cols[i_local]
-        cat_s = jnp.concatenate([cs, s_chunk], axis=1)
-        cat_i = jnp.concatenate([ci, i_chunk], axis=1)
-        new_s, pos = jax.lax.top_k(cat_s, k_scan)
-        return (new_s, jnp.take_along_axis(cat_i, pos, axis=1)), None
-
-    init = (
-        jnp.full((b, k_scan), -jnp.inf, jnp.float32),
-        jnp.zeros((b, k_scan), jnp.int32),
-    )
-    starts = jnp.arange(n // chunk, dtype=jnp.int32) * chunk
-    (_, best_i), _ = jax.lax.scan(body, init, starts)
-    return best_i
 
 
 FUSED_ROW_THRESHOLD = 65536
@@ -711,7 +661,14 @@ def search_packed_async(
             # mask keeps ascending-distance order among the live ones),
             # then trim to k_eff.  Ragged rows pad with position -1 /
             # +inf, the sentinel convention the Partition layer strips.
-            live = mask_snapshot[idx]
+            # Guard the mask lookup: on heavily tombstoned partitions
+            # approx_max_k can return padded junk columns (index >= n)
+            # and the fused path pads overflow with -1 — either would
+            # crash or wrap the indexing here.
+            in_range = (idx >= 0) & (idx < len(mask_snapshot))
+            live = in_range & mask_snapshot[
+                np.clip(idx, 0, len(mask_snapshot) - 1)
+            ]
             order = np.argsort(~live, axis=1, kind="stable")
             live = np.take_along_axis(live, order, axis=1)[:, :k_eff]
             out_d = np.take_along_axis(dists, order, axis=1)[:, :k_eff]

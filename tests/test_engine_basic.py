@@ -891,3 +891,24 @@ def test_haskey_counts_explicit_nulls_vectorized(engine):
         ),
     )
     assert out["n"] == 2  # value + explicit Null, not the absent row
+
+
+def test_dim_mismatch_is_query_error_without_batcher():
+    """The unbatched path must raise the same clean QueryError on a
+    query-vector dimension mismatch as the batched one (it used to
+    surface a numpy ValueError 500)."""
+    eng = Engine(batch_window_ms=None)
+    run_write(
+        eng,
+        write_batch()
+        .var_as("i", g().create_vector_index_nodes("D", "v"))
+        .var_as("a", g().add_n("D", {"v": [1.0, 0.0, 0.0]})),
+    )
+    with pytest.raises(QueryError, match="dimension"):
+        run_read(
+            eng,
+            read_batch().var_as(
+                "h", g().vector_search_nodes("D", "v", [1.0, 0.0], 1)
+            ),
+        )
+    eng.close()

@@ -77,3 +77,82 @@ def test_single_query_search_trims():
     assert len(ids) == len(dists) == 2
     assert set(ids.tolist()) == {5, 6}
     assert np.all(np.isfinite(dists))
+
+
+def test_ann_tier_returns_k_live_despite_heavy_tombstones():
+    """Half-dead ANN partition: the search must widen by the tombstone
+    count and still return k LIVE hits (it used to return ~k/2)."""
+    xs = _vectors(400, seed=3)
+    part = Partition("cosine", ann_config={"threshold": 1, "ef": 64})
+    _fill(part, xs)
+    part._ensure_ann()
+    for el in range(1, 401, 2):  # delete every other id
+        part.remove(el)
+    ids, dists = part.search_many(xs[:3], 10)
+    for row in range(3):
+        finite = np.isfinite(dists[row])
+        assert int(finite.sum()) == 10  # full k from 200 live rows
+        assert all(i % 2 == 0 for i in ids[row][finite].tolist())
+
+
+def test_host_ivf_tier_returns_k_live_despite_tombstones():
+    xs = _vectors(600, seed=5)
+    # budget below even the int4 footprint forces the host-IVF rung
+    part = Partition("cosine", hbm_budget_bytes=1)
+    _fill(part, xs)
+    assert part._use_host_ivf()
+    for el in range(1, 601, 2):
+        part.remove(el)
+    ids, dists = part.search_many(xs[:2], 10)
+    for row in range(2):
+        finite = np.isfinite(dists[row])
+        assert int(finite.sum()) == 10
+        assert all(i % 2 == 0 for i in ids[row][finite].tolist())
+
+
+def test_l2_over_budget_uses_host_exact_rung():
+    """Over-budget l2 corpus: host-IVF is cosine-only, so the ladder
+    must fall to the host exact scan instead of uploading past the
+    budget (results must match brute force)."""
+    rng = np.random.default_rng(11)
+    xs = rng.normal(size=(300, 16)).astype(np.float32)
+    part = Partition("l2", hbm_budget_bytes=1)
+    _fill(part, xs)
+    assert part._use_host_exact() and not part._use_host_ivf()
+    queries = xs[:4]
+    ids, dists = part.search_many(queries, 5)
+    # brute-force oracle over the PADDED layout the partition stores
+    data = part.matrix.data[: part.matrix.n]
+    qs = part.matrix.prepare_queries(queries)
+    d = (
+        np.sum(data * data, axis=1)[None, :]
+        - 2.0 * (qs @ data.T)
+        + np.sum(qs * qs, axis=1, keepdims=True)
+    )
+    expect = np.argsort(d, axis=1, kind="stable")[:, :5] + 1  # ids are 1-based
+    assert np.array_equal(ids.astype(np.int64), expect)
+
+
+def test_bulk_intra_batch_duplicate_ids_stay_consistent():
+    """add_bulk with a duplicate id inside the batch must not leave an
+    untombstonable ghost row."""
+    xs = _vectors(4, seed=9)
+    part = Partition("cosine")
+    part.add_bulk([1, 2, 2, 3], xs)
+    part.remove(2)
+    ids, dists = part.search_many(xs[:1], 10)
+    finite = np.isfinite(dists[0])
+    assert 2 not in set(ids[0][finite].tolist())
+    assert set(ids[0][finite].tolist()) == {1, 3}
+
+
+def test_array_tenant_value_rejected():
+    from helix_tpu.engine.errors import QueryError
+    from helix_tpu.engine.vector import _tenant_key
+
+    with pytest.raises(QueryError, match="scalar"):
+        _tenant_key({"F64Array": [1.0, 2.0]})
+    with pytest.raises(QueryError, match="scalar"):
+        _tenant_key({"StringArray": ["a"]})
+    assert _tenant_key({"String": "t1"})  # scalars still fine
+    assert _tenant_key({"I64": 7})
