@@ -240,18 +240,22 @@ class Engine:
         version = bundle.get("version", -1)
         if version != wire.QUERY_BUNDLE_VERSION and version not in wire.QUERY_BUNDLE_LEGACY_VERSIONS:
             raise QueryError(f"unsupported query bundle version {version}")
-        self.routes = {}
+        # Build the full table FIRST, swap atomically: concurrent stored
+        # queries must never observe a wiped/partial route table during
+        # a deploy (and a malformed bundle must not destroy the old one).
+        routes: dict[str, dict] = {}
         for kind, routes_key, params_key in (
             ("read", "read_routes", "read_parameters"),
             ("write", "write_routes", "write_parameters"),
         ):
             params_table = bundle.get(params_key, {})
             for name, query in bundle.get(routes_key, {}).items():
-                self.routes[name] = {
+                routes[name] = {
                     "kind": kind,
                     "query": query,
                     "parameters": params_table.get(name, []),
                 }
+        self.routes = routes
         # Deployed routes survive disk-mode restarts.
         if self.persistence is not None:
             self.checkpoint()

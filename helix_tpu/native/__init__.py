@@ -111,6 +111,8 @@ def load() -> ctypes.CDLL:
         lib.hxgw_stop.argtypes = [ctypes.c_void_p]
         lib.hxgw_destroy.restype = None
         lib.hxgw_destroy.argtypes = [ctypes.c_void_p]
+        lib.hxgw_parked_count.restype = ctypes.c_longlong
+        lib.hxgw_parked_count.argtypes = [ctypes.c_void_p]
         lib.hxgw_fast_route.restype = ctypes.c_int
         lib.hxgw_fast_route.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,

@@ -217,6 +217,11 @@ struct Gateway {
 
     std::mutex fr_mu;
     std::vector<FastRoute> fast_routes;
+    // templates of cleared routes: in-flight requests dispatched before
+    // a bundle reload must still be able to format their responses (a
+    // missing template would silently drop the response and hang the
+    // client).  Bounded; oldest evicted first.
+    std::deque<FastRoute> retired_routes;
     int next_route_id = 1;
 
     // zero-copy handoff: bodies parked until the worker releases them
@@ -362,6 +367,9 @@ bool parse_fast_body(const FastRoute& fr, const std::string& body,
     if (p != end) return false;
     if (!fr.tenant_key.empty() && tenant.empty())
         return false;  // missing tenant: interpreter raises the error
+    if (k <= 0)
+        return false;  // k required (k_default < 0) and absent: the
+                       // interpreter raises the missing-parameter error
     return have_vec;
 }
 
@@ -945,6 +953,9 @@ int hxgw_fast_route(void* h, const char* path, const char* vec_key,
 void hxgw_clear_fast_routes(void* h) {
     Gateway* gw = (Gateway*)h;
     std::lock_guard<std::mutex> lk(gw->fr_mu);
+    for (auto& fr : gw->fast_routes)
+        gw->retired_routes.push_back(std::move(fr));
+    while (gw->retired_routes.size() > 4096) gw->retired_routes.pop_front();
     gw->fast_routes.clear();
 }
 
@@ -997,10 +1008,12 @@ int hxgw_respond_vbatch(void* h, const unsigned long long* reqids,
                         const unsigned long long* ids, const double* dists,
                         const int* counts) {
     Gateway* gw = (Gateway*)h;
-    // snapshot templates
+    // snapshot templates (incl. retired: requests dispatched before a
+    // bundle reload still need their response format)
     std::unordered_map<int, FastRoute> frs;
     {
         std::lock_guard<std::mutex> lk(gw->fr_mu);
+        for (const auto& fr : gw->retired_routes) frs[fr.route_id] = fr;
         for (const auto& fr : gw->fast_routes) frs[fr.route_id] = fr;
     }
     std::deque<std::pair<uint64_t, std::string>> out;
@@ -1210,6 +1223,14 @@ void hxgw_stats(void* h, unsigned long long* n_fast,
     *n_fast = gw->n_fast.load(std::memory_order_relaxed);
     *n_general = gw->n_general.load(std::memory_order_relaxed);
     *n_conns = gw->n_conns.load(std::memory_order_relaxed);
+}
+
+// Parked-body map size (leak probe: every request parks an entry the
+// worker must release, including empty-body GETs).
+long long hxgw_parked_count(void* h) {
+    Gateway* gw = (Gateway*)h;
+    std::lock_guard<std::mutex> lk(gw->parked_mu);
+    return (long long)gw->parked.size();
 }
 
 }  // extern "C"

@@ -118,7 +118,22 @@ class HelixHTTPServer:
                 return header == f"Bearer {server.api_key}"
 
             def _dispatch(self, method: str) -> None:
+                if self.headers.get("Transfer-Encoding"):
+                    # chunked bodies are not deframed here: replying
+                    # with length 0 would desync the keep-alive stream
+                    self.close_connection = True
+                    self._reply(501, {"error": {
+                        "kind": "NotImplemented",
+                        "message": "chunked bodies unsupported"}})
+                    return
                 if not self._authorized():
+                    # consume the body first: HTTP/1.1 keep-alive would
+                    # otherwise parse the unread body bytes as the next
+                    # request line (smuggling; the native gateway drains
+                    # before its 401 too)
+                    length = int(self.headers.get("Content-Length") or 0)
+                    if length:
+                        self.rfile.read(length)
                     self._reply(401, {"error": {"kind": "Unauthorized",
                                                 "message": "invalid api key"}})
                     return

@@ -271,6 +271,10 @@ class NativeGateway:
             part = index.partition_for_search(None)
         if part is None or part.matrix is None:
             return None
+        if int(part.matrix.dim) > self.MAX_FAST_DIM:
+            # the C++ vbatch buffer is max_dim-wide; a wider route would
+            # silently truncate every query vector
+            return None
         return {
             "kind": kind,
             "label": search["label"],
@@ -278,7 +282,10 @@ class NativeGateway:
             "vec_key": vec_key,
             "k_key": k_key,
             "tenant_key": tenant_key,
-            "k_default": k_fixed if k_fixed is not None else 10,
+            # -1 = k is a required Param with no fixed value: the C++
+            # parse declines bodies that omit it, so the interpreter
+            # raises the same missing-parameter 400 either path serves
+            "k_default": k_fixed if k_fixed is not None else -1,
             "k_fixed": k_fixed,
             "dim": int(part.matrix.dim),
             "prefix": f'{{"{var}": [',
@@ -298,6 +305,9 @@ class NativeGateway:
     # _vbatch_loop); responses sequence per-connection in C++, so
     # out-of-order completion is safe.
     VBATCH_FINALIZERS = 3
+    # Widest query vector the fast path carries (the C++ vbatch buffer
+    # is allocated this wide); wider routes stay on the interpreter.
+    MAX_FAST_DIM = 4096
 
     def _vbatch_loop(self) -> None:
         """Dispatch stage of the fast path: pull parsed request batches
@@ -310,7 +320,7 @@ class NativeGateway:
 
         lib, h = self._lib, self._handle
         cap = self.VBATCH_CAP
-        max_dim = 4096
+        max_dim = self.MAX_FAST_DIM
         reqids = np.empty(cap, np.uint64)
         queries = np.empty((cap, max_dim), np.float32)
         ks = np.empty(cap, np.int32)
@@ -361,14 +371,29 @@ class NativeGateway:
                 if n == 0:
                     continue
                 self._track(n)
-                for item in self._dispatch_vbatch(
-                    reqids[:n].copy(), queries[:n], ks[:n].copy(),
-                    route_ids[:n].copy(),
-                    tenants[: n * self.TENANT_CAP].reshape(
-                        n, self.TENANT_CAP
-                    ),
-                ):
-                    pending.put(item)
+                try:
+                    for item in self._dispatch_vbatch(
+                        reqids[:n].copy(), queries[:n], ks[:n].copy(),
+                        route_ids[:n].copy(),
+                        tenants[: n * self.TENANT_CAP].reshape(
+                            n, self.TENANT_CAP
+                        ),
+                    ):
+                        pending.put(item)
+                except Exception:
+                    # the fast path must never die: fail THIS batch's
+                    # requests loudly (already-answered reqids no-op)
+                    # and keep serving
+                    err = (b'{"error": {"kind": "Internal", '
+                           b'"message": "vector fast path failed"}}')
+                    for rq in reqids[:n]:
+                        try:
+                            lib.hxgw_respond(
+                                h, int(rq), 500, b"application/json",
+                                err, len(err),
+                            )
+                        except Exception:
+                            pass
         finally:
             for _ in finishers:
                 pending.put(None)
@@ -380,13 +405,17 @@ class NativeGateway:
         group's search.  Yields (reqids, rid, ks, finalize) work items."""
         engine = self.engine
         with self._fast_lock:
-            # ONLY currently-registered routes ride the fast path: a
-            # retired rid has no response template in C++ anymore
-            # (hxgw_respond_vbatch would silently drop it and the
-            # request would hang) — those go through the interpreter
-            # fallback, which responds by reqid with no template.
+            # Currently-registered routes ride the fast path; retired
+            # rids (requests parsed before a bundle reload) go through
+            # the interpreter fallback, which responds by reqid with no
+            # template.  (C++ also keeps retired templates now, so a
+            # reload BETWEEN dispatch and finalize cannot drop the
+            # response either.)
             specs = dict(self._fast_specs)
-        if any(s.tenant_key for s in specs.values()):
+            retired = dict(self._retired_specs)
+        if any(s.tenant_key for s in specs.values()) or any(
+            s.tenant_key for s in retired.values()
+        ):
             # tenant values are ASCII by the C++ parse contract (non-
             # ASCII/control bytes fall back to the interpreter)
             tenant_strs = [
@@ -678,7 +707,10 @@ class NativeGateway:
         finally:
             if not isinstance(raw, bytes):
                 raw.release()  # invalidate the view before C++ frees it
-                lib.hxgw_release_body(h, reqid)
+            # ALWAYS release: the C++ side parks an entry per request
+            # even when the body is empty (every GET / follower poll
+            # would otherwise leak an unordered_map node forever)
+            lib.hxgw_release_body(h, reqid)
         if isinstance(result, JsonResult):
             data = fastjson.dumpb(result.payload, nan_null=True)
             lib.hxgw_respond(
@@ -716,7 +748,11 @@ class NativeGateway:
                 target=self._stream_events, args=(reqid, result.after),
                 daemon=True,
             )
-            self._streamers.append(t)
+            # prune finished streamers on append: reconnecting SSE
+            # subscribers would otherwise grow this list forever
+            self._streamers = [
+                s for s in self._streamers if s.is_alive()
+            ] + [t]
             t.start()
 
     def _stream_events(self, reqid: int, after: int) -> None:

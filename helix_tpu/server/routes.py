@@ -79,7 +79,10 @@ def dispatch(
         if method == "GET":
             if path.startswith("/v1/replication"):
                 query = parse_qs(urlparse(path).query)
-                after = int(query.get("after", ["-1"])[0])
+                try:
+                    after = int(query.get("after", ["-1"])[0])
+                except ValueError as exc:
+                    raise QueryError(f"bad after value: {exc}") from exc
                 records, reseed = engine.replication.since(after)
                 return JsonResult(200, {
                     "records": records,
@@ -100,8 +103,16 @@ def dispatch(
                 import tempfile
 
                 fd, tmp = tempfile.mkstemp(prefix="hxseed-", suffix=".pkl")
-                with open(fd, "wb") as fh:
-                    pickle.dump(engine.export_replica_seed(), fh, protocol=5)
+                try:
+                    with open(fd, "wb") as fh:
+                        pickle.dump(
+                            engine.export_replica_seed(), fh, protocol=5
+                        )
+                except Exception:
+                    import os as _os
+
+                    _os.unlink(tmp)  # don't litter /tmp on export failure
+                    raise
                 return FileResult(200, tmp)
             if path == "/v1/health":
                 health = {
@@ -194,8 +205,13 @@ def dispatch(
             ))
         if path == "/v1/bundle":
             engine.telemetry.log_event(
-                "deploying", routes=len(body.get("read_routes", {}))
-                + len(body.get("write_routes", {})),
+                "deploying",
+                routes=(
+                    len(body.get("read_routes", {}))
+                    + len(body.get("write_routes", {}))
+                ) if isinstance(body, dict) else 0,
+                # str/bytes bundles are valid load_bundle input; the
+                # telemetry peek must not 500 them
             )
             engine.load_bundle(body)
             engine.telemetry.log_event(

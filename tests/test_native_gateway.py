@@ -550,3 +550,83 @@ def test_fast_path_rejects_malformed_commas(gateway, client):
                 buf += chunk
         status = buf.split(b"\r\n", 1)[0]
         assert b"400" in status or b"500" in status, (bad, buf[:200])
+
+
+def test_parked_bodies_do_not_leak(gateway, client):
+    """Every request (incl. empty-body GETs like health checks and
+    follower polls) parks a body entry in C++ that the worker must
+    release — the map must drain back to ~0."""
+    for _ in range(30):
+        client.health()
+    deadline = time.time() + 5
+    lib, h = gateway._lib, gateway._handle
+    while time.time() < deadline:
+        if int(lib.hxgw_parked_count(h)) == 0:
+            break
+        time.sleep(0.05)
+    assert int(lib.hxgw_parked_count(h)) == 0
+
+
+def test_fast_route_missing_k_matches_interpreter(gateway, client):
+    """Omitting a required k param must produce the interpreter's 400 on
+    BOTH paths (the fast parse used to default k=10 and 200)."""
+    vec = _query_vec(5)
+    with pytest.raises(HelixError):
+        client.call("vsearch", {"q": vec})  # no k
+
+
+def test_wide_dim_routes_stay_on_interpreter():
+    """Routes wider than the C++ vbatch buffer must not register as
+    fast routes (the buffer would silently truncate queries)."""
+    import numpy as np
+
+    from helix_tpu.dsl import (
+        Expr, define_params, define_queries, g, param, read_batch,
+        register_read, write_batch,
+    )
+    from helix_tpu.engine import Engine
+    from helix_tpu.server.native_gateway import NativeGateway
+
+    eng = Engine(batch_window_ms=None)
+    gw = NativeGateway(eng, host="127.0.0.1", port=0)
+    gw.start()
+    try:
+        wide = 4224  # > MAX_FAST_DIM after lane padding
+        req = {
+            "request_type": "write", "query_name": None,
+            "query": write_batch()
+            .var_as("i", g().create_vector_index_nodes("W", "v"))
+            .var_as("a", g().add_n("W", {"v": [0.0] * wide}))
+            .encode(),
+            "parameters": {},
+        }
+        eng.execute(req)
+        p = define_params({"q": param.array(param.f32()), "k": param.i64()})
+        bundle = define_queries({
+            "read": {
+                "wsearch": register_read(
+                    lambda pp: read_batch().var_as(
+                        "hits",
+                        g().vector_search_nodes(
+                            "W", "v", Expr.param("q"), Expr.param("k")
+                        ).value_map(["$id", "$distance"]),
+                    ).returning(["hits"]),
+                    p,
+                ),
+            }
+        }).build_query_bundle()
+        gw.engine.load_bundle(bundle)
+        gw.on_bundle_loaded()
+        assert all(
+            s.name != "wsearch" for s in gw._fast_specs.values()
+        ), "wide route must not be fast-path eligible"
+        # and it still serves correctly via the interpreter
+        from helix_tpu.client import Client
+
+        out = Client(f"http://127.0.0.1:{gw.port}").call(
+            "wsearch", {"q": [0.0] * wide, "k": 1}
+        )
+        assert len(out["hits"]) == 1
+    finally:
+        gw.stop()
+        gw.engine.close()

@@ -219,3 +219,57 @@ def test_dynamic_batching_coalesces_concurrent_searches():
     assert batcher.dispatches >= 1
     assert batcher.dispatches + batcher.coalesced == 16
     assert batcher.coalesced > 0  # at least some coalescing happened
+
+
+def test_401_drains_body_on_keep_alive():
+    """An unauthorized POST's body must be consumed before the 401 or
+    the keep-alive stream parses body bytes as the next request."""
+    import socket
+
+    from helix_tpu.server import HelixHTTPServer
+
+    srv = HelixHTTPServer(host="127.0.0.1", port=0, api_key="sekret")
+    srv.start()
+    try:
+        body = b"GET /v1/health HTTP/1.1\r\n\r\n"  # smuggle attempt
+        raw = (
+            b"POST /v1/query HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body
+            + b"POST /v1/query HTTP/1.1\r\nHost: x\r\n"
+            b"Authorization: Bearer wrong\r\nContent-Length: 2\r\n\r\n{}"
+        )
+        import time as _t
+
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=5) as s:
+            s.sendall(raw)
+            buf = b""
+            deadline = _t.time() + 5
+            while buf.count(b"HTTP/1.1 401") < 2 and _t.time() < deadline:
+                try:
+                    chunk = s.recv(65536)
+                except TimeoutError:
+                    break
+                if not chunk:
+                    break
+                buf += chunk
+        # both requests get 401; the smuggled health request never runs
+        assert buf.count(b"HTTP/1.1 401") == 2, buf[:300]
+        assert b'"status"' not in buf
+    finally:
+        srv.stop()
+        srv.engine.close()
+
+
+def test_replication_bad_after_is_400(client, server):
+    import urllib.error
+    import urllib.request
+
+    try:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/v1/replication?after=abc",
+            timeout=5,
+        )
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as exc:
+        assert exc.code == 400
