@@ -52,6 +52,7 @@ def _cloud_request(
     path: str, payload: dict | None = None, *, method: str | None = None,
     authed: bool = True,
 ) -> dict:
+    import urllib.error
     import urllib.request
 
     authority = cloud_authority()
@@ -65,12 +66,20 @@ def _cloud_request(
     if authed:
         creds = require_auth()
         req.add_header("Authorization", f"Bearer {creds['helix_user_key']}")
-    with urllib.request.urlopen(req, timeout=60) as resp:
-        return json.loads(resp.read())
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return json.loads(resp.read())
+    except urllib.error.HTTPError as exc:
+        raise SystemExit(_cloud_error(path, exc)) from exc
+    except urllib.error.URLError as exc:
+        raise SystemExit(
+            f"cloud request to {path} failed: {exc.reason}"
+        ) from exc
 
 
 def _cloud_sse(path: str, payload: dict | None = None, authed: bool = True):
     """POST (or GET) an SSE route; yield decoded event dicts."""
+    import urllib.error
     import urllib.request
 
     authority = cloud_authority()
@@ -83,11 +92,34 @@ def _cloud_sse(path: str, payload: dict | None = None, authed: bool = True):
     if authed:
         creds = require_auth()
         req.add_header("Authorization", f"Bearer {creds['helix_user_key']}")
-    with urllib.request.urlopen(req, timeout=300) as resp:
+    try:
+        resp = urllib.request.urlopen(req, timeout=300)
+    except urllib.error.HTTPError as exc:
+        raise SystemExit(_cloud_error(path, exc)) from exc
+    except urllib.error.URLError as exc:
+        raise SystemExit(
+            f"cloud request to {path} failed: {exc.reason}"
+        ) from exc
+    with resp:
         for raw in resp:
             line = raw.decode().strip()
             if line.startswith("data: "):
                 yield json.loads(line[len("data: "):])
+
+
+def _cloud_error(path: str, exc) -> str:
+    """Human message for a control-plane HTTP error (the raw traceback
+    hid the server's own error text)."""
+    detail = ""
+    try:
+        body = json.loads(exc.read())
+        detail = body.get("error") or ""
+    except Exception:
+        pass
+    msg = f"cloud request to {path} failed: HTTP {exc.code}"
+    if exc.code == 401:
+        msg += " (credentials rejected; re-run `auth login`)"
+    return f"{msg}" + (f" — {detail}" if detail else "")
 
 
 def _credentials_path() -> Path:
@@ -547,15 +579,53 @@ def cmd_sync(args) -> int:
     if args.dry_run:
         return 0
     if not args.yes:
+        if sys.stdout is not sys.__stdout__ or not sys.stdin.isatty():
+            # --quiet (or no TTY): the plan and prompt are invisible —
+            # require an explicit --yes instead of hanging on input()
+            print("sync needs confirmation; re-run with --yes",
+                  file=sys.stderr)
+            return 1
         answer = input("apply this plan? [y/N] ").strip().lower()
         if answer != "y":
             print("aborted")
             return 1
     for name in pulls:
-        target = queries_dir / name
+        target = _safe_member(queries_dir, name)
         target.parent.mkdir(parents=True, exist_ok=True)
         target.write_bytes(base64.b64decode(remote[name]["content_b64"]))
     if pushes:
-        _post_source(client, collect_source_snapshot(queries_dir))
+        # Push ONLY the planned files on top of the remote snapshot:
+        # the server's /v1/source is full-replacement, so posting the
+        # raw local snapshot would destroy the remote's copy of every
+        # tie the plan just told the user to resolve manually.
+        local_now = collect_source_snapshot(queries_dir)
+        merged = dict(remote)
+        for name in pushes:
+            if name in local_now:
+                merged[name] = local_now[name]
+            else:
+                merged.pop(name, None)
+        # pulled files are already identical both sides; refresh them
+        # from local so mtimes stay coherent
+        for name in pulls:
+            if name in local_now:
+                merged[name] = local_now[name]
+        _post_source(client, merged)
     print(f"synced: pulled {len(pulls)}, pushed {len(pushes)}")
     return 0
+
+
+def _safe_member(root, name: str):
+    """Resolve a remote-supplied file name strictly INSIDE ``root`` —
+    a malicious gateway must not be able to write outside the project
+    via '../' segments or absolute paths."""
+    from pathlib import PurePosixPath
+
+    pure = PurePosixPath(name)
+    if pure.is_absolute() or any(p in ("..", "") for p in pure.parts):
+        raise SystemExit(f"refusing unsafe remote file name: {name!r}")
+    target = (root / pure).resolve()
+    root_resolved = root.resolve()
+    if root_resolved != target and root_resolved not in target.parents:
+        raise SystemExit(f"refusing unsafe remote file name: {name!r}")
+    return target

@@ -143,7 +143,11 @@ def _process_gone(pid: int) -> bool:
         with open(f"/proc/{pid}/stat") as fh:
             return fh.read().rsplit(")", 1)[1].split()[0] == "Z"
     except OSError:
-        return True
+        # no /proc (non-Linux) or raced a just-exited pid: kill(0)
+        # above said alive, so report alive — "gone" here made every
+        # live process look dead on macOS (duplicate starts, dead
+        # status, no-op stops)
+        return False
 
 
 def _pidfile(project, instance: str) -> Path:
@@ -215,7 +219,11 @@ def _probe_port(port: int, fallback_scan: int = 100) -> int:
             # (the server binds with SO_REUSEADDR too).
             sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
             try:
-                sock.bind(("127.0.0.1", candidate))
+                # bind the wildcard interface like the spawned server
+                # does — a service bound to a specific non-loopback
+                # interface would pass a 127.0.0.1 probe and then kill
+                # the server with EADDRINUSE
+                sock.bind(("", candidate))
             except OSError:
                 continue
             return candidate
@@ -370,6 +378,16 @@ def cmd_stop(args) -> int:
         if _process_gone(pid):
             break
         time.sleep(0.1)
+    if not _process_gone(pid):
+        # still checkpointing: unlinking the pidfile now would let a
+        # second start open the same data directory while this engine
+        # is mid-checkpoint (two writers on one store)
+        print(
+            f"instance '{inst.name}' (pid {pid}) is still shutting down; "
+            "retry stop in a moment",
+            file=sys.stderr,
+        )
+        return 1
     # Supervised instances: the pidfile tracked the supervisor; make sure
     # the engine child is gone too (it normally exits with the
     # supervisor, but a killed supervisor can orphan it).
@@ -576,7 +594,9 @@ def cmd_deploy(args) -> int:
         print(f"bundle not found: {bundle_path}", file=sys.stderr)
         return 1
     try:
-        out = Client(f"http://localhost:{inst.port}").deploy_bundle(
+        out = Client(
+            f"http://localhost:{_active_port(project, inst)}"
+        ).deploy_bundle(
             json.loads(bundle_path.read_text())
         )
     except HelixError as exc:
@@ -844,10 +864,14 @@ def cmd_chef(args) -> int:
         cmd_init(init_args)
 
     # Interactive cook: ask what we're building so the agent prompt
-    # starts from the user's intent (TTY only; --describe for scripts).
+    # starts from the user's intent (TTY only, never under --quiet —
+    # the redirected prompt would be invisible and input() would
+    # appear hung; --describe for scripts).
     description = getattr(args, "describe", None)
-    if description is None and sys.stdin.isatty() and not getattr(
-        args, "no_agent", False
+    if (
+        description is None and sys.stdin.isatty()
+        and sys.stdout is sys.__stdout__
+        and not getattr(args, "no_agent", False)
     ):
         try:
             print("chef: what are you building? (one line, empty to skip)")
@@ -855,24 +879,27 @@ def cmd_chef(args) -> int:
         except (EOFError, KeyboardInterrupt):
             description = None
 
-    prompt = CHEF_PROMPT.format(instance=args.instance, port=args.port)
-    if description:
-        prompt = (
-            f"# Goal\n\n{description}\n\n" + prompt
-            + "\nBuild toward the goal above; start from examples/seed.py "
-            "and the design guide (HELIX_DESIGN_GUIDE.md).\n"
-        )
     prompt_path = root / "HELIX_CHEF_PROMPT.md"
-    prompt_path.write_text(prompt, encoding="utf-8")
-    print(f"wrote {prompt_path}")
-
     guide_path = root / "HELIX_DESIGN_GUIDE.md"
-    guide_path.write_text(CHEF_DESIGN_GUIDE, encoding="utf-8")
-    print(f"wrote {guide_path}")
-
     seed_path = root / "examples" / "seed.py"
-    seed_path.parent.mkdir(parents=True, exist_ok=True)
-    seed_path.write_text(CHEF_SEED.format(port=args.port), encoding="utf-8")
+
+    def _write_artifacts(port: int) -> None:
+        prompt = CHEF_PROMPT.format(instance=args.instance, port=port)
+        if description:
+            prompt = (
+                f"# Goal\n\n{description}\n\n" + prompt
+                + "\nBuild toward the goal above; start from "
+                "examples/seed.py and the design guide "
+                "(HELIX_DESIGN_GUIDE.md).\n"
+            )
+        prompt_path.write_text(prompt, encoding="utf-8")
+        guide_path.write_text(CHEF_DESIGN_GUIDE, encoding="utf-8")
+        seed_path.parent.mkdir(parents=True, exist_ok=True)
+        seed_path.write_text(CHEF_SEED.format(port=port), encoding="utf-8")
+
+    _write_artifacts(args.port)
+    print(f"wrote {prompt_path}")
+    print(f"wrote {guide_path}")
     print(f"wrote {seed_path}")
 
     if args.start:
@@ -885,6 +912,20 @@ def cmd_chef(args) -> int:
         code = cmd_start(start_args)
         if code != 0:
             return code
+        # start may have fallen forward past a busy port: point the
+        # seed run AND the generated artifacts at the real instance
+        active_port = args.port
+        try:
+            active_port = int(
+                (root / ".helix" / args.instance / "server.port")
+                .read_text().strip()
+            )
+        except (OSError, ValueError):
+            pass
+        if active_port != args.port:
+            _write_artifacts(active_port)
+            print(f"port {args.port} was busy; artifacts target "
+                  f"{active_port}")
         # seed the freshly started instance so the first query has data
         # (inherit this process's package location: the project dir may
         # not have helix_tpu importable on its own)
@@ -892,7 +933,7 @@ def cmd_chef(args) -> int:
         pkg_parent = str(Path(__file__).resolve().parents[2])
         env["PYTHONPATH"] = pkg_parent + os.pathsep + env.get("PYTHONPATH", "")
         seed = subprocess.run(
-            [sys.executable, str(seed_path), str(args.port)],
+            [sys.executable, str(seed_path), str(active_port)],
             capture_output=True, text=True, cwd=root, env=env,
         )
         if seed.returncode == 0:

@@ -170,7 +170,17 @@ class ControlPlane:
             rq._json(404, {"error": "unknown or expired device code"})
             return
         body = rq._body()
-        grant.user_id = body.get("user_id") or f"user-{code[:6]}"
+        user_id = body.get("user_id") or f"user-{code[:6]}"
+        with self.state.lock:
+            exists = user_id in self.state.data["users"]
+        if exists and self._authorized(rq.headers) != user_id:
+            # claiming an existing identity needs that identity's key —
+            # otherwise anyone could mint a bearer token as any user
+            rq._json(403, {
+                "error": "approving as an existing user requires that "
+                         "user's api key"})
+            return
+        grant.user_id = user_id
         grant.approved.set()
         rq._json(200, {"approved": True})
 
@@ -278,10 +288,19 @@ class ControlPlane:
                 rq._sse({"type": "DeviceCodeTimeout"})
                 return
             user_id = grant.user_id or ""
-            user_key = secrets.token_hex(16)
             with self.state.lock:
-                self.state.data["users"][user_id] = {"user_key": user_key}
-                self.state.save()
+                existing = self.state.data["users"].get(user_id)
+                if existing is not None:
+                    # re-login: hand back the existing key instead of
+                    # rotating it (rotation would lock out every other
+                    # session holding the old key)
+                    user_key = existing["user_key"]
+                else:
+                    user_key = secrets.token_hex(16)
+                    self.state.data["users"][user_id] = {
+                        "user_key": user_key
+                    }
+                    self.state.save()
             rq._sse({
                 "type": "Success", "user_id": user_id, "user_key": user_key,
             })

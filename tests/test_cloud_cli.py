@@ -103,3 +103,79 @@ def test_push_and_sync_roundtrip(state_home, gateway, tmp_path):
     code, out, _ = run_cli(["sync", "dev", "--yes"], cwd=root)
     assert code == 0 and "pull:  extra.py" in out
     assert (db / "extra.py").read_text() == "# extra"
+
+
+def test_safe_member_rejects_traversal(tmp_path):
+    """Remote-supplied file names must stay inside the project dir."""
+    from helix_tpu.cli.cloud import _safe_member
+
+    root = tmp_path / "db"
+    root.mkdir()
+    assert _safe_member(root, "sub/queries.py") == (
+        root / "sub" / "queries.py"
+    ).resolve()
+    for evil in ("../outside.py", "/etc/x", "a/../../b", "sub/../../../x"):
+        with pytest.raises(SystemExit):
+            _safe_member(root, evil)
+
+
+def test_sync_preserves_diverged_remote_ties(tmp_path, monkeypatch):
+    """A push must not destroy the remote copy of a file the plan
+    classified as a tie ('resolve manually')."""
+    import helix_tpu.cli.cloud as cloud
+
+    queries = tmp_path / "db"
+    queries.mkdir()
+    now_ms = 1_000_000
+    (queries / "pushme.py").write_text("local newer")
+    (queries / "tie.py").write_text("local tie content")
+    import os as _os
+    _os.utime(queries / "pushme.py", (2_000, 2_000))
+    _os.utime(queries / "tie.py", (1_000, 1_000))
+
+    import base64 as _b64
+    import hashlib as _hash
+
+    def entry(content, ms):
+        data = content.encode()
+        return {
+            "content_b64": _b64.b64encode(data).decode(),
+            "sha256": _hash.sha256(data).hexdigest(),
+            "last_modified_ms": ms,
+        }
+
+    remote = {
+        "pushme.py": entry("old remote", 1_000),       # LocalNewer
+        "tie.py": entry("REMOTE tie content", 1_000_000 - 1),  # within skew
+    }
+    # tie classification needs matching mtimes; rebuild local mtime close
+    local_snapshot = cloud.collect_source_snapshot(queries)
+    remote["tie.py"]["last_modified_ms"] = (
+        local_snapshot["tie.py"]["last_modified_ms"] - 1
+    )
+    remote["pushme.py"]["last_modified_ms"] = 0
+
+    posted = {}
+    monkeypatch.setattr(cloud, "require_auth", lambda: {"helix_user_key": "k"})
+    monkeypatch.setattr(cloud, "_cluster_client", lambda c: object())
+    monkeypatch.setattr(cloud, "_get_source", lambda c: {"files": remote})
+    monkeypatch.setattr(
+        cloud, "_post_source", lambda c, files: posted.update(files)
+    )
+
+    class P:
+        root = tmp_path
+        queries_dir = "db"
+
+    import helix_tpu.cli.config as cfg
+
+    monkeypatch.setattr(cfg, "find_project", lambda: P())
+
+    import argparse
+
+    args = argparse.Namespace(cluster="c", dry_run=False, yes=True)
+    assert cloud.cmd_sync(args) == 0
+    # the push carried the local pushme.py...
+    assert posted["pushme.py"]["sha256"] == local_snapshot["pushme.py"]["sha256"]
+    # ...but the tie kept the REMOTE copy (not overwritten by local)
+    assert posted["tie.py"]["sha256"] == remote["tie.py"]["sha256"]

@@ -228,3 +228,69 @@ def test_project_command_local_and_cloud(cloud_env, monkeypatch):
     monkeypatch.delenv("CLOUD_AUTHORITY")
     code, out, _ = run_cli(["project"])
     assert "analytics" in out
+
+
+def test_approve_cannot_impersonate_existing_user(cloud_env):
+    """Claiming an EXISTING identity through device-approve without that
+    user's key must 403 (it used to mint a key as any user AND rotate
+    the victim's real key)."""
+    plane = cloud_env
+    _approve_soon(plane, "victim")
+    code, out, err = run_cli(["auth", "login", "--device"])
+    assert code == 0, err
+    victim_key = plane.state.data["users"]["victim"]["user_key"]
+
+    import urllib.error
+
+    # attacker starts a device grant...
+    grant = json.loads(urllib.request.urlopen(
+        urllib.request.Request(
+            f"http://127.0.0.1:{plane.port}/api/cli/auth/device",
+            data=b"{}", headers={"Content-Type": "application/json"},
+        ), timeout=10,
+    ).read())
+    dc = grant["device_code"]
+    # ...and tries to approve it AS the victim, with no credentials
+    try:
+        urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{plane.port}/api/cli/auth/device/{dc}/approve",
+            data=json.dumps({"user_id": "victim"}).encode(),
+            headers={"Content-Type": "application/json"},
+        ), timeout=10)
+        raise AssertionError("expected 403")
+    except urllib.error.HTTPError as exc:
+        assert exc.code == 403
+    # victim's key is untouched
+    assert plane.state.data["users"]["victim"]["user_key"] == victim_key
+
+
+def test_relogin_keeps_existing_key(cloud_env):
+    """A second device-flow login as the same user (authorized approve)
+    hands back the SAME key instead of rotating it out from under other
+    sessions."""
+    plane = cloud_env
+    _approve_soon(plane, "carol")
+    code, _, err = run_cli(["auth", "login", "--device"])
+    assert code == 0, err
+    key1 = plane.state.data["users"]["carol"]["user_key"]
+
+    # approve again WITH carol's key (an authorized re-login)
+    def approve():
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if plane._grants:
+                dc = next(iter(plane._grants))
+                urllib.request.urlopen(urllib.request.Request(
+                    f"http://127.0.0.1:{plane.port}"
+                    f"/api/cli/auth/device/{dc}/approve",
+                    data=json.dumps({"user_id": "carol"}).encode(),
+                    headers={"Content-Type": "application/json",
+                             "Authorization": f"Bearer {key1}"},
+                ), timeout=10)
+                return
+            time.sleep(0.05)
+
+    threading.Thread(target=approve, daemon=True).start()
+    code, _, err = run_cli(["auth", "login", "--device"])
+    assert code == 0, err
+    assert plane.state.data["users"]["carol"]["user_key"] == key1
