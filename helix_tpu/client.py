@@ -56,6 +56,12 @@ class Client:
         try:
             with urllib.request.urlopen(req, timeout=30) as resp:
                 return json.loads(resp.read())
+        except urllib.error.HTTPError as exc:
+            # before URLError (its base class): callers branch on
+            # .status to tell an unhealthy server from a network fault
+            raise HelixError(
+                f"HTTP {exc.code}", status=exc.code
+            ) from exc
         except urllib.error.URLError as exc:
             raise HelixError(f"transport error: {exc}") from exc
 
@@ -91,7 +97,11 @@ class QueryBuilder:
         return self
 
     def stored(self, name: str) -> "QueryBuilder":
-        self._route = f"/v1/query/{name}"
+        from urllib.parse import quote
+
+        # percent-encode: a name with '/', '?', '#', spaces, or control
+        # characters must not target a different route or crash urllib
+        self._route = f"/v1/query/{quote(name, safe='')}"
         return self
 
     def send(self) -> Any:
@@ -121,11 +131,14 @@ def _post(url: str, body: Any, headers: dict[str, str], api_key: str | None) -> 
             payload = json.loads(exc.read())
         except Exception:
             payload = None
-        message = (
-            payload["error"]["message"]
-            if isinstance(payload, dict) and "error" in payload
-            else f"HTTP {exc.code}"
-        )
+        message = f"HTTP {exc.code}"
+        if isinstance(payload, dict):
+            err = payload.get("error")
+            if isinstance(err, dict):
+                # kind-only envelopes (HA 503 fallback) have no message
+                message = err.get("message") or err.get("kind") or message
+            elif isinstance(err, str):
+                message = err  # control-plane shape: {"error": "text"}
         raise HelixError(message, status=exc.code, body=payload) from exc
     except urllib.error.URLError as exc:
         raise HelixError(f"transport error: {exc}") from exc

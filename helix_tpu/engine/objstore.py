@@ -52,7 +52,10 @@ class FileObjectStore(ObjectStore):
     def put(self, key: str, data: bytes) -> None:
         path = self.root / key
         path.parent.mkdir(parents=True, exist_ok=True)
-        tmp = path.with_suffix(path.suffix + ".tmp")
+        # per-writer tmp name: two instances mirroring to one shared
+        # bucket (the documented NFS use) must not truncate each
+        # other's in-flight upload — os.replace stays atomic either way
+        tmp = path.with_suffix(path.suffix + f".tmp{os.getpid()}")
         with open(tmp, "wb") as fh:
             fh.write(data)
             fh.flush()
@@ -62,8 +65,11 @@ class FileObjectStore(ObjectStore):
     def get(self, key: str) -> bytes | None:
         try:
             return (self.root / key).read_bytes()
-        except OSError:
+        except FileNotFoundError:
             return None
+        # any OTHER OSError (EACCES, NFS faults) propagates: reading it
+        # as "no snapshot" would let a replacement node silently
+        # bootstrap empty and start a new history
 
 
 class MemoryObjectStore(ObjectStore):

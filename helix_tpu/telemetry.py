@@ -105,6 +105,7 @@ class Telemetry:
         if self.level == LEVEL_BASIC and kind not in BASIC_EVENTS:
             return
         event = {"event": kind, "ts_ms": int(self._clock() * 1000), **fields}
+        flush_now = False
         with self._ring_cond:
             event["seq"] = self._ring_start + len(self._ring)
             self._ring.append(event)
@@ -113,12 +114,14 @@ class Telemetry:
                 self._ring = self._ring[drop:]
                 self._ring_start += drop
             self._ring_cond.notify_all()
-        flush_now = False
-        with self._lock:
-            if len(self._buffer) >= BUFFER_CAP:
-                self._buffer.pop(0)  # drop-oldest under pressure
-            self._buffer.append(event)
-            flush_now = len(self._buffer) >= FLUSH_AT
+            # buffer append under the SAME lock that assigned seq:
+            # releasing in between let a later seq win the buffer race
+            # and the sink file record history out of order
+            with self._lock:
+                if len(self._buffer) >= BUFFER_CAP:
+                    self._buffer.pop(0)  # drop-oldest under pressure
+                self._buffer.append(event)
+                flush_now = len(self._buffer) >= FLUSH_AT
         if flush_now:
             self.flush()
 

@@ -325,11 +325,15 @@ def _validate_entry(entry: Any, write: bool) -> None:
     if tag == "ForEach":
         if not isinstance(body, dict) or "param" not in body or "body" not in body:
             raise WireError("ForEach entry must carry param and body")
+        if not isinstance(body["body"], list):
+            raise WireError("ForEach body must be a list of entries")
         for sub_entry in body["body"]:
             _validate_entry(sub_entry, write)
         return
     if not isinstance(body, dict) or "steps" not in body:
         raise WireError("Query entry must carry steps")
+    if not isinstance(body["steps"], list):
+        raise WireError("Query steps must be a list")
     for step in body["steps"]:
         tag_ = tag_of(step, STEP_STYLE, "step")
         if not write and tag_ in MUTATION_STEPS:

@@ -273,3 +273,59 @@ def test_replication_bad_after_is_400(client, server):
         raise AssertionError("expected HTTPError")
     except urllib.error.HTTPError as exc:
         assert exc.code == 400
+
+
+def test_client_error_shapes_do_not_crash():
+    """HelixError must surface for every error payload shape the fleet
+    emits: kind-only (HA 503 fallback), string errors (control plane),
+    and non-JSON bodies."""
+    import io
+    import urllib.error
+
+    from helix_tpu import client as client_mod
+
+    def fake_urlopen_factory(code, body):
+        def fake(req, timeout=None):
+            raise urllib.error.HTTPError(
+                "http://x", code, "err", {}, io.BytesIO(body)
+            )
+        return fake
+
+    for code, body, expect in (
+        (503, b'{"error": {"kind": "Unavailable"}}', "Unavailable"),
+        (400, b'{"error": "name required"}', "name required"),
+        (500, b"not json", "HTTP 500"),
+        (404, b'{"error": {"kind": "NotFound", "message": "nope"}}', "nope"),
+    ):
+        orig = client_mod.urllib.request.urlopen
+        client_mod.urllib.request.urlopen = fake_urlopen_factory(code, body)
+        try:
+            with pytest.raises(client_mod.HelixError) as exc_info:
+                client_mod._post("http://x/v1/query", {}, {}, None)
+            assert expect in str(exc_info.value)
+            assert exc_info.value.status == code
+        finally:
+            client_mod.urllib.request.urlopen = orig
+
+
+def test_stored_name_is_percent_encoded(client):
+    """Names with spaces/slashes must not crash urllib or target a
+    different route — they produce a clean unknown-route error."""
+    from helix_tpu.client import HelixError
+
+    for name in ("my query", "a/../b", "x?y", "tab\tname"):
+        with pytest.raises(HelixError) as exc_info:
+            client.call(name, {})
+        assert exc_info.value.status in (400, 404), (name, exc_info.value)
+
+
+def test_objstore_io_errors_propagate(tmp_path):
+    """Only a genuinely missing object reads as None; other I/O faults
+    raise (silently bootstrapping an empty node is data loss)."""
+    from helix_tpu.engine.objstore import FileObjectStore
+
+    store = FileObjectStore(tmp_path / "bucket")
+    assert store.get("missing") is None
+    (tmp_path / "bucket" / "weird").mkdir()
+    with pytest.raises(OSError):
+        store.get("weird")  # IsADirectoryError must NOT read as absent

@@ -591,3 +591,24 @@ def test_large_u64_ids_roundtrip():
     steps = enc(g().n(NodeRef.ids([big])))
     assert steps == [{"N": {"Ids": [big]}}]
     assert json.loads(wire.dumps(steps))[0]["N"]["Ids"][0] == big
+
+
+def test_malformed_steps_and_foreach_body_are_wire_errors():
+    """Non-list steps / ForEach bodies must raise the typed WireError
+    (they used to TypeError into a 500)."""
+    import pytest
+
+    from helix_tpu import wire
+
+    with pytest.raises(wire.WireError, match="steps"):
+        wire.validate_batch(
+            {"queries": [{"Query": {"steps": 5, "condition": None}}],
+             "returns": []},
+            write=False,
+        )
+    with pytest.raises(wire.WireError, match="ForEach body"):
+        wire.validate_batch(
+            {"queries": [{"ForEach": {"param": "xs", "body": 7}}],
+             "returns": []},
+            write=True,
+        )
