@@ -164,3 +164,81 @@ def test_sigkill_mid_ingest_loses_no_acked_write(tmp_path):
             proc.wait(timeout=10)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+@pytest.mark.slow
+def test_sigkill_mid_bulk_ingest_replays_big_records(tmp_path):
+    """Bulk ForEach chunks write multi-hundred-KB WAL records; a kill -9
+    mid-stream must replay every acknowledged chunk through the native
+    codec's fast-array path (vectors land as typed arrays)."""
+    port = _free_port()
+    data_dir = str(tmp_path / "data")
+    proc = _spawn_server(port, data_dir)
+
+    batch = write_batch().for_each_param(
+        "docs",
+        write_batch().var_as("d", g().add_n("Doc", [
+            ("i", {"Expr": {"Param": "docs.i"}}),
+            ("v", {"Expr": {"Param": "docs.v"}}),
+        ])),
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    acked_chunks = []
+    try:
+        idx_req = DynamicQueryRequest.write(
+            write_batch().var_as("ix", g().create_vector_index_nodes("Doc", "v"))
+        ).encode()
+        _post(port, idx_req)
+        stop = threading.Event()
+
+        def writer():
+            base = 0
+            while not stop.is_set():
+                docs = [
+                    {"i": base + j, "v": rng.normal(size=32).tolist()}
+                    for j in range(500)
+                ]
+                req = DynamicQueryRequest(
+                    "write", batch, parameters={"docs": docs},
+                    parameter_types={"docs": {"Array": "Object"}},
+                ).encode()
+                try:
+                    _post(port, req, timeout=30)
+                except Exception:
+                    return
+                acked_chunks.append((base, base + 500))
+                base += 500
+
+        t = threading.Thread(target=writer)
+        t.start()
+        time.sleep(2.0)
+        _kill9(proc)
+        stop.set()
+        t.join(timeout=30)
+
+        proc = _spawn_server(port, data_dir)
+        out = _post(port, DynamicQueryRequest.read(
+            read_batch().var_as("ids", g().n_with_label("Doc").values(["i"]))
+        ).encode(), timeout=60)
+        present = set(out["ids"])
+        for lo, hi in acked_chunks:
+            missing = [i for i in range(lo, hi) if i not in present]
+            assert not missing, f"acked chunk [{lo},{hi}) lost {missing[:5]}"
+        assert len(acked_chunks) >= 2, "torture too short"
+        # vector search still works over the replayed rows
+        out = _post(port, DynamicQueryRequest.read(
+            read_batch().var_as(
+                "h", g().vector_search_nodes(
+                    "Doc", "v", rng.normal(size=32).tolist(), 3
+                ).value_map(["i"])
+            )
+        ).encode(), timeout=60)
+        assert len(out["h"]) == 3
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
