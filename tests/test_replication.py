@@ -453,3 +453,80 @@ def test_ring_byte_cap_evicts_bulk_records():
         ring2.append({"i": i}, now_ms=i, approx_bytes=10)
     assert len(ring2._records) == 5
     assert [r["request"]["i"] for r in ring2._records] == [4, 5, 6, 7, 8]
+
+
+def test_cascaded_replica_chain_converges():
+    """primary -> R1 -> R2: writes propagate through the chain, and a
+    primary restart (epoch roll) reconverges BOTH hops — the cascaded
+    case load_replica_seed's ring alignment exists for."""
+    import json as _json
+    import urllib.request
+
+    from helix_tpu.dsl import DynamicQueryRequest, g, read_batch, write_batch
+    from helix_tpu.server.http_server import HelixHTTPServer
+
+    def post(port, req):
+        data = _json.dumps(req).encode()
+        r = urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/query", data=data,
+            headers={"content-type": "application/json"}), timeout=10)
+        return _json.loads(r.read())
+
+    def count(port):
+        return post(port, DynamicQueryRequest.read(
+            read_batch().var_as("n", g().n_with_label("D").count())
+        ).encode())["n"]
+
+    def wait_count(port, want, timeout=25):
+        deadline = time.time() + timeout
+        got = -1
+        while time.time() < deadline:
+            got = count(port)
+            if got == want:
+                return got
+            time.sleep(0.2)
+        return got
+
+    primary = HelixHTTPServer(host="127.0.0.1", port=0)
+    primary.start()
+    r1 = HelixHTTPServer(
+        host="127.0.0.1", port=0,
+        replica_of=f"http://127.0.0.1:{primary.port}",
+    )
+    r1.start()
+    r2 = HelixHTTPServer(
+        host="127.0.0.1", port=0,
+        replica_of=f"http://127.0.0.1:{r1.port}",
+    )
+    r2.start()
+    try:
+        for i in range(5):
+            post(primary.port, DynamicQueryRequest.write(
+                write_batch().var_as("d", g().add_n("D", {"i": i}))
+            ).encode())
+        assert wait_count(r1.port, 5) == 5
+        assert wait_count(r2.port, 5) == 5, (
+            f"R2 stuck; r2.last_error={r2.follower.last_error}"
+        )
+
+        # primary restarts with fresh (empty, new-epoch) state: the
+        # chain must reseed hop by hop and follow the new lineage
+        pport = primary.port
+        primary.stop()
+        primary.engine.close()
+        primary2 = HelixHTTPServer(host="127.0.0.1", port=pport)
+        primary2.start()
+        try:
+            for i in range(3):
+                post(pport, DynamicQueryRequest.write(
+                    write_batch().var_as("d", g().add_n("D", {"i": 100 + i}))
+                ).encode())
+            assert wait_count(r1.port, 3) == 3, r1.follower.last_error
+            assert wait_count(r2.port, 3) == 3, r2.follower.last_error
+        finally:
+            primary2.stop()
+            primary2.engine.close()
+    finally:
+        for srv in (r2, r1):
+            srv.stop()
+            srv.engine.close()
