@@ -191,6 +191,12 @@ class Engine:
         with self._rwlock.read():
             return {
                 "seed_seq": self.replication.head_seq(),
+                # lineage captured ATOMICALLY with the watermark: the
+                # follower records this epoch after loading, so a
+                # primary restart mid-download cannot trigger a second
+                # full reseed of a seed that already matches the new
+                # lineage
+                "epoch": self.replication.epoch,
                 "payload": build_snapshot_payload(self),
             }
 

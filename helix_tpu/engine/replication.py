@@ -193,6 +193,12 @@ class Follower:
             seed = _SeedUnpickler.load(resp)
         self.engine.load_replica_seed(seed)
         self.applied_seq = seed["seed_seq"]
+        seed_epoch = seed.get("epoch")
+        if seed_epoch is not None:
+            # the epoch the seed was EXPORTED under, not the one we
+            # fetched before the (possibly minutes-long) download — a
+            # primary restart mid-download must not waste this seed
+            self.primary_epoch = seed_epoch
         self.last_error = None
 
     def _run(self) -> None:
@@ -219,7 +225,10 @@ class Follower:
                 # sequence numbers are not comparable across epochs
                 try:
                     self._reseed()
-                    self.primary_epoch = epoch
+                    if self.primary_epoch is None:
+                        # pre-epoch seed payload: fall back to the
+                        # epoch the feed reported
+                        self.primary_epoch = epoch
                 except Exception as exc:
                     self.last_error = f"reseed failed: {exc}"
                     self._stop.wait(POLL_INTERVAL_S * 4)
@@ -235,11 +244,15 @@ class Follower:
                 except Exception as exc:
                     # a record this replica cannot apply leaves it
                     # divergent: reseed from the primary's snapshot
-                    # rather than skipping the write forever
+                    # rather than skipping the write forever — but
+                    # BACK OFF first: a deterministically failing
+                    # record would otherwise drive an unthrottled
+                    # full-snapshot reseed loop against the primary
                     self.last_error = (
                         f"apply failed at seq {record['seq']}: {exc}; reseeding"
                     )
                     self.primary_epoch = None
+                    self._stop.wait(POLL_INTERVAL_S * 8)
                     break
             if not records:
                 self._stop.wait(POLL_INTERVAL_S)

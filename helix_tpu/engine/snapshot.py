@@ -407,9 +407,24 @@ class GraphSnapshot:
                 )
         if not etail:
             # no edge delta: device/padded caches are invalidated only
-            # by node-count growth (rebuilt lazily); the merged CSR
-            # caches set above survive edge deltas
-            self._padded = {}
+            # by node-count growth (rebuilt lazily) — EXCEPT the merged
+            # native-CSR caches, whose targets/labels are untouched by
+            # a node-only append: carry them with the already-extended
+            # indptr instead of paying a full O(E) endpoint re-gather
+            # on the next traversal (alternating AddN/traverse is the
+            # ingest hot path)
+            carried: dict[str, object] = {}
+            for direction in ("out", "in"):
+                cache = prev._padded.get(f"csr:{direction}")
+                if cache is not None:
+                    indptr_new = (
+                        self.out_indptr if direction == "out"
+                        else self.in_indptr
+                    )
+                    carried[f"csr:{direction}"] = (
+                        indptr_new, cache[1], cache[2]
+                    )
+            self._padded = carried
         return self
 
     def patch_cell(self, kind: str, eid: int, prop: str) -> None:

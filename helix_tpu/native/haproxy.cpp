@@ -701,11 +701,13 @@ void upstream_complete(Proxy* px, Upstream* u) {
     rq->retried_same = false;
 
     bool stored = rq->path.rfind("/v1/query/", 0) == 0;
-    if (!b->primary && stored && status == 400 &&
+    if (!b->primary && status == 400 &&
         body.find("read-only replica") != std::string::npos) {
-        // write-kind stored route discovered: remember, re-send to the
-        // primary (mirrors ha_front.handle's learn-and-retry)
-        {
+        // a write the byte-sniff missed (dynamic /v1/query with a
+        // JSON-escaped "request_type") or an undiscovered write-kind
+        // stored route: learn stored routes, re-send to the primary
+        // (mirrors ha_front.handle's learn-and-retry)
+        if (stored) {
             std::lock_guard<std::mutex> lk(px->wr_mu);
             px->write_routes.insert(rq->path.substr(strlen("/v1/query/")));
         }

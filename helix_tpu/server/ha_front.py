@@ -46,6 +46,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 _WRITE_RE = re.compile(rb'"request_type"\s*:\s*"write"')
 
+
+class _BackendTimeout(Exception):
+    """Request-level timeout: the backend is slow, not dead."""
+
 _HOP_HEADERS = {
     "connection", "keep-alive", "transfer-encoding", "host",
     "content-length",
@@ -185,7 +189,8 @@ class HAFront:
                 conn.close()
 
     def _forward(
-        self, backend: Backend, method: str, path: str, body: bytes, headers
+        self, backend: Backend, method: str, path: str, body: bytes, headers,
+        idempotent: bool = True,
     ) -> tuple[int, bytes, str]:
         fwd_headers = {
             key: value for key, value in headers.items()
@@ -194,19 +199,31 @@ class HAFront:
         payload = body if method == "POST" else None
         for attempt in (0, 1):
             conn = self._connection(backend)
+            sent = False
             try:
                 conn.request(method, path, body=payload, headers=fwd_headers)
+                sent = True
                 resp = conn.getresponse()
                 data = resp.read()
                 return (
                     resp.status, data,
                     resp.headers.get("Content-Type", "application/json"),
                 )
+            except TimeoutError as exc:
+                # slow != dead: the backend may still be executing; do
+                # not blind-retry (re-running the work) — surface a
+                # typed timeout the read loop maps to 504 without
+                # poisoning backend health
+                self._drop_connection(backend)
+                raise _BackendTimeout(str(exc)) from exc
             except (http.client.HTTPException, ConnectionError, OSError):
                 # stale keep-alive (backend restarted/closed the socket):
-                # reconnect once, then treat as a real backend failure
+                # reconnect once — but ONLY when the request either
+                # never went out or is safe to re-run.  A write that was
+                # already transmitted may have EXECUTED (crash before
+                # the response): re-sending would duplicate it.
                 self._drop_connection(backend)
-                if attempt == 1:
+                if attempt == 1 or (sent and not idempotent):
                     raise
         raise AssertionError("unreachable")
 
@@ -222,6 +239,15 @@ class HAFront:
             result: tuple[int, bytes, str] | None = None
             replica_errors: list[str] = []
             for backend in [self.primary, *self.replicas]:
+                if backend.role == "replica" and not backend.healthy:
+                    # a blackholed replica would stall the single
+                    # control thread for the full connect timeout; the
+                    # prober already marked it down — report, skip
+                    replica_errors.append(
+                        f"{backend.url}: skipped (unhealthy: "
+                        f"{backend.last_error})"
+                    )
+                    continue
                 try:
                     out = self._forward(backend, method, path, body, headers)
                     if backend.role == "primary":
@@ -253,7 +279,15 @@ class HAFront:
             if not self.primary.healthy:
                 self._probe(self.primary)  # one immediate recheck
             try:
-                return self._forward(self.primary, method, path, body, headers)
+                return self._forward(
+                    self.primary, method, path, body, headers,
+                    idempotent=False,
+                )
+            except _BackendTimeout as exc:
+                return (504, json.dumps({"error": {
+                    "kind": "Timeout",
+                    "message": f"writer timed out: {exc}",
+                }}).encode(), "application/json")
             except Exception as exc:
                 self.primary.healthy = False
                 self.primary.last_error = str(exc)
@@ -272,6 +306,14 @@ class HAFront:
                 status, payload, ctype = self._forward(
                     backend, method, path, body, headers
                 )
+            except _BackendTimeout as exc:
+                # the backend is still executing: re-issuing the same
+                # (possibly expensive) query elsewhere multiplies load
+                # and flaps healthy backends — report the timeout
+                return (504, json.dumps({"error": {
+                    "kind": "Timeout",
+                    "message": f"backend timed out: {exc}",
+                }}).encode(), "application/json")
             except Exception as exc:
                 backend.healthy = False
                 backend.last_error = str(exc)
@@ -280,13 +322,25 @@ class HAFront:
             if (
                 status == 400
                 and backend.role == "replica"
-                and path.startswith("/v1/query/")
                 and b"read-only replica" in payload
             ):
-                # discovered a write-kind stored route: remember and
-                # re-issue against the writer
-                self._write_routes.add(path[len("/v1/query/"):])
-                return self.handle(method, path, body, headers)
+                # a write the byte-sniff missed (e.g. JSON-escaped
+                # "request_type") or an undiscovered write-kind stored
+                # route: remember stored routes, re-issue on the writer
+                if path.startswith("/v1/query/"):
+                    self._write_routes.add(path[len("/v1/query/"):])
+                try:
+                    return self._forward(
+                        self.primary, method, path, body, headers,
+                        idempotent=False,
+                    )
+                except Exception as exc:
+                    self.primary.healthy = False
+                    self.primary.last_error = str(exc)
+                    return (503, json.dumps({"error": {
+                        "kind": "Unavailable",
+                        "message": f"writer unreachable: {exc}",
+                    }}).encode(), "application/json")
             if (
                 status >= 400
                 and backend.role == "replica"
@@ -462,6 +516,18 @@ class HAFront:
                 pass
 
             def _serve(self):
+                if self.headers.get("Transfer-Encoding"):
+                    # not dechunked here: forwarding an empty body would
+                    # silently drop the payload
+                    self.close_connection = True
+                    err = (b'{"error": {"kind": "NotImplemented", '
+                           b'"message": "chunked bodies unsupported"}}')
+                    self.send_response(501)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(err)))
+                    self.end_headers()
+                    self.wfile.write(err)
+                    return
                 length = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(length) if length else b""
                 status, payload, ctype = front.handle(
@@ -498,7 +564,11 @@ class HAFront:
                 busy = busy or t.is_alive()
             if not busy:
                 self._native.hxha_destroy(self._px)
-            self._px = None
+                self._px = None
+            # else: the handle leaks AND stays set — a wedged thread
+            # between its None-check and the native call would otherwise
+            # pass NULL into C++ (segfault); the proxy is stopped, so
+            # further calls on it are harmless
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd.server_close()

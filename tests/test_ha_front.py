@@ -571,3 +571,31 @@ def test_proxy_rejects_chunked_and_bad_content_length(cluster):
         # the connection must be torn down without proxying anything;
         # no smuggled /v1/health response may ever appear
         assert b'"nodes"' not in buf and b'"status"' not in buf
+
+
+def test_escaped_write_rerouted_to_primary(cluster):
+    """A dynamic write whose request_type is JSON-escaped slips past the
+    byte sniff and lands on a replica; the replica's read-only 400 must
+    reroute it to the primary, not surface to the client."""
+    primary, replicas, front = cluster
+    body = json.dumps({
+        "request_type": "write", "query_name": None,
+        "query": {"queries": [{"Query": {"name": "d", "steps": [
+            {"AddN": {"label": "Esc", "properties": []}},
+        ], "condition": None}}], "returns": []},
+        "parameters": {},
+    }).replace('"write"', '"\\u0077rite"').encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{front.port}/v1/query", data=body,
+        headers={"content-type": "application/json"},
+    )
+    out = json.loads(urllib.request.urlopen(req, timeout=15).read())
+    assert out["d"][0]["$label"] == "Esc"
+    # the write executed exactly ONCE, on the primary
+    n = Client(f"http://127.0.0.1:{primary.port}").execute({
+        "request_type": "read",
+        "query": {"queries": [{"Query": {"name": "n", "steps": [
+            {"NWhere": {"Eq": ["$label", {"String": "Esc"}]}}, "Count",
+        ], "condition": None}}], "returns": ["n"]},
+    })["n"]
+    assert n == 1

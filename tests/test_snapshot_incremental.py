@@ -379,3 +379,46 @@ def test_null_vs_missing_export_fidelity():
     assert len(vals) == 67 and vals.count(None) == 34
     vm = read([{"ValueMap": ["v"]}])
     assert vm[0] == {"v": None} and vm[1] == {"v": 1} and vm[2] == {}
+
+
+def test_node_append_carries_csr_kernel_cache():
+    """A node-only append must CARRY the materialized native-CSR cache
+    (indptr extended with the terminal value; targets/labels shared),
+    not drop it — and the carried arrays must equal a fresh build's."""
+    import numpy.testing as npt
+
+    rng = np.random.default_rng(4)
+    engine = Engine()
+    for i in range(30):
+        _add(engine, "N", {"k": {"I64": i}})
+    ids = engine.store.nodes_by_label["N"]
+    for _ in range(120):
+        engine.store.add_edge("rel", int(rng.choice(ids)), int(rng.choice(ids)), {})
+    snap = engine.snapshots.get()
+    cached = snap.csr_arrays("out")  # materialize
+    snap.csr_arrays("in")
+
+    for round_ in range(3):
+        _add(engine, "N", {"k": {"I64": 500 + round_}})
+        snap2 = engine.snapshots.get()
+        # cache survived the node-only append: targets/labels are the
+        # SAME arrays (no O(E) re-gather)
+        carried = snap2._padded.get("csr:out")
+        assert carried is not None, "node append dropped the CSR cache"
+        assert carried[1] is cached[1] and carried[2] is cached[2]
+        fresh = GraphSnapshot(engine.store)
+        for d in ("out", "in"):
+            a = snap2.csr_arrays(d)
+            b = fresh.csr_arrays(d)
+            for x, y in zip(a, b):
+                npt.assert_array_equal(x, y)
+        # an edge append after node appends still merges exactly
+        engine.store.add_edge(
+            "rel", int(rng.choice(ids)), int(rng.choice(ids)), {})
+        snap3 = engine.snapshots.get()
+        fresh3 = GraphSnapshot(engine.store)
+        for d in ("out", "in"):
+            for x, y in zip(snap3.csr_arrays(d), fresh3.csr_arrays(d)):
+                npt.assert_array_equal(x, y)
+        snap = snap3
+        cached = snap.csr_arrays("out")
