@@ -241,14 +241,34 @@ def _convert_param(value: Any, ty: Any, path: str) -> Tagged:
                 raise ParamError(f"parameter '{path}' must be an array")
         inner = ty["Array"]
         inner_tag = inner if isinstance(inner, str) else next(iter(inner))
-        if inner_tag == "F32":
-            return {"F32Array": [float(v) for v in value]}
-        if inner_tag == "F64":
-            return {"F64Array": [float(v) for v in value]}
+        # cells validate like the scalar paths above: coercion silently
+        # accepted strings/bools into numeric arrays and turned null
+        # into the string "None"
+        if inner_tag in ("F32", "F64"):
+            out = []
+            for i, v in enumerate(value):
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    raise ParamError(
+                        f"parameter '{path}[{i}]' must be a number"
+                    )
+                out.append(float(v))
+            return {f"{inner_tag}Array": out}
         if inner_tag == "I64":
-            return {"I64Array": [int(v) for v in value]}
+            out = []
+            for i, v in enumerate(value):
+                if isinstance(v, bool) or not isinstance(v, int):
+                    raise ParamError(
+                        f"parameter '{path}[{i}]' must be an integer"
+                    )
+                out.append(v)
+            return {"I64Array": out}
         if inner_tag == "String":
-            return {"StringArray": [str(v) for v in value]}
+            for i, v in enumerate(value):
+                if not isinstance(v, str):
+                    raise ParamError(
+                        f"parameter '{path}[{i}]' must be a string"
+                    )
+            return {"StringArray": list(value)}
         return {
             "Array": [
                 _convert_param(v, inner, f"{path}[{i}]") for i, v in enumerate(value)
@@ -567,7 +587,14 @@ class Executor:
             if raw:
                 kinds = set(map(type, col))
                 if kinds == {str}:
-                    col = [{"String": v} for v in col]
+                    # the wire encodes null as the bare string "Null";
+                    # PropertyValue.of (the eager path) maps it to the
+                    # null value — the bulk column must agree or the
+                    # SAME request stores different data by batch size
+                    col = [
+                        "Null" if v == "Null" else {"String": v}
+                        for v in col
+                    ]
                 elif kinds == {_pyarray}:
                     # fastjson fast_arrays rows: of()'s first branch,
                     # inlined (typecode check stays — of() requires 'd')
@@ -1167,10 +1194,12 @@ class _QueryState:
             return frame.ids
         if tag == "Param":
             value = self.ctx.param(body)
-            return self._ids_from_tagged(value, node=True)
+            return self._ids_from_tagged(value, node=True, strict=strict)
         raise QueryError(f"unknown node ref: {tag}")
 
-    def _ids_from_tagged(self, value: Tagged, node: bool) -> np.ndarray:
+    def _ids_from_tagged(
+        self, value: Tagged, node: bool, strict: bool = False
+    ) -> np.ndarray:
         has = self.store.has_node if node else self.store.has_edge
         tag = V.tag_of(value)
         if tag in ("I64", "F64", "F32"):
@@ -1186,6 +1215,13 @@ class _QueryState:
                 candidate.append(int(num))
         else:
             raise QueryError("id parameter must be an integer or integer array")
+        if strict:
+            # AddE targets (the documented strict contract): a stale id
+            # must error + roll back, not silently write nothing
+            for i in candidate:
+                if not has(i):
+                    kind = "node" if node else "edge"
+                    raise QueryError(f"unknown {kind} id {i}")
         return np.array([i for i in candidate if has(i)], UINT64)
 
     # ==================================================================
@@ -1778,6 +1814,10 @@ class _QueryState:
         return per_prop
 
     def _step_Values(self, frame: Frame, props: list[str]) -> Terminal:
+        if not props:
+            # no properties selected: empty export at any row count
+            # (np.stack over zero columns would crash the dense path)
+            return Terminal([], len(frame))
         if len(frame) > 64:
             per_prop = self._plain_columns(frame, props)
             if per_prop is not None:
@@ -1811,6 +1851,10 @@ class _QueryState:
         return row
 
     def _step_ValueMap(self, frame: Frame, props: Any) -> Terminal:
+        if props is not None and len(props) == 0:
+            # empty selection: one empty row per element (the dense
+            # zip(*[]) path silently produced ZERO rows)
+            return Terminal([{} for _ in range(len(frame))], len(frame))
         if props is not None and len(frame) > 64:
             per_prop = self._plain_columns(frame, props)
             if per_prop is not None:
@@ -2151,15 +2195,29 @@ class _QueryState:
             for eid in frame.ids:
                 self._drop_edge_logged(undo, int(eid))
         else:
-            for nid in frame.ids:
-                node = self.store.nodes.get(int(nid))
+            for raw_nid in frame.ids:
+                nid = int(raw_nid)
+                node = self.store.nodes.get(nid)
                 if node is None:
                     continue
-                for eid in list(self.store.out_adj.get(int(nid), ())) + list(
-                    self.store.in_adj.get(int(nid), ())
-                ):
-                    self._drop_edge_logged(undo, eid)
-                self.store.raw_remove_node(int(nid))
+                # capture incident edges for undo, then let the store
+                # drop them (its >64-edge batched path removes them in
+                # ONE pass over edge_order — per-edge drop_edge here
+                # was quadratic for high-degree nodes, held under the
+                # exclusive write lock)
+                incident = list(dict.fromkeys(
+                    list(self.store.out_adj.get(nid, ()))
+                    + list(self.store.in_adj.get(nid, ()))
+                ))
+                dropped = [
+                    self.store.edges[e] for e in incident
+                    if e in self.store.edges
+                ]
+                self.store.drop_node(nid)
+                for edge in dropped:
+                    undo.record(
+                        lambda e=edge: self.store.raw_restore_edge(e)
+                    )
                 undo.record(lambda n=node: self.store.raw_restore_node(n))
         return Frame.empty(frame.kind)
 

@@ -912,3 +912,113 @@ def test_dim_mismatch_is_query_error_without_batcher():
             ),
         )
     eng.close()
+
+
+def test_bulk_null_string_matches_eager_path(engine):
+    """The wire encodes null as the bare string "Null"; the deferred
+    bulk column path (>64 items) must store the same null the eager
+    path does — not the literal string."""
+    batch = write_batch().for_each_param(
+        "xs", write_batch().var_as("u", g().add_n("B", [
+            ("s", {"Expr": {"Param": "xs.s"}})]))
+    )
+    run_write(engine, batch,
+              params={"xs": [{"s": "Null"}] * 70},
+              types={"xs": {"Array": "Object"}})
+    out = run_read(engine, read_batch().var_as(
+        "n", g().n_with_label("B").where(Predicate.is_null("s")).count()))
+    assert out["n"] == 70
+
+
+def test_add_e_param_stale_id_errors_and_rolls_back(engine):
+    """AddE to a Param target holding a stale id must error + roll back
+    (the documented strict contract), not silently write nothing."""
+    run_write(engine, write_batch().var_as("a", g().add_n("S")))
+    src_id = engine.store.node_order[-1]
+    with pytest.raises(QueryError, match="unknown node id"):
+        run_write(
+            engine,
+            write_batch()
+            .var_as("marker", g().add_n("M"))
+            .var_as("e", g().n(NodeRef.ids([src_id]))
+                    .add_e("REL", {"Param": "target"})),
+            params={"target": 999_999},
+            types={"target": "I64"},
+        )
+    out = run_read(engine, read_batch().var_as(
+        "n", g().n_with_label("M").count()))
+    assert out["n"] == 0  # the whole batch rolled back
+
+
+def test_values_and_value_map_empty_props_row_count(engine):
+    """Empty property selections behave identically at any stream size
+    (the >64-row dense paths used to crash / drop rows)."""
+    batch = write_batch().for_each_param(
+        "xs", write_batch().var_as("u", g().add_n("V", [
+            ("i", {"Expr": {"Param": "xs.i"}})]))
+    )
+    run_write(engine, batch,
+              params={"xs": [{"i": i} for i in range(70)]},
+              types={"xs": {"Array": "Object"}})
+    out = run_read(engine, read_batch().var_as(
+        "v", g().n_with_label("V").values([])))
+    assert out["v"] == []
+    out = run_read(engine, read_batch().var_as(
+        "m", g().n_with_label("V").value_map([])))
+    assert out["m"] == [{}] * 70
+
+
+def test_typed_array_params_validate_cells(engine):
+    """Array parameter cells validate like the scalar paths: no silent
+    coercion of strings/bools into numbers or null into 'None'."""
+    def req(value, ty):
+        return (
+            write_batch().var_as("u", g().add_n("T", [
+                ("p", {"Expr": {"Param": "a"}})])),
+            {"a": value}, {"a": {"Array": ty}},
+        )
+
+    for value, ty in (
+        (["12", 3], "I64"),
+        ([True, 1], "I64"),
+        ([1.5, "x"], "F64"),
+        (["ok", None], "String"),
+    ):
+        batch, params, types = req(value, ty)
+        with pytest.raises(Exception, match="must be"):
+            run_write(engine, batch, params=params, types=types)
+    # valid arrays still land
+    batch, params, types = req([1, 2, 3], "I64")
+    run_write(engine, batch, params=params, types=types)
+
+
+def test_drop_high_degree_node_via_query(engine):
+    """DropN over a >64-degree node takes the store's batched removal;
+    state must match, and a later failure must roll the drop back."""
+    run_write(engine, write_batch().var_as("hub", g().add_n("H")))
+    hub = engine.store.node_order[-1]
+    others = []
+    for i in range(80):
+        run_write(engine, write_batch().var_as("o", g().add_n("O")))
+        others.append(engine.store.node_order[-1])
+        run_write(engine, write_batch().var_as(
+            "e", g().n(NodeRef.ids([hub])).add_e("E", NodeRef.ids([others[-1]]))))
+    assert engine.store.edge_count() == 80
+
+    # failing batch: the drop must roll back completely
+    with pytest.raises(Exception):
+        run_write(
+            engine,
+            write_batch()
+            .var_as("d", g().n(NodeRef.ids([hub])).drop())
+            .var_as("bad", g().n(NodeRef.ids([others[0]]))
+                    .add_e("E", NodeRef.ids([999_999]))),
+        )
+    assert engine.store.edge_count() == 80
+    assert hub in engine.store.nodes
+
+    run_write(engine, write_batch().var_as(
+        "d", g().n(NodeRef.ids([hub])).drop()))
+    assert engine.store.edge_count() == 0
+    assert hub not in engine.store.nodes
+    assert engine.store.node_count() == 80
