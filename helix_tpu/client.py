@@ -115,8 +115,18 @@ class QueryBuilder:
         )
 
 
+def _json_default(value: Any) -> Any:
+    if type(value).__name__ == "array":
+        return value.tolist()  # fast-parsed numeric vectors
+    raise TypeError(
+        f"Object of type {type(value).__name__} is not JSON serializable"
+    )
+
+
 def _post(url: str, body: Any, headers: dict[str, str], api_key: str | None) -> Any:
-    data = json.dumps(body, ensure_ascii=False).encode("utf-8")
+    data = json.dumps(
+        body, ensure_ascii=False, default=_json_default
+    ).encode("utf-8")
     req = urllib.request.Request(url, data=data, method="POST")
     req.add_header("Content-Type", "application/json")
     for key, value in headers.items():

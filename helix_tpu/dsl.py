@@ -130,6 +130,10 @@ def f64(value: float) -> _Typed:
 
 
 def bytes_(value: bytes | bytearray | Sequence[int]) -> _Typed:
+    if isinstance(value, str):
+        # iterating a str would misencode digit characters silently
+        # (int('1') -> 1) and crash on anything else
+        raise DslError("bytes_ takes bytes or a sequence of ints, not str")
     return _Typed("Bytes", [int(b) & 0xFF for b in value])
 
 
@@ -201,6 +205,11 @@ class PropertyValue:
 
     @staticmethod
     def is_encoded(value: Any) -> bool:
+        # NB: the bare string "Null" IS the wire encoding of null
+        # (externally tagged unit variant), so coercion treats it as
+        # already-encoded — store the literal text "Null" with
+        # PropertyValue.string("Null").  The engine's plain-value
+        # conversion follows the same convention, so every path agrees.
         if value == "Null":
             return True
         return (
@@ -402,6 +411,10 @@ class NodeRef:
             return value
         if isinstance(value, str):
             return {"Var": value}
+        if isinstance(value, (bytes, bytearray)):
+            # iterating bytes would silently target arbitrary small
+            # node ids (EdgeRef.of already guards this)
+            raise DslError("node reference cannot be bytes")
         if isinstance(value, Iterable):
             return NodeRef.ids(value)
         return NodeRef.id(value)
@@ -642,11 +655,28 @@ class SourcePredicate(Predicate):
 
     @classmethod
     def and_(cls, predicates: Iterable["Predicate"]) -> "SourcePredicate":
-        return cls({"And": [p.node for p in predicates]})
+        return cls({"And": [cls._member(p) for p in predicates]})
 
     @classmethod
     def or_(cls, predicates: Iterable["Predicate"]) -> "SourcePredicate":
-        return cls({"Or": [p.node for p in predicates]})
+        return cls({"Or": [cls._member(p) for p in predicates]})
+
+    @classmethod
+    def _member(cls, predicate: "Predicate") -> JsonValue:
+        """Members must stay inside the source subset too — the outer
+        tag check alone let Not/IsNull/... smuggle into NWhere, which
+        the reference's restricted enum rejects server-side."""
+        cls._check_node(predicate.node)
+        return predicate.node
+
+    @classmethod
+    def _check_node(cls, node: JsonValue) -> None:
+        tag = wire.tag_of(node, wire.PREDICATE_STYLE, "predicate")
+        if tag not in wire.SOURCE_PREDICATE_TAGS:
+            raise DslError(f"{tag} is not a valid source predicate")
+        if tag in ("And", "Or"):
+            for sub_node in node[tag]:
+                cls._check_node(sub_node)
 
 
 class Projection:
@@ -1021,6 +1051,14 @@ class Traversal(_Steps):
     def _push(
         self, step: JsonValue, state: str | None = None, mode: str | None = None
     ) -> "Traversal":
+        if self.state == "terminal":
+            # the recorded typestate is enforced, not decorative: steps
+            # chained after a terminal (count().out(...)) would
+            # serialize and only fail at the engine
+            tag = step if isinstance(step, str) else next(iter(step))
+            raise DslError(
+                f"cannot chain step {tag} after a terminal step"
+            )
         return Traversal(
             (*self.steps, step),
             self.state if state is None else state,
@@ -1286,7 +1324,35 @@ def _prop_entries(properties: Any) -> list[list[Any]]:
     if properties is None:
         return []
     entries = properties.items() if isinstance(properties, Mapping) else properties
-    return [[key, _Input.of(value)] for key, value in entries]
+    try:
+        return [[key, _Input.of(value)] for key, value in entries]
+    except (TypeError, ValueError) as exc:
+        raise DslError(
+            "properties must be a mapping or an iterable of "
+            f"(name, value) pairs: {exc}"
+        ) from exc
+
+
+def _check_read_only_entries(entries) -> None:
+    """Reject mutation steps anywhere in a batch-entry list (nested
+    ForEach bodies included)."""
+    for entry in entries:
+        if not isinstance(entry, dict):
+            continue
+        tag = next(iter(entry), None)
+        body = entry.get(tag)
+        if tag == "ForEach" and isinstance(body, dict):
+            _check_read_only_entries(body.get("body", []))
+            continue
+        if not isinstance(body, dict):
+            continue
+        for step in body.get("steps", []):
+            step_tag = step if isinstance(step, str) else next(iter(step), "")
+            if step_tag in wire.MUTATION_STEPS:
+                raise DslError(
+                    f"ReadBatch only accepts read-only traversals "
+                    f"(found {step_tag})"
+                )
 
 
 def g() -> Traversal:
@@ -1345,6 +1411,11 @@ class _Batch:
         return self._with((*self.queries, entry), self.returns)
 
     def for_each_param(self, param_name: str, body: "_Batch") -> Any:
+        if self.kind == "read":
+            # the typestate guarantee var_as enforces must hold for
+            # nested bodies too — a WriteBatch of mutations used to
+            # nest into a ReadBatch and only fail server-side
+            _check_read_only_entries(body.queries)
         entry = {"ForEach": {"param": param_name, "body": list(body.queries)}}
         return self._with((*self.queries, entry), self.returns)
 
@@ -1703,16 +1774,45 @@ class DefinedQueries:
     """A named-route table that can emit a queries.json bundle (wire v5)."""
 
     def __init__(self, definitions: Mapping[str, Mapping[str, RegisteredQuery]]):
+        unknown = set(definitions) - {"read", "write"}
+        if unknown:
+            # a typo ("reads", "Write") would silently drop the whole
+            # section and deploy a bundle with missing routes
+            raise DslError(
+                f"unknown query section {sorted(unknown)[0]!r} "
+                "(expected 'read' / 'write')"
+            )
         self.reads = dict(definitions.get("read", {}))
         self.writes = dict(definitions.get("write", {}))
+        for name, rq in self.reads.items():
+            if getattr(rq, "kind", "read") != "read":
+                raise DslError(
+                    f"query '{name}' was registered with register_write "
+                    "but filed under 'read'"
+                )
+        for name, rq in self.writes.items():
+            if getattr(rq, "kind", "write") != "write":
+                raise DslError(
+                    f"query '{name}' was registered with register_read "
+                    "but filed under 'write'"
+                )
         dupes = set(self.reads) & set(self.writes)
         if dupes:
             raise DslError(f"duplicate generated query name: {sorted(dupes)[0]}")
         self.call = _CallMap(self)
 
     def build_query_bundle(self) -> JsonValue:
-        def routes(table: Mapping[str, RegisteredQuery]) -> JsonValue:
-            return {name: table[name].build().encode() for name in sorted(table)}
+        def routes(table, want_kind: str) -> JsonValue:
+            out = {}
+            for name in sorted(table):
+                batch = table[name].build()
+                if getattr(batch, "kind", want_kind) != want_kind:
+                    raise DslError(
+                        f"query '{name}' builds a {batch.kind} batch but "
+                        f"is filed under '{want_kind}'"
+                    )
+                out[name] = batch.encode()
+            return out
 
         def parameters(table: Mapping[str, RegisteredQuery]) -> JsonValue:
             return {
@@ -1725,8 +1825,8 @@ class DefinedQueries:
 
         return {
             "version": wire.QUERY_BUNDLE_VERSION,
-            "read_routes": routes(self.reads),
-            "write_routes": routes(self.writes),
+            "read_routes": routes(self.reads, "read"),
+            "write_routes": routes(self.writes, "write"),
             "read_parameters": parameters(self.reads),
             "write_parameters": parameters(self.writes),
         }

@@ -245,12 +245,24 @@ def payload_of(node: Any) -> Any:
     return next(iter(node.values()))
 
 
+def _json_default(value: Any) -> Any:
+    if type(value).__name__ == "array":
+        # fast-parsed numeric vectors (array('d')) ride payloads
+        # un-boxed; serialize them as the list they represent
+        return value.tolist()
+    raise TypeError(
+        f"Object of type {type(value).__name__} is not JSON serializable"
+    )
+
+
 def dumps(value: Any, pretty: bool = False) -> str:
     """Serialize an already-encoded wire value to compact (or pretty) JSON."""
     _reject_non_finite(value)
     if pretty:
-        return json.dumps(value, ensure_ascii=False, indent=2, allow_nan=False)
-    return json.dumps(value, ensure_ascii=False, separators=(",", ":"), allow_nan=False)
+        return json.dumps(value, ensure_ascii=False, indent=2,
+                          allow_nan=False, default=_json_default)
+    return json.dumps(value, ensure_ascii=False, separators=(",", ":"),
+                      allow_nan=False, default=_json_default)
 
 
 def _reject_non_finite(value: Any) -> None:
@@ -261,6 +273,11 @@ def _reject_non_finite(value: Any) -> None:
             _reject_non_finite(entry)
     elif isinstance(value, dict):
         for entry in value.values():
+            _reject_non_finite(entry)
+    elif type(value).__name__ == "array":
+        # fast-parsed numeric vectors ride payloads as array('d'):
+        # skipping them would let NaN/inf through the guard
+        for entry in value:
             _reject_non_finite(entry)
 
 

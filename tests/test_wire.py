@@ -612,3 +612,74 @@ def test_malformed_steps_and_foreach_body_are_wire_errors():
              "returns": []},
             write=True,
         )
+
+
+def test_dsl_guardrails():
+    """Builder-layer enforcement added after the dsl review: typestate,
+    section typos, kind mismatches, bytes/str confusion."""
+    import pytest
+
+    from helix_tpu.dsl import (
+        DslError, NodeRef, Predicate, SourcePredicate, bytes_,
+        define_params, define_queries, g, read_batch, register_read,
+        register_write, write_batch,
+    )
+
+    # steps after a terminal raise at build time
+    with pytest.raises(DslError, match="after a terminal"):
+        g().n().count().out("F")
+
+    # mutation bodies cannot nest into a ReadBatch ForEach
+    with pytest.raises(DslError, match="read-only"):
+        read_batch().for_each_param(
+            "xs", write_batch().var_as("m", g().add_n("X"))
+        )
+    # read bodies still fine
+    read_batch().for_each_param(
+        "xs", read_batch().var_as("n", g().n().count())
+    )
+
+    # source-predicate members are validated recursively
+    with pytest.raises(DslError, match="source predicate"):
+        SourcePredicate.and_([
+            SourcePredicate.eq("a", 1), Predicate.is_null("x"),
+        ])
+
+    # bytes cannot masquerade as node ids; str cannot masquerade as bytes
+    with pytest.raises(DslError, match="bytes"):
+        NodeRef.of(b"\x01\x02")
+    with pytest.raises(DslError, match="not str"):
+        bytes_("12")
+
+    # properties errors are typed
+    with pytest.raises(DslError, match="properties"):
+        g().add_n("L", "oops")
+
+    # bundle section typos and kind mismatches are loud
+    p = define_params({})
+    rq = register_write(
+        lambda pp: write_batch().var_as("w", g().add_n("X")), p
+    )
+    with pytest.raises(DslError, match="unknown query section"):
+        define_queries({"reads": {}})
+    with pytest.raises(DslError, match="register_write"):
+        define_queries({"read": {"oops": rq}})
+    rr = register_read(
+        lambda pp: read_batch().var_as("n", g().n().count()), p
+    )
+    define_queries({"read": {"ok": rr}}).build_query_bundle()
+
+
+def test_wire_dumps_array_payloads():
+    """array('d') payloads serialize as lists; NaN inside them is still
+    rejected by the non-finite guard."""
+    import array
+
+    import pytest
+
+    from helix_tpu import wire
+
+    out = wire.dumps({"F64Array": array.array("d", [1.5, 2.5])})
+    assert out == '{"F64Array":[1.5,2.5]}'
+    with pytest.raises(wire.WireError, match="non-finite"):
+        wire.dumps({"F64Array": array.array("d", [float("nan")])})
