@@ -250,22 +250,23 @@ def build_snapshot_payload(engine: Any) -> dict:
     writers (either side of the engine's RW lock works)."""
     store = engine.store
     extractor = _VectorExtractor()
+    nodes_map, edges_map = store.nodes, store.edges
+    strip = extractor.strip
     return {
         "version": SNAPSHOT_VERSION,
         "routes": engine.routes,
         "source_snapshot": engine.source_snapshot,
         "nodes": [
-            (nid, store.nodes[nid].label,
-             extractor.strip(store.nodes[nid].props))
+            (nid, (node := nodes_map[nid]).label, strip(node.props))
             for nid in store.node_order
         ],
         "edges": [
             (
                 eid,
-                store.edges[eid].label,
-                store.edges[eid].src,
-                store.edges[eid].dst,
-                extractor.strip(store.edges[eid].props),
+                (edge := edges_map[eid]).label,
+                edge.src,
+                edge.dst,
+                strip(edge.props),
             )
             for eid in store.edge_order
         ],
@@ -292,22 +293,39 @@ def restore_snapshot_payload(engine: Any, payload: dict) -> None:
         )
     rehydrate = _VectorRehydrator(payload.get("vector_blocks", {}))
     store = engine.store
-    for node_data in payload["nodes"]:
-        node_id, label, props = node_data
-        props = rehydrate.props(props)
-        store.nodes[node_id] = Node(node_id, label, props)
-        store.node_order.append(node_id)
-        store.nodes_by_label.setdefault(label, []).append(node_id)
-        store.out_adj[node_id] = []
-        store.in_adj[node_id] = []
-    for edge_data in payload["edges"]:
-        edge_id, label, src, dst, props = edge_data
-        props = rehydrate.props(props)
-        store.edges[edge_id] = Edge(edge_id, label, src, dst, props)
-        store.edge_order.append(edge_id)
-        store.edges_by_label.setdefault(label, []).append(edge_id)
-        store.out_adj[src].append(edge_id)
-        store.in_adj[dst].append(edge_id)
+    # Bound-method / comprehension forms: the per-row loop with
+    # attribute lookups was the restart hot spot after rehydration
+    # (200k Node objects) — batch the container updates instead.
+    node_rows = payload["nodes"]
+    props_of = rehydrate.props
+    store.nodes.update(
+        (nid, Node(nid, label, props_of(props)))
+        for nid, label, props in node_rows
+    )
+    store.node_order.extend(r[0] for r in node_rows)
+    store.out_adj.update((r[0], []) for r in node_rows)
+    store.in_adj.update((r[0], []) for r in node_rows)
+    by_label = store.nodes_by_label
+    for nid, label, _ in node_rows:
+        bucket = by_label.get(label)
+        if bucket is None:
+            bucket = by_label[label] = []
+        bucket.append(nid)
+    edge_rows = payload["edges"]
+    store.edges.update(
+        (eid, Edge(eid, label, src, dst, props_of(props)))
+        for eid, label, src, dst, props in edge_rows
+    )
+    store.edge_order.extend(r[0] for r in edge_rows)
+    e_by_label = store.edges_by_label
+    out_adj, in_adj = store.out_adj, store.in_adj
+    for eid, label, src, dst, _ in edge_rows:
+        bucket = e_by_label.get(label)
+        if bucket is None:
+            bucket = e_by_label[label] = []
+        bucket.append(eid)
+        out_adj[src].append(eid)
+        in_adj[dst].append(eid)
     store._next_node_id, store._next_edge_id = payload["counters"]
     for spec in payload["index_specs"]:
         store.create_index(spec, if_not_exists=True)
