@@ -2213,12 +2213,16 @@ class _QueryState:
                     self.store.edges[e] for e in incident
                     if e in self.store.edges
                 ]
-                self.store.drop_node(nid)
+                # record BEFORE dropping: a drop that fails partway must
+                # still roll back the edges it already removed (the raw
+                # restores are idempotent, so entries for edges the
+                # failed drop never reached are no-ops)
                 for edge in dropped:
                     undo.record(
                         lambda e=edge: self.store.raw_restore_edge(e)
                     )
                 undo.record(lambda n=node: self.store.raw_restore_node(n))
+                self.store.drop_node(nid)
         return Frame.empty(frame.kind)
 
     def _step_DropEdge(self, frame: Frame, to_ref: Any) -> Frame:

@@ -155,6 +155,10 @@ class Follower:
         # forces a reseed on (re)connect, which is also how apply
         # failures bound their damage (reseed > silently skipping)
         self.primary_epoch: str | None = None
+        # set when a record fails to apply: reseed on the next loop even
+        # against a pre-epoch primary (whose feed carries no epoch to
+        # trigger the lineage check)
+        self._force_reseed = False
         self.last_error: str | None = None
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -219,12 +223,14 @@ class Follower:
             epoch = payload.get("epoch")
             if (
                 payload.get("reseed_required")
+                or self._force_reseed
                 or (epoch is not None and epoch != self.primary_epoch)
             ):
                 # new primary lineage (restart, or our first contact):
                 # sequence numbers are not comparable across epochs
                 try:
                     self._reseed()
+                    self._force_reseed = False
                     if self.primary_epoch is None:
                         # pre-epoch seed payload: fall back to the
                         # epoch the feed reported
@@ -252,6 +258,7 @@ class Follower:
                         f"apply failed at seq {record['seq']}: {exc}; reseeding"
                     )
                     self.primary_epoch = None
+                    self._force_reseed = True
                     self._stop.wait(POLL_INTERVAL_S * 8)
                     break
             if not records:

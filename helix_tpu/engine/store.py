@@ -653,6 +653,10 @@ class GraphStore:
         self.bump()
 
     def raw_restore_node(self, node: Node) -> None:
+        if node.id in self.nodes:
+            # idempotent: rollback may replay a restore for an element
+            # that a partially-failed batched drop never removed
+            return
         self.nodes[node.id] = node
         self.node_order.append(node.id)
         self.nodes_by_label.setdefault(node.label, []).append(node.id)
@@ -670,11 +674,19 @@ class GraphStore:
         self.drop_edge(edge_id)
 
     def raw_restore_edge(self, edge: Edge) -> None:
+        if edge.id in self.edges:
+            return  # idempotent; see raw_restore_node
         self.edges[edge.id] = edge
         self.edge_order.append(edge.id)
         self.edges_by_label.setdefault(edge.label, []).append(edge.id)
-        self.out_adj.setdefault(edge.src, []).append(edge.id)
-        self.in_adj.setdefault(edge.dst, []).append(edge.id)
+        # membership-checked appends: a drop that failed between its
+        # own adjacency removals must not leave duplicates on restore
+        out_bucket = self.out_adj.setdefault(edge.src, [])
+        if edge.id not in out_bucket:
+            out_bucket.append(edge.id)
+        in_bucket = self.in_adj.setdefault(edge.dst, [])
+        if edge.id not in in_bucket:
+            in_bucket.append(edge.id)
         for idx in self._scalar_index_hooks("edge", edge.label):
             value = edge.props.get(idx.prop)
             if value is not None and not V.is_null(value):

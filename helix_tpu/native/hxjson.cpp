@@ -315,17 +315,34 @@ struct Parser {
         // stdlib json accepts lone \uD800-\uDFFF escapes and returns
         // the unpaired surrogate in the Python string; our UTF-8 buffer
         // then holds a surrogate encoding that "strict" rejects, so
-        // those strings decode with "surrogatepass" instead (raw
-        // invalid UTF-8 input still fails: the flag is only set by a
-        // validated \u escape)
-        bool lone_surrogate = false;
+        // those strings decode with "surrogatepass" — and the decoded
+        // result is then checked to contain EXACTLY as many surrogate
+        // chars as validated escapes produced, so raw CESU-8 surrogate
+        // bytes elsewhere in the same string still fail like stdlib
+        int lone_surrogates = 0;
         while (p < end) {
             unsigned char c = (unsigned char)*p;
             if (c == '"') {
                 ++p;
-                return PyUnicode_DecodeUTF8(
-                    buf.data(), buf.size(),
-                    lone_surrogate ? "surrogatepass" : "strict");
+                if (lone_surrogates == 0)
+                    return PyUnicode_DecodeUTF8(buf.data(), buf.size(),
+                                                "strict");
+                PyObject* s = PyUnicode_DecodeUTF8(
+                    buf.data(), buf.size(), "surrogatepass");
+                if (!s) return nullptr;
+                Py_ssize_t n = PyUnicode_GET_LENGTH(s);
+                int kind = PyUnicode_KIND(s);
+                const void* data = PyUnicode_DATA(s);
+                int found = 0;
+                for (Py_ssize_t i = 0; i < n; ++i) {
+                    Py_UCS4 cp = PyUnicode_READ(kind, data, i);
+                    if (cp >= 0xD800 && cp <= 0xDFFF) ++found;
+                }
+                if (found != lone_surrogates) {
+                    Py_DECREF(s);
+                    return fail("invalid UTF-8 in string");
+                }
+                return s;
             }
             if (c == '\\') {
                 if (p + 1 >= end) return fail("bad escape");
@@ -356,7 +373,7 @@ struct Parser {
                             }
                         }
                         if (cp >= 0xD800 && cp <= 0xDFFF)
-                            lone_surrogate = true;  // unpaired escape
+                            ++lone_surrogates;  // unpaired escape
                         append_utf8(buf, cp);
                         break;
                     }

@@ -334,6 +334,15 @@ class HAFront:
                         self.primary, method, path, body, headers,
                         idempotent=False,
                     )
+                except _BackendTimeout as exc:
+                    # slow writer, same contract as the direct write
+                    # path: 504 without poisoning primary health (a
+                    # 503 invites a client retry that would duplicate
+                    # the still-executing write)
+                    return (504, json.dumps({"error": {
+                        "kind": "Timeout",
+                        "message": f"writer timed out: {exc}",
+                    }}).encode(), "application/json")
                 except Exception as exc:
                     self.primary.healthy = False
                     self.primary.last_error = str(exc)

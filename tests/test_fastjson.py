@@ -264,3 +264,22 @@ def test_lone_surrogate_escapes_match_stdlib():
         assert fastjson.loads(payload) == stdlib_json.loads(payload), payload
     # valid pairs still decode to the astral character
     assert fastjson.loads(r'"😀"') == "\U0001F600"
+
+
+def test_raw_surrogate_bytes_still_rejected():
+    """surrogatepass only admits surrogates produced by validated
+    \\uXXXX escapes.  Raw CESU-8 surrogate BYTES are invalid UTF-8
+    (RFC 3629) and stay rejected — stdlib json happens to accept them
+    as an artifact of decoding byte input with surrogatepass; we are
+    deliberately stricter there, and only there."""
+    import pytest
+
+    from helix_tpu import fastjson
+
+    raw = b'"\\ud800' + b"\xed\xa0\x80" + b'"'
+    with pytest.raises(ValueError):
+        fastjson.loads(raw)
+    with pytest.raises(ValueError):
+        fastjson.loads(b'"' + b"\xed\xa0\x80" + b'"')
+    # validated escapes alone still parse, matching stdlib
+    assert fastjson.loads('"\\ud800\\ud801"') == "\ud800\ud801"

@@ -315,3 +315,59 @@ def test_high_degree_drop_node_batched_path():
         for adj in (s.out_adj, s.in_adj):
             for node_id, lst in adj.items():
                 assert all(e in s.edges for e in lst), (node_id, lst)
+
+
+def test_drop_high_degree_rollback_mid_failure():
+    """A batched node drop that fails PARTWAY (hook explosion after
+    some edges are gone) must still roll back every edge it removed —
+    the undo entries are recorded before the drop and the raw restores
+    are idempotent for elements the drop never reached."""
+    from helix_tpu.dsl import DynamicQueryRequest, NodeRef, g, write_batch
+    from helix_tpu.engine import Engine
+
+    eng = Engine()
+
+    def wreq(batch):
+        return DynamicQueryRequest.write(batch).encode()
+
+    eng.execute(wreq(write_batch().var_as("h", g().add_n("H"))))
+    hub = eng.store.node_order[-1]
+    for i in range(80):
+        eng.execute(wreq(write_batch().var_as("o", g().add_n("O"))))
+        other = eng.store.node_order[-1]
+        eng.execute(wreq(write_batch().var_as(
+            "e", g().n(NodeRef.ids([hub])).add_e("E", NodeRef.ids([other])))))
+    assert eng.store.edge_count() == 80
+
+    class Bomb:
+        def __init__(self):
+            self.count = 0
+        def on_index_created(self, store, defn): pass
+        def on_index_dropped(self, store, defn): pass
+        def on_node_added(self, store, node): pass
+        def on_edge_added(self, store, edge): pass
+        def on_node_dropped(self, store, node): pass
+        def on_property_set(self, store, kind, element, name, old): pass
+        def on_edge_dropped(self, store, edge):
+            self.count += 1
+            if self.count == 40:  # explode mid-batch
+                raise RuntimeError("hook exploded mid-drop")
+
+    bomb = Bomb()
+    eng.store.add_write_hook(bomb)
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="exploded"):
+            eng.execute(wreq(write_batch().var_as(
+                "d", g().n(NodeRef.ids([hub])).drop())))
+    finally:
+        eng.store._write_hooks.remove(bomb)
+    # full rollback: every edge and the hub are back, no duplicates
+    assert eng.store.edge_count() == 80
+    assert hub in eng.store.nodes
+    for adj in (eng.store.out_adj, eng.store.in_adj):
+        for node_id, lst in adj.items():
+            assert len(lst) == len(set(lst)), (node_id, lst)
+            assert all(e in eng.store.edges for e in lst)
+    eng.close()
