@@ -312,6 +312,11 @@ def cmd_start(args) -> int:
                 if inst.vector.get("quant_candidates") is not None
                 else []
             ),
+            *(
+                ["--max-size-gb", str(inst.vector["db_max_size_gb"])]
+                if inst.vector.get("db_max_size_gb") is not None
+                else []
+            ),
             *([] if inst.db.get("bm25", True) else ["--no-bm25"]),
             *([] if inst.db.get("mcp", True) else ["--no-mcp"]),
             *(

@@ -16,13 +16,72 @@ from typing import Any
 from .. import wire
 from ..telemetry import NullTelemetry, Telemetry
 from ..dsl import load_query_bundle
-from .errors import EngineError, QueryError
+from .errors import EngineError, QueryError, WriteError
 from .exec import Executor
 from .rwlock import RWLock
 from .snapshot import SnapshotCache
 from .store import GraphStore
 from .text import TextManager
 from .vector import VectorManager
+
+# Write batches containing any of these steps reclaim space and stay
+# allowed above the capacity envelope (so a full database can be
+# shrunk back under its cap).
+_RECLAIM_TAGS = frozenset(
+    {
+        "Drop",
+        "DropEdge",
+        "DropEdgeLabeled",
+        "DropEdgeById",
+        "DropIndex",
+        "RemoveProperty",
+    }
+)
+
+# Rows sampled per footprint re-estimate (engine.approx_data_bytes).
+_SIZE_SAMPLE = 512
+
+
+def _has_reclaim_step(entries: Any) -> bool:
+    """Recursive key scan for reclaim steps (same discipline as the
+    executor's ``_has_invalidating_steps``): a false positive only
+    relaxes the envelope for one batch, never correctness."""
+    stack = [entries]
+    while stack:
+        item = stack.pop()
+        if isinstance(item, dict):
+            for key, val in item.items():
+                if key in _RECLAIM_TAGS:
+                    return True
+                stack.append(val)
+        elif isinstance(item, (list, tuple)):
+            stack.extend(item)
+        elif isinstance(item, str) and item in _RECLAIM_TAGS:
+            return True
+    return False
+
+
+def _tagged_bytes(value: Any) -> int:
+    """Approximate payload bytes of one tagged property value."""
+    if not isinstance(value, dict) or len(value) != 1:
+        return 16
+    tag = next(iter(value))
+    payload = value[tag]
+    if tag == "F32Array":
+        return 16 + 4 * len(payload)
+    if tag in ("F64Array", "I64Array"):
+        return 16 + 8 * len(payload)
+    if tag in ("String", "Bytes"):
+        return 16 + len(payload)
+    if tag == "StringArray":
+        return 16 + sum(len(s) + 8 for s in payload)
+    if tag == "Array":
+        return 16 + sum(_tagged_bytes(v) for v in payload)
+    if tag == "Object" and isinstance(payload, dict):
+        return 16 + sum(
+            len(k) + _tagged_bytes(v) for k, v in payload.items()
+        )
+    return 16
 
 
 class Engine:
@@ -39,6 +98,7 @@ class Engine:
         snapshot_store: str | None = None,
         graph_shard_threshold: int | None = None,
         quant_candidates: int | None = None,
+        max_size_bytes: int | None = None,
     ):
         self.store = GraphStore()
         self.snapshots = SnapshotCache(self.store)
@@ -77,6 +137,15 @@ class Engine:
         # the vector shard_threshold.
         self.graph_shard_threshold = graph_shard_threshold
         self.bm25_enabled = bm25
+        # Capacity envelope (reference ``db_max_size_gb``,
+        # helix-cli/src/config.rs:203-205): an approximate cap on the
+        # authoritative dataset footprint.  When the estimate exceeds
+        # it, write batches are rejected unless they contain a reclaim
+        # step (drops / RemoveProperty), so a full database can still
+        # be shrunk back under the cap.  Reads are never affected.
+        self.max_size_bytes = max_size_bytes
+        self._size_estimate_bytes = 0
+        self._size_estimate_rows = -1
         # DbConfig.graph_config.secondary_indices (reference
         # config.rs:148-226): "Label.property" equality indexes created
         # at boot.
@@ -106,6 +175,8 @@ class Engine:
             if isinstance(request, dict) and request.get("request_type") == "write":
                 now_ms = int(time.time() * 1000)
                 with self._rwlock.write():
+                    if self.max_size_bytes is not None:
+                        self._enforce_capacity(request)
                     result = executor.execute(
                         request, now_ms=now_ms, trace=steps_trace
                     )
@@ -164,6 +235,61 @@ class Engine:
                 "steps": steps_trace,
             }
         return result
+
+    # -- capacity envelope -------------------------------------------------
+
+    def approx_data_bytes(self) -> int:
+        """Approximate authoritative dataset footprint in bytes.
+
+        Sampled estimate: the most recent ``_SIZE_SAMPLE`` nodes/edges
+        give an average row size, scaled by the row counts (vector
+        properties dominate real corpora and are counted exactly per
+        sampled row).  Refreshes lazily once rows drift ~1.5% past the
+        last estimate, so the ingest hot path pays nothing between
+        refreshes.  This is an envelope guard, not an allocator — the
+        reference's ``db_max_size_gb`` is the same class of cap."""
+        store = self.store
+        rows = len(store.nodes) + len(store.edges)
+        if self._size_estimate_rows >= 0 and abs(
+            rows - self._size_estimate_rows
+        ) < max(1024, self._size_estimate_rows // 64):
+            return self._size_estimate_bytes
+        total = 0
+        for order, table, base in (
+            (store.node_order, store.nodes, 24),
+            (store.edge_order, store.edges, 40),
+        ):
+            count = len(order)
+            if not count:
+                continue
+            sample = order[-_SIZE_SAMPLE:]
+            sampled = 0
+            for eid in sample:
+                element = table.get(eid)
+                if element is None:
+                    continue
+                sampled += base + sum(
+                    len(name) + _tagged_bytes(value)
+                    for name, value in element.props.items()
+                )
+            total += (sampled * count) // len(sample)
+        self._size_estimate_bytes = total
+        self._size_estimate_rows = rows
+        return total
+
+    def _enforce_capacity(self, request: dict) -> None:
+        """Reject non-reclaiming write batches past the size envelope.
+        Caller holds the writer lock."""
+        if self.approx_data_bytes() <= self.max_size_bytes:
+            return
+        if _has_reclaim_step(request.get("query")):
+            return
+        gb = self.max_size_bytes / float(1 << 30)
+        raise WriteError(
+            f"database size limit exceeded (db_max_size_gb={gb:g}, "
+            f"~{self._size_estimate_bytes} bytes resident); drop data "
+            "or raise db_max_size_gb"
+        )
 
     def apply_logged_write(
         self, request: dict, now_ms: int, request_bytes: int | None = None

@@ -57,6 +57,7 @@ class HelixHTTPServer:
         shard_threshold: int | None = None,
         graph_shard_threshold: int | None = None,
         quant_candidates: int | None = None,
+        max_size_bytes: int | None = None,
     ):
         self.replica_of = replica_of
         self.follower = None
@@ -74,6 +75,7 @@ class HelixHTTPServer:
             quant_candidates=quant_candidates,
             shard_threshold=shard_threshold,
             graph_shard_threshold=graph_shard_threshold,
+            max_size_bytes=max_size_bytes,
         )
         if replica_of:
             from ..engine.replication import Follower
@@ -260,6 +262,7 @@ def serve(
     shard_threshold: int | None = None,
     graph_shard_threshold: int | None = None,
     quant_candidates: int | None = None,
+    max_size_bytes: int | None = None,
 ) -> None:
     import signal
     import sys
@@ -288,6 +291,7 @@ def serve(
         quant_candidates=quant_candidates,
         shard_threshold=shard_threshold,
         graph_shard_threshold=graph_shard_threshold,
+        max_size_bytes=max_size_bytes,
     )
 
     def _shutdown(signum, frame):
@@ -320,6 +324,11 @@ def build_arg_parser():
                         help="candidate-pool floor re-ranked in exact f32 "
                              "by the quantized residency tiers (ef_search "
                              "analog; default 8*k for int8, 32*k for int4)")
+    parser.add_argument("--max-size-gb", type=float, default=None,
+                        help="capacity envelope on the authoritative "
+                             "dataset (helix.toml db_max_size_gb, "
+                             "reference default 20); non-reclaiming "
+                             "writes past it are rejected")
     parser.add_argument("--hbm-budget-gb", type=float, default=None,
                         help="device-memory budget for resident vector "
                              "matrices; partitions beyond it serve from "
@@ -370,4 +379,8 @@ if __name__ == "__main__":
         quant_candidates=args.quant_candidates,
         shard_threshold=args.shard_threshold,
         graph_shard_threshold=args.graph_shard_threshold,
+        max_size_bytes=(
+            int(args.max_size_gb * (1 << 30))
+            if args.max_size_gb is not None else None
+        ),
     )

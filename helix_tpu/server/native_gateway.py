@@ -79,6 +79,7 @@ class NativeGateway:
         shard_threshold: int | None = None,
         graph_shard_threshold: int | None = None,
         quant_candidates: int | None = None,
+        max_size_bytes: int | None = None,
     ):
         from ..native import load
 
@@ -95,6 +96,7 @@ class NativeGateway:
             shard_threshold=shard_threshold,
             graph_shard_threshold=graph_shard_threshold,
             quant_candidates=quant_candidates,
+            max_size_bytes=max_size_bytes,
         )
         if replica_of:
             from ..engine.replication import Follower

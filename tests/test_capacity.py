@@ -1,0 +1,140 @@
+"""Capacity envelope (``db_max_size_gb``) enforcement.
+
+The reference engine serves inside a provisioned size envelope
+(``helix-cli/src/config.rs:203-205``, default 20 GB).  helix-tpu
+enforces it at the write path: once the sampled footprint estimate
+exceeds ``max_size_bytes``, write batches are rejected with a
+WriteError unless they contain a reclaim step (Drop*/RemoveProperty),
+so a full database can always be shrunk back under its cap.  Reads are
+never affected.
+"""
+
+import pytest
+
+from helix_tpu.dsl import SourcePredicate, g, read_batch, write_batch
+from helix_tpu.engine import Engine, WriteError
+from helix_tpu.engine.engine import _has_reclaim_step, _tagged_bytes
+
+
+def run(engine, batch, kind, params=None, types=None):
+    req = {
+        "request_type": kind,
+        "query_name": None,
+        "query": batch.encode(),
+        "parameters": params or {},
+    }
+    if types:
+        req["parameter_types"] = types
+    return engine.execute(req)
+
+
+def bulk_insert(engine, count, payload_len=200):
+    rows = [{"name": f"u{i}", "blob": "x" * payload_len} for i in range(count)]
+    batch = write_batch().for_each_param(
+        "rows",
+        write_batch().var_as(
+            "n",
+            g().add_n("User", [
+                ("name", {"Expr": {"Param": "rows.name"}}),
+                ("blob", {"Expr": {"Param": "rows.blob"}}),
+            ]),
+        ),
+    )
+    run(engine, batch, "write", params={"rows": rows},
+        types={"rows": {"Array": "Object"}})
+
+
+def count_users(engine):
+    res = run(
+        engine,
+        read_batch().var_as(
+            "c", g().n_where(SourcePredicate.eq("$label", "User")).count()
+        ).returning(["c"]),
+        "read",
+    )
+    return res["c"]
+
+
+def test_writes_rejected_past_cap():
+    engine = Engine(max_size_bytes=100_000)
+    bulk_insert(engine, 2000)  # ~0.5 MB of string payload
+    with pytest.raises(WriteError, match="db_max_size_gb"):
+        run(engine, write_batch().var_as(
+            "n", g().add_n("User", {"name": "overflow"})
+        ), "write")
+    # reads keep working above the cap
+    assert count_users(engine) == 2000
+
+
+def test_reclaim_batches_stay_allowed_and_reopen_writes():
+    engine = Engine(max_size_bytes=100_000)
+    bulk_insert(engine, 2000)
+    with pytest.raises(WriteError):
+        bulk_insert(engine, 1)
+    # a Drop batch is allowed above the cap...
+    run(engine, write_batch().var_as(
+        "gone",
+        g().n_where(SourcePredicate.eq("$label", "User")).drop(),
+    ), "write")
+    assert count_users(engine) == 0
+    # ...and once the estimate refreshes, normal writes reopen
+    run(engine, write_batch().var_as(
+        "n", g().add_n("User", {"name": "fresh"})
+    ), "write")
+    assert count_users(engine) == 1
+
+
+def test_unlimited_by_default():
+    engine = Engine()
+    bulk_insert(engine, 2000)
+    run(engine, write_batch().var_as(
+        "n", g().add_n("User", {"name": "more"})
+    ), "write")
+    assert count_users(engine) == 2001
+
+
+def test_estimate_counts_vector_payloads():
+    engine = Engine(max_size_bytes=1 << 40)
+    batch = write_batch().for_each_param(
+        "rows",
+        write_batch().var_as(
+            "n",
+            g().add_n("Doc", [("emb", {"Expr": {"Param": "rows.emb"}})]),
+        ),
+    )
+    rows = [{"emb": [float(i % 7)] * 128} for i in range(1500)]
+    run(engine, batch, "write", params={"rows": rows},
+        types={"rows": {"Array": "Object"}})
+    approx = engine.approx_data_bytes()
+    # 1500 rows x 128-d f64/f32 vectors: at least 4 bytes/dim each
+    assert approx >= 1500 * 128 * 4
+    # and not wildly above the 8-byte-per-dim ceiling + overheads
+    assert approx <= 1500 * (128 * 8 + 200)
+
+
+def test_reclaim_step_scan():
+    drop_batch = write_batch().var_as(
+        "gone", g().n_where(SourcePredicate.eq("$label", "U")).drop()
+    ).encode()
+    add_batch = write_batch().var_as(
+        "n", g().add_n("U", {"name": "x"})
+    ).encode()
+    assert _has_reclaim_step(drop_batch)
+    assert not _has_reclaim_step(add_batch)
+
+
+def test_tagged_bytes_shapes():
+    assert _tagged_bytes({"String": "abcd"}) == 20
+    assert _tagged_bytes({"F32Array": [0.0] * 4}) == 32
+    assert _tagged_bytes({"I64": 5}) == 16
+    assert _tagged_bytes(
+        {"Object": {"k": {"String": "vv"}}}
+    ) == 16 + 1 + 18
+    assert _tagged_bytes("not-tagged") == 16
+
+
+def test_server_arg_plumbing():
+    from helix_tpu.server.http_server import build_arg_parser
+
+    args = build_arg_parser().parse_args(["--max-size-gb", "0.5"])
+    assert args.max_size_gb == 0.5
