@@ -273,6 +273,20 @@ def _device_login() -> int:
 # workspace / cluster registry
 # ---------------------------------------------------------------------------
 
+def cmd_config_group(args) -> int:
+    """Hidden ``helix config <workspace|project|cluster> ...`` grouping
+    command (reference ``Commands::Config``, commands/config.rs:19-28):
+    delegates to the top-level command with its default action."""
+    defaults = {"workspace": "show", "project": "show", "cluster": "list"}
+    if args.action is None:
+        args.action = defaults[args.target]
+    return {
+        "workspace": cmd_workspace,
+        "project": cmd_project,
+        "cluster": cmd_cluster,
+    }[args.target](args)
+
+
 def cmd_workspace(args) -> int:
     config = _read_kv(_config_path())
     if args.action == "use":

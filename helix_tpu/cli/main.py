@@ -1180,6 +1180,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--format", default=None, choices=[None, "json"])
     p.set_defaults(fn=cloud.cmd_cluster)
 
+    # Hidden grouping command (reference `Commands::Config`,
+    # main.rs / commands/config.rs:19-28): `helix config workspace|
+    # project|cluster ...` delegates to the top-level commands.
+    p = sub.add_parser("config")
+    p.add_argument("target", choices=["workspace", "project", "cluster"])
+    p.add_argument("action", nargs="?", default=None)
+    p.add_argument("name", nargs="?", default=None)
+    p.add_argument("--gateway", default=None)
+    p.add_argument("--auth-env", default=None)
+    p.add_argument("--format", default=None, choices=[None, "json"])
+    p.set_defaults(fn=cloud.cmd_config_group)
+
     p = sub.add_parser("push", help="compile + deploy queries to a cluster")
     p.add_argument("cluster")
     p.set_defaults(fn=cloud.cmd_push)

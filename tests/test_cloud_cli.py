@@ -179,3 +179,20 @@ def test_sync_preserves_diverged_remote_ties(tmp_path, monkeypatch):
     assert posted["pushme.py"]["sha256"] == local_snapshot["pushme.py"]["sha256"]
     # ...but the tie kept the REMOTE copy (not overwritten by local)
     assert posted["tie.py"]["sha256"] == remote["tie.py"]["sha256"]
+
+
+def test_config_grouping_command(state_home):
+    """Hidden `helix config <target>` delegates to the top-level
+    commands (reference Commands::Config, commands/config.rs:19-28)."""
+    code, out, _ = run_cli(["config", "workspace"])
+    assert code == 0 and "active workspace" in out
+    assert run_cli(["config", "workspace", "use", "team"])[0] == 0
+    code, out, _ = run_cli(["workspace"])
+    assert "team" in out
+    assert run_cli(
+        ["config", "cluster", "add", "prod", "--gateway", "http://x:1"]
+    )[0] == 0
+    code, out, _ = run_cli(["config", "cluster", "list"])
+    assert "prod" in out
+    code, out, _ = run_cli(["config", "project"])
+    assert code == 0 and "active project" in out
