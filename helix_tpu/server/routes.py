@@ -122,6 +122,14 @@ def dispatch(
                     "epoch": engine.store.epoch,
                     "routes": sorted(engine.routes),
                 }
+                if getattr(engine, "max_size_bytes", None) is not None:
+                    # capacity envelope (db_max_size_gb): surface the
+                    # estimate so operators see headroom before writes
+                    # start bouncing.  Reader lock: the estimator walks
+                    # live props dicts, which writers mutate.
+                    health["max_size_bytes"] = engine.max_size_bytes
+                    with engine._rwlock.read():
+                        health["approx_data_bytes"] = engine.approx_data_bytes()
                 persistence = getattr(engine, "persistence", None)
                 if persistence is not None and getattr(
                     persistence, "snapshot_store", None

@@ -138,3 +138,23 @@ def test_server_arg_plumbing():
 
     args = build_arg_parser().parse_args(["--max-size-gb", "0.5"])
     assert args.max_size_gb == 0.5
+
+
+def test_health_reports_capacity():
+    from helix_tpu.server.routes import dispatch
+
+    engine = Engine(max_size_bytes=100_000)
+    bulk_insert(engine, 1200)
+
+    class Srv:
+        pass
+
+    srv = Srv()
+    srv.engine = engine
+    srv.replica_of = None
+    srv.mcp_enabled = False
+    result = dispatch(srv, "GET", "/v1/health", b"")
+    assert result.status == 200
+    body = result.payload
+    assert body["max_size_bytes"] == 100_000
+    assert body["approx_data_bytes"] > 100_000
