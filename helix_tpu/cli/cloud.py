@@ -235,6 +235,29 @@ def cmd_auth(args) -> int:
         _write_kv(_credentials_path(), creds)
         print("logged out")
         return 0
+    if args.action == "create-key":
+        # Cluster API-key rotation (reference `helix auth create-key
+        # <cluster>`, auth.rs:95-140: POST .../enterprise-clusters/
+        # <id>/key, previous keys revoked, new key shown once).
+        cluster = getattr(args, "cluster", None)
+        if not cluster:
+            print("auth create-key requires a cluster id", file=sys.stderr)
+            return 2
+        if not cloud_authority():
+            print("auth create-key needs CLOUD_AUTHORITY set to the "
+                  "control plane URL", file=sys.stderr)
+            return 2
+        resp = _cloud_request(
+            f"/api/cli/enterprise-clusters/{cluster}/key", {}
+        )
+        print("Cluster API key refresh completed")
+        if resp.get("warning"):
+            print(resp["warning"])
+        else:
+            print("Previous cluster keys were revoked.")
+        print(f"Cluster: {cluster}")
+        print(f"New API key (shown once): {resp['key']}")
+        return 0
     print(f"unknown auth action: {args.action}", file=sys.stderr)
     return 2
 

@@ -1144,7 +1144,10 @@ def main(argv: list[str] | None = None) -> int:
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("auth", help="credentials management")
-    p.add_argument("action", choices=["login", "status", "logout"])
+    p.add_argument("action",
+                   choices=["login", "status", "logout", "create-key"])
+    p.add_argument("cluster", nargs="?", default=None,
+                   help="cluster id (create-key)")
     p.add_argument("--user-id", default=None)
     p.add_argument("--user-key", default=None)
     p.add_argument("--device", action="store_true",

@@ -259,6 +259,27 @@ class ControlPlane:
         if path.startswith("/api/cli/enterprise-clusters/") and path.endswith("/deploy"):
             self._deploy(rq, path.split("/")[-2], body)
             return
+        if path.startswith("/api/cli/enterprise-clusters/") and path.endswith("/key"):
+            # Cluster API-key rotation (reference POST
+            # /api/cli/enterprise-clusters/<id>/key, auth.rs:95-140):
+            # mint a fresh query key; overwriting revokes the previous.
+            cluster_id = path.split("/")[-2]
+            with self.state.lock:
+                record = self.state.data["clusters"].get(cluster_id)
+                if record is None:
+                    rq._json(404, {"error": f"unknown cluster {cluster_id}"})
+                    return
+                had_key = "query_key" in record
+                new_key = secrets.token_hex(16)
+                record["query_key"] = new_key
+                self.state.save()
+            payload = {"key": new_key}
+            if not had_key:
+                payload["warning"] = (
+                    "no previous cluster key existed; this is the first"
+                )
+            rq._json(200, payload)
+            return
         rq._json(404, {"error": f"unknown route {path}"})
 
     def _get(self, rq) -> None:

@@ -294,3 +294,28 @@ def test_relogin_keeps_existing_key(cloud_env):
     code, _, err = run_cli(["auth", "login", "--device"])
     assert code == 0, err
     assert plane.state.data["users"]["carol"]["user_key"] == key1
+
+
+def test_auth_create_key_rotates_cluster_key(cloud_env):
+    """`helix auth create-key <cluster>` mints a fresh cluster API key,
+    revoking the previous one (reference auth.rs:95-140)."""
+    plane = cloud_env
+    _approve_soon(plane, "carol")
+    assert run_cli(["auth", "login", "--device"])[0] == 0
+    assert run_cli(
+        ["cluster", "add", "prod", "--gateway", "http://x:1"]
+    )[0] == 0
+    code, out, err = run_cli(["auth", "create-key", "prod"])
+    assert code == 0, err
+    assert "shown once" in out
+    first = plane.state.data["clusters"]["prod"]["query_key"]
+    assert first in out
+    # rotation replaces (revokes) the previous key
+    code, out, _ = run_cli(["auth", "create-key", "prod"])
+    assert code == 0
+    second = plane.state.data["clusters"]["prod"]["query_key"]
+    assert second != first and second in out
+    assert "revoked" in out
+    # unknown cluster is a clean error, not a crash
+    with pytest.raises(SystemExit):
+        run_cli(["auth", "create-key", "nope"])
