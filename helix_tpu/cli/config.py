@@ -121,6 +121,47 @@ def find_project(start: Path | None = None) -> ProjectConfig:
     )
 
 
+def persist_instance_settings(
+    root: Path, instance: str, port: int, storage: str
+) -> None:
+    """Write port/storage back into the instance's ``[local.<name>]``
+    section (reference ``start --persist``, start.rs:31-41).  Line-based
+    edit so the rest of the file (comments, other sections) is kept."""
+    path = root / CONFIG_NAME
+    lines = path.read_text(encoding="utf-8").splitlines()
+    header = f"[local.{instance}]"
+    out: list[str] = []
+    i, n = 0, len(lines)
+    found = False
+    while i < n:
+        line = lines[i]
+        out.append(line)
+        i += 1
+        if line.strip() != header:
+            continue
+        found = True
+        wrote_port = wrote_storage = False
+        while i < n and not lines[i].lstrip().startswith("["):
+            body = lines[i]
+            key = body.split("=", 1)[0].strip()
+            if key == "port":
+                out.append(f"port = {port}")
+                wrote_port = True
+            elif key == "storage":
+                out.append(f'storage = "{storage}"')
+                wrote_storage = True
+            else:
+                out.append(body)
+            i += 1
+        if not wrote_port:
+            out.append(f"port = {port}")
+        if not wrote_storage:
+            out.append(f'storage = "{storage}"')
+    if not found:
+        out += ["", header, f"port = {port}", f'storage = "{storage}"']
+    path.write_text("\n".join(out) + "\n", encoding="utf-8")
+
+
 def write_default_config(root: Path, project_name: str, instance: str, port: int) -> None:
     path = root / CONFIG_NAME
     if path.exists():

@@ -246,6 +246,15 @@ def cmd_start(args) -> int:
         port = free
     disk = args.disk or inst.storage == "disk"
     data_dir = str(state / "data") if disk else None
+    if getattr(args, "persist", False):
+        # write the effective settings back (reference start.rs:31-41)
+        from .config import persist_instance_settings
+
+        persist_instance_settings(
+            project.root, inst.name, port, "disk" if disk else "memory"
+        )
+        print(f"persisted port={port} storage="
+              f"{'disk' if disk else 'memory'} to helix.toml")
     # Storage-mode notices (reference start.rs:64-82): disk mode gets a
     # one-line note every run; memory mode warns about data loss only on
     # the instance's first start (marker file).
@@ -1097,6 +1106,10 @@ def main(argv: list[str] | None = None) -> int:
                            choices=["no", "unless-stopped", "on-failure"],
                            help="supervise the engine and restart it on "
                                 "exit (docker --restart analog)")
+        if name == "start":
+            p.add_argument("--persist", action="store_true",
+                           help="write the effective port/storage back "
+                                "to helix.toml (reference start.rs:31-41)")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("add", help="add an instance to helix.toml")

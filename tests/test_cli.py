@@ -396,3 +396,42 @@ def test_chef_seed_script_runs_against_instance(tmp_path, monkeypatch):
         assert "nearest to ada:" in out.stdout and "Ada" in out.stdout
     finally:
         server.stop()
+
+
+def test_start_persist_writes_back(tmp_path):
+    """`start --persist` writes the effective port/storage into the
+    instance's helix.toml section (reference start.rs:31-41) — unit-level
+    via the config helper plus the parser wiring."""
+    from helix_tpu.cli.config import persist_instance_settings
+
+    root = tmp_path
+    (root / "helix.toml").write_text(
+        "[project]\n"
+        'name = "p"\n'
+        'queries = "db"\n'
+        "\n"
+        "[local.dev]\n"
+        "port = 6969\n"
+        'storage = "memory"\n'
+        "\n"
+        "[local.other]\n"
+        "port = 7000\n",
+        encoding="utf-8",
+    )
+    persist_instance_settings(root, "dev", 7042, "disk")
+    import tomllib
+
+    data = tomllib.loads((root / "helix.toml").read_text())
+    assert data["local"]["dev"]["port"] == 7042
+    assert data["local"]["dev"]["storage"] == "disk"
+    # the sibling section is untouched
+    assert data["local"]["other"]["port"] == 7000
+    # a section missing the keys gains them
+    persist_instance_settings(root, "other", 7001, "memory")
+    data = tomllib.loads((root / "helix.toml").read_text())
+    assert data["local"]["other"]["storage"] == "memory"
+    assert data["local"]["other"]["port"] == 7001
+    # an unknown instance gets a fresh section
+    persist_instance_settings(root, "extra", 7100, "disk")
+    data = tomllib.loads((root / "helix.toml").read_text())
+    assert data["local"]["extra"] == {"port": 7100, "storage": "disk"}
