@@ -468,6 +468,11 @@ def cmd_status(args) -> int:
                 pass
         try:
             health = Client(f"http://localhost:{port}").health()
+            if "max_size_bytes" in health:
+                # capacity envelope headroom (db_max_size_gb)
+                used = health.get("approx_data_bytes", 0)
+                pct = 100.0 * used / max(health["max_size_bytes"], 1)
+                suffix += f"  size={used / (1 << 20):.0f}MB ({pct:.0f}% of cap)"
             print(
                 f"{name} (local)  running  localhost:{port}  "
                 f"pid={pid}  nodes={health['nodes']}  edges={health['edges']}"
