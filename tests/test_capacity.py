@@ -158,3 +158,18 @@ def test_health_reports_capacity():
     body = result.payload
     assert body["max_size_bytes"] == 100_000
     assert body["approx_data_bytes"] > 100_000
+
+
+def test_recovery_and_restart_not_blocked_by_cap(tmp_path):
+    """Checkpoint restore and WAL replay bypass enforcement (recovery
+    must never be rejected); fresh writes stay gated after restart."""
+    engine = Engine(data_dir=str(tmp_path), max_size_bytes=100_000)
+    bulk_insert(engine, 2000)
+    engine.close()
+    e2 = Engine(data_dir=str(tmp_path), max_size_bytes=100_000)
+    assert count_users(e2) == 2000
+    with pytest.raises(WriteError, match="db_max_size_gb"):
+        run(e2, write_batch().var_as(
+            "n", g().add_n("User", {"name": "late"})
+        ), "write")
+    e2.close()
