@@ -13,6 +13,7 @@ schema is flat enough not to need a dependency).
 
 from __future__ import annotations
 
+import re
 import tomllib
 from pathlib import Path
 from typing import Any
@@ -75,6 +76,15 @@ class LocalInstance:
                 "'unless-stopped' or 'on-failure'"
             )
         self.vector = {**VECTOR_DEFAULTS, **table.get("vector", {})}
+        # db_max_size_gb is canonically a vector-table knob (the
+        # reference keeps it in vector_config, config.rs:203-205), but
+        # it reads like an instance-level cap — accept it at
+        # [local.<name>] level too rather than silently ignoring it.
+        # An explicit [local.<name>.vector] value still wins.
+        if "db_max_size_gb" in table and "db_max_size_gb" not in table.get(
+            "vector", {}
+        ):
+            self.vector["db_max_size_gb"] = table["db_max_size_gb"]
         self.db = {**DB_DEFAULTS, **table.get("db", {})}
 
 
@@ -130,6 +140,11 @@ def persist_instance_settings(
     path = root / CONFIG_NAME
     lines = path.read_text(encoding="utf-8").splitlines()
     header = f"[local.{instance}]"
+    # A section header is `[dotted.name]` possibly followed by a
+    # comment — NOT any line that merely starts with '[' (a multi-line
+    # TOML array's continuation line can start with '[' and must not
+    # terminate the section scan).
+    header_re = re.compile(r'^\[[A-Za-z0-9_."\-\s]+\]\s*(#.*)?$')
     out: list[str] = []
     i, n = 0, len(lines)
     found = False
@@ -141,7 +156,7 @@ def persist_instance_settings(
             continue
         found = True
         wrote_port = wrote_storage = False
-        while i < n and not lines[i].lstrip().startswith("["):
+        while i < n and not header_re.match(lines[i].strip()):
             body = lines[i]
             key = body.split("=", 1)[0].strip()
             if key == "port":

@@ -247,13 +247,18 @@ def cmd_start(args) -> int:
     disk = args.disk or inst.storage == "disk"
     data_dir = str(state / "data") if disk else None
     if getattr(args, "persist", False):
-        # write the effective settings back (reference start.rs:31-41)
+        # Write the *configured* settings back (reference start.rs:31-41
+        # persists only the explicit overrides) — never the auto-bumped
+        # probe port, which would silently rewire the instance to
+        # whatever happened to be free this run.
         from .config import persist_instance_settings
 
+        persist_port = args.port or inst.port
         persist_instance_settings(
-            project.root, inst.name, port, "disk" if disk else "memory"
+            project.root, inst.name, persist_port,
+            "disk" if disk else "memory",
         )
-        print(f"persisted port={port} storage="
+        print(f"persisted port={persist_port} storage="
               f"{'disk' if disk else 'memory'} to helix.toml")
     # Storage-mode notices (reference start.rs:64-82): disk mode gets a
     # one-line note every run; memory mode warns about data loss only on

@@ -180,6 +180,15 @@ class Engine:
                     result = executor.execute(
                         request, now_ms=now_ms, trace=steps_trace
                     )
+                    # Reclaim steps shrink the footprint without
+                    # necessarily moving row counts past the sampling
+                    # drift threshold (RemoveProperty moves none):
+                    # invalidate so /v1/health headroom and the next
+                    # capacity check see the reclaimed bytes.
+                    if self.max_size_bytes is not None and _has_reclaim_step(
+                        request.get("query")
+                    ):
+                        self._size_estimate_rows = -1
                     # durability BEFORE shipping: a record a follower
                     # can fetch must already be in the WAL, or a crash
                     # in between leaves the replica ahead of a primary
@@ -250,9 +259,12 @@ class Engine:
         reference's ``db_max_size_gb`` is the same class of cap."""
         store = self.store
         rows = len(store.nodes) + len(store.edges)
+        # Refresh floor of 128 rows keeps small capacity envelopes
+        # honest (1024 heavy rows can be several times a sub-MB cap);
+        # at scale the relative rows//64 term dominates anyway.
         if self._size_estimate_rows >= 0 and abs(
             rows - self._size_estimate_rows
-        ) < max(1024, self._size_estimate_rows // 64):
+        ) < max(128, self._size_estimate_rows // 64):
             return self._size_estimate_bytes
         total = 0
         for order, table, base in (
@@ -283,6 +295,14 @@ class Engine:
         if self.approx_data_bytes() <= self.max_size_bytes:
             return
         if _has_reclaim_step(request.get("query")):
+            return
+        # The cached estimate may be stale-high: reclaims that slipped
+        # under the row-drift threshold (or prior out-of-band
+        # invalidation misses) must not wedge the instance in a
+        # permanent over-cap reject loop.  Recompute once before
+        # rejecting — the cost is paid only on the reject path.
+        self._size_estimate_rows = -1
+        if self.approx_data_bytes() <= self.max_size_bytes:
             return
         gb = self.max_size_bytes / float(1 << 30)
         raise WriteError(

@@ -84,6 +84,51 @@ def test_reclaim_batches_stay_allowed_and_reopen_writes():
     assert count_users(engine) == 1
 
 
+def test_remove_property_reclaim_unwedges_writes():
+    """RemoveProperty reclaims bytes without changing row counts, so the
+    sampled estimate's row-drift refresh never fires — the over-cap
+    check must recompute before rejecting (round-3 advisor finding)."""
+    engine = Engine(max_size_bytes=100_000)
+    bulk_insert(engine, 2000)  # blobs dominate the footprint
+    with pytest.raises(WriteError):
+        bulk_insert(engine, 1)
+    # reclaim the blobs: zero rows added or removed
+    run(engine, write_batch().var_as(
+        "trimmed",
+        g().n_where(SourcePredicate.eq("$label", "User"))
+           .remove_property("blob"),
+    ), "write")
+    assert count_users(engine) == 2000
+    # the footprint is now far under the cap; a normal write must pass
+    run(engine, write_batch().var_as(
+        "n", g().add_n("User", {"name": "fresh"})
+    ), "write")
+    assert count_users(engine) == 2001
+
+
+def test_partial_drop_below_drift_threshold_unwedges_writes():
+    """A Drop batch that removes fewer rows than the 128-row drift
+    floor must still reopen writes once the real footprint is under
+    the cap (round-3 advisor finding: the existing test dropped ALL
+    rows, which cleared the threshold by accident)."""
+    engine = Engine(max_size_bytes=100_000)
+    bulk_insert(engine, 150, payload_len=2000)  # ~300 KB over a 100 KB cap
+    with pytest.raises(WriteError):
+        bulk_insert(engine, 1)
+    # drop 120 of the 150 heavy rows — below the 128-row refresh
+    # floor, so the cached over-cap estimate would go stale
+    run(engine, write_batch().var_as(
+        "gone",
+        g().n_where(SourcePredicate.eq("$label", "User"))
+           .range(0, 120).drop(),
+    ), "write")
+    assert count_users(engine) == 30
+    run(engine, write_batch().var_as(
+        "n", g().add_n("User", {"name": "fresh"})
+    ), "write")
+    assert count_users(engine) == 31
+
+
 def test_unlimited_by_default():
     engine = Engine()
     bulk_insert(engine, 2000)

@@ -435,3 +435,83 @@ def test_start_persist_writes_back(tmp_path):
     persist_instance_settings(root, "extra", 7100, "disk")
     data = tomllib.loads((root / "helix.toml").read_text())
     assert data["local"]["extra"] == {"port": 7100, "storage": "disk"}
+
+
+def test_persist_survives_multiline_arrays(tmp_path):
+    """A multi-line TOML array inside the section (a continuation line
+    starting with '[') must not terminate the section scan early and
+    corrupt the file (round-3 advisor finding)."""
+    from helix_tpu.cli.config import persist_instance_settings
+    import tomllib
+
+    root = tmp_path
+    (root / "helix.toml").write_text(
+        "[project]\n"
+        'name = "p"\n'
+        "\n"
+        "[local.dev]\n"
+        "port = 6969\n"
+        "tags = [\n"
+        '  ["a", "b"],\n'
+        '  ["c"],\n'
+        "]\n"
+        "\n"
+        "[local.other]\n"
+        "port = 7000\n",
+        encoding="utf-8",
+    )
+    persist_instance_settings(root, "dev", 7042, "disk")
+    data = tomllib.loads((root / "helix.toml").read_text())
+    assert data["local"]["dev"]["port"] == 7042
+    assert data["local"]["dev"]["storage"] == "disk"
+    assert data["local"]["dev"]["tags"] == [["a", "b"], ["c"]]
+    assert data["local"]["other"]["port"] == 7000
+
+
+def test_start_persist_keeps_configured_port_when_probe_bumps(tmp_path, monkeypatch):
+    """When the configured port is busy and the probe auto-bumps to a
+    free one, --persist must write the *configured* port back, not the
+    ephemeral bumped one (round-3 advisor finding; reference
+    start.rs:31-41 persists only explicit overrides)."""
+    import socket
+    import tomllib
+    import importlib
+
+    # helix_tpu.cli re-exports the main *function* under the name
+    # "main", shadowing the submodule attribute — resolve the module.
+    cli_main = importlib.import_module("helix_tpu.cli.main")
+
+    root = tmp_path
+    (root / "helix.toml").write_text(
+        "[project]\n"
+        'name = "p"\n'
+        "\n"
+        "[local.dev]\n"
+        "port = 6969\n"
+        'storage = "memory"\n',
+        encoding="utf-8",
+    )
+    monkeypatch.chdir(root)
+    # occupy the configured port so the probe bumps
+    blocker = socket.socket()
+    blocker.bind(("", 6969))
+    blocker.listen(1)
+    try:
+        # run start in foreground mode with a serve stub so no real
+        # server process is spawned
+        import helix_tpu.server as server_mod
+
+        served = {}
+
+        def fake_serve(host, port, **kw):
+            served["port"] = port
+
+        monkeypatch.setattr(server_mod, "serve", fake_serve)
+        rc = cli_main.main(["start", "dev", "--persist", "--foreground"])
+        assert rc == 0
+        assert served["port"] != 6969  # probe bumped
+    finally:
+        blocker.close()
+    data = tomllib.loads((root / "helix.toml").read_text())
+    # the configured port survives — not the ephemeral bump
+    assert data["local"]["dev"]["port"] == 6969
