@@ -26,29 +26,32 @@ _LOCK = threading.Lock()
 _IMPL: Any = None
 
 
-def _build_extension() -> Path:
+def _build_extension(out: Path | None = None) -> Path:
+    from .native import _cached, source_key
+
     src = _HERE / "hxjson.cpp"
     deps = [src, _HERE / "fastdouble.h", _HERE / "fastdouble_pow5.h"]
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    out = _HERE / f"hxjson{suffix}"
-    if out.exists() and all(
-        out.stat().st_mtime >= d.stat().st_mtime for d in deps
-    ):
-        return out
+    out = out or _HERE / f"hxjson{suffix}"
     include = sysconfig.get_paths()["include"]
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        f"-I{include}", "-o", "", str(src),
+    ]
+    key = source_key(deps, " ".join(cmd))
+    if _cached(out, key):
+        return out
     # build to a per-pid temp and rename: a direct -o <path> truncates
     # the mapped file under any process that already dlopen'd it, and
     # two cold processes building concurrently would interleave writes
     tmp = out.with_suffix(out.suffix + f".tmp{os.getpid()}")
-    cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        f"-I{include}", "-o", str(tmp), str(src),
-    ]
+    cmd[cmd.index("")] = str(tmp)
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
         tmp.unlink(missing_ok=True)
         raise RuntimeError(f"hxjson build failed:\n{proc.stderr}")
     os.replace(tmp, out)
+    out.with_suffix(out.suffix + ".key").write_text(key)
     return out
 
 

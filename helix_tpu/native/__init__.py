@@ -26,24 +26,45 @@ class NativeBuildError(RuntimeError):
     pass
 
 
-def _build_library() -> Path:
+def source_key(paths: list[Path], cmd_tag: str) -> str:
+    """sha256 over the source contents + the compile command shape.
+
+    Binaries are never committed (``.gitignore`` covers ``*.so``); the
+    cache key is content-addressed so fresh clones — whose mtimes say
+    nothing — always build from the checked-out sources, and any source
+    edit invalidates regardless of clock games."""
+    import hashlib
+
+    h = hashlib.sha256(cmd_tag.encode())
+    for p in sorted(paths):
+        h.update(p.name.encode())
+        h.update(p.read_bytes())
+    return h.hexdigest()
+
+
+def _cached(out: Path, key: str) -> bool:
+    keyfile = out.with_suffix(out.suffix + ".key")
+    return out.exists() and keyfile.exists() and keyfile.read_text() == key
+
+
+def _build_library(out: Path | None = None) -> Path:
     sources = [
         _HERE / "wal.cpp", _HERE / "rerank.cpp", _HERE / "bfs.cpp",
         _HERE / "gateway.cpp", _HERE / "haproxy.cpp",
     ]
     headers = [_HERE / "fastdouble.h", _HERE / "fastdouble_pow5.h"]
-    out = _HERE / "libhxnative.so"
-    if out.exists() and all(
-        out.stat().st_mtime >= s.stat().st_mtime for s in sources + headers
-    ):
+    out = out or _HERE / "libhxnative.so"
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        "-pthread", "-o", "", *[str(s) for s in sources],
+    ]
+    key = source_key(sources + headers, " ".join(cmd))
+    if _cached(out, key):
         return out
     # temp + rename: never truncate a .so another process has mapped,
     # and concurrent cold builds cannot interleave writes
     tmp = out.with_suffix(f".tmp{os.getpid()}.so")
-    cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-pthread", "-o", str(tmp), *[str(s) for s in sources],
-    ]
+    cmd[cmd.index("")] = str(tmp)
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
         tmp.unlink(missing_ok=True)
@@ -51,6 +72,7 @@ def _build_library() -> Path:
             f"native build failed: {' '.join(cmd)}\n{proc.stderr}"
         )
     os.replace(tmp, out)
+    out.with_suffix(out.suffix + ".key").write_text(key)
     return out
 
 
