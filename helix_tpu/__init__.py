@@ -9,7 +9,7 @@ Public surface:
 
 - :mod:`helix_tpu.dsl` — query builder + wire envelope (SDK layer)
 - :mod:`helix_tpu.engine` — the database engine (storage + interpreter)
-- :mod:`helix_tpu.ops` — TPU kernels (distance/top-k, beam search, CSR)
+- :mod:`helix_tpu.ops` — TPU kernels (distance/top-k, quantized tiers, CSR)
 - :mod:`helix_tpu.parallel` — multi-chip sharded search
 - :mod:`helix_tpu.server` — HTTP gateway
 - :mod:`helix_tpu.client` — HTTP client SDK

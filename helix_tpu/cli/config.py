@@ -28,10 +28,6 @@ VECTOR_DEFAULTS = {
     "ef_search": 768,
     "db_max_size_gb": 20,
     "metric": "cosine",
-    # Live-vector count above which a partition switches from the exact
-    # MXU scan to the graph ANN index (None = exact always; the exact
-    # scan wins below ~1M rows on TPU, see ops/beam.py).
-    "ann_threshold": None,
     # Multi-chip scale-out (None = single-device): live-vector count
     # above which partitions shard row-wise across the device mesh, and
     # node count above which traversals run edge-partitioned.

@@ -302,15 +302,6 @@ def cmd_start(args) -> int:
             "--telemetry-path", str(state / "metrics.jsonl"),
             "--metric", str(inst.vector.get("metric", "cosine")),
             *(
-                [
-                    "--ann-threshold", str(inst.vector["ann_threshold"]),
-                    "--ann-m", str(inst.vector.get("m", 16)),
-                    "--ann-ef-search", str(inst.vector.get("ef_search", 768)),
-                ]
-                if inst.vector.get("ann_threshold") is not None
-                else []
-            ),
-            *(
                 ["--shard-threshold", str(inst.vector["shard_threshold"])]
                 if inst.vector.get("shard_threshold") is not None
                 else []

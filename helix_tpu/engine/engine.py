@@ -90,7 +90,6 @@ class Engine:
         metric: str = "cosine",
         data_dir: str | None = None,
         batch_window_ms: float | None = None,
-        ann_config: dict | None = None,
         shard_threshold: int | None = None,
         hbm_budget_bytes: int | None = None,
         bm25: bool = True,
@@ -104,7 +103,7 @@ class Engine:
         self.snapshots = SnapshotCache(self.store)
         self.vectors = VectorManager(
             metric=metric, batch_window_ms=batch_window_ms,
-            ann_config=ann_config, shard_threshold=shard_threshold,
+            shard_threshold=shard_threshold,
             hbm_budget_bytes=hbm_budget_bytes,
             quant_candidates=quant_candidates,
         )

@@ -1,4 +1,4 @@
-"""Vector index manager: tenant-partitioned exact (and later ANN) indexes.
+"""Vector index manager: tenant-partitioned residency-ladder indexes.
 
 Implements the reference vector-search contract (``sdks/rust/src/dsl.rs``
 ``:129-155`` result fields, ``:326-330`` multitenancy):
@@ -10,8 +10,8 @@ Implements the reference vector-search contract (``sdks/rust/src/dsl.rs``
 
 Each (kind, label, property) index holds one partition per tenant value
 (single partition ``()`` when untenanted).  Partitions are
-:class:`~helix_tpu.ops.distance.PackedMatrix` instances searched exactly
-on the MXU; the ANN (beam-graph) engine plugs in per partition when built.
+:class:`~helix_tpu.ops.distance.PackedMatrix` instances searched on the
+MXU through the residency ladder (exact / int8 / int4 / host IVF).
 """
 
 from __future__ import annotations
@@ -64,19 +64,15 @@ def _fast_vector(value):
 class Partition:
     """One tenant partition: packed matrix + id bookkeeping.
 
-    Above ``ann_threshold`` live vectors the partition maintains a
-    graph-based ANN index (``ops/beam.py``) over a build snapshot, plus
-    an exact scan over the *delta* (rows appended since the build);
-    results merge by distance.  The index rebuilds lazily once the delta
-    outgrows ``ann_rebuild_fraction`` of the snapshot.  ``ann_config``
-    carries the reference's HNSW tunables: ``degree`` ~ 2*m, ``ef`` ~
-    ef_search (helix-cli/src/config.rs:191-201).
+    Serving always goes through the residency ladder (exact MXU scan →
+    int8 → int4 → host IVF); the ladder's recall/capacity trade-offs
+    replace the reference's HNSW tunables
+    (helix-cli/src/config.rs:191-201) on this hardware.
     """
 
     def __init__(
         self,
         metric: str,
-        ann_config: dict | None = None,
         shard_threshold: int | None = None,
         hbm_budget_bytes: int | None = None,
         quant_candidates: int | None = None,
@@ -92,10 +88,6 @@ class Partition:
         self.n_rows = 0
         self._n_live = 0
         self.pos: dict[int, int] = {}
-        self.ann_config = ann_config
-        self.ann = None
-        self.ann_rows = 0          # rows covered by the current ANN build
-        self.ann_rebuild_fraction = 0.1
         # Multi-chip: shard the matrix across the mesh above this size.
         self.shard_threshold = shard_threshold
         self._shard_state: dict | None = None
@@ -250,10 +242,6 @@ class Partition:
             return lambda: self._map_hits(dists, positions, id_table)
         if self._use_shard():
             dists, positions = self._search_sharded(queries, k)
-            id_table = self.id_table  # stable view; see exact tier below
-            return lambda: self._map_hits(dists, positions, id_table)
-        if self._use_ann():
-            dists, positions = self._search_ann(queries, k)
             id_table = self.id_table  # stable view; see exact tier below
             return lambda: self._map_hits(dists, positions, id_table)
         inner = search_packed_async(
@@ -587,70 +575,6 @@ class Partition:
         )
         return dists, positions
 
-    # -- ANN tier ----------------------------------------------------------
-
-    def _use_ann(self) -> bool:
-        return (
-            self.ann_config is not None
-            and self.metric == "cosine"
-            and self.live_count() >= self.ann_config.get("threshold", 100_000)
-        )
-
-    def _ensure_ann(self) -> None:
-        from ..ops.beam import BeamIndex
-
-        n = self.matrix.n
-        stale = (
-            self.ann is None
-            or (n - self.ann_rows) > self.ann_rebuild_fraction * max(self.ann_rows, 1)
-        )
-        if not stale:
-            return
-        config = self.ann_config or {}
-        self.ann = BeamIndex.build(
-            self.matrix.data[:n],
-            degree=config.get("degree", 32),
-            kmeans_iters=config.get("kmeans_iters", 6),
-        )
-        self.ann_rows = n
-
-    def _search_ann(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-        """ANN over the build snapshot + exact scan over the delta rows."""
-        self._ensure_ann()
-        config = self.ann_config or {}
-        ef = max(k, config.get("ef", 96))
-        # Pad + normalize queries to the matrix layout (the ANN was built
-        # over the padded rows).
-        qs = self.matrix.prepare_queries(queries)
-        # Widen by the tombstone count (like the exact tier's k_query):
-        # dead hits are dropped below, and without headroom a half-dead
-        # partition would return far fewer than k despite ample live rows.
-        n_dead = self.n_rows - self._n_live
-        k_search = min(k + n_dead, self.ann_rows)
-        dists, positions = self.ann.search(
-            qs, k_search, ef=max(ef, k_search),
-            iters=config.get("iters", 8),
-        )
-        n = self.matrix.n
-        if n > self.ann_rows:
-            # Exact scan of rows appended after the ANN build.
-            delta = self.matrix.data[self.ann_rows:n]
-            sims = qs @ delta.T
-            delta_d = (1.0 - sims).astype(np.float32)
-            delta_i = np.arange(self.ann_rows, n)[None, :].repeat(len(queries), 0)
-            dists = np.concatenate([dists, delta_d], axis=1)
-            positions = np.concatenate([positions, delta_i], axis=1)
-        # Tombstones to +inf, then one ascending sort + trim to k (the
-        # merge must NOT pre-trim before the dead-drop).
-        live = self.live_mask
-        dead = ~live[np.clip(positions, 0, max(len(live) - 1, 0))]
-        dists = np.where(dead, np.inf, dists)
-        order = np.argsort(dists, axis=1, kind="stable")[:, :k]
-        return (
-            np.take_along_axis(dists, order, axis=1),
-            np.take_along_axis(positions, order, axis=1),
-        )
-
 
 class VectorIndex:
     """All partitions of one declared (kind, label, property) index."""
@@ -659,14 +583,12 @@ class VectorIndex:
         self,
         defn: IndexDef,
         metric: str,
-        ann_config: dict | None = None,
         shard_threshold: int | None = None,
         hbm_budget_bytes: int | None = None,
         quant_candidates: int | None = None,
     ):
         self.defn = defn
         self.metric = metric
-        self.ann_config = ann_config
         self.shard_threshold = shard_threshold
         self.hbm_budget_bytes = hbm_budget_bytes
         self.quant_candidates = quant_candidates
@@ -676,7 +598,7 @@ class VectorIndex:
         part = self.partitions.get(tenant)
         if part is None:
             part = Partition(
-                self.metric, ann_config=self.ann_config,
+                self.metric,
                 shard_threshold=self.shard_threshold,
                 hbm_budget_bytes=self.hbm_budget_bytes,
                 quant_candidates=self.quant_candidates,
@@ -824,13 +746,11 @@ class VectorManager:
         self,
         metric: str = "cosine",
         batch_window_ms: float | None = None,
-        ann_config: dict | None = None,
         shard_threshold: int | None = None,
         hbm_budget_bytes: int | None = None,
         quant_candidates: int | None = None,
     ):
         self.metric = metric
-        self.ann_config = ann_config
         self.shard_threshold = shard_threshold
         self.hbm_budget_bytes = hbm_budget_bytes
         self.quant_candidates = quant_candidates
@@ -847,7 +767,7 @@ class VectorManager:
         if defn.spec_tag not in ("NodeVector", "EdgeVector"):
             return
         index = VectorIndex(
-            defn, self.metric, ann_config=self.ann_config,
+            defn, self.metric,
             shard_threshold=self.shard_threshold,
             hbm_budget_bytes=self.hbm_budget_bytes,
             quant_candidates=self.quant_candidates,

@@ -1,4 +1,4 @@
-"""TPU compute kernels: distance/top-k, beam search, CSR expansion.
+"""TPU compute kernels: distance/top-k, quantized tiers, CSR expansion.
 
 Setting ``HELIX_TPU_COMPILE_CACHE=<dir>`` enables JAX's persistent
 compilation cache there.  Serving compiles one kernel per padded

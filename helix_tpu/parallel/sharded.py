@@ -3,7 +3,7 @@
 The multi-chip design from SURVEY.md §2.3/§7.7 (the structural analog of
 the reference's reader scale-out, ``README.md:248``): the packed vector
 matrix is sharded row-wise across the ``shard`` mesh axis, each device
-runs the exact/beam search over its rows, and an ICI ``all_gather``
+runs the exact search over its rows, and an ICI ``all_gather``
 merges per-shard top-k candidates into the global top-k.  Queries can
 additionally be data-parallel over a ``data`` axis.
 

@@ -47,7 +47,6 @@ class HelixHTTPServer:
         telemetry_path: str | None = None,
         metric: str = "cosine",
         batch_window_ms: float | None = 2.0,
-        ann_config: dict | None = None,
         hbm_budget_bytes: int | None = None,
         bm25: bool = True,
         secondary_indices: list[str] | None = None,
@@ -69,7 +68,7 @@ class HelixHTTPServer:
             data_dir = None
         self.engine = engine or Engine(
             metric=metric, data_dir=data_dir, batch_window_ms=batch_window_ms,
-            ann_config=ann_config, hbm_budget_bytes=hbm_budget_bytes,
+            hbm_budget_bytes=hbm_budget_bytes,
             bm25=bm25,
             secondary_indices=secondary_indices, snapshot_store=snapshot_store,
             quant_candidates=quant_candidates,
@@ -251,7 +250,6 @@ def serve(
     data_dir: str | None = None,
     telemetry_path: str | None = None,
     metric: str = "cosine",
-    ann_config: dict | None = None,
     hbm_budget_bytes: int | None = None,
     bm25: bool = True,
     secondary_indices: list[str] | None = None,
@@ -285,7 +283,7 @@ def serve(
     server = server_cls(
         engine, host, port, api_key,
         data_dir=data_dir, telemetry_path=telemetry_path, metric=metric,
-        ann_config=ann_config, hbm_budget_bytes=hbm_budget_bytes, bm25=bm25,
+        hbm_budget_bytes=hbm_budget_bytes, bm25=bm25,
         secondary_indices=secondary_indices, replica_of=replica_of,
         snapshot_store=snapshot_store, mcp=mcp,
         quant_candidates=quant_candidates,
@@ -315,11 +313,6 @@ def build_arg_parser():
     parser.add_argument("--data-dir", default=None)
     parser.add_argument("--telemetry-path", default=None)
     parser.add_argument("--metric", default="cosine", choices=["cosine", "l2"])
-    parser.add_argument("--ann-threshold", type=int, default=None,
-                        help="live-vector count above which partitions use "
-                             "the graph ANN index")
-    parser.add_argument("--ann-m", type=int, default=16)
-    parser.add_argument("--ann-ef-search", type=int, default=768)
     parser.add_argument("--quant-candidates", type=int, default=None,
                         help="candidate-pool floor re-ranked in exact f32 "
                              "by the quantized residency tiers (ef_search "
@@ -358,17 +351,10 @@ def build_arg_parser():
 
 if __name__ == "__main__":
     args = build_arg_parser().parse_args()
-    ann_config = None
-    if args.ann_threshold is not None:
-        ann_config = {
-            "threshold": args.ann_threshold,
-            "degree": 2 * args.ann_m,
-            "ef": min(args.ann_ef_search, 256),
-        }
     serve(
         args.host, args.port, args.api_key,
         data_dir=args.data_dir, telemetry_path=args.telemetry_path,
-        metric=args.metric, ann_config=ann_config,
+        metric=args.metric,
         hbm_budget_bytes=(
             int(args.hbm_budget_gb * (1 << 30))
             if args.hbm_budget_gb is not None else None

@@ -68,7 +68,6 @@ class NativeGateway:
         telemetry_path: str | None = None,
         metric: str = "cosine",
         batch_window_ms: float | None = 2.0,
-        ann_config: dict | None = None,
         hbm_budget_bytes: int | None = None,
         bm25: bool = True,
         secondary_indices: list[str] | None = None,
@@ -90,7 +89,7 @@ class NativeGateway:
             data_dir = None  # replicas are stateless followers
         self.engine = engine or Engine(
             metric=metric, data_dir=data_dir, batch_window_ms=batch_window_ms,
-            ann_config=ann_config, hbm_budget_bytes=hbm_budget_bytes,
+            hbm_budget_bytes=hbm_budget_bytes,
             bm25=bm25,
             secondary_indices=secondary_indices, snapshot_store=snapshot_store,
             shard_threshold=shard_threshold,

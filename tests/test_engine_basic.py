@@ -628,77 +628,6 @@ def test_returns_empty_returns_all(social):
     assert out == {"a": 3, "b": 3}
 
 
-def test_ann_tier_with_delta_merge():
-    """Partitions above the ANN threshold serve from the graph index plus
-    an exact delta scan; results match brute force."""
-    import numpy as np
-
-    from helix_tpu.engine import Engine
-
-    eng = Engine(ann_config={"threshold": 500, "degree": 16, "ef": 96, "iters": 8})
-    rng = np.random.default_rng(5)
-    data = rng.normal(size=(700, 16)).astype(np.float32)
-
-    batch = write_batch().var_as("idx", g().create_vector_index_nodes("Doc", "emb"))
-    run_write(eng, batch)
-    # Bulk ingest through ForEach (one write batch).
-    rows = [{"i": int(i), "emb": [float(x) for x in data[i]]} for i in range(600)]
-    run_write(
-        eng,
-        write_batch().for_each_param(
-            "docs",
-            write_batch().var_as(
-                "d",
-                g().add_n("Doc", [
-                    ("i", {"Expr": {"Param": "docs.i"}}),
-                    ("emb", {"Expr": {"Param": "docs.emb"}}),
-                ]),
-            ),
-        ),
-        params={"docs": rows},
-        types={"docs": {"Array": "Object"}},
-    )
-    # First search triggers the ANN build over 600 rows.
-    q = data[42]
-    out = run_read(
-        eng,
-        read_batch().var_as(
-            "hits", g().vector_search_nodes("Doc", "emb", [float(x) for x in q], 5).value_map(["i"])
-        ),
-    )
-    assert out["hits"][0]["i"] == 42
-    part = next(iter(eng.vectors.indexes.values())).partitions[("",)]
-    assert part.ann is not None and part.ann_rows == 600
-
-    # Delta: add 30 more docs (5% < rebuild threshold); the new nearest
-    # must surface through the exact delta scan without a rebuild.
-    rows2 = [{"i": int(600 + i), "emb": [float(x) for x in data[600 + i]]} for i in range(30)]
-    run_write(
-        eng,
-        write_batch().for_each_param(
-            "docs",
-            write_batch().var_as(
-                "d",
-                g().add_n("Doc", [
-                    ("i", {"Expr": {"Param": "docs.i"}}),
-                    ("emb", {"Expr": {"Param": "docs.emb"}}),
-                ]),
-            ),
-        ),
-        params={"docs": rows2},
-        types={"docs": {"Array": "Object"}},
-    )
-    q2 = data[620]
-    out = run_read(
-        eng,
-        read_batch().var_as(
-            "hits", g().vector_search_nodes("Doc", "emb", [float(x) for x in q2], 3).value_map(["i"])
-        ),
-    )
-    assert out["hits"][0]["i"] == 620  # found via the delta scan
-    assert part.ann_rows == 600        # delta below rebuild threshold
-
-
 def test_bm25_disabled_rejects_text_index():
     eng = Engine(bm25=False)
     with pytest.raises(QueryError, match="BM25"):

@@ -52,21 +52,6 @@ def test_deleted_ids_never_returned():
     assert ids.shape == (4, 8)
 
 
-def test_ann_tier_drops_tombstones():
-    xs = _vectors(256)
-    part = Partition(
-        "cosine", ann_config={"threshold": 16, "degree": 8, "ef": 32}
-    )
-    _fill(part, xs)
-    for el in range(1, 41):
-        part.remove(el)
-    ids, dists = part.search_many(xs[:4], 10)
-    assert not (set(ids[np.isfinite(dists)].tolist()) & set(range(1, 41)))
-    # All surfaced hits must be live and finite or sentinel-marked.
-    finite = np.isfinite(dists)
-    assert np.all(ids[~finite] == 0)
-
-
 def test_single_query_search_trims():
     xs = _vectors(6)
     part = Partition("cosine")
@@ -77,22 +62,6 @@ def test_single_query_search_trims():
     assert len(ids) == len(dists) == 2
     assert set(ids.tolist()) == {5, 6}
     assert np.all(np.isfinite(dists))
-
-
-def test_ann_tier_returns_k_live_despite_heavy_tombstones():
-    """Half-dead ANN partition: the search must widen by the tombstone
-    count and still return k LIVE hits (it used to return ~k/2)."""
-    xs = _vectors(400, seed=3)
-    part = Partition("cosine", ann_config={"threshold": 1, "ef": 64})
-    _fill(part, xs)
-    part._ensure_ann()
-    for el in range(1, 401, 2):  # delete every other id
-        part.remove(el)
-    ids, dists = part.search_many(xs[:3], 10)
-    for row in range(3):
-        finite = np.isfinite(dists[row])
-        assert int(finite.sum()) == 10  # full k from 200 live rows
-        assert all(i % 2 == 0 for i in ids[row][finite].tolist())
 
 
 def test_host_ivf_tier_returns_k_live_despite_tombstones():
