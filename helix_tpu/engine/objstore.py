@@ -8,10 +8,12 @@ persistence layer mirrors checkpoints into:
 
 - ``file://<dir>`` (and bare paths) — a directory acting as the bucket;
   useful for NFS-style shared volumes and for tests.
-- ``s3://bucket[/prefix]`` — real S3 via boto3.  boto3 is not baked
-  into this image, so construction raises a clear error when it is
-  missing; the URL scheme and key layout are wired end-to-end so the
-  backend lights up wherever boto3 exists.
+- ``s3://bucket[/prefix]`` — the S3 REST API spoken directly (stdlib
+  urllib + SigV4 signing), honoring the reference's disk-mode env
+  contract (``AWS_ENDPOINT``/``AWS_ACCESS_KEY_ID``/
+  ``AWS_SECRET_ACCESS_KEY``/``S3_REGION``); works against real S3 and
+  MinIO-compatible endpoints, exercised in tests against an in-process
+  signature-verifying stub (``tests/s3_stub.py``).
 - ``memory://<name>`` — process-local store (tests, ephemera).
 
 The WAL stays on local disk: per-record fsync semantics do not map to
@@ -89,38 +91,130 @@ class MemoryObjectStore(ObjectStore):
 
 
 class S3ObjectStore(ObjectStore):
-    """S3 bucket backend (requires boto3 at runtime)."""
+    """S3 bucket backend speaking the S3 REST API directly (stdlib only).
+
+    Implements AWS Signature Version 4 (the public algorithm from the
+    AWS documentation) over path-style requests, so it works against
+    real S3 and S3-compatible stores (MinIO) alike.  Configuration
+    follows the reference's env contract for disk mode
+    (``local_runtime.rs:773-786``): ``AWS_ENDPOINT`` (path-style base
+    URL; defaults to the regional AWS endpoint), ``AWS_ACCESS_KEY_ID``,
+    ``AWS_SECRET_ACCESS_KEY``, and ``S3_REGION``/``AWS_REGION``
+    (default ``us-east-1``).
+    """
 
     def __init__(self, bucket: str, prefix: str = ""):
-        try:
-            import boto3  # noqa: F401  (not baked into this image)
-        except ImportError as exc:
-            raise RuntimeError(
-                "s3:// snapshot stores require boto3, which is not "
-                "installed in this environment; use file:// or memory://"
-            ) from exc
-        import boto3
-
-        self._client = boto3.client("s3")
         self.bucket = bucket
         self.prefix = prefix.strip("/")
+        self.region = (
+            os.environ.get("S3_REGION")
+            or os.environ.get("AWS_REGION")
+            or "us-east-1"
+        )
+        self.endpoint = os.environ.get(
+            "AWS_ENDPOINT", f"https://s3.{self.region}.amazonaws.com"
+        ).rstrip("/")
+        self.access_key = os.environ.get("AWS_ACCESS_KEY_ID", "")
+        self.secret_key = os.environ.get("AWS_SECRET_ACCESS_KEY", "")
+        if not self.access_key or not self.secret_key:
+            raise RuntimeError(
+                "s3:// snapshot stores need AWS_ACCESS_KEY_ID and "
+                "AWS_SECRET_ACCESS_KEY in the environment (reference "
+                "disk-mode contract, local_runtime.rs:773-786)"
+            )
 
     def _key(self, key: str) -> str:
         return f"{self.prefix}/{key}" if self.prefix else key
 
-    def put(self, key: str, data: bytes) -> None:
-        self._client.put_object(
-            Bucket=self.bucket, Key=self._key(key), Body=data
+    # -- SigV4 ---------------------------------------------------------
+
+    def _sign(self, method: str, path: str, payload: bytes) -> dict:
+        """Build the signed headers for one request (AWS SigV4)."""
+        import datetime
+        import hashlib
+        import hmac
+        from urllib.parse import urlsplit
+
+        host = urlsplit(self.endpoint).netloc
+        now = datetime.datetime.now(datetime.timezone.utc)
+        amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+        datestamp = now.strftime("%Y%m%d")
+        payload_hash = hashlib.sha256(payload).hexdigest()
+        canonical_headers = (
+            f"host:{host}\n"
+            f"x-amz-content-sha256:{payload_hash}\n"
+            f"x-amz-date:{amz_date}\n"
         )
+        signed_headers = "host;x-amz-content-sha256;x-amz-date"
+        canonical_request = "\n".join(
+            [method, path, "", canonical_headers, signed_headers,
+             payload_hash]
+        )
+        scope = f"{datestamp}/{self.region}/s3/aws4_request"
+        string_to_sign = "\n".join([
+            "AWS4-HMAC-SHA256", amz_date, scope,
+            hashlib.sha256(canonical_request.encode()).hexdigest(),
+        ])
+
+        def hmac_sha256(key: bytes, msg: str) -> bytes:
+            return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+        k_date = hmac_sha256(("AWS4" + self.secret_key).encode(), datestamp)
+        k_region = hmac_sha256(k_date, self.region)
+        k_service = hmac_sha256(k_region, "s3")
+        k_signing = hmac_sha256(k_service, "aws4_request")
+        signature = hmac.new(
+            k_signing, string_to_sign.encode(), hashlib.sha256
+        ).hexdigest()
+        return {
+            "Host": host,
+            "x-amz-content-sha256": payload_hash,
+            "x-amz-date": amz_date,
+            "Authorization": (
+                f"AWS4-HMAC-SHA256 Credential={self.access_key}/{scope}, "
+                f"SignedHeaders={signed_headers}, Signature={signature}"
+            ),
+        }
+
+    def _request(self, method: str, key: str, payload: bytes = b"") -> tuple:
+        """One signed path-style request; returns (status, body)."""
+        import urllib.error
+        import urllib.request
+        from urllib.parse import quote
+
+        path = "/" + quote(f"{self.bucket}/{self._key(key)}", safe="/-_.~")
+        headers = self._sign(method, path, payload)
+        req = urllib.request.Request(
+            self.endpoint + path,
+            data=payload if method == "PUT" else None,
+            headers=headers, method=method,
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as exc:
+            return exc.code, exc.read()
+
+    def put(self, key: str, data: bytes) -> None:
+        status, body = self._request("PUT", key, data)
+        if status != 200:
+            raise RuntimeError(
+                f"s3 put {self.bucket}/{self._key(key)} failed: "
+                f"HTTP {status} {body[:200]!r}"
+            )
 
     def get(self, key: str) -> bytes | None:
-        try:
-            resp = self._client.get_object(
-                Bucket=self.bucket, Key=self._key(key)
-            )
-            return resp["Body"].read()
-        except self._client.exceptions.NoSuchKey:
+        status, body = self._request("GET", key)
+        if status == 200:
+            return body
+        if status == 404 or b"NoSuchKey" in body:
             return None
+        # auth failures / 5xx propagate: reading them as "no snapshot"
+        # would let a replacement node silently bootstrap empty
+        raise RuntimeError(
+            f"s3 get {self.bucket}/{self._key(key)} failed: "
+            f"HTTP {status} {body[:200]!r}"
+        )
 
 
 def open_store(url: str) -> ObjectStore:

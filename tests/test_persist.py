@@ -298,12 +298,17 @@ def test_flaky_snapshot_store_does_not_fail_checkpoint(tmp_path):
     eng.close()
 
 
-def test_s3_store_requires_boto3():
+def test_s3_store_requires_credentials(monkeypatch):
+    """The stdlib S3 backend needs the reference's disk-mode env
+    (local_runtime.rs:773-786); full execution coverage lives in
+    tests/test_objstore_s3.py against the signature-verifying stub."""
     import pytest as _pytest
 
     from helix_tpu.engine.objstore import open_store
 
-    with _pytest.raises(RuntimeError, match="boto3"):
+    monkeypatch.delenv("AWS_ACCESS_KEY_ID", raising=False)
+    monkeypatch.delenv("AWS_SECRET_ACCESS_KEY", raising=False)
+    with _pytest.raises(RuntimeError, match="AWS_ACCESS_KEY_ID"):
         open_store("s3://some-bucket/prefix")
 
 
