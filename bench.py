@@ -20,25 +20,105 @@ batch, and ``e2e_tunnel_qps`` one full tunnel round trip per batch
 (~30-50 ms RPC in this dev environment).
 
 ``vs_baseline``: the reference engine publishes no numbers and its binary
-is a closed container image (BASELINE.md), so the baseline is the
-BASELINE.json north-star comparison point — reference-class CPU HNSW
-throughput at recall@10>=0.95 on SIFT1M, taken as 10,000 QPS (typical
-published single-node figure for m=16 HNSW at 0.95 recall).
-vs_baseline = measured QPS / 10,000.
+is a closed container image (BASELINE.md), so the baseline is **measured**
+in-environment: a reference-class CPU HNSW (m=16, ef_construction=128,
+the reference's own defaults — helix-cli/src/config.rs:191-201) built
+over the same corpus by ``benchmarks/hnsw_baseline.cpp``, searched at
+the cheapest ef_search reaching recall@10 >= 0.95, timed on this box's
+CPU.  The 1M index builds once and is cached under ``.bench_cache/``;
+the search-side QPS is re-measured live every run.  vs_baseline =
+device QPS / measured CPU HNSW QPS.  Fallbacks (marked in the output):
+the committed ``BASELINE_MEASURED.json`` from the last successful
+measurement, then the pre-round-4 assumed constant.
 
-Env overrides: BENCH_N, BENCH_D, BENCH_BATCH, BENCH_ROUNDS.
+Env overrides: BENCH_N, BENCH_D, BENCH_BATCH, BENCH_ROUNDS,
+BENCH_SKIP_BASELINE=1 (skip CPU HNSW), BENCH_BUILD_BASELINE=0
+(never build, only load a cached index).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 import numpy as np
 
+# Pre-round-4 assumption (typical published single-node m=16 HNSW figure
+# at 0.95 recall); used only as the last-resort fallback when no
+# measurement is possible, and marked as such in the output.
 ASSUMED_CPU_HNSW_QPS = 10_000.0
+
+
+def _cpu_hnsw_baseline(data, queries, oracle) -> dict:
+    """Measured CPU HNSW baseline with graceful degradation.
+
+    Returns {"qps": float, "source": "measured"|"cached_measurement"|
+    "assumed", ...detail...}."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    committed = os.path.join(here, "BASELINE_MEASURED.json")
+    n, d = data.shape
+    if os.environ.get("BENCH_SKIP_BASELINE") != "1":
+        try:
+            sys.path.insert(0, here)
+            from benchmarks.cpu_hnsw import measure_baseline
+
+            measured = measure_baseline(
+                data, queries, oracle,
+                cache_dir=os.path.join(here, ".bench_cache"),
+                allow_build=os.environ.get("BENCH_BUILD_BASELINE") != "0",
+                log=lambda m: print(f"# {m}", file=sys.stderr),
+            )
+            if measured is not None:
+                measured["source"] = "measured"
+                try:  # refresh the committed per-config fallback record
+                    try:
+                        with open(committed) as fh:
+                            records = json.load(fh)
+                        if "qps" in records:  # legacy single-record file
+                            records = {}
+                    except (OSError, ValueError):
+                        records = {}
+                    record = dict(measured)
+                    record["measured_at"] = time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    )
+                    records[f"{n}x{d}"] = record
+                    with open(committed, "w") as fh:
+                        json.dump(records, fh, indent=1)
+                except OSError:
+                    pass
+                return measured
+        except Exception as exc:  # noqa: BLE001 — never sink the bench
+            print(f"# cpu hnsw baseline measurement failed: {exc!r}",
+                  file=sys.stderr)
+    try:
+        with open(committed) as fh:
+            records = json.load(fh)
+        cached = records.get(f"{n}x{d}") if "qps" not in records else (
+            records if records.get("n") == n and records.get("d") == d
+            else None
+        )
+        if cached is not None:
+            cached["source"] = "cached_measurement"
+            return cached
+    except (OSError, ValueError):
+        pass
+    return {"qps": ASSUMED_CPU_HNSW_QPS, "source": "assumed"}
+
+
+def _median_spread(fn, reps: int = 3) -> dict:
+    """median/min/max of ``fn()`` (ms) over ``reps`` repetitions —
+    single-sample rows cannot distinguish a regression from this dev
+    box's +-30% CPU-steal (round-3 verdict)."""
+    samples = [fn() for _ in range(reps)]
+    return {
+        "median": round(statistics.median(samples), 3),
+        "min": round(min(samples), 3),
+        "max": round(max(samples), 3),
+    }
 
 # The dev TPU is reached through a tunnel that occasionally wedges: the
 # backend enumerates but every device op hangs forever.  Probe it in a
@@ -561,19 +641,25 @@ def main() -> None:
     # XLA's scatter lowering wants several adjacency-sized temporaries
     # (measured: 10M nodes / 160M padded edges compiles to >8 GB of
     # scratch next to the 7.7 GB resident matrix).
+    traversal_device_spread = None
     if padded.neighbors.size * 4 * 8 + matrix_bytes < 10 << 30:
         count = khop_count(
             padded.neighbors, padded.edge_labels, starts[0], jnp2.int32(1), 2, keep
         )
         jax.block_until_ready(count)
-        t0 = time.perf_counter()
-        for r in range(8):
-            count = khop_count(
-                padded.neighbors, padded.edge_labels, starts[r % 4],
-                jnp2.int32(1), 2, keep,
-            )
-        jax.block_until_ready(count)
-        traversal_device_ms = (time.perf_counter() - t0) / 8 * 1000
+
+        def _device_2hop():
+            t0 = time.perf_counter()
+            for r in range(8):
+                count = khop_count(
+                    padded.neighbors, padded.edge_labels, starts[r % 4],
+                    jnp2.int32(1), 2, keep,
+                )
+            jax.block_until_ready(count)
+            return (time.perf_counter() - t0) / 8 * 1000
+
+        traversal_device_spread = _median_spread(_device_2hop)
+        traversal_device_ms = traversal_device_spread["median"]
 
     # The serving path (engine traversal planner) runs the native
     # multithreaded CSR sweep (native/bfs.cpp); the device kernel above
@@ -581,14 +667,19 @@ def main() -> None:
     from helix_tpu.native import bfs_khop
 
     keep_host = np.asarray(keep, np.uint8)
-    t0 = time.perf_counter()
-    for r in range(8):
-        fmask, _ = bfs_khop(
-            indptr, edge_dst, edge_lab, start_hosts[r % 4].astype(np.uint8),
-            1, 2,
-        )
-        native_count = int((fmask & keep_host).sum())
-    traversal_ms = (time.perf_counter() - t0) / 8 * 1000
+    start_u8 = [s.astype(np.uint8) for s in start_hosts]
+
+    def _native_2hop():
+        t0 = time.perf_counter()
+        for r in range(8):
+            fmask, _ = bfs_khop(
+                indptr, edge_dst, edge_lab, start_u8[r % 4], 1, 2,
+            )
+            int((fmask & keep_host).sum())
+        return (time.perf_counter() - t0) / 8 * 1000
+
+    traversal_spread = _median_spread(_native_2hop)
+    traversal_ms = traversal_spread["median"]
 
     # ---- BASELINE config[3]: hybrid vector seed -> graph expansion -----
     seed_pads = []
@@ -598,23 +689,30 @@ def main() -> None:
         )
         seed_pads.append(idx[0].astype(jnp2.int32))
     hybrid_device_ms = -1.0
+    hybrid_device_spread = None
     if padded.neighbors.size * 4 * 8 + matrix_bytes < 10 << 30:
         out = hybrid_expand(
             padded.neighbors, padded.edge_labels, seed_pads[0],
             jnp2.int32(-1), 1, keep,
         )
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for r in range(8):
-            _, idx = topk_resident(
-                xs16, xs32, query_batches[r % 4], n_valid, sq, k=k, metric="cosine"
-            )
-            mask, cnt = hybrid_expand(
-                padded.neighbors, padded.edge_labels, idx[0].astype(jnp2.int32),
-                jnp2.int32(-1), 1, keep,
-            )
-        jax.block_until_ready(cnt)
-        hybrid_device_ms = (time.perf_counter() - t0) / 8 * 1000
+
+        def _device_hybrid():
+            t0 = time.perf_counter()
+            for r in range(8):
+                _, idx = topk_resident(
+                    xs16, xs32, query_batches[r % 4], n_valid, sq, k=k,
+                    metric="cosine",
+                )
+                mask, cnt = hybrid_expand(
+                    padded.neighbors, padded.edge_labels,
+                    idx[0].astype(jnp2.int32), jnp2.int32(-1), 1, keep,
+                )
+            jax.block_until_ready(cnt)
+            return (time.perf_counter() - t0) / 8 * 1000
+
+        hybrid_device_spread = _median_spread(_device_hybrid)
+        hybrid_device_ms = hybrid_device_spread["median"]
 
     # Serving-path hybrid: fused device search for the seeds (rides the
     # dynamic batcher, so its cost is the amortized per-batch device
@@ -627,15 +725,25 @@ def main() -> None:
         seeds = np.zeros(n, np.uint8)
         seeds[seed_slots[(seed_slots >= 0) & (seed_slots < n)]] = 1
         seed_sets.append(seeds)
-    t0 = time.perf_counter()
-    for r in range(8):
-        fmask, _ = bfs_khop(indptr, edge_dst, edge_lab, seed_sets[r % 4], -1, 1)
-        native_cnt = int((fmask & keep_host).sum())
-    sweep_ms = (time.perf_counter() - t0) / 8 * 1000
-    hybrid_ms = sweep_ms + per_batch_s * 1000
+    def _native_hybrid_sweep():
+        t0 = time.perf_counter()
+        for r in range(8):
+            fmask, _ = bfs_khop(
+                indptr, edge_dst, edge_lab, seed_sets[r % 4], -1, 1
+            )
+            int((fmask & keep_host).sum())
+        return (time.perf_counter() - t0) / 8 * 1000
+
+    hybrid_sweep_spread = _median_spread(_native_hybrid_sweep)
+    hybrid_ms = hybrid_sweep_spread["median"] + per_batch_s * 1000
 
     print("# e2e serving through the native gateway...", file=sys.stderr)
     gateway_metrics = _gateway_bench(matrix, d, k)
+
+    print("# measuring CPU HNSW baseline (reference-class, m=16/efc=128)...",
+          file=sys.stderr)
+    oracle_full = np.argsort(-sims, axis=1)[:, :k]
+    baseline = _cpu_hnsw_baseline(np.asarray(data), all_queries, oracle_full)
 
     result = {
         "metric": (
@@ -644,7 +752,8 @@ def main() -> None:
         ),
         "value": round(device_qps, 1),
         "unit": "QPS",
-        "vs_baseline": round(device_qps / ASSUMED_CPU_HNSW_QPS, 2),
+        "vs_baseline": round(device_qps / baseline["qps"], 2),
+        "baseline_cpu_hnsw": baseline,
         "recall_at_10": round(recall, 4),
         "backend": backend,
         "batch": batch,
@@ -655,9 +764,13 @@ def main() -> None:
         "e2e_tunnel_qps": round(e2e_qps, 1),
         "build_upload_s": round(build_s, 2),
         "traversal_2hop_ms": round(traversal_ms, 3),
+        "traversal_2hop_spread": traversal_spread,
         "traversal_2hop_device_ms": round(traversal_device_ms, 3),
+        "traversal_2hop_device_spread": traversal_device_spread,
         "hybrid_seed_expand_ms": round(hybrid_ms, 3),
+        "hybrid_seed_expand_sweep_spread": hybrid_sweep_spread,
         "hybrid_seed_expand_device_ms": round(hybrid_device_ms, 3),
+        "hybrid_seed_expand_device_spread": hybrid_device_spread,
         **gateway_metrics,
         "baseline_attempt": _reference_baseline_attempt(),
     }

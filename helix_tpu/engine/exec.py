@@ -330,19 +330,7 @@ def _has_invalidating_steps(entries: Any) -> bool:
 _DEVICE_BACKEND: bool | None = None
 
 
-def _prefer_device_traversal() -> bool:
-    """Route traversals device-first on accelerator backends (the
-    adaptive kernel measures ~40x the native C++ sweep on a v5e; the
-    XLA:CPU lowering is far slower than the sweep).  Overridable via
-    HELIX_TRAVERSAL_BACKEND=device|native|auto — e.g. remote-attached
-    dev chips where the per-query mask H2D dominates want ``native``."""
-    import os
-
-    mode = os.environ.get("HELIX_TRAVERSAL_BACKEND", "auto")
-    if mode == "device":
-        return True
-    if mode == "native":
-        return False
+def _accelerator_present() -> bool:
     global _DEVICE_BACKEND
     if _DEVICE_BACKEND is None:
         try:
@@ -352,6 +340,73 @@ def _prefer_device_traversal() -> bool:
         except Exception:
             _DEVICE_BACKEND = False
     return _DEVICE_BACKEND
+
+
+class TraversalRouter:
+    """Measured-cost device-vs-native routing for set-reduced traversals.
+
+    Round 3 routed device-first purely on backend identity, and the
+    round-3 bench caught a config where the device path measured slower
+    than the host sweep (remote-attached chips pay per-query H2D for the
+    frontier mask).  This router times the paths it actually runs and
+    picks the cheaper one:
+
+    - each path's first run warms up (device: XLA compile) and is not
+      recorded;
+    - afterwards an EWMA of wall ms per path decides;
+    - every 64th decision re-samples the losing path so a cold estimate
+      or changed conditions (snapshot growth, tunnel latency) can flip
+      the route back.
+
+    ``HELIX_TRAVERSAL_BACKEND=device|native`` still forces a path;
+    ``auto`` (default) uses measurement.
+    """
+
+    EXPLORE_EVERY = 64
+    ALPHA = 0.3
+
+    def __init__(self):
+        self.ewma: dict[str, float] = {}
+        self.runs: dict[str, int] = {"device": 0, "native": 0}
+        self.decisions = 0
+
+    def choose(self, device_available: bool, native_available: bool) -> str:
+        import os
+
+        mode = os.environ.get("HELIX_TRAVERSAL_BACKEND", "auto")
+        if mode == "device" and device_available:
+            return "device"
+        if mode == "native" and native_available:
+            return "native"
+        if not device_available:
+            return "native"
+        if not native_available:
+            return "device"
+        # bootstrap: run each path until it has a recorded sample
+        # (accelerators first — the common win at serving scale)
+        for path in (
+            ("device", "native") if _accelerator_present()
+            else ("native", "device")
+        ):
+            if path not in self.ewma:
+                return path
+        self.decisions += 1
+        best = min(self.ewma, key=self.ewma.get)
+        if self.decisions % self.EXPLORE_EVERY == 0:
+            worst = max(self.ewma, key=self.ewma.get)
+            if worst != best:
+                return worst
+        return best
+
+    def record(self, path: str, elapsed_s: float) -> None:
+        self.runs[path] = self.runs.get(path, 0) + 1
+        if self.runs[path] == 1:
+            return  # warm-up (compile/caches) — not representative
+        ms = elapsed_s * 1000.0
+        prev = self.ewma.get(path)
+        self.ewma[path] = (
+            ms if prev is None else prev + self.ALPHA * (ms - prev)
+        )
 
 
 class Executor:
@@ -851,19 +906,16 @@ class Executor:
                 thunk=lambda f=result: self.encode_frame(f),
             )
 
-        # Backend choice.  Round 3: the frontier-size-adaptive device
-        # kernel (ops/csr.py) measures ~0.2 ms for a labeled+filtered
-        # 2-hop at 1M nodes / 16M edges on a v5e — 40x the native C++
-        # sweep (~8 ms) — so TPU backends route device-first; CPU
-        # backends keep the native sweep (the XLA:CPU scatter lowering
-        # is far slower than the C++ sweep).  HELIX_TRAVERSAL_BACKEND
-        # (device|native|auto) overrides, e.g. for remote-attached dev
-        # chips where per-query H2D mask transfer dominates.
+        # Backend choice: measured cost (TraversalRouter).  Round 3
+        # routed device-first on backend identity alone; the bench then
+        # caught a config where the device path was slower than the
+        # native sweep (per-query H2D on a remote-attached chip).  Both
+        # paths compute identical set-semantics masks, so the router
+        # times the one it runs and converges on the cheaper.
         try:
             from ..native import bfs_khop
         except Exception:
             bfs_khop = None
-        prefer_device = _prefer_device_traversal()
 
         # Resolve every body op up front; any non-vectorizable filter or
         # missing adjacency falls back to the host pipeline before any
@@ -929,30 +981,43 @@ class Executor:
             if mask is not None:
                 return complete(mask)
 
-        if prefer_device and all(
+        device_ok = all(
             snap.padded_graph(direction) is not None
             for op in plan if op[0] == "hop"
             for direction, _ in op[1]
-        ):
-            return complete(self._run_device_plan(snap, plan, start))
+        )
+        if not device_ok and bfs_khop is None:
+            return None  # no vectorized backend: host pipeline
+        router = getattr(self.engine, "_traversal_router", None)
+        if router is None:
+            router = TraversalRouter()
+            self.engine._traversal_router = router
+        choice = router.choose(
+            device_available=device_ok,
+            native_available=bfs_khop is not None,
+        )
+        import time as _time
 
-        if bfs_khop is not None:
-            mask = start.astype(np.uint8)
+        t0 = _time.perf_counter()
+        if choice == "device":
+            mask = self._run_device_plan(snap, plan, start)
+        else:
+            mask_u8 = start.astype(np.uint8)
             for op in plan:
                 if op[0] == "hop":
                     frontier = np.zeros(snap.n_nodes, np.uint8)
                     for direction, code in op[1]:
                         indptr, targets, codes = snap.csr_arrays(direction)
                         image, _ = bfs_khop(
-                            indptr, targets, codes, mask, code, 1
+                            indptr, targets, codes, mask_u8, code, 1
                         )
                         frontier |= image
-                    mask = frontier
+                    mask_u8 = frontier
                 else:
-                    mask = mask & np.asarray(op[1], np.uint8)
-            return complete(mask.astype(bool))
-
-        return complete(self._run_device_plan(snap, plan, start))
+                    mask_u8 = mask_u8 & np.asarray(op[1], np.uint8)
+            mask = mask_u8.astype(bool)
+        router.record(choice, _time.perf_counter() - t0)
+        return complete(mask)
 
     def _run_device_plan(
         self, snap, plan: list, start: np.ndarray
