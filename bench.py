@@ -326,6 +326,17 @@ def _gateway_bench(matrix, d: int, k: int) -> dict:
             out["e2e_gateway_ingest_docs_s"] = round(
                 client["ingest_docs"] / client["ingest_elapsed"], 1
             )
+        if "lookup_elapsed" in client:
+            out["e2e_gateway_lookup_qps"] = round(
+                client["lookup_total"] / client["lookup_elapsed"], 1
+            )
+            out["e2e_gateway_lookup_requests"] = int(
+                stats.get("lookup_requests", 0)
+            )
+        if "dyn_vs_elapsed" in client:
+            out["e2e_gateway_dyn_vsearch_qps"] = round(
+                client["dyn_vs_total"] / client["dyn_vs_elapsed"], 1
+            )
     finally:
         gw.stop(close_engine=False)
     return out
@@ -431,6 +442,53 @@ ingest_elapsed = time.perf_counter() - t0
 s.close()
 print(json.dumps({
     "ingest_docs": n_docs, "ingest_elapsed": ingest_elapsed,
+}), flush=True)
+
+# dynamic point lookups over /v1/query (round 4: learned plan skeleton
+# served from the C++ blob cache, no Python per request).  The ingest
+# phase above created nodes with ids 1..n_docs.
+blobs = []
+for _ in range(512):
+    ids = sorted(random.sample(range(1, n_docs + 1), 4))
+    body = json.dumps({"request_type": "read", "query_name": "lk",
+        "query": {"queries": [{"Query": {"name": "rows", "steps": [
+            {"N": {"Param": "ids"}}, {"ValueMap": None}],
+            "condition": None}}], "returns": ["rows"]},
+        "parameters": {"ids": ids}}).encode()
+    blobs.append(
+        b"POST /v1/query HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(body) + body
+    )
+run_with_retry(4096)  # learn the skeleton + warm the blob cache
+lookup_total = 50_000
+lookup_elapsed = run_with_retry(lookup_total)
+print(json.dumps({
+    "lookup_total": lookup_total, "lookup_elapsed": lookup_elapsed,
+}), flush=True)
+
+# dynamic vector search over /v1/query (learned skeleton -> vbatch)
+blobs = []
+for _ in range(512):
+    v = [random.gauss(0.0, 1.0) for _ in range(d)]
+    norm = max(sum(x * x for x in v) ** 0.5, 1e-9)
+    body = json.dumps({"request_type": "read", "query_name": "dvs",
+        "query": {"queries": [{"Query": {"name": "hits", "steps": [
+            {"VectorSearchNodes": {"label": "Doc", "property": "emb",
+                "query_vector": {"Expr": {"Param": "q"}},
+                "k": {"Expr": {"Param": "k"}}}},
+            {"ValueMap": ["$id", "$distance"]}],
+            "condition": None}}], "returns": ["hits"]},
+        "parameters": {"q": [x / norm for x in v], "k": k},
+        "parameter_types": {"q": {"Array": "F32"}, "k": "I64"}}).encode()
+    blobs.append(
+        b"POST /v1/query HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(body) + body
+    )
+run_with_retry(2048)
+dyn_vs_total = 10_000
+dyn_vs_elapsed = run_with_retry(dyn_vs_total)
+print(json.dumps({
+    "dyn_vs_total": dyn_vs_total, "dyn_vs_elapsed": dyn_vs_elapsed,
 }), flush=True)
 """
 
@@ -779,4 +837,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--ladder" in sys.argv:
+        # Residency-ladder artifact (round-4 verdict item 7): every
+        # serving rung measured from one entry point on one corpus.
+        sys.argv.remove("--ladder")
+        from benchmarks.ladder import main as ladder_main
+
+        ladder_main()
+    else:
+        main()

@@ -190,6 +190,35 @@ def load() -> ctypes.CDLL:
         lib.hxgw_request_alive.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         lib.hxgw_stats.restype = None
         lib.hxgw_stats.argtypes = [ctypes.c_void_p, u64p, u64p, u64p]
+        # dynamic fast routes + blob cache (round 4)
+        lib.hxgw_skeleton.restype = ctypes.c_longlong
+        lib.hxgw_skeleton.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p,
+            ctypes.c_longlong,
+        ]
+        lib.hxgw_dyn_vec_route.restype = ctypes.c_longlong
+        lib.hxgw_dyn_vec_route.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_char_p,
+        ]
+        lib.hxgw_dyn_lookup_route.restype = ctypes.c_longlong
+        lib.hxgw_dyn_lookup_route.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ]
+        lib.hxgw_clear_dyn_routes.restype = None
+        lib.hxgw_clear_dyn_routes.argtypes = [ctypes.c_void_p]
+        lib.hxgw_blob_epoch.restype = None
+        lib.hxgw_blob_epoch.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.hxgw_blob_put.restype = ctypes.c_int
+        lib.hxgw_blob_put.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_longlong,
+        ]
+        lib.hxgw_dyn_stats.restype = None
+        lib.hxgw_dyn_stats.argtypes = [ctypes.c_void_p, u64p, u64p, u64p]
         # -- HA proxy --------------------------------------------------
         lib.hxha_create.restype = ctypes.c_void_p
         lib.hxha_create.argtypes = [ctypes.c_char_p, ctypes.c_int]

@@ -138,6 +138,27 @@ struct FastRoute {
 // fall back to the interpreter
 static const int TENANT_CAP = 128;
 
+// Dynamic fast routes (round 4): general `POST /v1/query` reads whose
+// *plan* (everything outside the "parameters" member) was seen before.
+// The host interprets the first occurrence, checks eligibility, and
+// registers the plan's SKELETON (body bytes with the parameters value
+// replaced by {}); identical-plan requests afterwards are parsed and
+// served natively — vector searches through the vbatch queue, point
+// lookups straight from the blob cache without touching Python at all.
+struct DynRoute {
+    int kind;            // 1 = vector search (vbatch), 2 = point lookup
+    FastRoute fr;        // vector kind: parse/format template (path unused)
+    std::string ids_key;   // lookup kind: parameters member holding ids
+    std::string prefix, suffix;  // lookup kind response framing
+};
+
+// bounds: skeletons over this size or tables past these caps stay on
+// the interpreter (unbounded learned state would be a memory leak)
+static const size_t SKELETON_CAP = 65536;
+static const size_t DYN_ROUTES_CAP = 512;
+static const size_t LOOKUP_IDS_CAP = 1024;
+static const size_t BLOB_BYTES_CAP = (size_t)1 << 30;
+
 struct VRequest {
     uint64_t reqid;
     int route_id;
@@ -228,8 +249,20 @@ struct Gateway {
     std::mutex parked_mu;
     std::unordered_map<uint64_t, std::string> parked;
 
+    // dynamic routes: skeleton -> route (guarded by fr_mu)
+    std::unordered_map<std::string, DynRoute> dyn_routes;
+
+    // node blob cache for native point lookups: id -> pre-encoded
+    // value_map JSON, valid for one store epoch (any write bumps the
+    // epoch and clears)
+    std::mutex blob_mu;
+    std::unordered_map<uint64_t, std::string> blobs;
+    uint64_t blob_epoch = 0;
+    size_t blob_bytes = 0;
+
     // stats
     std::atomic<uint64_t> n_fast{0}, n_general{0}, n_conns{0};
+    std::atomic<uint64_t> n_lookup{0};
 
     size_t max_body = (size_t)1 << 31;  // 2 GiB
 };
@@ -373,6 +406,132 @@ bool parse_fast_body(const FastRoute& fr, const std::string& body,
     return have_vec;
 }
 
+// ---------------------------------------------------------------- skeletons
+
+// Skip one JSON value (any type) starting at p; returns the pointer
+// just past it, or nullptr on malformed input.  Tracks strings (with
+// escapes) so braces inside them don't count.
+const char* skip_json_value(const char* p, const char* end) {
+    p = skip_ws(p, end);
+    if (p >= end) return nullptr;
+    if (*p == '"') {
+        ++p;
+        while (p < end) {
+            if (*p == '\\') { p += 2; continue; }
+            if (*p == '"') return p + 1;
+            ++p;
+        }
+        return nullptr;
+    }
+    if (*p == '{' || *p == '[') {
+        int depth = 0;
+        bool in_str = false;
+        while (p < end) {
+            char ch = *p;
+            if (in_str) {
+                if (ch == '\\') { p += 2; continue; }
+                if (ch == '"') in_str = false;
+                ++p;
+                continue;
+            }
+            if (ch == '"') in_str = true;
+            else if (ch == '{' || ch == '[') ++depth;
+            else if (ch == '}' || ch == ']') {
+                --depth;
+                if (depth == 0) return p + 1;
+            }
+            ++p;
+        }
+        return nullptr;
+    }
+    // number / literal: scan to a delimiter
+    while (p < end && *p != ',' && *p != '}' && *p != ']' && *p != ' ' &&
+           *p != '\t' && *p != '\n' && *p != '\r')
+        ++p;
+    return p;
+}
+
+// Locate the TOP-LEVEL "parameters" member's value span [vs, ve).
+// Returns false when absent or the body is malformed.
+bool find_parameters_span(const char* p, const char* end,
+                          size_t& vs, size_t& ve) {
+    const char* base = p;
+    p = skip_ws(p, end);
+    if (p >= end || *p != '{') return false;
+    ++p;
+    for (;;) {
+        p = skip_ws(p, end);
+        if (p >= end) return false;
+        if (*p == '}') return false;  // parameters member never found
+        std::string key;
+        p = parse_plain_string(p, end, key);
+        if (!p) return false;
+        p = skip_ws(p, end);
+        if (p >= end || *p != ':') return false;
+        p = skip_ws(p + 1, end);
+        const char* val_start = p;
+        const char* val_end = skip_json_value(p, end);
+        if (!val_end) return false;
+        if (key == "parameters") {
+            vs = (size_t)(val_start - base);
+            ve = (size_t)(val_end - base);
+            return true;
+        }
+        p = skip_ws(val_end, end);
+        if (p < end && *p == ',') { ++p; continue; }
+        if (p < end && *p == '}') return false;  // no parameters member
+        return false;
+    }
+}
+
+// skeleton = body with the parameters value replaced by {}
+bool compute_skeleton(const std::string& body, std::string& skeleton,
+                      size_t& vs, size_t& ve) {
+    if (body.size() > SKELETON_CAP) return false;
+    if (!find_parameters_span(body.data(), body.data() + body.size(), vs, ve))
+        return false;
+    skeleton.reserve(body.size() - (ve - vs) + 2);
+    skeleton.assign(body, 0, vs);
+    skeleton += "{}";
+    skeleton.append(body, ve, std::string::npos);
+    return true;
+}
+
+// Parse a lookup parameters object: {"<ids_key>": [u64, u64, ...]}
+// Strict single-member framing; anything else -> interpreter.
+bool parse_lookup_params(const std::string& ids_key, const char* p,
+                         const char* end, std::vector<uint64_t>& ids) {
+    p = skip_ws(p, end);
+    if (p >= end || *p != '{') return false;
+    std::string key;
+    p = parse_plain_string(skip_ws(p + 1, end), end, key);
+    if (!p || key != ids_key) return false;
+    p = skip_ws(p, end);
+    if (p >= end || *p != ':') return false;
+    p = skip_ws(p + 1, end);
+    if (p >= end || *p != '[') return false;
+    p = skip_ws(p + 1, end);
+    if (p < end && *p == ']') {
+        ++p;
+    } else {
+        for (;;) {
+            uint64_t v;
+            auto res = std::from_chars(p, end, v);
+            if (res.ec != std::errc()) return false;
+            ids.push_back(v);
+            if (ids.size() > LOOKUP_IDS_CAP) return false;
+            p = skip_ws(res.ptr, end);
+            if (p < end && *p == ',') { p = skip_ws(p + 1, end); continue; }
+            if (p < end && *p == ']') { ++p; break; }
+            return false;
+        }
+    }
+    p = skip_ws(p, end);
+    if (p >= end || *p != '}') return false;
+    p = skip_ws(p + 1, end);
+    return p == end;
+}
+
 // ---------------------------------------------------------------- responses
 
 void build_response(std::string& out, int status, const char* ctype,
@@ -499,6 +658,8 @@ bool enqueue_error(Gateway* gw, Conn* c, uint64_t seq, int status,
                    strlen(json_body), keep_alive);
     return deliver_response(gw, c, seq, std::move(wire));
 }
+
+void poke(Gateway* gw);
 
 // Parse whatever complete requests sit in the conn's read buffer.
 // Returns false if the conn was closed.
@@ -668,6 +829,72 @@ bool drain_requests(Gateway* gw, Conn* c) {
                     fast_done = true;
                 }
                 break;  // path matched: fast or general, never both routes
+            }
+        }
+        // dynamic fast routes: a learned /v1/query plan skeleton
+        if (!fast_done && c->method == "POST" && (c->flags & F_TRACE) == 0 &&
+            c->path == "/v1/query" && body.size() <= SKELETON_CAP) {
+            std::string skeleton;
+            size_t vs = 0, ve = 0;
+            bool have_dyn;
+            {
+                std::lock_guard<std::mutex> lk(gw->fr_mu);
+                have_dyn = !gw->dyn_routes.empty();
+            }
+            if (have_dyn && compute_skeleton(body, skeleton, vs, ve)) {
+                std::lock_guard<std::mutex> lk(gw->fr_mu);
+                auto it = gw->dyn_routes.find(skeleton);
+                if (it != gw->dyn_routes.end()) {
+                    const DynRoute& dr = it->second;
+                    const std::string params(body, vs, ve - vs);
+                    if (dr.kind == 1) {
+                        VRequest vr;
+                        vr.reqid = reqid;
+                        vr.route_id = dr.fr.route_id;
+                        if (parse_fast_body(dr.fr, params, vr.query, vr.k,
+                                            vr.tenant)) {
+                            std::lock_guard<std::mutex> qlk(gw->q_mu);
+                            gw->vqueue.push_back(std::move(vr));
+                            gw->n_fast.fetch_add(1, std::memory_order_relaxed);
+                            fast_done = true;
+                        }
+                    } else {
+                        std::vector<uint64_t> lids;
+                        if (parse_lookup_params(
+                                dr.ids_key, params.data(),
+                                params.data() + params.size(), lids)) {
+                            std::string rbody = dr.prefix;
+                            bool all = true;
+                            {
+                                std::lock_guard<std::mutex> blk(gw->blob_mu);
+                                for (size_t bi = 0; bi < lids.size(); ++bi) {
+                                    auto bit = gw->blobs.find(lids[bi]);
+                                    if (bit == gw->blobs.end()) {
+                                        all = false;
+                                        break;
+                                    }
+                                    if (bi) rbody += ", ";
+                                    rbody += bit->second;
+                                }
+                            }
+                            if (all) {
+                                rbody += dr.suffix;
+                                std::string wire;
+                                build_response(wire, 200, "application/json",
+                                               rbody.data(), rbody.size(), ka);
+                                {
+                                    std::lock_guard<std::mutex> rlk(gw->resp_mu);
+                                    gw->resp_queue.emplace_back(
+                                        reqid, std::move(wire));
+                                }
+                                gw->n_lookup.fetch_add(
+                                    1, std::memory_order_relaxed);
+                                poke(gw);
+                                fast_done = true;
+                            }
+                        }
+                    }
+                }
             }
         }
         if (!fast_done) {
@@ -1015,6 +1242,8 @@ int hxgw_respond_vbatch(void* h, const unsigned long long* reqids,
         std::lock_guard<std::mutex> lk(gw->fr_mu);
         for (const auto& fr : gw->retired_routes) frs[fr.route_id] = fr;
         for (const auto& fr : gw->fast_routes) frs[fr.route_id] = fr;
+        for (const auto& [sk, dr] : gw->dyn_routes)
+            if (dr.kind == 1) frs[dr.fr.route_id] = dr.fr;
     }
     std::deque<std::pair<uint64_t, std::string>> out;
     for (int i = 0; i < n; ++i) {
@@ -1231,6 +1460,135 @@ long long hxgw_parked_count(void* h) {
     Gateway* gw = (Gateway*)h;
     std::lock_guard<std::mutex> lk(gw->parked_mu);
     return (long long)gw->parked.size();
+}
+
+// ------------------------------------------------ dynamic fast routes
+
+// Compute the plan skeleton of a /v1/query body (parameters value
+// replaced by {}).  Returns the skeleton length, -1 when the body has
+// no top-level parameters member / is malformed / exceeds the cap, or
+// the needed size when `cap` is too small (caller retries).
+long long hxgw_skeleton(const char* body, long long len, char* out,
+                        long long cap) {
+    std::string b(body, (size_t)len);
+    std::string skeleton;
+    size_t vs, ve;
+    if (!compute_skeleton(b, skeleton, vs, ve)) return -1;
+    if ((long long)skeleton.size() > cap) return (long long)skeleton.size();
+    memcpy(out, skeleton.data(), skeleton.size());
+    return (long long)skeleton.size();
+}
+
+// Register a learned dynamic VECTOR route.  Returns the new route_id,
+// 0 when the skeleton is already registered or the table is full.
+long long hxgw_dyn_vec_route(void* h, const char* skeleton, long long sk_len,
+                             const char* vec_key, const char* k_key,
+                             const char* tenant_key, int k_default, int k_max,
+                             int dim, const char* resp_prefix,
+                             const char* resp_suffix) {
+    Gateway* gw = (Gateway*)h;
+    std::string sk(skeleton, (size_t)sk_len);
+    std::lock_guard<std::mutex> lk(gw->fr_mu);
+    if (gw->dyn_routes.size() >= DYN_ROUTES_CAP) return 0;
+    if (gw->dyn_routes.count(sk)) return 0;
+    DynRoute dr;
+    dr.kind = 1;
+    dr.fr.vec_key = vec_key;
+    dr.fr.k_key = k_key ? k_key : "";
+    dr.fr.tenant_key = tenant_key ? tenant_key : "";
+    dr.fr.k_default = k_default;
+    dr.fr.k_max = k_max;
+    dr.fr.dim = dim;
+    dr.fr.resp_prefix = resp_prefix;
+    dr.fr.resp_suffix = resp_suffix;
+    dr.fr.id_key = "$id";
+    dr.fr.dist_key = "$distance";
+    dr.fr.route_id = gw->next_route_id++;
+    int rid = dr.fr.route_id;
+    gw->dyn_routes.emplace(std::move(sk), std::move(dr));
+    return rid;
+}
+
+// Register a learned dynamic POINT-LOOKUP route (served from the blob
+// cache entirely natively).  Returns 1, or 0 when already registered /
+// table full.
+long long hxgw_dyn_lookup_route(void* h, const char* skeleton,
+                                long long sk_len, const char* ids_key,
+                                const char* resp_prefix,
+                                const char* resp_suffix) {
+    Gateway* gw = (Gateway*)h;
+    std::string sk(skeleton, (size_t)sk_len);
+    std::lock_guard<std::mutex> lk(gw->fr_mu);
+    if (gw->dyn_routes.size() >= DYN_ROUTES_CAP) return 0;
+    if (gw->dyn_routes.count(sk)) return 0;
+    DynRoute dr;
+    dr.kind = 2;
+    dr.ids_key = ids_key;
+    dr.prefix = resp_prefix;
+    dr.suffix = resp_suffix;
+    gw->dyn_routes.emplace(std::move(sk), std::move(dr));
+    return 1;
+}
+
+void hxgw_clear_dyn_routes(void* h) {
+    Gateway* gw = (Gateway*)h;
+    std::lock_guard<std::mutex> lk(gw->fr_mu);
+    for (auto& [sk, dr] : gw->dyn_routes)
+        if (dr.kind == 1) {
+            gw->retired_routes.push_back(std::move(dr.fr));
+            if (gw->retired_routes.size() > 4096)
+                gw->retired_routes.pop_front();
+        }
+    gw->dyn_routes.clear();
+}
+
+// ------------------------------------------------ blob cache
+
+// Set the current store epoch.  A different epoch clears the cache
+// (any write invalidates all cached value_maps).
+void hxgw_blob_epoch(void* h, unsigned long long epoch) {
+    Gateway* gw = (Gateway*)h;
+    std::lock_guard<std::mutex> lk(gw->blob_mu);
+    if (gw->blob_epoch != epoch) {
+        gw->blob_epoch = epoch;
+        gw->blobs.clear();
+        gw->blob_bytes = 0;
+    }
+}
+
+// Insert one node blob, accepted only when `epoch` matches the current
+// one (a put raced by a write must lose).  Returns 1 on insert, 0 when
+// rejected (stale epoch or byte budget exhausted).
+int hxgw_blob_put(void* h, unsigned long long epoch, unsigned long long id,
+                  const char* data, long long len) {
+    Gateway* gw = (Gateway*)h;
+    std::lock_guard<std::mutex> lk(gw->blob_mu);
+    if (gw->blob_epoch != epoch) return 0;
+    if (gw->blob_bytes + (size_t)len > BLOB_BYTES_CAP) return 0;
+    auto [it, inserted] = gw->blobs.emplace(
+        id, std::string(data, (size_t)len));
+    if (!inserted) {
+        gw->blob_bytes -= it->second.size();
+        it->second.assign(data, (size_t)len);
+    }
+    gw->blob_bytes += (size_t)len;
+    return 1;
+}
+
+// (lookup_served, blobs_cached, dyn_routes)
+void hxgw_dyn_stats(void* h, unsigned long long* lookups,
+                    unsigned long long* blob_count,
+                    unsigned long long* routes) {
+    Gateway* gw = (Gateway*)h;
+    *lookups = gw->n_lookup.load(std::memory_order_relaxed);
+    {
+        std::lock_guard<std::mutex> lk(gw->blob_mu);
+        *blob_count = (unsigned long long)gw->blobs.size();
+    }
+    {
+        std::lock_guard<std::mutex> lk(gw->fr_mu);
+        *routes = (unsigned long long)gw->dyn_routes.size();
+    }
 }
 
 }  // extern "C"

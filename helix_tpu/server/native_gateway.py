@@ -53,10 +53,33 @@ class _FastSpec:
     tenant_key: str | None = None  # param name carrying the tenant value
 
 
+class _BlobEpochHook:
+    """Store write hook: any mutation marks the C++ blob cache dirty.
+
+    The flag is folded into an epoch push (cheap ctypes call) at the
+    next Python-side touch — before any write response is sent, and on
+    every general-loop tick for writes that bypass the HTTP path
+    (replication apply on a follower), bounding staleness there to the
+    poll interval on top of replication lag."""
+
+    def __init__(self, gateway: "NativeGateway"):
+        self._gateway = gateway
+
+    def _dirty(self, *args) -> None:
+        self._gateway._blobs_dirty = True
+
+    on_node_added = on_node_dropped = _dirty
+    on_edge_added = on_edge_dropped = _dirty
+    on_property_set = _dirty
+    on_index_created = on_index_dropped = _dirty
+
+
 class NativeGateway:
     VBATCH_CAP = 1024
     K_MAX = 1024
     TENANT_CAP = 128  # bytes per tenant slot (matches gateway.cpp)
+    DYN_BODY_CAP = 65536   # matches SKELETON_CAP in gateway.cpp
+    LOOKUP_IDS_CAP = 1024  # matches LOOKUP_IDS_CAP in gateway.cpp
 
     def __init__(
         self,
@@ -125,6 +148,17 @@ class NativeGateway:
         self._requests_handled = 0
         self._inflight = 0
         self._inflight_lock = threading.Lock()
+        # Dynamic fast routes (round 4): learned /v1/query plan
+        # skeletons.  Vector plans join the vbatch fast path; point
+        # lookups are served from the C++ blob cache without touching
+        # Python at all.  The blob cache is valid for exactly one store
+        # epoch: any write bumps it (store hook below) and the next
+        # Python-side touch pushes the new epoch to C++, which clears.
+        self._dyn_lookup_specs: dict[bytes, tuple[str, str]] = {}
+        self._dyn_ineligible: set[bytes] = set()
+        self._blob_epoch_pushed: int | None = None
+        self._blobs_dirty = False
+        self.engine.store.add_write_hook(_BlobEpochHook(self))
 
     def _track(self, delta: int) -> None:
         with self._inflight_lock:
@@ -153,6 +187,12 @@ class NativeGateway:
                 return
             self._fast_signature = specs
             lib.hxgw_clear_fast_routes(h)
+            # eligibility changed: learned dynamic plans must re-learn
+            # against the new index/bundle state (vec templates retire
+            # in C++ so in-flight requests still format)
+            lib.hxgw_clear_dyn_routes(h)
+            self._dyn_lookup_specs.clear()
+            self._dyn_ineligible.clear()
             # keep retired ids resolvable for in-flight requests
             import time as _time
 
@@ -295,6 +335,153 @@ class NativeGateway:
 
     def on_bundle_loaded(self) -> None:
         self._analyze_fast_routes()
+
+    # -- dynamic fast routes (learned /v1/query plans) -------------------
+
+    def _push_blob_epoch(self) -> None:
+        epoch = self.engine.store.epoch
+        if epoch != self._blob_epoch_pushed:
+            self._blob_epoch_pushed = epoch
+            self._lib.hxgw_blob_epoch(self._handle, epoch)
+        self._blobs_dirty = False
+
+    def _maybe_learn_dynamic(self, body: bytes, result, epoch0: int) -> None:
+        """Inspect a just-served /v1/query read; register its plan
+        skeleton as a native route when eligible, and (re)populate the
+        blob cache for known lookup plans."""
+        lib, h = self._lib, self._handle
+        buf = ctypes.create_string_buffer(len(body) + 8)
+        sk_len = lib.hxgw_skeleton(body, len(body), buf, len(body) + 8)
+        if sk_len < 0:
+            return
+        sk = buf.raw[:sk_len]
+        spec = self._dyn_lookup_specs.get(sk)
+        if spec is not None:
+            # registered lookup served slow (cache miss): re-warm blobs
+            self._push_lookup_blobs(spec, result, epoch0)
+            return
+        if sk in self._dyn_ineligible:
+            return
+        try:
+            req = fastjson.loads(bytes(body))
+        except Exception:
+            return
+        registered = False
+        if isinstance(req, dict) and req.get("request_type") == "read":
+            try:
+                registered = self._register_dynamic(sk, req, result, epoch0)
+            except Exception:
+                registered = False
+        if not registered and len(self._dyn_ineligible) < 8192:
+            self._dyn_ineligible.add(sk)
+
+    def _register_dynamic(self, sk: bytes, req: dict, result,
+                          epoch0: int) -> bool:
+        lib, h = self._lib, self._handle
+        query = req.get("query") or {}
+        params = req.get("parameters")
+        if not isinstance(params, dict):
+            return False
+        lookup = self._lookup_eligible(query, params)
+        if lookup is not None:
+            var, ids_key = lookup
+            ok = lib.hxgw_dyn_lookup_route(
+                h, sk, len(sk), ids_key.encode(),
+                f'{{"{var}": ['.encode(), b"]}",
+            )
+            if ok:
+                self._dyn_lookup_specs[sk] = (var, ids_key)
+                self._push_lookup_blobs((var, ids_key), result, epoch0)
+            return bool(ok)
+        spec = self._fast_eligible("<dyn>", {"kind": "read", "query": query})
+        if spec is None:
+            return False
+        used = {spec["vec_key"]}
+        if spec["k_key"]:
+            used.add(spec["k_key"])
+        if spec["tenant_key"]:
+            used.add(spec["tenant_key"])
+        if set(params.keys()) != used:
+            # extra parameters the C++ parse would reject per-request
+            # anyway; missing ones would diverge — stay slow
+            return False
+        rid = lib.hxgw_dyn_vec_route(
+            h, sk, len(sk), spec["vec_key"].encode(),
+            spec["k_key"].encode() if spec["k_key"] else None,
+            spec["tenant_key"].encode() if spec["tenant_key"] else None,
+            spec["k_default"], self.K_MAX, spec["dim"],
+            spec["prefix"].encode(), spec["suffix"].encode(),
+        )
+        if rid > 0:
+            with self._fast_lock:
+                self._fast_specs[int(rid)] = _FastSpec(
+                    route_id=int(rid), name="<dyn>", kind=spec["kind"],
+                    label=spec["label"], prop=spec["prop"],
+                    dim=spec["dim"], k_fixed=spec["k_fixed"],
+                    k_max=self.K_MAX, tenant_key=spec["tenant_key"],
+                )
+        return rid > 0
+
+    def _lookup_eligible(self, query: dict, params: dict):
+        """Point-lookup plan: one Query ``N(Param) -> ValueMap(None)``
+        returning its own var; parameters carry exactly the id array."""
+        entries = query.get("queries") or []
+        if len(entries) != 1 or "Query" not in entries[0]:
+            return None
+        body = entries[0]["Query"]
+        if body.get("condition") is not None:
+            return None
+        var = body.get("name")
+        if not isinstance(var, str) or query.get("returns") != [var]:
+            return None
+        steps = body.get("steps") or []
+        if len(steps) != 2:
+            return None
+        src, term = steps
+        if not (isinstance(src, dict) and set(src) == {"N"}):
+            return None
+        ref = src["N"]
+        if not (
+            isinstance(ref, dict) and set(ref) == {"Param"}
+            and isinstance(ref["Param"], str)
+        ):
+            return None
+        if not (
+            isinstance(term, dict) and set(term) == {"ValueMap"}
+            and term["ValueMap"] is None
+        ):
+            return None
+        ids_key = ref["Param"]
+        if set(params.keys()) != {ids_key}:
+            return None
+        ids = params[ids_key]
+        if not isinstance(ids, list) or len(ids) > self.LOOKUP_IDS_CAP:
+            return None
+        if not all(isinstance(i, int) and i >= 0 for i in ids):
+            return None
+        return var, ids_key
+
+    def _push_lookup_blobs(self, spec, result, epoch0: int) -> None:
+        """Cache each returned element's value_map bytes, tagged with
+        the store epoch observed BEFORE the read executed — C++ rejects
+        the put if a write completed in between."""
+        var, _ids_key = spec
+        if not isinstance(result, JsonResult) or result.status != 200:
+            return
+        payload = result.payload
+        elems = payload.get(var) if isinstance(payload, dict) else None
+        if not isinstance(elems, list):
+            return
+        lib, h = self._lib, self._handle
+        for elem in elems:
+            if not isinstance(elem, dict):
+                return
+            node_id = elem.get("$id")
+            if not isinstance(node_id, int) or node_id < 0:
+                return
+            blob = fastjson.dumpb(elem, nan_null=True)
+            if not lib.hxgw_blob_put(h, epoch0, node_id, blob, len(blob)):
+                return  # stale epoch / budget: stop pushing
 
     # -- worker loops ----------------------------------------------------
 
@@ -633,6 +820,13 @@ class NativeGateway:
             )
             if reqid < 0:
                 return
+            if self._blobs_dirty:
+                # writes that bypassed HTTP (replication apply) must
+                # invalidate the native blob cache promptly
+                try:
+                    self._push_blob_epoch()
+                except Exception:
+                    pass
             if reqid == 0:
                 continue
             # zero-copy body view into the C++-parked buffer; released
@@ -693,6 +887,17 @@ class NativeGateway:
     def _handle_general_inner(
         self, lib, h, reqid, method, path, raw, warm, await_durable, trace
     ) -> None:
+        # Candidate for dynamic-route learning: copy the body (the view
+        # dies with the C++ buffer) and capture the pre-execution store
+        # epoch so blob puts lose any race with a concurrent write.
+        learn_body = None
+        epoch0 = 0
+        if (
+            method == "POST" and path == "/v1/query" and not trace
+            and 0 < len(raw) <= self.DYN_BODY_CAP
+        ):
+            learn_body = bytes(raw)
+            epoch0 = self.engine.store.epoch
         try:
             if len(raw) >= self.BIG_BODY_BYTES:
                 with self._big_body_lock:
@@ -712,11 +917,21 @@ class NativeGateway:
             # even when the body is empty (every GET / follower poll
             # would otherwise leak an unordered_map node forever)
             lib.hxgw_release_body(h, reqid)
+        # Any write this request performed must invalidate the native
+        # blob cache BEFORE its ack is sent (read-your-writes: a client
+        # that saw the ack must never be served a pre-write blob).
+        if self._blobs_dirty:
+            self._push_blob_epoch()
         if isinstance(result, JsonResult):
             data = fastjson.dumpb(result.payload, nan_null=True)
             lib.hxgw_respond(
                 h, reqid, result.status, b"application/json", data, len(data)
             )
+            if learn_body is not None and result.status == 200:
+                try:
+                    self._maybe_learn_dynamic(learn_body, result, epoch0)
+                except Exception:
+                    pass  # learning is an optimization, never an error
         elif isinstance(result, BytesResult):
             lib.hxgw_respond(
                 h, reqid, result.status, result.content_type.encode(),
@@ -824,6 +1039,7 @@ class NativeGateway:
         self.port = lib.hxgw_port(handle)
         lib.hxgw_start(handle)
         self._analyze_fast_routes()
+        self._push_blob_epoch()  # sync C++ to the (possibly recovered) store
         self._stop.clear()
         self._threads = [
             threading.Thread(target=self._vbatch_loop, daemon=True),
@@ -863,7 +1079,8 @@ class NativeGateway:
     def stats(self) -> dict:
         if self._handle is None:  # stopped: hxgw_stats would deref NULL
             return {"fast_requests": 0, "general_requests": 0,
-                    "connections": 0}
+                    "connections": 0, "lookup_requests": 0,
+                    "blobs_cached": 0, "dyn_routes": 0}
         n_fast = ctypes.c_uint64()
         n_general = ctypes.c_uint64()
         n_conns = ctypes.c_uint64()
@@ -871,8 +1088,18 @@ class NativeGateway:
             self._handle, ctypes.byref(n_fast), ctypes.byref(n_general),
             ctypes.byref(n_conns),
         )
+        n_lookup = ctypes.c_uint64()
+        n_blobs = ctypes.c_uint64()
+        n_dyn = ctypes.c_uint64()
+        self._lib.hxgw_dyn_stats(
+            self._handle, ctypes.byref(n_lookup), ctypes.byref(n_blobs),
+            ctypes.byref(n_dyn),
+        )
         return {
             "fast_requests": n_fast.value,
             "general_requests": n_general.value,
             "connections": n_conns.value,
+            "lookup_requests": n_lookup.value,
+            "blobs_cached": n_blobs.value,
+            "dyn_routes": n_dyn.value,
         }
