@@ -25,7 +25,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def _corpus(n: int, d: int, batch: int):
+def _corpus(n: int, d: int, batch: int, n_batches: int):
     rng = np.random.default_rng(42)
     n_clusters = 1000
     centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
@@ -40,11 +40,11 @@ def _corpus(n: int, d: int, batch: int):
         block /= np.linalg.norm(block, axis=1, keepdims=True) + 1e-9
         parts.append(block)
     data = np.concatenate(parts) if len(parts) > 1 else parts[0]
-    # 4 distinct query batches: the dev tunnel's runtime dedupes
-    # byte-identical dispatches (measured 4M "QPS" re-dispatching one
-    # batch), so throughput loops must rotate inputs
-    queries = centers[rng.integers(0, n_clusters, size=batch * 4)] + \
-        0.3 * rng.normal(size=(batch * 4, d)).astype(np.float32)
+    # one distinct query batch per timed round: the dev tunnel's
+    # runtime caches byte-identical dispatches (measured 4M "QPS"
+    # re-dispatching one batch), so every timed dispatch must be unique
+    queries = centers[rng.integers(0, n_clusters, size=batch * n_batches)] + \
+        0.3 * rng.normal(size=(batch * n_batches, d)).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True) + 1e-9
     return data, queries
 
@@ -91,13 +91,14 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
     backend = jax.default_backend()
     log(f"# ladder: N={n} d={d} batch={batch} backend={backend}")
     log("# generating corpus...")
-    data, queries = _corpus(n, d, batch)
+    n_rot = max(4, rounds)
+    data, queries = _corpus(n, d, batch, n_rot)
     matrix = PackedMatrix(d, "cosine")
     matrix.extend(data)
     all_q_pad = matrix.prepare_queries(queries)
     qs_pad = all_q_pad[:batch]            # recall/rerank batch
     q_rot = [jnp.asarray(all_q_pad[i * batch:(i + 1) * batch])
-             for i in range(4)]
+             for i in range(n_rot)]
     qd = q_rot[0]
     log("# oracle (blocked exact host scan)...")
     oracle = _oracle(data, queries[:batch], k)
@@ -108,8 +109,7 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
         """Dispatch loop over ROTATED query batches (fn takes the
         round index); identical dispatches would be deduped by the
         dev tunnel and read absurdly fast."""
-        for r in range(4):
-            out = fn(r)  # warm-up / compile every rotated shape
+        out = fn(0)  # warm-up / compile (one shape serves all batches)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for r in range(rounds):
@@ -129,7 +129,8 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
 
     def exact_once(r=0):
         dists, idx = resident_topk_auto(
-            xs16, xs32, q_rot[r % 4], n_valid, sq, k=k, metric="cosine"
+            xs16, xs32, q_rot[r % len(q_rot)], n_valid, sq, k=k,
+            metric="cosine"
         )
         return idx
 
@@ -178,7 +179,7 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
         q_build_s = time.perf_counter() - t0
 
         def coarse(r, k_cand):
-            qb = q_rot[r % 4]
+            qb = q_rot[r % len(q_rot)]
             if bits == 4:
                 if use_fused:
                     return int4_fused_coarse(
@@ -246,7 +247,9 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
     reps = max(2, rounds // 4)
     for r in range(reps):
         ivf.search(
-            np.asarray(all_q_pad[(r % 4) * batch:(r % 4 + 1) * batch]),
+            np.asarray(
+                all_q_pad[(r % n_rot) * batch:(r % n_rot + 1) * batch]
+            ),
             k, nprobe=nprobe, normalize=False,
         )
     ivf_qps = batch * reps / (time.perf_counter() - t0)

@@ -1522,12 +1522,52 @@ class _QueryState:
         anchor = frame.ids[src_rows]
         return src_rows, edge_idx, anchor
 
+    def _sharded_hop(self, frame: Frame, label: Any, direction: str):
+        """Mesh-scale ORDERED hop (round 4): when the engine opted into
+        graph sharding and a mesh is present, node hops run through the
+        edge-partitioned executor's frame expansion
+        (``parallel/graph.py:expand_frame``) — order, multiplicity, and
+        row bindings all carry exactly as the host gather path, so the
+        full step catalog (filters, terminals, value_map) works at mesh
+        scale, not just membership counts.  Returns
+        ``(src_rows, dst_ids)`` or None to take the host path."""
+        engine = getattr(self.ex, "engine", None)
+        gst = getattr(engine, "graph_shard_threshold", None)
+        snap = self.snap
+        if gst is None or snap.n_nodes < gst or len(frame) == 0:
+            return None
+        if frame.kind != "nodes":
+            return None
+        if label is not None and label not in snap.edge_label_code:
+            return None  # unknown label: host path yields the empty frame
+        import jax
+
+        if len(jax.devices()) < 2:
+            return None
+        sgraph = snap.sharded_graph((direction,))
+        if sgraph is None:
+            return None
+        code = -1 if label is None else snap.edge_label_code[label]
+        slots = snap.node_slots_or_neg(frame.ids)
+        rows = np.nonzero(slots >= 0)[0]
+        parent_local, target_slots = sgraph.expand_frame(
+            direction, code, slots[rows].astype(np.int32)
+        )
+        # expand_frame pads slots to n_pad; targets are real node slots
+        return rows[parent_local], snap.node_ids[target_slots]
+
     def _step_Out(self, frame: Frame, label: Any) -> Frame:
+        sharded = self._sharded_hop(frame, label, "out")
+        if sharded is not None:
+            return frame.expand(sharded[0], "nodes", sharded[1])
         src_rows, edge_idx, _ = self._expand_edges(frame, label, "out")
         dst = self.snap.node_ids[self.snap.edge_dst[edge_idx]]
         return frame.expand(src_rows, "nodes", dst)
 
     def _step_In(self, frame: Frame, label: Any) -> Frame:
+        sharded = self._sharded_hop(frame, label, "in")
+        if sharded is not None:
+            return frame.expand(sharded[0], "nodes", sharded[1])
         src_rows, edge_idx, _ = self._expand_edges(frame, label, "in")
         src = self.snap.node_ids[self.snap.edge_src[edge_idx]]
         return frame.expand(src_rows, "nodes", src)

@@ -200,6 +200,76 @@ class ShardedGraph:
         out = fn(adj_flat, start_d, codes_arr, masks_d)
         return np.asarray(out)[: self.n_nodes]
 
+    # -- ordered frame expansion (full interpreter semantics) --------------
+
+    def _build_expand(self, direction: str, t_pad: int):
+        """Compile one ordered-hop shape: frontier ids [t_pad]
+        (replicated) -> merged [t_pad, P] global target slots
+        (sentinel ``n_pad`` for missing/label-filtered edges).
+
+        Each source row's edges live on exactly ONE shard (row
+        partitioning), so the merge is a single ``psum`` of
+        (target+1 | 0) blocks — the owning shard contributes targets,
+        everyone else zero."""
+        mesh = self.mesh
+        rows = self.rows_per_shard
+        n_pad = self.n_pad
+
+        def shard_fn(nb, lb, ids, code):
+            shard_id = jax.lax.axis_index("shard")
+            lo = shard_id * rows
+            local = ids - lo
+            owned = (local >= 0) & (local < rows)
+            safe = jnp.clip(local, 0, rows - 1)
+            nbr = nb[safe]          # [t_pad, P] target slots (pad = n_pad)
+            lbr = lb[safe]          # [t_pad, P] label codes (pad = -1)
+            ok = owned[:, None] & jnp.logical_or(code < 0, lbr == code)
+            # encode target+1 so a psum distinguishes "not owned" (0)
+            # from target slot 0; label-filtered/pad slots decode to
+            # the sentinel
+            contrib = jnp.where(ok, nbr + 1, 0)
+            merged = jax.lax.psum(contrib, "shard")
+            return jnp.where(merged > 0, merged - 1, n_pad)
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P("shard", None), P("shard", None), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    def expand_frame(
+        self, direction: str, label_code: int, frame_slots: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """One ordered hop over the mesh with full interpreter
+        semantics: returns ``(parent_rows, target_slots)`` where entry
+        order is frame order x adjacency slot order — exactly the
+        single-device ``_expand_edges`` expansion order, with
+        multiplicity (a frame row appearing twice expands twice).
+
+        ``frame_slots`` are global node slots (invalid rows must be
+        dropped by the caller).  ``label_code`` -1 = any label.
+        """
+        t = len(frame_slots)
+        if t == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int32))
+        t_pad = max(128, 1 << (t - 1).bit_length())
+        key = ("expand", direction, t_pad)
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = self._build_expand(direction, t_pad)
+            self._compiled[key] = fn
+        ids = np.full(t_pad, self.n_pad, np.int32)
+        ids[:t] = frame_slots
+        nb, lb = self.arrays[direction]
+        merged = np.asarray(
+            fn(nb, lb, jnp.asarray(ids), jnp.int32(label_code))
+        )[:t]
+        parent, slot_rank = np.nonzero(merged != self.n_pad)
+        return parent.astype(np.int64), merged[parent, slot_rank]
+
     def khop_count(
         self,
         direction: str,
