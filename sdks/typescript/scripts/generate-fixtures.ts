@@ -55,13 +55,17 @@ addRuntime(
   ),
 );
 
+// score must be PINNED as F64: a JS number like 55.0 is
+// indistinguishable from the integer 55, so the unpinned coercion
+// would emit {I64: 55} and break cross-SDK parity (caught by the
+// interpreted-serializer replay, tests/test_sdk_serializers.py)
 const user = (id: string, name: string, age: number, status: string, score: number) =>
   g().addN("ParityUser", [
     ["externalId", id],
     ["name", name],
     ["age", age],
     ["status", status],
-    ["score", score],
+    ["score", PropertyValue.f64(score)],
   ]);
 
 addRuntime(
@@ -227,7 +231,7 @@ addRuntime(
           .project([
             Projection.property("externalId", "id"),
             Projection.property("name"),
-            Projection.expr("score_plus_one", Expr.prop("score").add(Expr.val(1.0))),
+            Projection.expr("score_plus_one", Expr.prop("score").add(Expr.val(PropertyValue.f64(1.0)))),
             Projection.expr(
               "status_label",
               Expr.case_(
