@@ -110,6 +110,37 @@ impl Expr {
 // values
 // ---------------------------------------------------------------------
 
+fn is_property_tag(tag: &str) -> bool {
+    tag == "Null" || tag == "Bool" || tag == "I64" || tag == "DateTime"
+        || tag == "F64" || tag == "F32" || tag == "String" || tag == "Bytes"
+        || tag == "I64Array" || tag == "F64Array" || tag == "F32Array"
+        || tag == "StringArray" || tag == "Array" || tag == "Object"
+}
+
+/// Already-encoded PropertyValues pass through coercion unchanged —
+/// the other SDKs' tagged-value recognition (Python
+/// `PropertyValue.is_encoded`, Go's `Tagged` branch, TS `isTagged`).
+/// Without this, the pinning wrappers below (`f32_array`, `f32_value`,
+/// `datetime_millis`, `bytes_value`) would re-encode as an `Object`
+/// property and silently break cross-SDK wire parity (caught by the
+/// interpreted-serializer replay, tests/test_sdk_serializers.py).
+fn is_encoded(value: &Value) -> bool {
+    match value {
+        Value::String(s) => s == "Null",
+        Value::Object(map) => {
+            if map.len() != 1 {
+                return false;
+            }
+            let mut tagged = false;
+            for (k, _v) in map {
+                tagged = is_property_tag(k);
+            }
+            tagged
+        }
+        _ => false,
+    }
+}
+
 /// Coerce a plain JSON value into an encoded `PropertyValue`
 /// (reference variants `dsl.rs:973-1002`).
 ///
@@ -120,6 +151,9 @@ impl Expr {
 /// `f32_value`, `bytes_value`, `datetime_millis`) to pin non-default
 /// variants.
 pub fn encode_property_value(value: Value) -> Value {
+    if is_encoded(&value) {
+        return value;
+    }
     match value {
         Value::Null => json!("Null"),
         Value::Bool(b) => json!({ "Bool": b }),

@@ -1,0 +1,91 @@
+#!/usr/bin/env bash
+# Toolchain-gated SDK verification (round-4 verdict item 5).
+#
+# When real compilers exist, each SDK is compiled and its fixture
+# generator EXECUTED, and the emitted corpus is diffed structurally
+# against tests/parity/fixtures — the reference's own parity discipline
+# (/root/reference/sdks/tests/parity/README.md). In environments
+# without the toolchains (such as the build image this repo is
+# developed in), each language section prints SKIP and the in-repo
+# substitute applies instead: the interpreted-serializer replay
+# (tests/test_sdk_serializers.py) executes each SDK's builder bodies
+# without a compiler.
+#
+# Usage: ./sdks/verify_toolchains.sh   (from the repo root)
+set -u
+cd "$(dirname "$0")/.."
+status=0
+ran=0
+
+compare() {
+  python3 - "$1" <<'EOF'
+import json, sys
+from pathlib import Path
+
+emitted = Path(sys.argv[1])
+committed = Path("tests/parity/fixtures")
+problems = 0
+for bucket in ("runtime", "combo", "json-only"):
+    want_dir = committed / bucket
+    got_dir = emitted / bucket
+    names = {p.stem for p in want_dir.glob("*.json")}
+    got = {p.stem for p in got_dir.glob("*.json")} if got_dir.exists() else set()
+    for name in sorted(names | got):
+        if name not in got:
+            print(f"MISSING {bucket}/{name}"); problems += 1; continue
+        if name not in names:
+            print(f"EXTRA {bucket}/{name}"); problems += 1; continue
+        a = json.loads((want_dir / f"{name}.json").read_text())
+        b = json.loads((got_dir / f"{name}.json").read_text())
+        if a != b:
+            print(f"DIFF {bucket}/{name}"); problems += 1
+print(f"compared; {problems} problems")
+sys.exit(1 if problems else 0)
+EOF
+}
+
+if command -v cargo >/dev/null 2>&1; then
+  ran=1
+  echo "== rust: cargo check + generate + compare =="
+  (cd sdks/rust && cargo check --all-targets) || status=1
+  out=$(mktemp -d)
+  (cd sdks/rust && cargo run --example generate_parity_fixtures "$out") \
+    && compare "$out" || status=1
+else
+  echo "SKIP rust: no cargo in PATH (interpreted replay covers it:"
+  echo "  python -m pytest tests/test_sdk_serializers.py -k rust)"
+fi
+
+if command -v npx >/dev/null 2>&1 && command -v node >/dev/null 2>&1; then
+  ran=1
+  echo "== typescript: tsc + generate + compare =="
+  (cd sdks/typescript && npx tsc --noEmit) || status=1
+  out=$(mktemp -d)
+  (cd sdks/typescript && npx tsx scripts/generate-fixtures.ts "$out") \
+    && compare "$out" || status=1
+else
+  echo "SKIP typescript: no node/npx in PATH (interpreted replay:"
+  echo "  python -m pytest tests/test_sdk_serializers.py -k ts)"
+fi
+
+if command -v go >/dev/null 2>&1; then
+  ran=1
+  echo "== go: vet + generate + compare =="
+  (cd sdks/go && go vet ./...) || status=1
+  out=$(mktemp -d)
+  (cd sdks/go && go run ./cmd/generate-parity-fixtures "$out") \
+    && compare "$out" || status=1
+else
+  echo "SKIP go: no go in PATH (interpreted replay:"
+  echo "  python -m pytest tests/test_sdk_serializers.py -k go)"
+fi
+
+if [ "$ran" = 1 ]; then
+  echo "== runtime replay against fresh engines =="
+  # the reference replays runtime fixtures against three fresh engine
+  # instances (run-helix.ts:16-48); the engine ships IN this repo, so
+  # the replay is always available:
+  python3 -m pytest tests/test_parity.py -q || status=1
+fi
+
+exit $status

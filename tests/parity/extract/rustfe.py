@@ -393,13 +393,15 @@ class RustParser:
         return ("fstring", parts)
 
 
-def extract(src: str, sink) -> None:
-    """Parse + evaluate the Rust generator; fixtures land in ``sink``."""
+def extract(src: str, sink, shim=None) -> None:
+    """Parse + evaluate the Rust generator; fixtures land in ``sink``.
+    ``shim`` overrides the name-resolution backend (the serializer
+    replay passes the interpreted-DSL shim from ``rustnative``)."""
     from .core import Env, Interp
     from .shims import RustShim
 
     items = RustParser(src).parse_items()
-    shim = RustShim(sink)
+    shim = shim or RustShim(sink)
     interp = Interp(shim)
     root = Env()
     for item in items:
