@@ -651,13 +651,21 @@ def main() -> None:
 
     print("# timing per-dispatch loop (tunnel overhead diagnostic)...",
           file=sys.stderr)
+    # NOTE (round 4): on this dev tunnel block_until_ready reports
+    # arrays ready before execution completes (BENCH_NOTES), so this
+    # loop measures the DISPATCH SUBMISSION rate, not completed
+    # throughput — emitted under that name.  Completed per-batch
+    # throughput is the scan-derived headline; completed round trips
+    # are e2e_tunnel_qps below.
     start = time.perf_counter()
+    outs = []
     for r in range(rounds):
         dists, idx = topk_resident(
             xs16, xs32, query_batches[r % n_batches], n_valid, sq,
             k=k, metric="cosine",
         )
-    jax.block_until_ready((dists, idx))
+        outs.append(idx)
+    jax.block_until_ready(outs)
     dispatch_qps = rounds * batch / (time.perf_counter() - start)
 
     print("# timing end-to-end (per-batch tunnel round trip)...", file=sys.stderr)
@@ -818,7 +826,7 @@ def main() -> None:
         "device_batch_ms": round(per_batch_s * 1000, 3),
         "device_batch_ms_incl_rpc": round(device_elapsed / rounds * 1000, 3),
         "serialized_latency_ms": round(latency_ms, 3),
-        "per_dispatch_qps": round(dispatch_qps, 1),
+        "dispatch_submission_qps": round(dispatch_qps, 1),
         "e2e_tunnel_qps": round(e2e_qps, 1),
         "build_upload_s": round(build_s, 2),
         "traversal_2hop_ms": round(traversal_ms, 3),
