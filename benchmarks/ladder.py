@@ -80,6 +80,9 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
     import jax
     import jax.numpy as jnp
 
+    from benchmarks.roofline import (
+        apply_roofline, roofline_batch_seconds, timed_scan_qps,
+    )
     from helix_tpu.native import rerank as native_rerank
     from helix_tpu.ops.distance import PackedMatrix, resident_topk_auto
     from helix_tpu.ops.ivf import HostIVFIndex
@@ -106,46 +109,16 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
     dim_pad = matrix.dim_pad
 
     def timed_qps(fn_q) -> float:
-        """Throughput via ONE jitted lax.scan over the rotated query
-        stack, timed at ``rounds`` and ``rounds//2`` and differenced —
-        the headline bench's pattern.  Per-dispatch loops are
-        untimeable on this dev tunnel: the runtime reports arrays
-        ready before execution completes (BENCH_NOTES round-4), and
-        byte-identical dispatches are cached, so the stack holds one
-        distinct batch per scan step.
+        """Throughput via jitted lax.scan over NEVER-REPEATED
+        device-generated query stacks (see benchmarks/roofline.py for
+        the two tunnel measurement artifacts this defends against).
 
         ``fn_q(qb) -> idx [B, k]`` runs one batch."""
-        stack_full = jnp.stack(
-            [q_rot[r % len(q_rot)] for r in range(rounds)]
+        qps, _ = timed_scan_qps(
+            fn_q, batch=batch, d=d, dim_pad=dim_pad,
+            rounds=max(rounds, 32),
         )
-        half = max(rounds // 2, 1)
-
-        @jax.jit
-        def scan_over(stack):
-            def body(carry, qb):
-                idx = fn_q(qb)
-                return carry, idx[:, 0]
-
-            _, outs = jax.lax.scan(body, 0, stack)
-            return outs
-
-        def run(stack):
-            out = scan_over(stack)  # compile
-            jax.block_until_ready(out)
-            best = 1e30
-            for _ in range(3):
-                t0 = time.perf_counter()
-                out = scan_over(stack)
-                jax.block_until_ready(out)
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        t_half = run(stack_full[:half])
-        t_full = run(stack_full)
-        per_batch = max(
-            (t_full - t_half) / (rounds - half), t_full / rounds / 4
-        )
-        return batch / per_batch
+        return qps
 
     # ---- exact rung ----------------------------------------------------
     log("# exact rung (bf16 coarse + f32 device re-rank)...")
@@ -164,14 +137,18 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
 
     exact_qps = timed_qps(exact_batch)
     exact_ids = np.asarray(exact_batch(q_rot[0]))
-    rows.append({
+    n_pad = int(xs16.shape[0])
+    rows.append(apply_roofline({
         "tier": "exact",
         "qps": round(exact_qps, 1),
         "recall_at_10": round(_recall(exact_ids, oracle, k), 4),
         "resident_gb": round(n * dim_pad * 6 / (1 << 30), 3),
         "build_s": round(exact_build_s, 2),
         "detail": "bf16+f32 resident (6 B/dim), MXU scan + device re-rank",
-    })
+    }, batch, roofline_batch_seconds(
+        bytes_read=n_pad * dim_pad * 2,
+        mxu_ops=2.0 * batch * n_pad * dim_pad, dtype="bf16",
+    )))
     del xs16, xs32, sq
 
     # ---- quantized rungs ----------------------------------------------
@@ -241,6 +218,14 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
                 break
         log(f"# int{bits} rung (coarse timing at pool={k_cand})...")
         coarse_qps = timed_qps(lambda qb, _k=k_cand: coarse_batch(qb, _k))
+        coarse_floor = roofline_batch_seconds(
+            bytes_read=len(values) * (dim_pad if bits == 8 else dim_pad / 2),
+            mxu_ops=2.0 * batch * len(values) * dim_pad, dtype="int8",
+        )
+        coarse_clamped = False
+        if coarse_floor is not None and coarse_qps > batch / coarse_floor:
+            coarse_clamped = True
+            coarse_qps = batch / coarse_floor
         full_qps = batch / (batch / coarse_qps + rerank_s)
         rows.append({
             "tier": coarse_kind,
@@ -248,6 +233,9 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
             "recall_at_10": round(rec, 4),
             "resident_gb": round(n * per_row / (1 << 30), 3),
             "build_s": round(q_build_s, 2),
+            "rerank_ms_per_batch": round(rerank_s * 1e3, 2),
+            "coarse_qps": round(coarse_qps, 1),
+            **({"coarse_clamped_to_roofline": True} if coarse_clamped else {}),
             "detail": (
                 f"coarse k_cand={k_cand} on device "
                 f"({'fused Pallas' if use_fused else 'XLA'}) + exact f32 "
@@ -288,13 +276,18 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
             int(ivf.centroids.shape[0]) * dim_pad * 4 / (1 << 30), 4
         ),
         "build_s": round(ivf.build_seconds, 2),
+        "scoring_path": ivf.last_path,
+        "router_rates_s_per_unit": {
+            p: round(v, 9) for p, v in ivf.router.rate.items()
+        },
         "detail": (
             f"corpus in host RAM ({n * dim_pad * 4 / (1 << 30):.2f} GB), "
-            f"centroids on device; nprobe={nprobe}, union-block streamed "
-            f"{ivf.last_streamed_bytes / (1 << 20):.0f} MB/batch (this "
-            "dev tunnel's H2D is ~25 MB/s — a colocated chip streams "
-            "the block at PCIe/HBM rates; the rung exists for corpora "
-            "beyond device memory)"
+            f"centroids on device; nprobe={nprobe}; scoring routed by "
+            "measured cost (ProbeRouter): union-block H2D streaming vs "
+            "host probed re-rank through the native row-sorted kernel "
+            "(this dev tunnel's H2D is ~25 MB/s, so the host path wins "
+            "here; a colocated chip streams at PCIe/HBM rates and the "
+            "router flips)"
         ),
     })
 

@@ -262,23 +262,86 @@ def score_block(
     return 1.0 - best_s, pos
 
 
+class ProbeRouter:
+    """Measured per-unit-cost routing between the two scoring paths of
+    the beyond-HBM tier (same philosophy as the engine's
+    ``TraversalRouter``: route on measurement, not backend identity).
+
+    - **device** (union-stream): cost scales with the H2D bytes of the
+      probed-cell union — the right path when the chip is colocated
+      (PCIe/HBM-rate streaming) and batches are dense.
+    - **host** (probed re-rank): cost scales with per-query candidate
+      incidences — the right path when the link is thin (this dev
+      tunnel moves ~25 MB/s) or probe lists barely overlap.
+
+    The router keeps an EWMA of each path's measured cost *per unit of
+    its own work* (seconds per union row / per incidence), predicts
+    both costs for the batch at hand, and picks the cheaper; every
+    64th decision re-samples the loser so a stale estimate can flip
+    the route back.  ``HELIX_IVF_BACKEND=device|host`` forces a path.
+    """
+
+    EXPLORE_EVERY = 64
+    ALPHA = 0.3
+
+    def __init__(self):
+        self.rate: dict[str, float] = {}   # seconds per work unit
+        self.runs: dict[str, int] = {"device": 0, "host": 0}
+        self.decisions = 0
+
+    def choose(self, device_units: float, host_units: float) -> str:
+        import os
+
+        mode = os.environ.get("HELIX_IVF_BACKEND", "auto")
+        if mode in ("device", "host"):
+            return mode
+        for path in ("host", "device"):  # bootstrap: one sample each
+            if path not in self.rate:
+                return path
+        self.decisions += 1
+        pred = {
+            "device": self.rate["device"] * max(device_units, 1.0),
+            "host": self.rate["host"] * max(host_units, 1.0),
+        }
+        best = min(pred, key=pred.get)
+        if self.decisions % self.EXPLORE_EVERY == 0:
+            worst = max(pred, key=pred.get)
+            if worst != best:
+                return worst
+        return best
+
+    def record(self, path: str, elapsed_s: float, units: float) -> None:
+        self.runs[path] = self.runs.get(path, 0) + 1
+        if self.runs[path] == 1 and path == "device":
+            return  # warm-up: XLA compile dominates the first run
+        per_unit = elapsed_s / max(units, 1.0)
+        prev = self.rate.get(path)
+        self.rate[path] = (
+            per_unit if prev is None
+            else prev + self.ALPHA * (per_unit - prev)
+        )
+
+
 class HostIVFIndex:
     """Beyond-HBM IVF tier: the packed corpus stays in HOST memory;
     the device holds only the coarse centroids.
 
     Per search batch: (1) one device matmul probes the ``nprobe``
-    nearest cells per query; (2) the host gathers the UNION of probed
-    cells into one contiguous block (cells are contiguous after the
-    build's counting sort, so this is range concatenation, not
-    scatter-gather); (3) the block streams H2D once and every query
-    exact-scans it on the MXU.
+    nearest cells per query; (2) scoring routes by measured cost
+    (``ProbeRouter``) between two paths:
 
-    Scoring the union instead of per-query probe lists only ADDS
-    candidates, so recall is >= classical IVF at the same nprobe.  The
-    design degrades gracefully: tiny batches move a few MB per search
-    (latency tier), huge batches approach a streamed exact scan of the
-    corpus through HBM (throughput tier, recall -> 1.0) — exactly the
-    two regimes a corpus larger than device memory supports.
+    - **union-stream (device)**: the host gathers the UNION of probed
+      cells into one contiguous block (cells are contiguous after the
+      build's counting sort, so this is range concatenation, not
+      scatter-gather); the block streams H2D once and every query
+      exact-scans it on the MXU.  Scoring the union instead of
+      per-query probe lists only ADDS candidates, so recall is >=
+      classical IVF at the same nprobe.
+    - **probed re-rank (host)**: classical IVF — each query scores only
+      its own probed cells' rows, through the native row-sorted
+      re-rank kernel (``native/rerank.cpp``).  ~1000x fewer FLOPs than
+      the union scan at typical batch diversity and zero H2D, so it
+      wins whenever the host<->device link is the bottleneck.
 
     Build scales past HBM too: k-means fits on a device-resident SAMPLE
     (``sample_cap`` rows), then assignment streams the full corpus
@@ -311,6 +374,10 @@ class HostIVFIndex:
         # refreshed per search, including early-return empty searches
         self.last_block_rows = 0
         self.last_streamed_bytes = 0
+        self.last_path = None
+        self.router = ProbeRouter()
+        # cosine-only tier: the re-rank kernel never reads sq_norms
+        self._sq_unused = np.zeros(1, np.float32)
 
     @staticmethod
     def build(
@@ -399,7 +466,67 @@ class HostIVFIndex:
         total = int((ends - starts).sum())
         if total == 0:
             b = len(queries)
+            self.last_block_rows = 0
+            self.last_streamed_bytes = 0
             return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int64)
+
+        # per-query incidence count (the host path's work unit)
+        q_counts = (self.indptr[cells + 1] - self.indptr[cells]).sum(axis=1)
+        incidences = int(q_counts.sum())
+        import time as _time
+
+        path = self.router.choose(
+            device_units=float(total), host_units=float(incidences)
+        )
+        t0 = _time.perf_counter()
+        if path == "host":
+            out = self._search_probed_host(
+                queries, min(k, total), cells, q_counts
+            )
+            self.router.record("host", _time.perf_counter() - t0, incidences)
+            self.last_path = "host"
+            self.last_block_rows = 0
+            self.last_streamed_bytes = 0
+            return out
+        out = self._search_union_device(
+            qs_dev, k, starts, ends, total
+        )
+        self.router.record("device", _time.perf_counter() - t0, total)
+        self.last_path = "device"
+        return out
+
+    def _search_probed_host(
+        self, queries: np.ndarray, k_eff: int, cells: np.ndarray,
+        q_counts: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Classical per-query probed IVF through the native row-sorted
+        re-rank kernel: zero H2D, FLOPs bounded by the probe lists."""
+        from ..native import rerank as native_rerank
+
+        b = len(queries)
+        kc = max(1, int(q_counts.max()))
+        cand = np.full((b, kc), -1, np.int64)
+        starts = self.indptr[cells]
+        ends = self.indptr[cells + 1]
+        for qi in range(b):
+            o = 0
+            for s, e in zip(starts[qi], ends[qi]):
+                if e > s:
+                    cand[qi, o:o + (e - s)] = np.arange(s, e)
+                    o += e - s
+        dists, rows = native_rerank(
+            self.packed, self._sq_unused, queries, cand, k_eff, "cosine"
+        )
+        valid = rows >= 0
+        mapped = np.where(
+            valid, self.row_to_original[np.where(valid, rows, 0)], -1
+        )
+        return dists, mapped
+
+    def _search_union_device(
+        self, qs_dev, k: int,
+        starts: np.ndarray, ends: np.ndarray, total: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
         block = np.concatenate(
             [self.packed[s:e] for s, e in zip(starts, ends)]
         )

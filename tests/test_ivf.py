@@ -154,3 +154,86 @@ class TestHostIVF:
         assert 9001 in got[0]          # delta row found exactly
         assert ids[0] not in got[0]    # tombstone dropped
         assert dists[0][0] <= 1e-5     # the exact-match delta row ranks first
+
+
+class TestProbeRouting:
+    """Round-4: host-probed scoring path + measured-cost routing
+    (``ProbeRouter``).  The union-stream device path pays H2D bytes;
+    the host path pays per-query incidences through the native
+    re-rank; the router predicts both from measured per-unit rates."""
+
+    def _build(self, n=6000, d=24, b=16, seed=11):
+        import numpy as np
+
+        from helix_tpu.ops.ivf import HostIVFIndex
+
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(48, d)).astype(np.float32)
+        data = centers[rng.integers(0, 48, n)] + 0.3 * rng.normal(
+            size=(n, d)
+        ).astype(np.float32)
+        queries = centers[rng.integers(0, 48, b)] + 0.3 * rng.normal(
+            size=(b, d)
+        ).astype(np.float32)
+        idx = HostIVFIndex.build(data, n_clusters=64, iters=4)
+        return idx, data, queries
+
+    def test_host_path_matches_probed_oracle(self, monkeypatch):
+        import numpy as np
+
+        from helix_tpu.ops.ivf import probe_cells
+
+        idx, data, queries = self._build()
+        monkeypatch.setenv("HELIX_IVF_BACKEND", "host")
+        k, nprobe = 8, 6
+        dists, ids = idx.search(queries, k, nprobe=nprobe)
+        assert idx.last_path == "host"
+        assert idx.last_streamed_bytes == 0
+
+        # oracle: exact scores over each query's OWN probed cells
+        import jax.numpy as jnp
+
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        cells = np.asarray(probe_cells(
+            idx.centroids, jnp.asarray(qn), nprobe=nprobe
+        ))
+        for qi in range(len(queries)):
+            rows = np.concatenate([
+                np.arange(idx.indptr[c], idx.indptr[c + 1])
+                for c in cells[qi]
+            ])
+            sims = idx.packed[rows] @ qn[qi]
+            want = idx.row_to_original[rows[np.argsort(-sims)[:k]]]
+            got = ids[qi][ids[qi] >= 0]
+            assert set(got) == set(want[: len(got)])
+
+    def test_forced_device_path_unchanged(self, monkeypatch):
+        idx, data, queries = self._build()
+        monkeypatch.setenv("HELIX_IVF_BACKEND", "device")
+        dists, ids = idx.search(queries, 5, nprobe=8)
+        assert idx.last_path == "device"
+        assert idx.last_streamed_bytes > 0
+        assert ids.shape[1] == 5
+
+    def test_auto_routing_samples_both_then_converges(self, monkeypatch):
+        import numpy as np
+
+        idx, data, queries = self._build()
+        monkeypatch.delenv("HELIX_IVF_BACKEND", raising=False)
+        paths = []
+        for _ in range(6):
+            idx.search(queries, 5, nprobe=8)
+            paths.append(idx.last_path)
+        # bootstrap sampled both; afterwards every decision had rates
+        assert {"host", "device"} <= set(paths)
+        assert set(idx.router.rate) == {"host", "device"}
+        # the two paths agree on membership at this tiny scale
+        monkeypatch.setenv("HELIX_IVF_BACKEND", "host")
+        _, h_ids = idx.search(queries, 10, nprobe=64)
+        monkeypatch.setenv("HELIX_IVF_BACKEND", "device")
+        _, d_ids = idx.search(queries, 10, nprobe=64)
+        overlap = np.mean([
+            len(set(h_ids[i][h_ids[i] >= 0]) & set(d_ids[i])) / 10
+            for i in range(len(queries))
+        ])
+        assert overlap >= 0.95, overlap
