@@ -594,14 +594,15 @@ def main() -> None:
     # past the HBM roofline).
     from benchmarks.roofline import roofline_batch_seconds, timed_scan_qps
 
-    def scan_fn(qbatch):
+    def scan_fn(qbatch, a16, a32, asq):
         dists, idx = topk_resident(
-            xs16, xs32, qbatch, n_valid, sq, k=k, metric="cosine"
+            a16, a32, qbatch, n_valid, asq, k=k, metric="cosine"
         )
         return idx
 
     device_qps, scan_diag = timed_scan_qps(
         scan_fn, batch=batch, d=d, dim_pad=matrix.dim_pad, rounds=rounds,
+        operands=(xs16, xs32, sq),
     )
     per_batch_s = batch / device_qps
     device_elapsed = scan_diag["full_scan_s_median"]

@@ -108,15 +108,17 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
     rows: list[dict] = []
     dim_pad = matrix.dim_pad
 
-    def timed_qps(fn_q) -> float:
+    def timed_qps(fn_q, operands=()) -> float:
         """Throughput via jitted lax.scan over NEVER-REPEATED
         device-generated query stacks (see benchmarks/roofline.py for
         the two tunnel measurement artifacts this defends against).
 
-        ``fn_q(qb) -> idx [B, k]`` runs one batch."""
+        ``fn_q(qb, *operands) -> idx [B, k]`` runs one batch; large
+        device arrays must ride ``operands`` (closure constants blow
+        the tunnel's compile-request size limit)."""
         qps, _ = timed_scan_qps(
             fn_q, batch=batch, d=d, dim_pad=dim_pad,
-            rounds=max(rounds, 32),
+            rounds=max(rounds, 32), operands=operands,
         )
         return qps
 
@@ -129,13 +131,17 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
     exact_build_s = time.perf_counter() - t0
     n_valid = jnp.int32(matrix.n)
 
-    def exact_batch(qb):
+    def exact_batch(qb, a16=None, a32=None, asq=None):
         dists, idx = resident_topk_auto(
-            xs16, xs32, qb, n_valid, sq, k=k, metric="cosine"
+            xs16 if a16 is None else a16,
+            xs32 if a32 is None else a32,
+            qb, n_valid,
+            sq if asq is None else asq,
+            k=k, metric="cosine",
         )
         return idx
 
-    exact_qps = timed_qps(exact_batch)
+    exact_qps = timed_qps(exact_batch, operands=(xs16, xs32, sq))
     exact_ids = np.asarray(exact_batch(q_rot[0]))
     n_pad = int(xs16.shape[0])
     rows.append(apply_roofline({
@@ -183,17 +189,18 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
         jax.block_until_ready(xs_q)
         q_build_s = time.perf_counter() - t0
 
-        def coarse_batch(qb, k_cand):
+        def coarse_batch(qb, k_cand, arrs=None):
+            a_q, a_sc, a_sq = (xs_q, sc, sqq) if arrs is None else arrs
             if bits == 4:
                 if use_fused:
                     return int4_fused_coarse(
-                        xs_q, sc, qb, jnp.int32(matrix.n), k=k_cand
+                        a_q, a_sc, qb, jnp.int32(matrix.n), k=k_cand
                     )[1]
                 return int4_coarse_topk(
-                    xs_q, sc, qb, jnp.int32(matrix.n), sqq, k=k_cand
+                    a_q, a_sc, qb, jnp.int32(matrix.n), a_sq, k=k_cand
                 )[1]
             return int8_coarse_topk(
-                xs_q, sc, qb, jnp.int32(matrix.n), sqq, k=k_cand
+                a_q, a_sc, qb, jnp.int32(matrix.n), a_sq, k=k_cand
             )[1]
 
         def full_recall(k_cand):
@@ -217,7 +224,10 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
             if rec >= 0.95:
                 break
         log(f"# int{bits} rung (coarse timing at pool={k_cand})...")
-        coarse_qps = timed_qps(lambda qb, _k=k_cand: coarse_batch(qb, _k))
+        coarse_qps = timed_qps(
+            lambda qb, *arrs, _k=k_cand: coarse_batch(qb, _k, arrs),
+            operands=(xs_q, sc, sqq),
+        )
         coarse_floor = roofline_batch_seconds(
             bytes_read=len(values) * (dim_pad if bits == 8 else dim_pad / 2),
             mxu_ops=2.0 * batch * len(values) * dim_pad, dtype="int8",

@@ -89,8 +89,10 @@ def apply_roofline(row: dict, batch: int, floor_s: float | None) -> dict:
 def timed_scan_qps(
     fn_q, *, batch: int, d: int, dim_pad: int, rounds: int = 48,
     reps: int = 3, seed: int = 7, normalize: bool = True,
+    operands: tuple = (),
 ) -> tuple[float, dict]:
-    """Sustained per-batch throughput of ``fn_q(qb) -> idx [B, k]``.
+    """Sustained per-batch throughput of
+    ``fn_q(qb, *operands) -> idx [B, k]``.
 
     Each timed invocation runs ONE jitted ``lax.scan`` over a
     device-generated stack of ``rounds`` distinct query batches that
@@ -100,6 +102,12 @@ def timed_scan_qps(
     cancelled by differencing the ``rounds`` and ``rounds/2`` scans;
     the median of ``reps`` independent differences is reported.
 
+    Pass every LARGE device array (the resident matrix, scales, norms)
+    through ``operands``, never by closure: closure-captured arrays
+    become constants of the lowered computation, and this dev tunnel's
+    remote-compile endpoint rejects the resulting multi-hundred-MB
+    compile request with HTTP 413.
+
     Returns ``(qps, diagnostics)``.
     """
     import jax
@@ -108,9 +116,9 @@ def timed_scan_qps(
     half = max(rounds // 2, 1)
 
     @jax.jit
-    def scan_over(stack):
+    def scan_over(stack, *ops):
         def body(carry, qb):
-            idx = fn_q(qb)
+            idx = fn_q(qb, *ops)
             return carry, idx[:, 0]
 
         _, outs = jax.lax.scan(body, 0, stack)
@@ -128,7 +136,7 @@ def timed_scan_qps(
     key = jax.random.PRNGKey(seed)
     for r in (half, rounds):  # compile both scan lengths off the clock
         key, sub = jax.random.split(key)
-        jax.block_until_ready(scan_over(make_stack(sub, r)))
+        jax.block_until_ready(scan_over(make_stack(sub, r), *operands))
 
     samples = []
     raw = []
@@ -138,7 +146,7 @@ def timed_scan_qps(
             key, sub = jax.random.split(key)
             stack = jax.block_until_ready(make_stack(sub, r))
             t0 = time.perf_counter()
-            out = scan_over(stack)
+            out = scan_over(stack, *operands)
             jax.block_until_ready(out)
             times[r] = time.perf_counter() - t0
         raw.append(times)

@@ -1575,11 +1575,55 @@ class _QueryState:
     def _step_Both(self, frame: Frame, label: Any) -> Frame:
         return concat_frames([self._step_Out(frame, label), self._step_In(frame, label)])
 
+    def _sharded_edge_hop(self, frame: Frame, label: Any, direction: str):
+        """Mesh-scale ORDERED edge hop (round 4): OutE/InE through the
+        edge-partitioned executor's edge-plane expansion
+        (``parallel/graph.py:expand_frame_edges``) — same gating as
+        ``_sharded_hop``.  Returns ``(src_rows, edge_slots)`` or None
+        to take the host path."""
+        engine = getattr(self.ex, "engine", None)
+        gst = getattr(engine, "graph_shard_threshold", None)
+        snap = self.snap
+        if gst is None or snap.n_nodes < gst or len(frame) == 0:
+            return None
+        if frame.kind != "nodes":
+            return None
+        if label is not None and label not in snap.edge_label_code:
+            return None
+        import jax
+
+        if len(jax.devices()) < 2:
+            return None
+        sgraph = snap.sharded_graph((direction,), with_edges=True)
+        if sgraph is None:
+            return None
+        code = -1 if label is None else snap.edge_label_code[label]
+        slots = snap.node_slots_or_neg(frame.ids)
+        rows = np.nonzero(slots >= 0)[0]
+        parent_local, edge_slots, _targets = sgraph.expand_frame_edges(
+            direction, code, slots[rows].astype(np.int32)
+        )
+        return rows[parent_local], edge_slots
+
     def _step_OutE(self, frame: Frame, label: Any) -> Frame:
+        sharded = self._sharded_edge_hop(frame, label, "out")
+        if sharded is not None:
+            src_rows, edge_idx = sharded
+            return frame.expand(
+                src_rows, "edges", self.snap.edge_ids[edge_idx],
+                anchor=frame.ids[src_rows],
+            )
         src_rows, edge_idx, anchor = self._expand_edges(frame, label, "out")
         return frame.expand(src_rows, "edges", self.snap.edge_ids[edge_idx], anchor=anchor)
 
     def _step_InE(self, frame: Frame, label: Any) -> Frame:
+        sharded = self._sharded_edge_hop(frame, label, "in")
+        if sharded is not None:
+            src_rows, edge_idx = sharded
+            return frame.expand(
+                src_rows, "edges", self.snap.edge_ids[edge_idx],
+                anchor=frame.ids[src_rows],
+            )
         src_rows, edge_idx, anchor = self._expand_edges(frame, label, "in")
         return frame.expand(src_rows, "edges", self.snap.edge_ids[edge_idx], anchor=anchor)
 

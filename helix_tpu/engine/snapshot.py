@@ -500,11 +500,13 @@ class GraphSnapshot:
     # budget is host-side (one full copy during construction).
     PADDED_HOST_BYTES_CAP = 16 << 30
 
-    def padded_host(self, direction: str, max_degree_cap: int = 256):
-        """Host-layout padded adjacency ``(neighbors, labels)`` (no
-        device upload); None above the degree or host-bytes cap.
-        Cached per snapshot."""
-        key = f"padhost:{direction}"
+    def padded_host(self, direction: str, max_degree_cap: int = 256,
+                    include_edges: bool = False):
+        """Host-layout padded adjacency ``(neighbors, labels)`` — or
+        ``(neighbors, labels, edge_slots)`` with ``include_edges``, the
+        plane the mesh-scale edge steps need — (no device upload); None
+        above the degree or host-bytes cap.  Cached per snapshot."""
+        key = f"padhost{'+e' if include_edges else ''}:{direction}"
         if key in self._padded:
             return self._padded[key]
         from ..ops.csr import PaddedGraph
@@ -526,22 +528,27 @@ class GraphSnapshot:
             self.edge_label_codes[order],
             self.n_nodes,
             max_degree_cap=max_degree_cap,
+            # order[i] IS the global edge slot at CSR position i
+            edge_order=order.astype(np.int32) if include_edges else None,
         )
         self._padded[key] = host
         return host
 
-    def sharded_graph(self, directions: tuple[str, ...]):
+    def sharded_graph(self, directions: tuple[str, ...],
+                      with_edges: bool = False):
         """Multi-chip edge-partitioned adjacency (parallel/graph.py),
         cached per snapshot for the direction set the plan needs; None
-        when any direction exceeds the padding degree cap."""
-        key = ("sharded", directions)
+        when any direction exceeds the padding degree cap.
+        ``with_edges`` uploads the edge-slot plane so ordered edge
+        steps (OutE/InE) run sharded too."""
+        key = ("sharded", directions, with_edges)
         if key in self._padded:
             return self._padded[key]
         from ..parallel import ShardedGraph, make_mesh
 
         dirmap = {}
         for direction in directions:
-            host = self.padded_host(direction)
+            host = self.padded_host(direction, include_edges=with_edges)
             if host is None:
                 self._padded[key] = None
                 return None

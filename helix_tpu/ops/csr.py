@@ -61,11 +61,15 @@ class PaddedGraph:
         edge_label_codes: np.ndarray,     # label code per edge index, CSR order
         n_nodes: int,
         max_degree_cap: int = 256,
-    ) -> "tuple[np.ndarray, np.ndarray] | None":
-        """Padded (neighbors, labels) host layout from CSR; None when max
-        degree exceeds the cap (callers fall back to the host gather
-        path).  The sharded multi-chip path (parallel/graph.py) consumes
-        this directly so it can upload per-shard slices."""
+        edge_order: np.ndarray | None = None,  # global edge slot per CSR pos
+    ) -> "tuple[np.ndarray, ...] | None":
+        """Padded (neighbors, labels[, edge_slots]) host layout from CSR;
+        None when max degree exceeds the cap (callers fall back to the
+        host gather path).  The sharded multi-chip path
+        (parallel/graph.py) consumes this directly so it can upload
+        per-shard slices.  ``edge_order`` (the CSR-order global edge
+        slot of each position) adds a third plane — required by the
+        mesh-scale edge steps (OutE/InE), pad = -1."""
         assert indptr[0] == 0, "CSR views must be rebased to offset 0"
         degrees = np.diff(indptr)
         p = int(degrees.max()) if len(degrees) and degrees.max() > 0 else 1
@@ -73,12 +77,20 @@ class PaddedGraph:
             return None
         neighbors = np.full((n_nodes, p), n_nodes, np.int32)
         labels = np.full((n_nodes, p), -1, np.int32)
+        eslots = (
+            np.full((n_nodes, p), -1, np.int32)
+            if edge_order is not None else None
+        )
         total = int(degrees.sum())
         if total:
             rows = np.repeat(np.arange(n_nodes), degrees)
             ranks = np.arange(total) - np.repeat(indptr[:-1], degrees)
             neighbors[rows, ranks] = edge_endpoint_slots[:total]
             labels[rows, ranks] = edge_label_codes[:total]
+            if eslots is not None:
+                eslots[rows, ranks] = edge_order[:total]
+        if eslots is not None:
+            return neighbors, labels, eslots
         return neighbors, labels
 
     @staticmethod

@@ -69,8 +69,10 @@ class ShardedGraph:
         self.rows_per_shard = rows
         self.n_pad = rows * self.n_shard
         self.arrays: dict[str, tuple[jax.Array, jax.Array]] = {}
+        self.edge_planes: dict[str, jax.Array] = {}
         spec = NamedSharding(mesh, P("shard", None))
-        for direction, (neighbors, labels) in directions.items():
+        for direction, planes in directions.items():
+            neighbors, labels = planes[0], planes[1]
             nb = np.full((self.n_pad, neighbors.shape[1]), self.n_pad, np.int32)
             lb = np.full((self.n_pad, neighbors.shape[1]), -1, np.int32)
             # real neighbor slots keep their global ids; the original pad
@@ -83,6 +85,12 @@ class ShardedGraph:
                 jax.device_put(nb, spec),
                 jax.device_put(lb, spec),
             )
+            if len(planes) > 2 and planes[2] is not None:
+                # global edge slots per adjacency position (pad = -1) —
+                # the plane the ordered edge steps (OutE/InE) ride
+                es = np.full((self.n_pad, neighbors.shape[1]), -1, np.int32)
+                es[:n_nodes] = planes[2][:n_nodes]
+                self.edge_planes[direction] = jax.device_put(es, spec)
         self._compiled: dict[tuple, Any] = {}
 
     # -- plan execution ----------------------------------------------------
@@ -269,6 +277,90 @@ class ShardedGraph:
         )[:t]
         parent, slot_rank = np.nonzero(merged != self.n_pad)
         return parent.astype(np.int64), merged[parent, slot_rank]
+
+    def _build_expand_edges(self, direction: str, t_pad: int):
+        """Compile one ordered EDGE-hop shape: frontier ids [t_pad]
+        (replicated) -> merged ([t_pad, P] edge slots, [t_pad, P]
+        target node slots), sentinels -1 / ``n_pad``.  Same
+        row-ownership psum merge as ``_build_expand``, with the edge
+        plane stacked into the exchange (2x the mask bytes — still
+        noise next to the adjacency reads)."""
+        mesh = self.mesh
+        rows = self.rows_per_shard
+        n_pad = self.n_pad
+
+        def shard_fn(nb, lb, es, ids, code):
+            shard_id = jax.lax.axis_index("shard")
+            lo = shard_id * rows
+            local = ids - lo
+            owned = (local >= 0) & (local < rows)
+            safe = jnp.clip(local, 0, rows - 1)
+            nbr = nb[safe]
+            lbr = lb[safe]
+            esr = es[safe]
+            ok = (
+                owned[:, None]
+                & (esr >= 0)
+                & jnp.logical_or(code < 0, lbr == code)
+            )
+            contrib = jnp.stack(
+                [jnp.where(ok, esr + 1, 0), jnp.where(ok, nbr + 1, 0)],
+                axis=-1,
+            )
+            merged = jax.lax.psum(contrib, "shard")
+            edges = jnp.where(merged[..., 0] > 0, merged[..., 0] - 1, -1)
+            targets = jnp.where(
+                merged[..., 1] > 0, merged[..., 1] - 1, n_pad
+            )
+            return edges, targets
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                P("shard", None), P("shard", None), P("shard", None),
+                P(), P(),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    def expand_frame_edges(
+        self, direction: str, label_code: int, frame_slots: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """One ordered EDGE hop over the mesh: returns ``(parent_rows,
+        edge_slots, target_slots)`` in frame order x adjacency slot
+        order — the single-device ``_expand_edges`` expansion order.
+        Requires the direction's edge plane (built with
+        ``edge_order``); raises KeyError otherwise."""
+        es_plane = self.edge_planes[direction]
+        t = len(frame_slots)
+        if t == 0:
+            return (
+                np.empty(0, np.int64), np.empty(0, np.int32),
+                np.empty(0, np.int32),
+            )
+        t_pad = max(128, 1 << (t - 1).bit_length())
+        key = ("expand_e", direction, t_pad)
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = self._build_expand_edges(direction, t_pad)
+            self._compiled[key] = fn
+        ids = np.full(t_pad, self.n_pad, np.int32)
+        ids[:t] = frame_slots
+        nb, lb = self.arrays[direction]
+        edges, targets = fn(
+            nb, lb, es_plane, jnp.asarray(ids), jnp.int32(label_code)
+        )
+        edges = np.asarray(edges)[:t]
+        targets = np.asarray(targets)[:t]
+        parent, slot_rank = np.nonzero(edges >= 0)
+        return (
+            parent.astype(np.int64),
+            edges[parent, slot_rank],
+            targets[parent, slot_rank],
+        )
 
     def khop_count(
         self,

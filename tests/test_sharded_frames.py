@@ -184,3 +184,98 @@ def test_expand_frame_empty_and_padding():
         "out", 1, np.array([10], np.int32)
     )
     assert parent.tolist() == [0] and targets.tolist() == [9]
+
+
+# ---- round-4 second arc: ordered EDGE steps at mesh scale ---------------
+
+EDGE_QUERIES = [
+    # OutE with label -> edge properties (order + multiplicity)
+    lambda: read_batch().var_as(
+        "r", g().n_with_label("Doc").out_e("REL").edge_properties()
+    ).returning(["r"]),
+    # unlabeled InE -> id stream
+    lambda: read_batch().var_as(
+        "r", g().n_with_label("Doc").in_e(None).id()
+    ).returning(["r"]),
+    # BothE = out_e ++ in_e concatenation order
+    lambda: read_batch().var_as(
+        "r", g().n_with_label("Doc").both_e("ALT").count()
+    ).returning(["r"]),
+    # anchor provenance: OutE -> OtherN -> values
+    lambda: read_batch().var_as(
+        "r", g().n_with_label("Doc").out_e("REL").other_n().values(["i"])
+    ).returning(["r"]),
+    # edge hop then node filter through the anchor-tracked endpoint
+    lambda: read_batch().var_as(
+        "r", g().n_with_label("Doc").in_e("ALT").other_n()
+             .where_(Predicate.lt("i", 100)).id()
+    ).returning(["r"]),
+]
+
+
+@pytest.mark.parametrize("qi", range(len(EDGE_QUERIES)))
+def test_sharded_edge_hop_matches_host_byte_for_byte(qi):
+    import json
+
+    sharded, host = _pair(seed=31)
+    q = EDGE_QUERIES[qi]()
+    a = _run(sharded, q)
+    b = _run(host, q)
+    assert json.dumps(a, sort_keys=True) == json.dumps(b, sort_keys=True)
+    assert a["r"] not in ([], 0)  # non-vacuous
+
+
+def test_expand_frame_edges_order_oracle():
+    """Direct oracle: (parent, edge slot, target) stream equals the CSR
+    expansion order, including duplicate frame rows and label filters."""
+    from jax.sharding import Mesh
+    import jax
+
+    from helix_tpu.parallel.graph import ShardedGraph
+    from helix_tpu.ops.csr import PaddedGraph
+
+    rng = np.random.default_rng(9)
+    n, deg = 131, 4  # prime node count
+    indptr = np.arange(n + 1, dtype=np.int64) * deg
+    dst = rng.integers(0, n, size=n * deg).astype(np.int32)
+    lab = rng.integers(0, 3, size=n * deg).astype(np.int32)
+    # CSR-position -> global edge slot mapping deliberately shuffled
+    eorder = rng.permutation(n * deg).astype(np.int32)
+    host = PaddedGraph.host_arrays(indptr, dst, lab, n, edge_order=eorder)
+    assert len(host) == 3
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    graph = ShardedGraph(mesh, n, {"out": host})
+
+    frame = np.array([7, 130, 7, 0], np.int32)
+    for code in (-1, 1):
+        parent, eslots, targets = graph.expand_frame_edges(
+            "out", code, frame
+        )
+        wp, we, wt = [], [], []
+        for row, v in enumerate(frame):
+            for e in range(indptr[v], indptr[v + 1]):
+                if code < 0 or lab[e] == code:
+                    wp.append(row)
+                    we.append(eorder[e])
+                    wt.append(dst[e])
+        assert parent.tolist() == wp
+        assert eslots.tolist() == we
+        assert targets.tolist() == wt
+
+
+def test_expand_frame_edges_requires_edge_plane():
+    from jax.sharding import Mesh
+    import jax
+
+    from helix_tpu.parallel.graph import ShardedGraph
+    from helix_tpu.ops.csr import PaddedGraph
+
+    n = 16
+    indptr = np.arange(n + 1, dtype=np.int64)
+    dst = np.arange(n, dtype=np.int32)
+    lab = np.zeros(n, np.int32)
+    host = PaddedGraph.host_arrays(indptr, dst, lab, n)  # no edge plane
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    graph = ShardedGraph(mesh, n, {"out": host})
+    with pytest.raises(KeyError):
+        graph.expand_frame_edges("out", -1, np.array([1], np.int32))
