@@ -268,6 +268,16 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
         if rec >= 0.95:
             break
     nprobe, rec, ids = chosen
+    # warm-up: let the ProbeRouter bootstrap BOTH scoring paths (the
+    # device union-stream sample costs one full H2D of the union — a
+    # one-time routing measurement, not steady-state serving cost)
+    for r in range(3):
+        ivf.search(
+            np.asarray(
+                all_q_pad[(r % n_rot) * batch:(r % n_rot + 1) * batch]
+            ),
+            k, nprobe=nprobe, normalize=False,
+        )
     t0 = time.perf_counter()
     reps = max(2, rounds // 4)
     for r in range(reps):
@@ -311,16 +321,29 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument(
+        "--n", default="1000000",
+        help="corpus size, or comma-separated list (e.g. 1000000,10000000)",
+    )
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--rounds", type=int, default=16)
     ap.add_argument("--out", default=None, help="also write JSON here")
     args = ap.parse_args()
-    result = run_ladder(
-        n=args.n, d=args.d, batch=args.batch, rounds=args.rounds,
-        log=lambda m: print(m, file=sys.stderr, flush=True),
-    )
+    log = lambda m: print(m, file=sys.stderr, flush=True)  # noqa: E731
+    scales = [int(s) for s in str(args.n).split(",") if s]
+    results = [
+        run_ladder(n=n, d=args.d, batch=args.batch, rounds=args.rounds,
+                   log=log)
+        for n in scales
+    ]
+    result = results[0] if len(results) == 1 else {
+        "metric": (
+            f"residency ladder (d={args.d}, k=10, batch={args.batch}) "
+            "at multiple corpus scales"
+        ),
+        "scales": results,
+    }
     line = json.dumps(result)
     if args.out:
         Path(args.out).write_text(json.dumps(result, indent=1))
