@@ -156,6 +156,13 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
         mxu_ops=2.0 * batch * n_pad * dim_pad, dtype="bf16",
     )))
     del xs16, xs32, sq
+    # the quantized rungs re-rank on the HOST matrix; keeping the
+    # bf16+f32 device copies (7.7 GB at 10M x 128) resident would OOM
+    # the int8 upload next to them
+    matrix.release_device()
+    import gc
+
+    gc.collect()
 
     # ---- quantized rungs ----------------------------------------------
     for bits, qfn, coarse_kind, pool0, per_row in (
@@ -332,11 +339,16 @@ def main() -> None:
     args = ap.parse_args()
     log = lambda m: print(m, file=sys.stderr, flush=True)  # noqa: E731
     scales = [int(s) for s in str(args.n).split(",") if s]
-    results = [
-        run_ladder(n=n, d=args.d, batch=args.batch, rounds=args.rounds,
-                   log=log)
-        for n in scales
-    ]
+    results = []
+    for n in scales:
+        results.append(run_ladder(
+            n=n, d=args.d, batch=args.batch, rounds=args.rounds, log=log,
+        ))
+        # free the scale's device + host buffers before the next one
+        # (a 10M exact rung needs ~7.7 GB of HBM to itself)
+        import gc
+
+        gc.collect()
     result = results[0] if len(results) == 1 else {
         "metric": (
             f"residency ladder (d={args.d}, k=10, batch={args.batch}) "

@@ -61,7 +61,7 @@ def main() -> None:
 
     orig = ft._tile_rows
     for tile in (int(t) for t in args.tiles.split(",")):
-        ft._tile_rows = lambda _d, _t=tile: _t
+        ft._tile_rows = lambda _d, _b=None, _t=tile: _t
         ft._bucket_scores.clear_cache()
 
         def fn(qb, a16, a32):

@@ -441,14 +441,27 @@ class PackedMatrix:
         if len(host) <= rows:
             out = jnp.asarray(host)
             return out.astype(dtype) if dtype is not None else out
-        parts = []
+        # Chunked H2D into a DONATED destination: the old concatenate
+        # path held chunks + result simultaneously (2x the matrix in
+        # HBM), which OOMed the 10M x 128 f32 upload next to its bf16
+        # copy on a 16 GB chip.  Donation lets XLA update the
+        # destination in place, so peak = matrix + one chunk.
+        out_dtype = jnp.asarray(host[:1]).dtype if dtype is None else dtype
+
+        zeros_tail = (jnp.int32(0),) * (host.ndim - 1)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def write_chunk(dst, part, start):
+            return jax.lax.dynamic_update_slice(
+                dst, part.astype(dst.dtype), (start,) + zeros_tail
+            )
+
+        dst = jnp.zeros(host.shape, out_dtype)
         for s in range(0, len(host), rows):
             part = jax.device_put(host[s : s + rows])
-            if dtype is not None:
-                part = part.astype(dtype)
-            part.block_until_ready()
-            parts.append(part)
-        return jnp.concatenate(parts, axis=0)
+            dst = write_chunk(dst, part, jnp.int32(s))
+        dst.block_until_ready()
+        return dst
 
     def device_arrays(self) -> tuple[jax.Array, jax.Array]:
         """(bfloat16 matrix, f32 squared norms), refreshed when stale."""
@@ -461,6 +474,15 @@ class PackedMatrix:
         xs16.block_until_ready()
         self._device = (self.version, xs16, sq)
         return xs16, sq
+
+    def release_device(self) -> None:
+        """Drop the cached device copies (bf16 + f32).  HBM is the
+        scarce resource when several matrices or ladder rungs share a
+        chip; callers that finished a device phase release explicitly
+        instead of waiting on the GC (the runtime only reclaims a
+        buffer when its last Python reference dies)."""
+        self._device = None
+        self._device32 = None
 
     def data_device(self) -> jax.Array:
         """Cached float32 device copy (re-rank operand)."""

@@ -57,25 +57,38 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 8192
 BUCKET = 64
 MAX_TILE_BYTES = 4 * 1024 * 1024
+SCORE_TILE_BYTES = 4 * 1024 * 1024
 
 
-def tile_rows_for(row_bytes: int) -> int:
+def tile_rows_for(row_bytes: int, query_block: int | None = None) -> int:
     """Rows per VMEM tile for a matrix whose rows cost ``row_bytes``:
     the largest power of two within the byte budget.  MUST divide TILE
     (rows are padded to TILE, and the grid is n // tile_rows — a
     non-divisor silently drops the tail rows from the scan; every power
     of two in [512, 8192] divides 8192).  Shared by the bf16, int8, and
     packed-int4 kernels; callers gate on ``budget >= 512`` via
-    ``supports_fused``/``_use_fused`` before reaching here."""
+    ``supports_fused``/``_use_fused`` before reaching here.
+
+    ``query_block`` additionally bounds the f32 score tile
+    (``tile_rows x B x 4`` bytes) to ``SCORE_TILE_BYTES``: at batch 256
+    the previous 8192-row tile held an 8 MB score buffer, which with
+    double-buffered 2 MB matrix tiles filled the v5e's ~16 MB VMEM
+    outright.  A round-4 sweep (benchmarks/tile_sweep.py) read tile
+    4096 ~20% faster (0.70 vs 0.92 ms/batch at 1M x 128), though this
+    dev tunnel's ±30% CPU-steal noise overlaps the effect; the cap is
+    kept primarily for the VMEM headroom argument."""
     budget = MAX_TILE_BYTES // max(row_bytes, 1)
     t = 512
     while t * 2 <= min(budget, TILE):
         t *= 2
+    if query_block:
+        while t > 512 and t * query_block * 4 > SCORE_TILE_BYTES:
+            t //= 2
     return t
 
 
-def _tile_rows(d: int) -> int:
-    return tile_rows_for(d * 2)  # bf16
+def _tile_rows(d: int, query_block: int | None = None) -> int:
+    return tile_rows_for(d * 2, query_block)  # bf16
 
 # Finite "masked row" sentinel (see module docstring re: NaNs).
 NEG_SENTINEL = -3.0e38
@@ -122,7 +135,7 @@ def _bucket_scores(xs16: jax.Array, qs16: jax.Array, n_valid: jax.Array):
     n, d = xs16.shape
     b = qs16.shape[0]
     assert n % TILE == 0, "matrix rows must be padded to the tile size"
-    tile_rows = _tile_rows(d)
+    tile_rows = _tile_rows(d, b)
     buckets_per_tile = tile_rows // BUCKET
     num_tiles = n // tile_rows
     grid_spec = pl.GridSpec(

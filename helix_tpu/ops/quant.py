@@ -295,10 +295,10 @@ from .fused_topk import BUCKET, MAX_QUERY_BLOCK, MIN_QUERY_BLOCK, NEG_SENTINEL, 
 _I8_MAX_TILE_BYTES = 4 * 1024 * 1024
 
 
-def _i8_tile_rows(d: int) -> int:
+def _i8_tile_rows(d: int, query_block: int | None = None) -> int:
     from .fused_topk import tile_rows_for
 
-    return tile_rows_for(d)  # 1 byte/element
+    return tile_rows_for(d, query_block)  # 1 byte/element
 
 
 def _make_i8_kernel(tile_rows: int):
@@ -347,7 +347,7 @@ def _i8_bucket_scores(
     n, d = xs_i8.shape
     b = q_i8.shape[0]
     assert n % TILE == 0, "matrix rows must be padded to the tile size"
-    tile_rows = _i8_tile_rows(d)
+    tile_rows = _i8_tile_rows(d, b)
     buckets_per_tile = tile_rows // BUCKET
     num_tiles = n // tile_rows
     grid_spec = pl.GridSpec(

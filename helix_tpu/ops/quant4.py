@@ -111,10 +111,10 @@ from .fused_topk import BUCKET, MAX_QUERY_BLOCK, MIN_QUERY_BLOCK, NEG_SENTINEL, 
 _I4_MAX_TILE_BYTES = 4 * 1024 * 1024  # packed bytes per x-tile in VMEM
 
 
-def _i4_tile_rows(d_half: int) -> int:
+def _i4_tile_rows(d_half: int, query_block: int | None = None) -> int:
     from .fused_topk import tile_rows_for
 
-    return tile_rows_for(d_half)  # packed: 1 byte per 2 elements
+    return tile_rows_for(d_half, query_block)  # packed: 1 byte per 2 elements
 
 
 def _make_i4_kernel(tile_rows: int, d_half: int):
@@ -167,7 +167,7 @@ def _i4_bucket_scores(
     n, d_half = packed.shape
     b = q_i8.shape[0]
     assert n % TILE == 0, "matrix rows must be padded to the tile size"
-    tile_rows = _i4_tile_rows(d_half)
+    tile_rows = _i4_tile_rows(d_half, b)
     buckets_per_tile = tile_rows // BUCKET
     num_tiles = n // tile_rows
     grid_spec = pl.GridSpec(
