@@ -551,16 +551,76 @@ def _eval_dsl_snippet(snippet: str):
     )
 
 
+def _eval_dsl_file(path: str) -> dict:
+    """Evaluate a Python DSL FILE into a request envelope — the analog
+    of the reference's ``--ts-file`` (``helix-cli/src/ts_query.rs``,
+    which evaluates a TS DSL file via Node; this rebuild evaluates the
+    Python DSL, MIGRATION.md 'deliberate divergences').
+
+    A single-expression file evaluates directly; a script file runs
+    with the DSL prelude in scope and must bind ``request`` to a batch
+    chain or DynamicQueryRequest.
+    """
+    import helix_tpu.dsl as _dsl
+
+    source = Path(path).read_text()
+    try:
+        return _eval_dsl_snippet(source)
+    except SyntaxError:
+        pass  # statements, not one expression: exec + `request` binding
+    prelude = {
+        name: getattr(_dsl, name)
+        for name in _dsl.__all__
+        if hasattr(_dsl, name)
+    }
+    scope: dict = dict(prelude)
+    # curated builtins: loop/convert helpers stay usable, imports do not
+    safe_builtins = {
+        name: getattr(__builtins__, name) if hasattr(__builtins__, name)
+        else __builtins__[name]  # type: ignore[index]
+        for name in (
+            "range", "len", "enumerate", "zip", "float", "int", "str",
+            "bool", "dict", "list", "tuple", "set", "min", "max", "abs",
+            "round", "sorted", "sum", "reversed", "print",
+        )
+    }
+    exec(  # noqa: S102
+        compile(source, path, "exec"),
+        {"__builtins__": safe_builtins}, scope,
+    )
+    value = scope.get("request")
+    if value is None:
+        raise ValueError(
+            f"{path} must be a single DSL expression or bind `request`"
+        )
+    if isinstance(value, _dsl.DynamicQueryRequest):
+        return value.encode()
+    if hasattr(value, "to_dynamic_request"):
+        return value.to_dynamic_request().encode()
+    raise ValueError(
+        "`request` must be a read_batch()/write_batch() chain or a "
+        "DynamicQueryRequest"
+    )
+
+
 def cmd_query(args) -> int:
     project = find_project()
     inst = project.instance(args.instance)
-    sources = [s for s in (args.file, args.json, args.expr) if s]
+    sources = [
+        s for s in (args.file, args.json, args.expr, args.expr_file) if s
+    ]
     if len(sources) != 1:
-        print("provide exactly one of --file, --json, or -e", file=sys.stderr)
+        print(
+            "provide exactly one of --file, --json, -e, or --expr-file",
+            file=sys.stderr,
+        )
         return 2
-    if args.expr:
+    if args.expr or args.expr_file:
         try:
-            request = _eval_dsl_snippet(args.expr)
+            request = (
+                _eval_dsl_snippet(args.expr) if args.expr
+                else _eval_dsl_file(args.expr_file)
+            )
         except Exception as exc:
             print(f"invalid DSL expression: {exc}", file=sys.stderr)
             return 2
@@ -1137,6 +1197,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--json", default=None)
     p.add_argument("-e", "--expr", default=None,
                    help="evaluate a Python DSL expression as the request")
+    p.add_argument("--expr-file", default=None,
+                   help="evaluate a Python DSL file (reference --ts-file "
+                        "analog; bind `request` or be one expression)")
     p.add_argument("--host", default=None)
     p.add_argument("--port", type=int, default=None)
     p.add_argument("--warm", action="store_true")

@@ -151,6 +151,48 @@ def test_query_eval_expression(tmp_path):
         _eval_dsl_snippet("__import__('os')")
 
 
+def test_query_eval_file(tmp_path):
+    """--expr-file evaluates a Python DSL FILE (the reference's
+    --ts-file analog, ts_query.rs): single expression, or a script
+    binding `request`."""
+    from helix_tpu.cli.main import _eval_dsl_file
+
+    # single-expression file
+    f1 = tmp_path / "one.py"
+    f1.write_text(
+        'read_batch().var_as("c", g().n_with_label("User").count())'
+        '.returning(["c"])'
+    )
+    req = _eval_dsl_file(str(f1))
+    assert req["request_type"] == "read"
+    assert req["query"]["returns"] == ["c"]
+
+    # script file binding `request`
+    f2 = tmp_path / "script.py"
+    f2.write_text(
+        "b = write_batch()\n"
+        "for i in range(3):\n"
+        "    b = b.var_as(f\"n{i}\", g().add_n(\"User\", {\"i\": i}))\n"
+        "request = b\n"
+    )
+    req = _eval_dsl_file(str(f2))
+    assert req["request_type"] == "write"
+    assert len(req["query"]["queries"]) == 3
+
+    # a script that binds nothing is a clear error
+    f3 = tmp_path / "bad.py"
+    f3.write_text("x = 1\ny = 2\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="request"):
+        _eval_dsl_file(str(f3))
+
+    # sandboxed like -e: no builtins
+    f4 = tmp_path / "evil.py"
+    f4.write_text("request = __import__('os')")
+    with _pytest.raises(Exception):
+        _eval_dsl_file(str(f4))
+
+
 def test_version_metrics_feedback_chef(tmp_path, monkeypatch):
     monkeypatch.setenv("HELIX_TPU_HOME", str(tmp_path / "home"))
     import importlib
