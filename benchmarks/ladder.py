@@ -155,10 +155,12 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
         bytes_read=n_pad * dim_pad * 2,
         mxu_ops=2.0 * batch * n_pad * dim_pad, dtype="bf16",
     )))
-    del xs16, xs32, sq
-    # the quantized rungs re-rank on the HOST matrix; keeping the
-    # bf16+f32 device copies (7.7 GB at 10M x 128) resident would OOM
-    # the int8 upload next to them
+    # the quantized rungs re-rank either on the HOST matrix or on their
+    # own f16 device copy; keeping the exact tier's bf16+f32 copies
+    # (7.7 GB at 10M x 128) resident would OOM the int8 upload next to
+    # them.  Drop the locals too: they would otherwise pin the released
+    # buffers through the later rungs.
+    del xs16, xs32, sq, exact_batch
     matrix.release_device()
     import gc
 
@@ -244,6 +246,57 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
             coarse_clamped = True
             coarse_qps = batch / coarse_floor
         full_qps = batch / (batch / coarse_qps + rerank_s)
+        if bits == 8:
+            # -- int8_dev rung: same coarse phase, f16 DEVICE re-rank
+            # (3 B/dim resident) — candidates never leave the chip, so
+            # the rung serves at coarse speed instead of the host-RAM
+            # gather speed below
+            from helix_tpu.ops.quant import device_rerank_topk
+
+            log("# int8_dev rung (int8 coarse + f16 device re-rank)...")
+            t0 = time.perf_counter()
+            xs16d = PackedMatrix._upload(
+                np.asarray(matrix.data[: len(values)], np.float16)
+            )
+            sq16d = jnp.zeros((1,), jnp.float32)    # cosine: unused operand
+            jax.block_until_ready(xs16d)
+            dev_build_s = time.perf_counter() - t0
+            live_dev = jnp.ones(int(xs16d.shape[0]), jnp.uint8)
+
+            def dev_batch(qb, *arrs, _k=k_cand):
+                a_q, a_sc, a_sq, a16, a_sq16, a_live = (
+                    (xs_q, sc, sqq, xs16d, sq16d, live_dev)
+                    if not arrs else arrs
+                )
+                cand = int8_coarse_topk(
+                    a_q, a_sc, qb, jnp.int32(matrix.n), a_sq, k=_k
+                )[1]
+                return device_rerank_topk(
+                    a16, a_sq16, qb, cand.astype(jnp.int32), a_live,
+                    jnp.int32(matrix.n), k=k,
+                )[1]
+
+            dev_qps = timed_qps(
+                dev_batch, operands=(xs_q, sc, sqq, xs16d, sq16d, live_dev),
+            )
+            dev_clamped = False
+            if coarse_floor is not None and dev_qps > batch / coarse_floor:
+                dev_clamped = True
+                dev_qps = batch / coarse_floor
+            dev_ids = np.asarray(dev_batch(q_rot[0]))
+            rows.append({
+                "tier": "int8_dev",
+                "qps": round(dev_qps, 1),
+                "recall_at_10": round(_recall(dev_ids, oracle, k), 4),
+                "resident_gb": round(n * (dim_pad * 3 + 8) / (1 << 30), 3),
+                "build_s": round(q_build_s + dev_build_s, 2),
+                **({"clamped_to_roofline": True} if dev_clamped else {}),
+                "detail": (
+                    f"int8 coarse k_cand={k_cand} + f16 on-device "
+                    "re-rank (3 B/dim); no host round-trip"
+                ),
+            })
+            del xs16d, sq16d, live_dev, dev_batch
         rows.append({
             "tier": coarse_kind,
             "qps": round(full_qps, 1),

@@ -299,6 +299,26 @@ class Partition:
         # packed nibbles + one f32 scale per row
         return self.matrix.n * (self.matrix.dim_pad // 2 + 4)
 
+    def _quant_dev_resident_bytes(self) -> int:
+        # int8 matrix + f16 re-rank copy + f32 scale + f32 sq norm
+        return self.matrix.n * (self.matrix.dim_pad * 3 + 8)
+
+    def _quant_rerank_device(self) -> bool:
+        """Within the int8 rung, re-rank on device when an f16 row copy
+        fits next to the int8 codes (3 B/dim total): candidates then
+        never round-trip to host memory, and the rung serves at
+        coarse-phase speed instead of host-RAM-gather speed (measured
+        ~7x at the 100k smoke config; LADDER artifact).  Override with
+        ``HELIX_QUANT_RERANK=host|device`` (auto = budget-based)."""
+        import os
+
+        mode = os.environ.get("HELIX_QUANT_RERANK", "auto")
+        if mode == "host":
+            return False
+        if mode == "device":
+            return True
+        return self._quant_dev_resident_bytes() <= self.hbm_budget_bytes
+
     # -- int8 quantized residency tier -------------------------------------
 
     def _use_quant(self) -> bool:
@@ -323,6 +343,7 @@ class Partition:
         return self.quant.search(
             self.matrix, queries, k, self.live_mask, self.metric,
             k_cand_floor=self.quant_candidates,
+            rerank_device=self._quant_rerank_device(),
         )
 
     def _search_quant_sharded(

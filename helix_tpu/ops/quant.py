@@ -87,6 +87,70 @@ def int8_coarse_topk(
     return jax.lax.approx_max_k(sims, k, recall_target=0.99)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def device_rerank_topk(
+    xs16: jax.Array,        # [N16, D] f16 resident rows (re-rank operand)
+    sq_norms: jax.Array,    # [N16] f32 squared norms (l2 only)
+    qs: jax.Array,          # [B, D] f32 query batch
+    cand: jax.Array,        # [B, Kc] int32 coarse candidates (junk allowed)
+    live: jax.Array,        # [N16] uint8 device live mask (1 = live)
+    n_valid: jax.Array,     # scalar int32
+    *,
+    k: int,
+    metric: str = "cosine",
+) -> tuple[jax.Array, jax.Array]:
+    """On-device re-rank of coarse candidates against a 2-byte row copy.
+
+    The quantized rungs' default re-rank round-trips candidates to the
+    host-resident f32 matrix — exact, but host-memory-bandwidth-bound
+    (the int8 rung serves 14k QPS against an 85k-QPS coarse phase,
+    LADDER_r04).  When HBM has room for a 2-byte/dim half-precision
+    copy next to the int8 codes (3 B/dim total vs the exact tier's 6),
+    the re-rank gathers and re-scores entirely on device: candidates
+    flow coarse → re-rank as device arrays with no host round-trip, and
+    the only D2H is the final ``[B, k]`` result.
+
+    The copy is **float16, not bfloat16**: the re-rank is a tiny
+    VPU-side gather+dot where MXU-friendliness doesn't matter, so the
+    extra 3 mantissa bits are free — measured recall@10 0.996 vs 0.973
+    for bf16 on the clustered ladder corpus (bf16's 2^-8 rounding swaps
+    near-ties), i.e. f16 restores the coarse phase's full containment.
+    Accumulation is f32; distance error is ~|x| * 2^-11, and reported
+    ``$distance`` carries that rounding, unlike the host re-rank's
+    exact f32 (documented in SERVING.md).
+
+    Returns ``(dists [B, min(k, Kc)], positions)`` ascending with the
+    Partition sentinel contract (+inf / -1) for dead or out-of-range
+    candidates.
+    """
+    n16 = xs16.shape[0]
+    safe = jnp.clip(cand, 0, n16 - 1)
+    rows = jnp.take(xs16, safe, axis=0).astype(jnp.float32)  # [B, Kc, D]
+    sims = jnp.einsum(
+        "bkd,bd->bk", rows, qs, preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        sims = 2.0 * sims - jnp.take(sq_norms, safe, axis=0)
+    ok = (
+        (cand >= 0)
+        & (cand < n_valid)
+        & (jnp.take(live, safe, axis=0) != 0)
+    )
+    sims = jnp.where(ok, sims, -jnp.inf)
+    k_eff = min(k, cand.shape[1])
+    best_s, pos = jax.lax.top_k(sims, k_eff)
+    best_i = jnp.take_along_axis(cand, pos, axis=1)
+    good = best_s > -jnp.inf
+    best_i = jnp.where(good, best_i, -1)
+    if metric == "cosine":
+        dists = 1.0 - best_s
+    else:
+        q_sq = jnp.sum(qs * qs, axis=1, keepdims=True)
+        dists = -best_s + q_sq
+    dists = jnp.where(good, dists, jnp.inf)
+    return dists, best_i
+
+
 class QuantizedResident:
     """Device-resident int8 copy of a packed matrix, refreshed by
     version (same scheme as PackedMatrix's bf16 cache)."""
@@ -97,6 +161,14 @@ class QuantizedResident:
         # keeps the serving hot path free of per-query H2D transfers
         # (~40 MB/query-batch at 10M rows before this).
         self._cached: tuple | None = None
+        # (matrix version, live count, device uint8 mask) — every
+        # liveness change goes through PackedMatrix.append/overwrite,
+        # both of which bump the version, so version-keying is sound;
+        # the live count rides along as cheap defense in depth.
+        self._live_dev: tuple | None = None
+        # (version, xs_f16, sq_dev) — the 2-byte/dim device re-rank
+        # copy (float16; see device_rerank_topk for why not bf16)
+        self._rr16: tuple | None = None
 
     def arrays(self, matrix) -> tuple[jax.Array, jax.Array, jax.Array]:
         from .distance import _round_up
@@ -143,18 +215,55 @@ class QuantizedResident:
             and _I8_MAX_TILE_BYTES // matrix.data.shape[1] >= 512
         )
 
+    def rerank_arrays(self, matrix) -> tuple[jax.Array, jax.Array]:
+        """(f16 row copy, f32 squared norms) for the device re-rank,
+        version-keyed like the int8 arrays."""
+        from .distance import PackedMatrix, _round_up
+
+        cached = self._rr16
+        if cached is not None and cached[0] == matrix.version:
+            return cached[1], cached[2]
+        n_rows = _round_up(max(matrix.n, 1), matrix.ROW_PAD)
+        # host-side cast first: halves the H2D bytes vs uploading f32
+        xs16 = PackedMatrix._upload(
+            matrix._rows_view(matrix.data, n_rows).astype(np.float16)
+        )
+        sq = jnp.asarray(matrix._rows_view(matrix.sq_norms, n_rows))
+        xs16.block_until_ready()
+        self._rr16 = (matrix.version, xs16, sq)
+        return xs16, sq
+
+    def _live_device(self, matrix, live_mask: np.ndarray, n_rows: int):
+        """Device uint8 live mask padded to ``n_rows`` (padding dead)."""
+        n_live = int(live_mask.sum())
+        cached = self._live_dev
+        if (
+            cached is not None
+            and cached[0] == matrix.version
+            and cached[1] == n_live
+            and cached[2].shape[0] >= n_rows
+        ):
+            return cached[2]
+        mask = np.zeros(n_rows, np.uint8)
+        mask[: len(live_mask)] = live_mask
+        dev = jnp.asarray(mask)
+        self._live_dev = (matrix.version, n_live, dev)
+        return dev
+
     def search(
         self, matrix, queries: np.ndarray, k: int, live_mask: np.ndarray,
         metric: str, k_cand_floor: int | None = None,
+        rerank_device: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Coarse int8 top-k + exact f32 host re-rank.
+        """Coarse int8 top-k + exact f32 re-rank (host or device).
 
         Returns (distances [B, k], positions) ascending, tombstones
         dropped via the re-rank's sentinel path.  ``k_cand_floor``
         (the ef_search analog) widens the re-ranked candidate pool.
+        ``rerank_device`` re-scores against an f16 device row copy
+        instead of the host f32 matrix (see :func:`device_rerank_topk`)
+        — 3 B/dim resident, no host round-trip.
         """
-        from ..native import rerank as native_rerank
-
         n = matrix.n
         xs_i8, scales, sq_dev = self.arrays(matrix)
         qs = matrix.prepare_queries(queries)
@@ -178,6 +287,16 @@ class QuantizedResident:
                 xs_i8, scales, jnp.asarray(qs), jnp.int32(n),
                 sq_dev, k=k_cand, metric=metric,
             )
+        if rerank_device:
+            xs16, sq16 = self.rerank_arrays(matrix)
+            live = self._live_device(matrix, live_mask, int(xs16.shape[0]))
+            dists, pos = device_rerank_topk(
+                xs16, sq16, jnp.asarray(qs), cand.astype(jnp.int32),
+                live, jnp.int32(n), k=k, metric=metric,
+            )
+            return np.asarray(dists), np.asarray(pos, np.int64)
+        from ..native import rerank as native_rerank
+
         cand = np.asarray(cand, np.int64)
         cand = np.where(
             (cand < n) & live_mask[np.clip(cand, 0, n - 1)], cand, -1
