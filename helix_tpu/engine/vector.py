@@ -349,9 +349,13 @@ class Partition:
     def _search_quant_sharded(
         self, queries: np.ndarray, k: int
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Mesh-sharded int8 coarse phase + exact f32 host re-rank (the
-        quantized rung at multi-chip scale)."""
-        from ..native import rerank as native_rerank
+        """Mesh-sharded int8 coarse phase + exact f32 re-rank (the
+        quantized rung at multi-chip scale).
+
+        Re-rank runs per-shard on device when the f16 copy fits the
+        per-chip budget (rows re-score where they live; the all-gather
+        then carries exact scores and the host re-rank drops out) and
+        falls back to the host f32 path otherwise."""
         from ..ops.quant import ShardedInt8Search, quantize_rows
         from ..parallel import make_mesh
 
@@ -370,14 +374,19 @@ class Partition:
             state = {
                 "kind": "int8", "version": self.matrix.version,
                 "mesh": make_mesh(), "searchers": {}, "arrays": None,
+                "rr_arrays": None,
             }
             self._shard_state = state
-        search = state["searchers"].get(k_cand)
+        n_shard = int(state["mesh"].shape["shard"])
+        use_dev = self._quant_rerank_device_sharded(n_shard)
+        skey = (k_cand, k if use_dev else None)
+        search = state["searchers"].get(skey)
         if search is None:
             search = ShardedInt8Search(
-                state["mesh"], k=k_cand, metric=self.metric
+                state["mesh"], k=k_cand, metric=self.metric,
+                rerank_device=use_dev, k_out=k,
             )
-            state["searchers"][k_cand] = search
+            state["searchers"][skey] = search
         if state["arrays"] is None:
             values, scales = quantize_rows(self.matrix.data[:n])
             state["arrays"] = search.shard_arrays(
@@ -385,6 +394,29 @@ class Partition:
             )
         xs_i8, scales, sq, n_valid = state["arrays"]
         qs = self.matrix.prepare_queries(queries)
+        if use_dev:
+            if state["rr_arrays"] is None:
+                state["rr_arrays"] = search.shard_rerank_arrays(
+                    self.matrix.data[:n], self.live_mask
+                )
+            sims, ids = search(
+                xs_i8, scales, sq, qs, n_valid,
+                rerank_arrays=state["rr_arrays"],
+            )
+            sims = np.asarray(sims, np.float32)
+            pos = np.asarray(ids, np.int64)
+            if self.metric == "cosine":
+                dists = 1.0 - sims
+            else:
+                q_sq = np.sum(qs * qs, axis=1, keepdims=True)
+                dists = q_sq - sims
+            dead = pos < 0
+            return (
+                np.where(dead, np.inf, dists).astype(np.float32),
+                np.where(dead, -1, pos),
+            )
+        from ..native import rerank as native_rerank
+
         _, cand = search(xs_i8, scales, sq, qs, n_valid)
         cand = np.asarray(cand, np.int64)
         live = self.live_mask
@@ -395,6 +427,20 @@ class Partition:
             self.matrix.data[:n], self.matrix.sq_norms[:n], qs, cand, k,
             self.metric,
         )
+
+    def _quant_rerank_device_sharded(self, n_shard: int) -> bool:
+        """Mesh variant of :meth:`_quant_rerank_device`: rows shard
+        1/n_shard per chip, so the f16 re-rank copy fits whenever the
+        PER-CHIP slice of (int8 + f16 + scales) is inside the budget."""
+        import os
+
+        mode = os.environ.get("HELIX_QUANT_RERANK", "auto")
+        if mode == "host":
+            return False
+        if mode == "device":
+            return True
+        per_chip = self._quant_dev_resident_bytes() // max(n_shard, 1)
+        return per_chip <= self.hbm_budget_bytes
 
     # -- int4 packed residency tier ----------------------------------------
 

@@ -311,15 +311,28 @@ class ShardedInt8Search:
     device runs the int8 MXU matmul over its slice, and an ICI
     all-gather merges per-shard candidates — the quantized rung of the
     residency ladder at mesh scale (6x the per-chip capacity of the
-    sharded exact tier)."""
+    sharded exact tier).
 
-    def __init__(self, mesh, k: int, metric: str = "cosine"):
+    With ``rerank_device=True`` each shard additionally re-scores its
+    own candidates against a LOCAL f16 row copy before the exchange
+    (see :func:`device_rerank_topk` for the precision model): the
+    gather never crosses shards — rows re-rank where they live — the
+    all-gather carries exact f32 scores, tombstones are filtered by a
+    sharded live mask on device, and the host re-rank drops out of the
+    multi-chip path entirely (its output is the final ``(scores,
+    ids)``, ids ``-1``-marked where dead/ragged).
+    """
+
+    def __init__(self, mesh, k: int, metric: str = "cosine",
+                 rerank_device: bool = False, k_out: int | None = None):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.mesh = mesh
-        self.k = k
+        self.k = k                      # per-shard candidate pool width
+        self.k_out = k_out or k         # merged output width (device path)
         self.metric = metric
+        self.rerank_device = rerank_device
         self.n_shard = int(mesh.shape["shard"])
         self._P = P
         self._NamedSharding = NamedSharding
@@ -330,10 +343,12 @@ class ShardedInt8Search:
 
         P = self._P
         k = self.k
+        k_out = self.k_out
         metric = self.metric
         n_shard = self.n_shard
+        rr = self.rerank_device
 
-        def shard_fn(xs_i8, scales, sq, qs, n_valid):
+        def shard_fn(xs_i8, scales, sq, qs, n_valid, *rr_ops):
             rows = xs_i8.shape[0]
             shard_id = jax.lax.axis_index("shard")
             local_valid = jnp.clip(n_valid - shard_id * rows, 0, rows)
@@ -341,6 +356,22 @@ class ShardedInt8Search:
                 xs_i8, scales, qs, local_valid, sq,
                 k=min(k, rows), metric=metric,
             )
+            if rr:
+                xs16, live = rr_ops
+                safe = jnp.clip(idx, 0, rows - 1)
+                cand_rows = jnp.take(xs16, safe, axis=0).astype(jnp.float32)
+                sims = jnp.einsum(
+                    "bkd,bd->bk", cand_rows, qs,
+                    preferred_element_type=jnp.float32,
+                )
+                if metric == "l2":
+                    sims = 2.0 * sims - jnp.take(sq, safe, axis=0)
+                ok = (
+                    (idx >= 0)
+                    & (idx < local_valid)
+                    & (jnp.take(live, safe, axis=0) != 0)
+                )
+                sims = jnp.where(ok, sims, -jnp.inf)
             global_i = idx + shard_id * rows
             all_s = jax.lax.all_gather(sims, "shard", axis=0)
             all_i = jax.lax.all_gather(global_i, "shard", axis=0)
@@ -348,20 +379,30 @@ class ShardedInt8Search:
             kk = all_s.shape[-1]
             flat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(b, n_shard * kk)
             flat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, n_shard * kk)
-            top_s, pos = jax.lax.top_k(flat_s, min(k, n_shard * kk))
+            k_merge = min(k_out if rr else k, n_shard * kk)
+            top_s, pos = jax.lax.top_k(flat_s, k_merge)
             top_i = jnp.take_along_axis(flat_i, pos, axis=1)
+            if rr:
+                top_i = jnp.where(top_s > -jnp.inf, top_i, -1)
             return top_s, top_i
 
+        in_specs = [
+            P("shard", None), P("shard"), P("shard"), P(None, None), P(),
+        ]
+        if rr:
+            in_specs += [P("shard", None), P("shard")]
         mapped = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
-            in_specs=(
-                P("shard", None), P("shard"), P("shard"), P(None, None), P(),
-            ),
+            in_specs=tuple(in_specs),
             out_specs=(P(None, None), P(None, None)),
             check_vma=False,
         )
         return jax.jit(mapped)
+
+    def _pad_rows(self, n: int) -> int:
+        rows = -(-n // self.n_shard)
+        return ((rows + 127) // 128) * 128
 
     def shard_arrays(self, values: np.ndarray, scales: np.ndarray,
                      sq_norms: np.ndarray):
@@ -371,9 +412,7 @@ class ShardedInt8Search:
 
         P, NS = self._P, self._NamedSharding
         n = len(values)
-        rows = -(-n // self.n_shard)
-        rows = ((rows + 127) // 128) * 128
-        total = rows * self.n_shard
+        total = self._pad_rows(n) * self.n_shard
         if total != n:
             pv = np.zeros((total, values.shape[1]), np.int8)
             pv[:n] = values
@@ -388,13 +427,39 @@ class ShardedInt8Search:
         sq = jax.device_put(pq, NS(self.mesh, P("shard")))
         return xs, sc, sq, n
 
-    def __call__(self, xs_i8, scales, sq, qs: np.ndarray, n_valid: int):
+    def shard_rerank_arrays(self, data_f32: np.ndarray,
+                            live_mask: np.ndarray):
+        """Row-sharded f16 re-rank copy + uint8 live mask (padding
+        dead), matching :meth:`shard_arrays`'s padding."""
+        import jax
+
+        P, NS = self._P, self._NamedSharding
+        n = len(data_f32)
+        total = self._pad_rows(n) * self.n_shard
+        xs16 = np.zeros((total, data_f32.shape[1]), np.float16)
+        xs16[:n] = data_f32
+        live = np.zeros(total, np.uint8)
+        live[:n] = live_mask[:n]
+        xs = jax.device_put(xs16, NS(self.mesh, P("shard", None)))
+        lv = jax.device_put(live, NS(self.mesh, P("shard")))
+        return xs, lv
+
+    def __call__(self, xs_i8, scales, sq, qs: np.ndarray, n_valid: int,
+                 rerank_arrays: tuple | None = None):
         import jax
 
         qd = jax.device_put(
             np.asarray(qs, np.float32),
             self._NamedSharding(self.mesh, self._P(None, None)),
         )
+        if self.rerank_device:
+            if rerank_arrays is None:
+                raise ValueError(
+                    "rerank_device searcher needs shard_rerank_arrays(...)"
+                )
+            return self._fn(
+                xs_i8, scales, sq, qd, jnp.int32(n_valid), *rerank_arrays
+            )
         return self._fn(xs_i8, scales, sq, qd, jnp.int32(n_valid))
 
 

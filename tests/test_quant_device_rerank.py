@@ -170,3 +170,50 @@ def test_partition_rerank_mode_predicate(monkeypatch):
     assert not part._quant_rerank_device()
     monkeypatch.setenv("HELIX_QUANT_RERANK", "device")
     assert part._quant_rerank_device()
+
+
+# -- mesh-sharded device re-rank (8-device CPU mesh via conftest) --------
+
+
+def _partition_corpus(seed, n, d, metric="cosine"):
+    rng = np.random.default_rng(seed)
+    data, centers = clustered(rng, n, d)
+    dim_pad = 128
+    budget = int(n * dim_pad * 2)        # int8 fits, exact doesn't
+    part = Partition(metric, hbm_budget_bytes=budget)
+    for i, row in enumerate(data):
+        part.add(i + 1, row)
+    qs = _queries(rng, centers, 12, d)
+    return part, data, qs
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2"])
+def test_sharded_device_vs_host_rerank_parity(monkeypatch, metric):
+    import jax
+
+    assert len(jax.devices()) > 1   # conftest mesh
+    part, data, qs = _partition_corpus(20, 5_000, 64, metric)
+    part._live[50:60] = False       # tombstones cross the parity too
+    part._n_live -= 10
+    part.matrix.version += 1        # what Partition.remove would do
+    k = 8
+    monkeypatch.setenv("HELIX_QUANT_RERANK", "host")
+    ids_h, d_h = part.search_many(qs, k)
+    part._shard_state = None        # searcher caches are mode-specific
+    monkeypatch.setenv("HELIX_QUANT_RERANK", "device")
+    ids_d, d_d = part.search_many(qs, k)
+    assert ids_d.shape == ids_h.shape
+    for i in range(len(qs)):
+        hs, ds = set(ids_h[i]) - {0}, set(ids_d[i]) - {0}
+        assert len(hs & ds) >= k - 1, (hs, ds)   # f16 near-tie swaps only
+        for e in ds:
+            assert part._live[part.pos[e]]
+    assert np.allclose(d_d, d_h, rtol=2e-2, atol=2e-2)
+
+
+def test_sharded_per_chip_predicate():
+    part, _, _ = _partition_corpus(21, 4_000, 64)
+    # whole-corpus f16+int8 exceeds the budget, but 1/8th per chip fits
+    assert not part._quant_rerank_device()
+    assert part._quant_rerank_device_sharded(8)
+    assert not part._quant_rerank_device_sharded(1)
