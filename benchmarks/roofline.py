@@ -113,6 +113,9 @@ def timed_scan_qps(
     import jax
     import jax.numpy as jnp
 
+    # the estimate differences a full scan against a half-length scan,
+    # so two distinct lengths are required (rounds=1 would divide by 0)
+    rounds = max(rounds, 2)
     half = max(rounds // 2, 1)
 
     @jax.jit

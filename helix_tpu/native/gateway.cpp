@@ -694,6 +694,7 @@ bool drain_requests(Gateway* gw, Conn* c) {
             c->keep_alive = true;
             c->authorized = gw->api_key.empty();
             bool chunked = false;
+            bool cl_seen = false;
             size_t pos = line_end + 2;
             while (pos < hdr_end) {
                 size_t eol = c->rbuf.find("\r\n", pos);
@@ -717,6 +718,14 @@ bool drain_requests(Gateway* gw, Conn* c) {
                             // pipelined request (request smuggling)
                             c->body_bad = true;
                         }
+                        if (cl_seen) {
+                            // duplicate Content-Length: a front hop
+                            // honoring the FIRST value while we honor
+                            // the last desynchronizes the connection
+                            // (classic smuggling vector) — reject
+                            c->body_bad = true;
+                        }
+                        cl_seen = true;
                         c->body_need = (size_t)cl;
                     } else if (iequal(h, nlen, "transfer-encoding")) {
                         if (vlen >= 7) chunked = true;
@@ -1235,15 +1244,23 @@ int hxgw_respond_vbatch(void* h, const unsigned long long* reqids,
                         const unsigned long long* ids, const double* dists,
                         const int* counts) {
     Gateway* gw = (Gateway*)h;
-    // snapshot templates (incl. retired: requests dispatched before a
-    // bundle reload still need their response format)
+    // snapshot ONLY the templates this batch references (incl. retired:
+    // requests dispatched before a bundle reload still need their
+    // response format).  A batch touches a handful of routes; copying
+    // every retired FastRoute (up to 4096 x ~10 strings) under fr_mu on
+    // the hot response path measurably stalled concurrent parses.
     std::unordered_map<int, FastRoute> frs;
     {
+        std::unordered_set<int> want;
+        for (int i = 0; i < n; ++i) want.insert(route_ids[i]);
         std::lock_guard<std::mutex> lk(gw->fr_mu);
-        for (const auto& fr : gw->retired_routes) frs[fr.route_id] = fr;
-        for (const auto& fr : gw->fast_routes) frs[fr.route_id] = fr;
+        for (const auto& fr : gw->retired_routes)
+            if (want.count(fr.route_id)) frs[fr.route_id] = fr;
+        for (const auto& fr : gw->fast_routes)
+            if (want.count(fr.route_id)) frs[fr.route_id] = fr;
         for (const auto& [sk, dr] : gw->dyn_routes)
-            if (dr.kind == 1) frs[dr.fr.route_id] = dr.fr;
+            if (dr.kind == 1 && want.count(dr.fr.route_id))
+                frs[dr.fr.route_id] = dr.fr;
     }
     std::deque<std::pair<uint64_t, std::string>> out;
     for (int i = 0; i < n; ++i) {

@@ -841,6 +841,7 @@ bool drain_client(Proxy* px, ClientConn* c) {
             c->keep_alive = true;
             c->require_writer = false;
             c->fwd_headers.clear();
+            bool cl_seen = false;
             size_t pos = line_end + 2;
             while (pos < hdr_end) {
                 size_t eol = c->rbuf.find("\r\n", pos);
@@ -855,15 +856,19 @@ bool drain_client(Proxy* px, ClientConn* c) {
                     if (iequal(h, nlen, "content-length")) {
                         // reject a malformed value rather than treating
                         // it as 0 and reparsing the body bytes as the
-                        // next request (smuggling primitive)
+                        // next request (smuggling primitive); reject a
+                        // DUPLICATE header for the same reason — a
+                        // front hop honoring the first value while we
+                        // honor the last desynchronizes the stream
                         char* endp = nullptr;
                         unsigned long long cl = strtoull(v, &endp, 10);
                         const char* q = endp;
                         while (q < he && (*q == ' ' || *q == '\t')) ++q;
-                        if (endp == v || q != he) {
+                        if (endp == v || q != he || cl_seen) {
                             close_client(px, c);
                             return false;
                         }
+                        cl_seen = true;
                         c->body_need = (size_t)cl;
                     } else if (iequal(h, nlen, "transfer-encoding")) {
                         // chunked request bodies are not deframed here;

@@ -466,7 +466,8 @@ class HostIVFIndex:
         total = int((ends - starts).sum())
         if total == 0:
             b = len(queries)
-            self.last_block_rows = 0
+            self.last_path = "empty"   # neither scorer ran (contract:
+            self.last_block_rows = 0   # fields refresh EVERY search)
             self.last_streamed_bytes = 0
             return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int64)
 
@@ -508,12 +509,29 @@ class HostIVFIndex:
         cand = np.full((b, kc), -1, np.int64)
         starts = self.indptr[cells]
         ends = self.indptr[cells + 1]
-        for qi in range(b):
-            o = 0
-            for s, e in zip(starts[qi], ends[qi]):
-                if e > s:
-                    cand[qi, o:o + (e - s)] = np.arange(s, e)
-                    o += e - s
+        # Vectorized ragged fill: each (query, probed cell) run writes
+        # arange(start, end) at its running column offset.  The former
+        # B x nprobe Python loop ran ~32k interpreted iterations per
+        # B=1024 batch BEFORE the native kernel — inflating exactly the
+        # host-path latency the ProbeRouter routes on.
+        lens = ends - starts                       # [B, nprobe]
+        col_off = np.cumsum(lens, axis=1) - lens   # run -> first column
+        flat_lens = lens.ravel()
+        nz = flat_lens > 0
+        reps = flat_lens[nz]
+        if len(reps):
+            run_rows = np.repeat(
+                np.arange(b, dtype=np.int64), lens.shape[1]
+            )[nz]
+            run_cols = col_off.ravel()[nz]
+            run_starts = starts.ravel()[nz]
+            within = (
+                np.arange(int(reps.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(reps) - reps, reps)
+            )
+            cand[
+                np.repeat(run_rows, reps), np.repeat(run_cols, reps) + within
+            ] = np.repeat(run_starts, reps) + within
         dists, rows = native_rerank(
             self.packed, self._sq_unused, queries, cand, k_eff, "cosine"
         )

@@ -51,6 +51,12 @@ class _FastSpec:
     k_fixed: int | None  # Literal k
     k_max: int
     tenant_key: str | None = None  # param name carrying the tenant value
+    # Dynamic routes (name "<dyn>") have no stored query to fall back
+    # to, so the learned plan + its parameter keys ride the spec and
+    # the interpreter fallback executes them as a plain read request.
+    query: dict | None = None
+    vec_key: str | None = None
+    k_key: str | None = None
 
 
 class _BlobEpochHook:
@@ -157,6 +163,7 @@ class NativeGateway:
         self._dyn_lookup_specs: dict[bytes, tuple[str, str]] = {}
         self._dyn_ineligible: set[bytes] = set()
         self._blob_epoch_pushed: int | None = None
+        self._blob_epoch_lock = threading.Lock()
         self._blobs_dirty = False
         self.engine.store.add_write_hook(_BlobEpochHook(self))
 
@@ -339,11 +346,17 @@ class NativeGateway:
     # -- dynamic fast routes (learned /v1/query plans) -------------------
 
     def _push_blob_epoch(self) -> None:
-        epoch = self.engine.store.epoch
-        if epoch != self._blob_epoch_pushed:
-            self._blob_epoch_pushed = epoch
-            self._lib.hxgw_blob_epoch(self._handle, epoch)
-        self._blobs_dirty = False
+        # Atomic read+push: without the lock a preempted worker could
+        # push an OLDER epoch after a newer one and re-validate stale
+        # blobs (read-your-writes violation).  Under the lock the store
+        # epoch is re-read, so the last push always carries the newest
+        # value any entering thread observed.
+        with self._blob_epoch_lock:
+            epoch = self.engine.store.epoch
+            if epoch != self._blob_epoch_pushed:
+                self._blob_epoch_pushed = epoch
+                self._lib.hxgw_blob_epoch(self._handle, epoch)
+            self._blobs_dirty = False
 
     def _maybe_learn_dynamic(self, body: bytes, result, epoch0: int) -> None:
         """Inspect a just-served /v1/query read; register its plan
@@ -419,6 +432,8 @@ class NativeGateway:
                     label=spec["label"], prop=spec["prop"],
                     dim=spec["dim"], k_fixed=spec["k_fixed"],
                     k_max=self.K_MAX, tenant_key=spec["tenant_key"],
+                    query=query, vec_key=spec["vec_key"],
+                    k_key=spec["k_key"] or None,
                 )
         return rid > 0
 
@@ -558,6 +573,13 @@ class NativeGateway:
                         pass
                 if n == 0:
                     continue
+                # Inflight ledger: the whole batch counts while this
+                # thread dispatches it (blanket +n/-n), and each group
+                # handed to a finalizer RE-tracks at yield time so the
+                # async finalize window stays covered.  The blanket
+                # finally settles the books even when dispatch raises —
+                # before this, an exception leaked _inflight permanently
+                # and the idle-gated GC sweep never ran again.
                 self._track(n)
                 try:
                     for item in self._dispatch_vbatch(
@@ -582,6 +604,8 @@ class NativeGateway:
                             )
                         except Exception:
                             pass
+                finally:
+                    self._track(-n)
         finally:
             for _ in finishers:
                 pending.put(None)
@@ -663,7 +687,6 @@ class NativeGateway:
                     self._respond_empty_fast(
                         np.ascontiguousarray(reqids[rows]), rid
                     )
-                    self._track(-len(rows))
                     continue
                 for i in rows:
                     self._respond_slow_fallback(
@@ -683,6 +706,10 @@ class NativeGateway:
                         tenant=tenant or None,
                     )
                 continue
+            # tracked until the finalizer answers (the caller's blanket
+            # -n lands when this generator is exhausted, so the async
+            # finalize window needs its own +1 per row)
+            self._track(len(rows))
             yield (
                 np.ascontiguousarray(reqids[rows]), rid,
                 np.ascontiguousarray(ks[rows]), batch_q, finalize,
@@ -731,6 +758,7 @@ class NativeGateway:
                         int(batch_reqids[i]), rid, batch_q[i],
                         int(batch_ks[i]), tenant=tenant,
                     )
+                self._track(-len(batch_reqids))
                 continue
             got = ids.shape[1]
             counts = np.minimum(
@@ -765,32 +793,49 @@ class NativeGateway:
         try:
             if spec is None:
                 raise KeyError("fast route no longer installed")
-            params: dict[str, Any] = {
-                # vec_key/k_key recovery needs the route definition
-            }
-            route = self.engine.routes.get(spec.name)
-            if route is None:
-                raise KeyError(f"unknown stored query: {spec.name}")
-            search = route["query"]["queries"][0]["Query"]["steps"][0]
-            body = next(iter(search.values()))
+            if spec.query is not None:
+                # dynamic learned plan: no stored route exists — replay
+                # the captured plan as a plain read request (byte-equal
+                # to what the slow path would have served)
+                params: dict[str, Any] = {
+                    spec.vec_key: [float(x) for x in query_row[: spec.dim]]
+                }
+                if spec.k_key:
+                    params[spec.k_key] = k
+                if spec.tenant_key and tenant is not None:
+                    params[spec.tenant_key] = tenant
+                payload = self.engine.execute({
+                    "request_type": "read", "query_name": None,
+                    "query": spec.query, "parameters": params,
+                })
+                status = 200
+            else:
+                params = {
+                    # vec_key/k_key recovery needs the route definition
+                }
+                route = self.engine.routes.get(spec.name)
+                if route is None:
+                    raise KeyError(f"unknown stored query: {spec.name}")
+                search = route["query"]["queries"][0]["Query"]["steps"][0]
+                body = next(iter(search.values()))
 
-            def unwrap(node):
-                if isinstance(node, dict) and set(node) == {"Expr"}:
-                    node = node["Expr"]
-                return node.get("Param") if isinstance(node, dict) else None
+                def unwrap(node):
+                    if isinstance(node, dict) and set(node) == {"Expr"}:
+                        node = node["Expr"]
+                    return node.get("Param") if isinstance(node, dict) else None
 
-            params[unwrap(body["query_vector"])] = [
-                float(x) for x in query_row[: spec.dim]
-            ]
-            kp = unwrap(body["k"])
-            if kp is not None:
-                params[kp] = k
-            if tenant is not None:
-                tp = unwrap(body.get("tenant_value"))
-                if tp is not None:
-                    params[tp] = tenant
-            payload = self.engine.execute_stored(spec.name, params)
-            status = 200
+                params[unwrap(body["query_vector"])] = [
+                    float(x) for x in query_row[: spec.dim]
+                ]
+                kp = unwrap(body["k"])
+                if kp is not None:
+                    params[kp] = k
+                if tenant is not None:
+                    tp = unwrap(body.get("tenant_value"))
+                    if tp is not None:
+                        params[tp] = tenant
+                payload = self.engine.execute_stored(spec.name, params)
+                status = 200
         except Exception as exc:
             from ..engine import EngineError
 
@@ -803,7 +848,6 @@ class NativeGateway:
                 )
         data = fastjson.dumpb(payload, nan_null=True)
         lib.hxgw_respond(h, reqid, status, b"application/json", data, len(data))
-        self._track(-1)
 
     def _general_loop(self) -> None:
         lib, h = self._lib, self._handle

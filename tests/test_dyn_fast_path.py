@@ -254,3 +254,56 @@ def test_float_and_unicode_properties_roundtrip(gateway):
     assert slow == fast
     row = json.loads(fast)["rows"][0]
     assert row["f"] == 0.1 and row["s"] == "héllo\t\"quoted\""
+
+
+def test_dyn_route_interpreter_fallback_not_500(gateway, monkeypatch):
+    """A learned dynamic route whose fast dispatch fails mid-flight must
+    fall back to the interpreter and serve the SAME response — before
+    the fix, _respond_slow_fallback looked up the non-existent stored
+    query '<dyn>' and answered 500."""
+    from helix_tpu.engine.vector import Partition
+
+    _ingest_docs(gateway.engine)
+    q = [1.0, 0.0, 2.0, 0.0, 3.0, 0.0, 4.0, 0.0]
+    body = _vsearch_body(q)
+    slow = _post(gateway.port, body)   # learns the plan
+    assert b"error" not in slow
+
+    real = Partition.search_many_async
+    fail_once = {"armed": True}
+
+    def flaky(self, queries, k):
+        if fail_once["armed"]:
+            fail_once["armed"] = False
+            raise RuntimeError("injected fast-path failure")
+        return real(self, queries, k)
+
+    monkeypatch.setattr(Partition, "search_many_async", flaky)
+    got = _post(gateway.port, body)    # fast parse -> dispatch fails -> fallback
+    assert got == slow, got[:200]
+    assert not fail_once["armed"], "fast dispatch never engaged"
+
+
+def test_inflight_settles_after_fast_path_failures(gateway, monkeypatch):
+    """The inflight ledger must return to zero even when the vector
+    fast path throws (it gates the idle GC sweep forever if it leaks)."""
+    import time as _t
+
+    from helix_tpu.engine.vector import Partition
+
+    _ingest_docs(gateway.engine)
+    body = _vsearch_body([1.0] * 8)
+    _post(gateway.port, body)          # learn
+
+    def always_fail(self, queries, k):
+        raise RuntimeError("injected")
+
+    monkeypatch.setattr(Partition, "search_many_async", always_fail)
+    for _ in range(3):
+        _post(gateway.port, body)      # fallback replays via interpreter...
+    monkeypatch.undo()
+    _post(gateway.port, body)          # ...and a healthy request after
+    deadline = _t.time() + 5
+    while _t.time() < deadline and gateway._inflight != 0:
+        _t.sleep(0.05)
+    assert gateway._inflight == 0, gateway._inflight

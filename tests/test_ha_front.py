@@ -553,6 +553,11 @@ def test_proxy_rejects_chunked_and_bad_content_length(cluster):
         b"POST /v1/query HTTP/1.1\r\nHost: x\r\n"
         b"Content-Length: 2abc\r\n\r\n"
         b"GET /v1/health HTTP/1.1\r\n\r\n",
+        # duplicate Content-Length: honoring the last value while a
+        # front hop honors the first desynchronizes the stream
+        b"POST /v1/query HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: 2\r\nContent-Length: 48\r\n\r\n"
+        b"{}GET /v1/health HTTP/1.1\r\nHost: x\r\n\r\n",
     ):
         with socket.create_connection(
             ("127.0.0.1", front.port), timeout=5

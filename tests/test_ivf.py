@@ -237,3 +237,35 @@ class TestProbeRouting:
             for i in range(len(queries))
         ])
         assert overlap >= 0.95, overlap
+
+
+def test_empty_probe_union_refreshes_last_path(monkeypatch):
+    """The observability contract says last_path refreshes on EVERY
+    search, including the empty-union early return (it used to keep the
+    previous search's value)."""
+    import numpy as np
+
+    import helix_tpu.ops.ivf as ivf_mod
+
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=(600, 16)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    idx = ivf_mod.HostIVFIndex.build(data, n_clusters=8, normalize=False)
+    qs = data[:4]
+    monkeypatch.setenv("HELIX_IVF_BACKEND", "device")
+    idx.search(qs, 3, nprobe=2, normalize=False)
+    assert idx.last_path == "device"
+    # force a probe set of empty cells only
+    empty_cell = int(np.argmin(np.diff(idx.indptr)))
+    if idx.indptr[empty_cell + 1] > idx.indptr[empty_cell]:
+        # no naturally empty cell: empty one artificially (its rows
+        # fold into the next cell, which this test never probes)
+        idx.indptr = idx.indptr.copy()
+        idx.indptr[empty_cell + 1] = idx.indptr[empty_cell]
+    monkeypatch.setattr(
+        ivf_mod, "probe_cells",
+        lambda *a, **k: np.full((len(qs), 1), empty_cell, np.int64),
+    )
+    d, i = idx.search(qs, 3, nprobe=1, normalize=False)
+    assert i.shape == (len(qs), 0)
+    assert idx.last_path == "empty"

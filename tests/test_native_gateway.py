@@ -630,3 +630,25 @@ def test_wide_dim_routes_stay_on_interpreter():
     finally:
         gw.stop()
         gw.engine.close()
+
+
+def test_duplicate_content_length_rejected(gateway):
+    """Two Content-Length headers must 400 and close: a front hop that
+    honors the FIRST value while we honor the last desynchronizes the
+    connection (request smuggling), exactly like a malformed value."""
+    raw = (
+        b"POST /v1/query HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: 10\r\nContent-Length: 50\r\n\r\n"
+        b"0123456789GET /v1/health HTTP/1.1\r\nHost: x\r\n\r\n"
+    )
+    with socket.create_connection(("127.0.0.1", gateway.port), timeout=10) as s:
+        s.sendall(raw)
+        buf = b""
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+    assert b"400" in buf.split(b"\r\n", 1)[0]
+    assert buf.count(b"HTTP/1.1") == 1  # the trailing bytes never parsed

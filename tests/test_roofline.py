@@ -72,3 +72,17 @@ def test_timed_scan_qps_runs_and_blocks_all_outputs():
     assert qps > 0
     assert len(diag["per_batch_ms_samples"]) == 2
     assert diag["full_scan_s_median"] > 0
+
+
+def test_timed_scan_single_round_does_not_divide_by_zero():
+    """rounds=1 used to make half == rounds and divide by zero; it must
+    clamp to two distinct scan lengths instead."""
+    import jax.numpy as jnp
+
+    from benchmarks.roofline import timed_scan_qps
+
+    qps, diag = timed_scan_qps(
+        lambda qb: jnp.argsort(-qb[:, :4], axis=1)[:, :2],
+        batch=8, d=4, dim_pad=4, rounds=1, reps=1,
+    )
+    assert qps > 0
