@@ -191,13 +191,21 @@ def _reference_baseline_attempt() -> dict:
     if pull.returncode != 0:
         return {"attempted": f"{runtime} pull {image}", "ok": False,
                 "reason": pull.stderr.decode()[-300:]}
-    # image available: start it and measure a vector-search loop
+    # image available: start it and measure a vector-search loop.  The
+    # container is named so cleanup works even when `run -d` times out
+    # AFTER the daemon started it (an anonymous id would be lost and
+    # the detached container would squat on the port for every later
+    # run); returncode is checked before treating stdout as an id.
+    cname = "helix-bench-baseline"
     try:
         run = subprocess.run(
-            [runtime, "run", "-d", "-p", "18099:8080", image],
+            [runtime, "run", "-d", "--name", cname,
+             "-p", "18099:8080", image],
             capture_output=True, timeout=120,
         )
-        container = run.stdout.decode().strip()
+        if run.returncode != 0:
+            return {"attempted": f"{runtime} run {image}", "ok": False,
+                    "reason": run.stderr.decode()[-300:]}
         import urllib.request
 
         deadline = time.time() + 60
@@ -210,13 +218,16 @@ def _reference_baseline_attempt() -> dict:
                 break
             except Exception:
                 time.sleep(0.5)
-        subprocess.run([runtime, "rm", "-f", container],
-                       capture_output=True, timeout=60)
         return {"attempted": f"{runtime} run {image}", "ok": ready,
                 "reason": "" if ready else "container never became ready"}
     except Exception as exc:
         return {"attempted": f"{runtime} run {image}", "ok": False,
                 "reason": str(exc)}
+    finally:
+        # by-name removal also reaps a container whose `run -d` timed
+        # out after the daemon had already started it
+        subprocess.run([runtime, "rm", "-f", cname],
+                       capture_output=True, timeout=60)
 
 
 def _gateway_bench(matrix, d: int, k: int) -> dict:
@@ -365,6 +376,11 @@ def run_pipelined(total, window=2048):
     s = socket.create_connection(("127.0.0.1", port), timeout=120)
     s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
     got = sent = 0
+    # carry the tail across recv() boundaries: TCP can split a status
+    # line anywhere, and counting per-chunk misses a response whose
+    # "HTTP/1.1 200" straddles two reads (the loop then waits on a
+    # count that can never complete)
+    tail = b""
     t0 = time.perf_counter()
     while got < total:
         while sent < total and sent - got < window:
@@ -373,7 +389,12 @@ def run_pipelined(total, window=2048):
                 blobs[(sent + j) % 512] for j in range(take)
             ))
             sent += take
-        got += s.recv(1 << 20).count(b"HTTP/1.1 200")
+        chunk = tail + s.recv(1 << 20)
+        got += chunk.count(b"HTTP/1.1 200")
+        # len(pattern) - 1 bytes: long enough to complete a straddled
+        # match next round, short enough to never hold a full match
+        # (which the next count would double-count)
+        tail = chunk[-11:]
     elapsed = time.perf_counter() - t0
     s.close()
     return elapsed
@@ -557,7 +578,7 @@ def main() -> None:
     n_valid = jnp.int32(matrix.n)
 
     # Pad queries to the matrix layout (dims pad to multiples of 128).
-    padded_queries = np.stack([matrix.prepare_query(q) for q in all_queries])
+    padded_queries = matrix.prepare_queries(all_queries)
     query_batches = [
         jax.device_put(padded_queries[i * batch:(i + 1) * batch])
         for i in range(n_batches)
@@ -811,8 +832,11 @@ def main() -> None:
 
     print("# measuring CPU HNSW baseline (reference-class, m=16/efc=128)...",
           file=sys.stderr)
-    oracle_full = np.argsort(-sims, axis=1)[:, :k]
-    baseline = _cpu_hnsw_baseline(np.asarray(data), all_queries, oracle_full)
+    # the baseline's ef ladder tunes on the same 64-query oracle sample
+    # as the device recall gate (recomputing the identical argsort as a
+    # separate "oracle_full" burned seconds and implied more coverage
+    # than it had; 64 queries bounds recall granularity at 1/640)
+    baseline = _cpu_hnsw_baseline(np.asarray(data), all_queries, oracle)
 
     result = {
         "metric": (

@@ -86,7 +86,9 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
     from helix_tpu.native import rerank as native_rerank
     from helix_tpu.ops.distance import PackedMatrix, resident_topk_auto
     from helix_tpu.ops.ivf import HostIVFIndex
-    from helix_tpu.ops.quant import int8_coarse_topk, quantize_rows
+    from helix_tpu.ops.quant import (
+        int8_coarse_topk, int8_fused_coarse, quantize_rows,
+    )
     from helix_tpu.ops.quant4 import (
         int4_coarse_topk, int4_fused_coarse, quantize_rows_int4,
     )
@@ -102,7 +104,6 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
     qs_pad = all_q_pad[:batch]            # recall/rerank batch
     q_rot = [jnp.asarray(all_q_pad[i * batch:(i + 1) * batch])
              for i in range(n_rot)]
-    qd = q_rot[0]
     log("# oracle (blocked exact host scan)...")
     oracle = _oracle(data, queries[:batch], k)
     rows: list[dict] = []
@@ -174,7 +175,11 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
         log(f"# int{bits} rung (quantize + upload)...")
         t0 = time.perf_counter()
         rows_n = matrix.n
-        use_fused = bits == 4 and backend == "tpu"
+        # both quantized rungs time the kernels SERVING runs on TPU:
+        # the fused Pallas coarse (QuantizedResident/_use_fused gate) —
+        # the XLA path would materialize a [B, N] f32 score buffer
+        # (10.2 GB at 10M x 256-batch, next to the resident arrays)
+        use_fused = backend == "tpu"
         if use_fused:
             from helix_tpu.ops.fused_topk import pad_rows_for_fused
 
@@ -194,7 +199,10 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
         del vparts, sparts
         xs_q = PackedMatrix._upload(values)
         sc = jnp.asarray(scales)
-        sqq = jnp.asarray(matrix.sq_norms[: len(values)])
+        # cosine never reads the sq-norm operand — a 1-element dummy
+        # avoids an N x 4-byte H2D per rung (40 MB at 10M over this
+        # tunnel's ~25 MB/s), matching QuantizedResident.arrays
+        sqq = jnp.zeros((1,), jnp.float32)
         jax.block_until_ready(xs_q)
         q_build_s = time.perf_counter() - t0
 
@@ -207,6 +215,10 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
                     )[1]
                 return int4_coarse_topk(
                     a_q, a_sc, qb, jnp.int32(matrix.n), a_sq, k=k_cand
+                )[1]
+            if use_fused:
+                return int8_fused_coarse(
+                    a_q, a_sc, qb, jnp.int32(matrix.n), k=k_cand
                 )[1]
             return int8_coarse_topk(
                 a_q, a_sc, qb, jnp.int32(matrix.n), a_sq, k=k_cand
@@ -256,7 +268,7 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
             log("# int8_dev rung (int8 coarse + f16 device re-rank)...")
             t0 = time.perf_counter()
             xs16d = PackedMatrix._upload(
-                np.asarray(matrix.data[: len(values)], np.float16)
+                np.asarray(matrix.data[: matrix.n], np.float16)
             )
             sq16d = jnp.zeros((1,), jnp.float32)    # cosine: unused operand
             jax.block_until_ready(xs16d)
@@ -268,9 +280,14 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
                     (xs_q, sc, sqq, xs16d, sq16d, live_dev)
                     if not arrs else arrs
                 )
-                cand = int8_coarse_topk(
-                    a_q, a_sc, qb, jnp.int32(matrix.n), a_sq, k=_k
-                )[1]
+                if use_fused:
+                    cand = int8_fused_coarse(
+                        a_q, a_sc, qb, jnp.int32(matrix.n), k=_k
+                    )[1]
+                else:
+                    cand = int8_coarse_topk(
+                        a_q, a_sc, qb, jnp.int32(matrix.n), a_sq, k=_k
+                    )[1]
                 return device_rerank_topk(
                     a16, a_sq16, qb, cand.astype(jnp.int32), a_live,
                     jnp.int32(matrix.n), k=k,
@@ -341,10 +358,13 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
     t0 = time.perf_counter()
     reps = max(2, rounds // 4)
     for r in range(reps):
+        # batches DISJOINT from the warm-up's (0..2) and from each
+        # other: the tunnel caches byte-identical dispatches, so a
+        # device-routed scoring path timed on repeated batches would be
+        # cache-inflated (the artifact timed_scan_qps defends against)
+        b_i = (3 + r) % n_rot
         ivf.search(
-            np.asarray(
-                all_q_pad[(r % n_rot) * batch:(r % n_rot + 1) * batch]
-            ),
+            np.asarray(all_q_pad[b_i * batch:(b_i + 1) * batch]),
             k, nprobe=nprobe, normalize=False,
         )
     ivf_qps = batch * reps / (time.perf_counter() - t0)

@@ -111,10 +111,19 @@ from .fused_topk import BUCKET, MAX_QUERY_BLOCK, MIN_QUERY_BLOCK, NEG_SENTINEL, 
 _I4_MAX_TILE_BYTES = 4 * 1024 * 1024  # packed bytes per x-tile in VMEM
 
 
+# VMEM working set per row inside the kernel: the packed tile (1 byte
+# per 2 dims) PLUS the materialized unpack intermediates — p32 int32
+# (4 bytes/packed byte) and the lo/hi int8 nibbles (2 bytes/packed
+# byte).  Budgeting only the packed bytes let wide dims (e.g. 2048-d,
+# d_half=1024) pick a 4096-row tile whose int32 intermediate alone was
+# 16 MB — the whole v5e VMEM — before the query block and score tile.
+_I4_ROW_VMEM_FACTOR = 7
+
+
 def _i4_tile_rows(d_half: int, query_block: int | None = None) -> int:
     from .fused_topk import tile_rows_for
 
-    return tile_rows_for(d_half, query_block)  # packed: 1 byte per 2 elements
+    return tile_rows_for(_I4_ROW_VMEM_FACTOR * d_half, query_block)
 
 
 def _make_i4_kernel(tile_rows: int, d_half: int):
@@ -290,8 +299,11 @@ class Int4Resident:
             jax.default_backend() == "tpu"
             and matrix.metric == "cosine"
             and matrix.n >= TILE
-            # packed row tile must fit the VMEM budget at this width
-            and _I4_MAX_TILE_BYTES // max(matrix.data.shape[1] // 2, 1) >= 512
+            # the unpack working set (packed + int32 + nibbles) must
+            # still leave a >= 512-row tile at this width
+            and _I4_MAX_TILE_BYTES
+            // max(_I4_ROW_VMEM_FACTOR * (matrix.data.shape[1] // 2), 1)
+            >= 512
         )
 
     def search(

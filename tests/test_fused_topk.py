@@ -161,8 +161,18 @@ def test_tile_rows_shared_helper():
     assert tile_rows_for(128 * 2) == TILE
     # int8 fits 2x the rows of bf16 at equal width (same byte budget)
     assert _i8_tile_rows(4096) == 2 * tile_rows_for(4096 * 2)
-    # packed int4 halves the bytes again
-    assert _i4_tile_rows(4096 // 2) == 2 * _i8_tile_rows(4096)
+    # packed int4 budgets its UNPACK working set (packed + int32 +
+    # nibble intermediates = 7x the packed bytes), not just the packed
+    # tile — the old packed-only budget let 2048-d pick a tile whose
+    # int32 intermediate alone filled VMEM
+    from helix_tpu.ops.quant4 import _I4_ROW_VMEM_FACTOR
+
+    assert _i4_tile_rows(4096 // 2) == tile_rows_for(
+        _I4_ROW_VMEM_FACTOR * 2048
+    )
+    # at serving width (128-d, d_half=64) the factor changes nothing:
+    # the score-tile cap binds first
+    assert _i4_tile_rows(64, 256) == _i8_tile_rows(128, 256)
     # every result divides TILE (non-divisors would drop tail rows)
     for rb in (64, 128, 999, 4096, 8192, 100_000):
         assert TILE % tile_rows_for(rb) == 0
