@@ -225,9 +225,14 @@ def _reference_baseline_attempt() -> dict:
                 "reason": str(exc)}
     finally:
         # by-name removal also reaps a container whose `run -d` timed
-        # out after the daemon had already started it
-        subprocess.run([runtime, "rm", "-f", cname],
-                       capture_output=True, timeout=60)
+        # out after the daemon had already started it; swallow cleanup
+        # failures (a wedged daemon must not override the return value
+        # and crash the bench after all measurements completed)
+        try:
+            subprocess.run([runtime, "rm", "-f", cname],
+                           capture_output=True, timeout=60)
+        except Exception:
+            pass
 
 
 def _gateway_bench(matrix, d: int, k: int) -> dict:

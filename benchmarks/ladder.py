@@ -356,13 +356,14 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
             k, nprobe=nprobe, normalize=False,
         )
     t0 = time.perf_counter()
-    reps = max(2, rounds // 4)
+    # batches DISJOINT from the warm-up's (0..2) and from each other:
+    # the tunnel caches byte-identical dispatches, so a device-routed
+    # scoring path timed on repeated batches would be cache-inflated
+    # (the artifact timed_scan_qps defends against).  reps caps at the
+    # fresh-batch supply rather than wrapping back onto warmed ones.
+    reps = max(1, min(max(2, rounds // 4), n_rot - 3))
     for r in range(reps):
-        # batches DISJOINT from the warm-up's (0..2) and from each
-        # other: the tunnel caches byte-identical dispatches, so a
-        # device-routed scoring path timed on repeated batches would be
-        # cache-inflated (the artifact timed_scan_qps defends against)
-        b_i = (3 + r) % n_rot
+        b_i = 3 + r
         ivf.search(
             np.asarray(all_q_pad[b_i * batch:(b_i + 1) * batch]),
             k, nprobe=nprobe, normalize=False,

@@ -484,11 +484,6 @@ class PackedMatrix:
         self._device = None
         self._device32 = None
 
-    def release_device32(self) -> None:
-        """Drop only the f32 device copy; the bf16 coarse/re-rank
-        operand stays (the quantized device-re-rank rung reads it)."""
-        self._device32 = None
-
     def data_device(self) -> jax.Array:
         """Cached float32 device copy (re-rank operand)."""
         n_rows = _round_up(max(self.n, 1), self.ROW_PAD)

@@ -228,7 +228,12 @@ class QuantizedResident:
         xs16 = PackedMatrix._upload(
             matrix._rows_view(matrix.data, n_rows).astype(np.float16)
         )
-        sq = jnp.asarray(matrix._rows_view(matrix.sq_norms, n_rows))
+        if matrix.metric == "l2":
+            sq = jnp.asarray(matrix._rows_view(matrix.sq_norms, n_rows))
+        else:
+            # cosine never reads the operand: a 1-element dummy avoids
+            # an N x 4-byte upload + HBM residency (40 MB at 10M rows)
+            sq = jnp.zeros((1,), jnp.float32)
         xs16.block_until_ready()
         self._rr16 = (matrix.version, xs16, sq)
         return xs16, sq

@@ -352,11 +352,16 @@ class NativeGateway:
         # epoch is re-read, so the last push always carries the newest
         # value any entering thread observed.
         with self._blob_epoch_lock:
+            # Clear the dirty flag BEFORE reading the epoch: a writer
+            # that bumps the store after our read also re-sets the flag,
+            # so its own dirty-gated post-ack push still fires.  The
+            # other order ate that writer's dirty-set and its ack went
+            # out with the stale epoch still validated in C++.
+            self._blobs_dirty = False
             epoch = self.engine.store.epoch
             if epoch != self._blob_epoch_pushed:
                 self._blob_epoch_pushed = epoch
                 self._lib.hxgw_blob_epoch(self._handle, epoch)
-            self._blobs_dirty = False
 
     def _maybe_learn_dynamic(self, body: bytes, result, epoch0: int) -> None:
         """Inspect a just-served /v1/query read; register its plan
