@@ -17,12 +17,23 @@ cd "$(dirname "$0")/.."
 status=0
 ran=0
 
+# compare <emitted-dir> [js]
+#
+# Uses the SHARED structural diff (tests/parity/extract/corpus._diff),
+# not plain JSON equality: Python's == treats 1 == 1.0 and True == 1 as
+# equal, which would silently degrade the I64/F64 and Bool wire
+# distinctions this replay exists to enforce.  "js" enables the
+# one-number-type tolerance, for the TypeScript generator only.
 compare() {
-  python3 - "$1" <<'EOF'
+  python3 - "$1" "${2:-strict}" <<'EOF'
 import json, sys
 from pathlib import Path
 
+sys.path.insert(0, ".")
+from tests.parity.extract.corpus import _diff
+
 emitted = Path(sys.argv[1])
+js_numbers = sys.argv[2] == "js"
 committed = Path("tests/parity/fixtures")
 problems = 0
 for bucket in ("runtime", "combo", "json-only"):
@@ -37,8 +48,12 @@ for bucket in ("runtime", "combo", "json-only"):
             print(f"EXTRA {bucket}/{name}"); problems += 1; continue
         a = json.loads((want_dir / f"{name}.json").read_text())
         b = json.loads((got_dir / f"{name}.json").read_text())
-        if a != b:
-            print(f"DIFF {bucket}/{name}"); problems += 1
+        diffs = []
+        _diff(a, b, f"{bucket}/{name}", diffs, js_numbers)
+        if diffs:
+            for d in diffs[:5]:
+                print(f"DIFF {d}")
+            problems += 1
 print(f"compared; {problems} problems")
 sys.exit(1 if problems else 0)
 EOF
@@ -62,7 +77,7 @@ if command -v npx >/dev/null 2>&1 && command -v node >/dev/null 2>&1; then
   (cd sdks/typescript && npx tsc --noEmit) || status=1
   out=$(mktemp -d)
   (cd sdks/typescript && npx tsx scripts/generate-fixtures.ts "$out") \
-    && compare "$out" || status=1
+    && compare "$out" js || status=1
 else
   echo "SKIP typescript: no node/npx in PATH (interpreted replay:"
   echo "  python -m pytest tests/test_sdk_serializers.py -k ts)"

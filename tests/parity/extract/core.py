@@ -28,7 +28,7 @@ TOKEN_RE = re.compile(
   | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*'|`(?:\\.|[^`\\])*`)
   | (?P<number>0x[0-9a-fA-F_]+|\d[\d_]*\.\d+(?:[eE][+-]?\d+)?|\d[\d_]*(?:[eE][+-]?\d+)?)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*!?)
-  | (?P<punct>::|=>|->|\.\.\.|\.\.=|\.\.|:=|<<|>>|<=|>=|==|!=|&&|\|\||\+=|-=|[{}()\[\],.;:&|<>=+\-*/%!?_@#])
+  | (?P<punct>===|!==|\?\?|::|=>|->|\.\.\.|\.\.=|\.\.|:=|<<|>>|<=|>=|==|!=|&&|\|\||\+=|-=|[{}()\[\],.;:&|<>=+\-*/%!?_@#])
     """,
     re.VERBOSE | re.DOTALL,
 )

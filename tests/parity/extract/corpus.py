@@ -21,7 +21,19 @@ def load_corpus() -> dict[tuple[str, str], Any]:
     return corpus
 
 
-def _diff(a: Any, b: Any, path: str, out: list[str]) -> None:
+def _diff(
+    a: Any, b: Any, path: str, out: list[str], js_numbers: bool = False
+) -> None:
+    """Structural corpus diff — THE definition of wire parity for the
+    extractors and the toolchain-gated replay alike.
+
+    Type discipline: ``True`` is never equal to ``1`` (JSON bool vs
+    number are different wire bytes), and JSON-equal int/float (1 vs
+    1.0) are NOT equal because the wire value model distinguishes
+    I64/F64 — except under ``js_numbers``, where 1 and 1.0 serialize to
+    the same bytes because JS has one number type (tag-level I64/F64
+    divergence is still caught at the enclosing dict key).
+    """
     if isinstance(a, dict) and isinstance(b, dict):
         for key in sorted(set(a) | set(b)):
             if key not in a:
@@ -29,26 +41,31 @@ def _diff(a: Any, b: Any, path: str, out: list[str]) -> None:
             elif key not in b:
                 out.append(f"{path}.{key}: missing in extracted")
             else:
-                _diff(a[key], b[key], f"{path}.{key}", out)
+                _diff(a[key], b[key], f"{path}.{key}", out, js_numbers)
         return
     if isinstance(a, list) and isinstance(b, list):
         if len(a) != len(b):
             out.append(f"{path}: length {len(a)} != {len(b)}")
             return
         for i, (x, y) in enumerate(zip(a, b)):
-            _diff(x, y, f"{path}[{i}]", out)
+            _diff(x, y, f"{path}[{i}]", out, js_numbers)
         return
-    # ints vs floats that are JSON-equal (1 vs 1.0) are NOT treated as
-    # equal: the wire value model distinguishes I64/F64
-    if type(a) is not type(b) and not (
-        isinstance(a, bool) is isinstance(b, bool)
-        and isinstance(a, (int, float)) and isinstance(b, (int, float))
-        and isinstance(a, type(b))
-    ):
-        if a != b or type(a) is not type(b):
-            out.append(f"{path}: {a!r} ({type(a).__name__}) != "
-                       f"{b!r} ({type(b).__name__})")
+    if isinstance(a, bool) is not isinstance(b, bool):
+        # bool vs number: different wire bytes in EVERY language
+        out.append(f"{path}: {a!r} ({type(a).__name__}) != "
+                   f"{b!r} ({type(b).__name__})")
+        return
+    if type(a) is not type(b):
+        if (
+            js_numbers
+            and isinstance(a, (int, float))
+            and isinstance(b, (int, float))
+            and a == b
+        ):
             return
+        out.append(f"{path}: {a!r} ({type(a).__name__}) != "
+                   f"{b!r} ({type(b).__name__})")
+        return
     if a != b:
         out.append(f"{path}: {a!r} != {b!r}")
 

@@ -31,6 +31,17 @@ class GoPanic(Exception):
     pass
 
 
+class _Spread:
+    """Marker for a ``slice...`` argument at a call site (the parser's
+    spread flag, threaded to ``_invoke`` so variadic unpacking never
+    guesses from the value's type)."""
+
+    __slots__ = ("items",)
+
+    def __init__(self, items):
+        self.items = items
+
+
 class GoStruct:
     """An interpreted Go struct value (or pointer to one)."""
 
@@ -204,7 +215,7 @@ class GoDslParser:
                     names.append(ts.next().text)
                     break
             if ts.at(")"):
-                # actually those were types for earlier names? Go允许
+                # bare type list without names is unsupported here
                 raise ts.error("unsupported parameter form")
             if ts.eat("..."):
                 variadic = True
@@ -679,14 +690,21 @@ class GoModule:
             fixed = len(params) - 1
             if len(args) < fixed:
                 raise ExtractError(f"{label}: not enough args")
-            if len(args) == len(params) and isinstance(args[-1], list):
-                # pre-packed variadic (slice... spread)
+            if args and isinstance(args[-1], _Spread):
+                # explicit `slice...` at the call site (the parser
+                # records spread-ness; guessing it from a list-typed
+                # value would wrongly spread a single []J argument
+                # legally passed WITHOUT `...` as one variadic element)
+                if len(args) - 1 != fixed:
+                    raise ExtractError(f"{label}: bad spread arity")
                 env.update(zip(params[:fixed], args[:fixed]))
-                env[params[-1]] = list(args[-1])
+                env[params[-1]] = list(args[-1].items)
             else:
                 env.update(zip(params[:fixed], args[:fixed]))
                 env[params[-1]] = list(args[fixed:])
         else:
+            if any(isinstance(a, _Spread) for a in args):
+                raise ExtractError(f"{label}: spread into non-variadic")
             if len(args) != len(params):
                 raise ExtractError(
                     f"{label}: expected {len(params)} args, got {len(args)}"
@@ -1024,8 +1042,9 @@ class GoModule:
         if not callable(fn):
             raise ExtractError(f"cannot call {fn!r}")
         if spread:
-            args = args[:-1] + [args[-1]]  # keep packed; _invoke unpacks
-            return fn(*args)
+            # mark the packed slice explicitly; _invoke unpacks by the
+            # marker, never by guessing from the value's type
+            args = args[:-1] + [_Spread(args[-1] or [])]
         return fn(*args)
 
 

@@ -93,6 +93,8 @@ class RsDslParser:
         src = re.sub(r"&'[a-z]+ ", "&", src)
         self.ts = TokenStream(tokenize(src))
         self.structs: dict[str, list[str]] = {}   # name -> field names
+        # name -> {field -> head token of its type} (Default derivation)
+        self.struct_field_types: dict[str, dict[str, str]] = {}
         self.tuple_structs: set[str] = set()
         self.enums: dict[str, list[str]] = {}     # name -> variants
         self.fns: dict[str, tuple] = {}
@@ -200,16 +202,20 @@ class RsDslParser:
             return
         ts.expect("{")
         fields: list[str] = []
+        types: dict[str, str] = {}
         while not ts.at("}"):
             self._skip_attr()
             ts.eat("pub")
             fname = ts.next().text
             ts.expect(":")
+            type_head = ts.peek().text  # Vec / Option / String / ...
             self._skip_type((",", "}"))
             fields.append(fname)
+            types[fname] = type_head
             ts.eat(",")
         ts.expect("}")
         self.structs[name] = fields
+        self.struct_field_types[name] = types
 
     def parse_enum(self) -> None:
         ts = self.ts
@@ -617,6 +623,7 @@ class RsModule:
         parser = RsDslParser(src)
         parser.parse_program()
         self.structs = parser.structs
+        self.struct_field_types = parser.struct_field_types
         self.tuple_structs = parser.tuple_structs
         self.enums = parser.enums
         self.fns = parser.fns
@@ -654,12 +661,29 @@ class RsModule:
             if type_name == "Vec" and member == "new":
                 return list
             if member == "default" and type_name in self.structs:
-                # #[derive(Default)]: zero-value fields (Vec -> [],
-                # Option -> None) — SubTraversal { steps: Vec::new() }
-                fields = {
-                    f: [] if f == "steps" else None
-                    for f in self.structs[type_name]
+                # #[derive(Default)]: zero values derived from each
+                # field's PARSED type head, not its name — a field-name
+                # special case once defaulted any non-'steps' Vec to
+                # None, which the for-loop then silently iterated as
+                # empty (wrong corpus, no error)
+                zero = {
+                    "Vec": list, "String": str, "HashMap": dict,
+                    "BTreeMap": dict, "Option": lambda: None,
+                    "bool": lambda: False, "u64": int, "i64": int,
+                    "u32": int, "i32": int, "usize": int, "f64": float,
                 }
+                heads = self.struct_field_types.get(type_name, {})
+
+                def default_of(f):
+                    head = heads.get(f)
+                    if head not in zero:
+                        raise ExtractError(
+                            f"{type_name}::default(): no zero value "
+                            f"for field {f!r} of type {head!r}"
+                        )
+                    return zero[head]()
+
+                fields = {f: default_of(f) for f in self.structs[type_name]}
                 return lambda: RsStruct(type_name, dict(fields))
             if type_name == "Value":
                 if member == "Null":
@@ -804,7 +828,11 @@ class RsModule:
             seq = self.eval(it, env)
             if isinstance(seq, dict):
                 seq = list(seq.items())
-            for item in seq or []:
+            if seq is None:
+                # iterating None as empty would silently certify a
+                # corpus real Rust would not produce
+                raise ExtractError(f"for-loop over None: {it!r}")
+            for item in seq:
                 if len(names) == 1:
                     env[names[0]] = item
                 else:
@@ -989,12 +1017,13 @@ class RsModule:
     # -- builtin methods -------------------------------------------------
 
     def _builtin_method(self, obj, name, args):
-        if name == "into" or name == "as_ref" or name == "clone" and (
-            isinstance(obj, (str, int, float, bool)) or obj is None
-        ):
+        if name in ("into", "as_ref"):
             return obj
         if name == "clone":
-            if isinstance(obj, (dict, list)):
+            # Rust's derive(Clone) deep-copies: an aliasing clone of a
+            # builder (RsStruct/RsEnum) would let one traversal's push
+            # mutate another's steps
+            if isinstance(obj, (dict, list, RsStruct, RsEnum)):
                 return copy.deepcopy(obj)
             return obj
         if name == "to_string":

@@ -49,12 +49,10 @@ class TsDslParser(TsParser):
         src = src.replace(
             '.replace(/(\\.\\d{3})\\d*Z$/, "$1Z")', ".isoTrimMs()"
         )
-        # the shared tokenizer has no ===/!== tokens; identical
-        # semantics for our value model
-        src = src.replace("===", "==").replace("!==", "!=")
-        # `??` tokenizes as two '?'; `||` is equivalent for the DSL's
-        # uses (null/undefined left operands, never "" or 0)
-        src = src.replace("??", "||")
+        # ===/!==/?? are real tokens (core.TOKEN_RE) evaluated with JS
+        # semantics below — a former whole-source textual rewrite to
+        # ==/|| also edited string literals and broke falsy-but-present
+        # left operands of `??` (e.g. an explicit "" alias)
         super().__init__(src, strip=strip)
         self.classes: dict[str, dict] = {}
         self.functions: dict[str, tuple] = {}
@@ -357,7 +355,14 @@ class TsDslParser(TsParser):
 
     def parse_expr(self, level: int = 0):
         expr = super().parse_expr(level)
-        if level == 0 and self.ts.at("?") and not self.ts.at("?."):
+        if level == 0 and self.ts.at("?"):
+            if self.ts.peek(1).text == ".":
+                # fail loudly where the cause is, not three tokens later
+                # inside a misparsed ternary
+                raise ExtractError(
+                    "optional chaining `?.` is not supported by the "
+                    "TS-subset interpreter"
+                )
             self.ts.next()
             then = self.parse_expr()
             self.ts.expect(":")
@@ -715,7 +720,9 @@ class TsModule:
             elif default is not None:
                 value = self.eval(default, env)
             else:
-                value = None
+                # JS binds a missing argument to undefined, not null —
+                # `x === null` on an omitted optional must be false
+                value = _UNDEF
             if isinstance(pname, tuple):  # destructured [a, b] param
                 for n, v in zip(pname, value or []):
                     env[n] = v
@@ -914,6 +921,11 @@ class TsModule:
                 return self.eval(node[3], env) if self._truthy(a) else a
             if bop == "||":
                 return a if self._truthy(a) else self.eval(node[3], env)
+            if bop == "??":
+                # nullish, not falsy: "" and 0 keep the left operand
+                if a is None or a is _UNDEF:
+                    return self.eval(node[3], env)
+                return a
             b = self.eval(node[3], env)
             if bop == "in":
                 return (
@@ -1018,10 +1030,17 @@ class TsModule:
 
     @staticmethod
     def _binop(op, a, b):
+        def strict_eq():
+            # JS ===: no coercion.  Python's == would coerce True == 1.
+            if isinstance(a, bool) is not isinstance(b, bool):
+                return False
+            return a == b
+
         return {
             "+": lambda: a + b, "-": lambda: a - b, "*": lambda: a * b,
             "/": lambda: a / b, "%": lambda: a % b,
             "==": lambda: a == b, "!=": lambda: a != b,
+            "===": strict_eq, "!==": lambda: not strict_eq(),
             "<": lambda: a < b, "<=": lambda: a <= b,
             ">": lambda: a > b, ">=": lambda: a >= b,
         }[op]()

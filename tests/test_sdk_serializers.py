@@ -30,39 +30,12 @@ from tests.parity.extract.shims import FixtureSink
 SDKS = Path(__file__).resolve().parents[1] / "sdks"
 
 
-def _num_eq(a, b):
-    return (
-        isinstance(a, (int, float)) and not isinstance(a, bool)
-        and isinstance(b, (int, float)) and not isinstance(b, bool)
-        and a == b
-    )
-
-
-def _diff(a, b, path, out, js_numbers=False):
-    if isinstance(a, dict) and isinstance(b, dict):
-        for key in sorted(set(a) | set(b)):
-            if key not in a:
-                out.append(f"{path}.{key}: extra in extracted")
-            elif key not in b:
-                out.append(f"{path}.{key}: missing in extracted")
-            else:
-                _diff(a[key], b[key], f"{path}.{key}", out, js_numbers)
-        return
-    if isinstance(a, list) and isinstance(b, list):
-        if len(a) != len(b):
-            out.append(f"{path}: length {len(a)} != {len(b)}")
-            return
-        for i, (x, y) in enumerate(zip(a, b)):
-            _diff(x, y, f"{path}[{i}]", out, js_numbers)
-        return
-    if a == b and (js_numbers or type(a) is type(b)
-                   or isinstance(a, bool) is not isinstance(b, bool)):
-        return
-    if js_numbers and _num_eq(a, b):
-        # JS has one number type: 1 and 1.0 are the same wire bytes.
-        # Tag-level divergence (I64 vs F64 keys) is still caught above.
-        return
-    out.append(f"{path}: {a!r} != {b!r}")
+# The structural diff is THE shared parity definition — one
+# implementation in corpus.py, not a drifting copy here.  (A local
+# near-duplicate once accepted True vs 1 as equal through an inverted
+# bool clause, which would have certified a serializer emitting 0/1
+# for booleans.)
+from tests.parity.extract.corpus import _diff
 
 
 def _replay(language: str, src: str | None = None) -> list[str]:
@@ -102,7 +75,9 @@ def _replay(language: str, src: str | None = None) -> list[str]:
         diffs: list[str] = []
         _diff(committed[key], extracted[key], str(key), diffs, js_numbers)
         problems.extend(diffs[:5])
-    assert len(extracted) == 236, f"only {len(extracted)} fixtures extracted"
+    assert len(extracted) == len(committed), (
+        f"extracted {len(extracted)} fixtures, corpus has {len(committed)}"
+    )
     return problems
 
 
