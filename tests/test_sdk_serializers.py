@@ -155,6 +155,10 @@ GO_MUTATIONS = [
     # condition field dropped from batch entries
     ('"name": name, "steps": t.Steps, "condition": nil,',
      '"name": name, "steps": t.Steps,'),
+    # booleans serialized as 0/1 numbers (the diff must NOT accept
+    # True vs 1 — a former inverted bool clause did)
+    ('return map[string]J{"Bool": v}',
+     'return map[string]J{"Bool": 1}'),
 ]
 
 
@@ -185,6 +189,10 @@ TS_MUTATIONS = [
     # returns no longer emitted on encode
     ('return { queries: this.queries.slice(), returns: this.returns.slice() };',
      'return { queries: this.queries.slice() };'),
+    # booleans serialized as 0/1 (must fail even under the JS
+    # one-number tolerance: bool vs number are different wire bytes)
+    ('case "boolean":\n      return { Bool: value };',
+     'case "boolean":\n      return { Bool: value ? 1 : 0 };'),
 ]
 
 
@@ -203,6 +211,9 @@ RUST_MUTATIONS = [
      'Predicate(json!({ tag: [encode_property_value(value), prop] }))'),
     # envelope parameters always emitted
     ('if !self.parameters.is_empty() {', 'if self.parameters.is_empty() {'),
+    # booleans serialized as 0/1 numbers
+    ('Value::Bool(b) => json!({ "Bool": b }),',
+     'Value::Bool(b) => json!({ "Bool": if b { 1 } else { 0 } }),'),
 ]
 
 
