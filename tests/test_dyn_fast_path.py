@@ -256,6 +256,21 @@ def test_float_and_unicode_properties_roundtrip(gateway):
     assert row["f"] == 0.1 and row["s"] == "héllo\t\"quoted\""
 
 
+def _wait_dyn_route(gateway, timeout=5.0):
+    """Dynamic-route learning runs AFTER the first response is sent —
+    a fast next request can beat the registration, so tests that need
+    the fast parse must wait for the '<dyn>' spec to appear."""
+    import time as _t
+
+    deadline = _t.time() + timeout
+    while _t.time() < deadline:
+        with gateway._fast_lock:
+            if any(s.name == "<dyn>" for s in gateway._fast_specs.values()):
+                return
+        _t.sleep(0.02)
+    raise AssertionError("dynamic route never learned")
+
+
 def test_dyn_route_interpreter_fallback_not_500(gateway, monkeypatch):
     """A learned dynamic route whose fast dispatch fails mid-flight must
     fall back to the interpreter and serve the SAME response — before
@@ -268,6 +283,7 @@ def test_dyn_route_interpreter_fallback_not_500(gateway, monkeypatch):
     body = _vsearch_body(q)
     slow = _post(gateway.port, body)   # learns the plan
     assert b"error" not in slow
+    _wait_dyn_route(gateway)           # learning runs post-response
 
     real = Partition.search_many_async
     fail_once = {"armed": True}
@@ -294,6 +310,7 @@ def test_inflight_settles_after_fast_path_failures(gateway, monkeypatch):
     _ingest_docs(gateway.engine)
     body = _vsearch_body([1.0] * 8)
     _post(gateway.port, body)          # learn
+    _wait_dyn_route(gateway)
 
     def always_fail(self, queries, k):
         raise RuntimeError("injected")
