@@ -164,6 +164,7 @@ def measure_baseline(
     target_recall: float = 0.95,
     allow_build: bool = True,
     log=None,
+    cache_tag: str = "",
 ) -> dict | None:
     """Measure reference-class CPU HNSW QPS at recall@k >= target.
 
@@ -183,7 +184,10 @@ def measure_baseline(
     n, d = data.shape
     cache_dir = Path(cache_dir)
     cache_dir.mkdir(parents=True, exist_ok=True)
-    cache = cache_dir / f"hnsw_m16_efc128_{n}x{d}.bin"
+    # cache_tag disambiguates corpora sharing a shape (bench.py's and
+    # ladder.py's RNG draw orders differ, so their 1M corpora differ)
+    tag = f"_{cache_tag}" if cache_tag else ""
+    cache = cache_dir / f"hnsw_m16_efc128_{n}x{d}{tag}.bin"
     build_s = None
     index = CpuHnsw.load(cache) if cache.exists() else None
     if index is not None and len(index) != n:

@@ -322,7 +322,9 @@ class ShardedInt8Search:
     own candidates against a LOCAL f16 row copy before the exchange
     (see :func:`device_rerank_topk` for the precision model): the
     gather never crosses shards — rows re-rank where they live — the
-    all-gather carries exact f32 scores, tombstones are filtered by a
+    all-gather carries f32-accumulated f16 re-rank scores (the rows
+    are f16-rounded, the same ~2^-11 rounding device_rerank_topk
+    documents for the single-chip path), tombstones are filtered by a
     sharded live mask on device, and the host re-rank drops out of the
     multi-chip path entirely (its output is the final ``(scores,
     ids)``, ids ``-1``-marked where dead/ragged).

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import ctypes
 import threading
+import time
 from dataclasses import dataclass
 from typing import Any
 
@@ -362,6 +363,32 @@ class NativeGateway:
             if epoch != self._blob_epoch_pushed:
                 self._blob_epoch_pushed = epoch
                 self._lib.hxgw_blob_epoch(self._handle, epoch)
+
+    def wait_dyn_learned(
+        self, vector_routes: int = 0, lookup_plans: int = 0,
+        timeout: float = 5.0,
+    ) -> bool:
+        """Deterministic barrier for dynamic-route learning.
+
+        Learning runs AFTER a response is sent (an optimization must
+        never delay the reply), so "request served" does not imply
+        "route registered" — a fast follow-up can beat registration and
+        be served slow.  Tests and operational probes that need the
+        fast path armed block here: returns True once at least
+        ``vector_routes`` dynamic vector specs and ``lookup_plans``
+        lookup skeletons are registered, False on timeout."""
+        deadline = time.time() + timeout
+        while True:
+            with self._fast_lock:
+                n_vec = sum(
+                    1 for s in self._fast_specs.values() if s.name == "<dyn>"
+                )
+                n_lk = len(self._dyn_lookup_specs)
+            if n_vec >= vector_routes and n_lk >= lookup_plans:
+                return True
+            if time.time() >= deadline:
+                return False
+            time.sleep(0.01)
 
     def _maybe_learn_dynamic(self, body: bytes, result, epoch0: int) -> None:
         """Inspect a just-served /v1/query read; register its plan
@@ -968,8 +995,20 @@ class NativeGateway:
             lib.hxgw_release_body(h, reqid)
         # Any write this request performed must invalidate the native
         # blob cache BEFORE its ack is sent (read-your-writes: a client
-        # that saw the ack must never be served a pre-write blob).
-        if self._blobs_dirty:
+        # that saw the ack must never be served a pre-write blob).  The
+        # dirty flag alone is NOT a sufficient gate: store write hooks
+        # set it BEFORE store.bump() increments the epoch, so a
+        # concurrent _push_blob_epoch (general-loop poll) can clear the
+        # flag while reading the pre-bump epoch — a dirty-gated push
+        # here would then skip and ack with C++ still validating stale
+        # blobs.  Comparing the epoch to the last pushed value closes
+        # that window: our own bump ran synchronously before this line,
+        # so either the concurrent pusher carried it (pushed == epoch,
+        # skip is safe) or we push it now.
+        if (
+            self._blobs_dirty
+            or self.engine.store.epoch != self._blob_epoch_pushed
+        ):
             self._push_blob_epoch()
         if isinstance(result, JsonResult):
             data = fastjson.dumpb(result.payload, nan_null=True)

@@ -680,6 +680,10 @@ class GoModule:
                 recv_name, recv, params, variadic, body, label, list(args)
             )
 
+        # marks fn as module-interpreted: call sites thread _Spread
+        # through to _invoke only for these (shims/builtins receive the
+        # already-unpacked items instead)
+        fn._go_interpreted = True
         return fn
 
     def _invoke(self, recv_name, recv, params, variadic, body, label, args):
@@ -1042,9 +1046,14 @@ class GoModule:
         if not callable(fn):
             raise ExtractError(f"cannot call {fn!r}")
         if spread:
-            # mark the packed slice explicitly; _invoke unpacks by the
-            # marker, never by guessing from the value's type
-            args = args[:-1] + [_Spread(args[-1] or [])]
+            if getattr(fn, "_go_interpreted", False):
+                # mark the packed slice explicitly; _invoke unpacks by
+                # the marker, never by guessing from the value's type
+                args = args[:-1] + [_Spread(args[-1] or [])]
+            else:
+                # shims/builtins never see _Spread: they take plain
+                # positional args, so unpack `slice...` here
+                args = args[:-1] + list(args[-1] or [])
         return fn(*args)
 
 

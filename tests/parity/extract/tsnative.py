@@ -724,7 +724,15 @@ class TsModule:
                 # `x === null` on an omitted optional must be false
                 value = _UNDEF
             if isinstance(pname, tuple):  # destructured [a, b] param
-                for n, v in zip(pname, value or []):
+                # _UNDEF (omitted argument) destructures like null/
+                # undefined in JS-with-default semantics here: bind
+                # nothing (zip over _UNDEF itself would raise — it is
+                # truthy but not iterable)
+                items = (
+                    value
+                    if value is not None and value is not _UNDEF else []
+                )
+                for n, v in zip(pname, items):
                     env[n] = v
             else:
                 env[pname] = value

@@ -97,6 +97,7 @@ def test_lookup_learns_and_serves_natively(gateway):
     _ingest_docs(gateway.engine)
     body = _lookup_body([1, 2, 3])
     slow = _post(gateway.port, body)   # learns + warms the cache
+    assert gateway.wait_dyn_learned(lookup_plans=1)
     fast1 = _post(gateway.port, body)
     fast2 = _post(gateway.port, body)
     assert slow == fast1 == fast2
@@ -113,6 +114,7 @@ def test_lookup_different_ids_same_plan(gateway):
     """One skeleton covers every parameter value of the same plan."""
     _ingest_docs(gateway.engine)
     _post(gateway.port, _lookup_body([1]))  # learn
+    assert gateway.wait_dyn_learned(lookup_plans=1)
     for ids in ([2], [3, 4], [5, 1, 2]):
         out = json.loads(_post(gateway.port, _lookup_body(ids)))
         assert [r["$id"] for r in out["rows"]] == ids
@@ -125,6 +127,7 @@ def test_write_invalidates_before_ack(gateway):
     _ingest_docs(gateway.engine)
     body = _lookup_body([1])
     _post(gateway.port, body)
+    assert gateway.wait_dyn_learned(lookup_plans=1)
     assert json.loads(_post(gateway.port, body))["rows"][0]["t"] == "x0"
     # write through the gateway: SetProperty on node 1
     wb = write_batch().var_as(
@@ -156,6 +159,10 @@ def test_dynamic_vector_search_fast_parity(gateway):
     q = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 0.0, 1.0]
     body = _vsearch_body(q)
     slow = _post(gateway.port, body)   # learns
+    # learning runs after the response: without this barrier a fast
+    # follow-up can be served slow and fast_requests lands at 1
+    # (the round-4 flake)
+    assert gateway.wait_dyn_learned(vector_routes=1)
     fast1 = _post(gateway.port, body)
     fast2 = _post(gateway.port, body)
     assert slow == fast1 == fast2
@@ -170,6 +177,7 @@ def test_dynamic_vector_search_varied_vectors(gateway):
     and match a fresh interpreter run (forced via x-helix-trace)."""
     _ingest_docs(gateway.engine)
     _post(gateway.port, _vsearch_body([0.0] * 8))  # learn
+    assert gateway.wait_dyn_learned(vector_routes=1)
     for i in range(4):
         q = [float((i * 3 + j) % 5) for j in range(8)]
         fast = _post(gateway.port, _vsearch_body(q))
@@ -259,16 +267,50 @@ def test_float_and_unicode_properties_roundtrip(gateway):
 def _wait_dyn_route(gateway, timeout=5.0):
     """Dynamic-route learning runs AFTER the first response is sent —
     a fast next request can beat the registration, so tests that need
-    the fast parse must wait for the '<dyn>' spec to appear."""
-    import time as _t
+    the fast parse block on the gateway's own barrier."""
+    if not gateway.wait_dyn_learned(vector_routes=1, timeout=timeout):
+        raise AssertionError("dynamic route never learned")
 
-    deadline = _t.time() + timeout
-    while _t.time() < deadline:
-        with gateway._fast_lock:
-            if any(s.name == "<dyn>" for s in gateway._fast_specs.values()):
-                return
-        _t.sleep(0.02)
-    raise AssertionError("dynamic route never learned")
+
+def test_write_epoch_push_survives_concurrent_poll(gateway, monkeypatch):
+    """The hook->bump window: store write hooks set the dirty flag
+    BEFORE store.bump() increments the epoch, so a concurrent
+    _push_blob_epoch (the general-loop dirty poll) can clear the flag
+    while reading the pre-bump epoch.  A dirty-gated pre-ack push then
+    skips and the write is acked while C++ still validates blobs at the
+    old epoch.  This simulates that interleaving deterministically by
+    firing the poll at every bump entry point."""
+    _ingest_docs(gateway.engine)
+    body = _lookup_body([1])
+    _post(gateway.port, body)              # learn + warm the blob cache
+    assert gateway.wait_dyn_learned(lookup_plans=1)
+    assert json.loads(_post(gateway.port, body))["rows"][0]["t"] == "x0"
+
+    store = gateway.engine.store
+    for name in ("bump", "bump_patch", "bump_append"):
+        real = getattr(store, name)
+
+        def racing(*args, _real=real):
+            # the concurrent poller fires in the hook->bump window:
+            # dirty is set, the epoch is still the pre-write value
+            gateway._push_blob_epoch()
+            _real(*args)
+
+        monkeypatch.setattr(store, name, racing)
+
+    wb = write_batch().var_as(
+        "w", g().n({"Ids": [1]}).set_property("t", "RACED")
+    )
+    wbody = json.dumps({
+        "request_type": "write", "query_name": None,
+        "query": wb.encode(), "parameters": {},
+    }).encode()
+    _post(gateway.port, wbody)
+    # the write's ack implies the native blob cache was invalidated:
+    # the pushed epoch must have caught up with the store's
+    assert gateway._blob_epoch_pushed == store.epoch
+    out = json.loads(_post(gateway.port, body))
+    assert out["rows"][0]["t"] == "RACED"
 
 
 def test_dyn_route_interpreter_fallback_not_500(gateway, monkeypatch):

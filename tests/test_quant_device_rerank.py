@@ -1,4 +1,4 @@
-"""int8 rung with on-device bf16 re-rank (ops/quant.py
+"""int8 rung with on-device f16 re-rank (ops/quant.py
 device_rerank_topk): distance/position contract vs the f32 oracle and
 the host re-rank path, tombstone + sentinel handling, live-mask cache
 invalidation, and the Partition budget predicate that selects it."""
@@ -68,7 +68,7 @@ def test_device_rerank_matches_f32_oracle(metric):
             od = np.sum((rows - qs[i]) ** 2, axis=1)
         order = np.argsort(od)[:k]
         want = cand[i][order]
-        # bf16 row storage can swap near-ties; compare as sets and check
+        # f16 row storage can swap near-ties; compare as sets and check
         # distance fidelity against exact f32 per returned position
         assert set(pos[i]) == set(want), (pos[i], want)
         got_rows = data[pos[i]]
@@ -126,7 +126,7 @@ def test_quantized_resident_device_vs_host_rerank():
         # same candidate pool, same live mask: near-tie swaps only
         assert len(hs & ds) >= k - 1, (hs, ds)
         assert not any(live[p] == False for p in ds)  # noqa: E712
-    # distances are bf16-row exact: close to the host f32 re-rank
+    # distances are f16-row exact: close to the host f32 re-rank
     assert np.allclose(dd, dh, rtol=2e-2, atol=2e-2)
 
 
@@ -154,7 +154,7 @@ def test_partition_rerank_mode_predicate(monkeypatch):
     n, d = 4_000, 64
     data, _ = clustered(rng, n, d)
     dim_pad = 128
-    # budget fits int8 + bf16 (3 B/dim) but not exact (6 B/dim)
+    # budget fits int8 + f16 (3 B/dim) but not exact (6 B/dim)
     budget = int(n * dim_pad * 4)
     part = Partition("cosine", hbm_budget_bytes=budget)
     for i, row in enumerate(data):
@@ -164,7 +164,7 @@ def test_partition_rerank_mode_predicate(monkeypatch):
     monkeypatch.setenv("HELIX_QUANT_RERANK", "host")
     assert not part._quant_rerank_device()
     monkeypatch.delenv("HELIX_QUANT_RERANK")
-    # budget fits int8 but not the bf16 re-rank copy -> host re-rank
+    # budget fits int8 but not the f16 re-rank copy -> host re-rank
     part.hbm_budget_bytes = int(n * dim_pad * 2)
     assert part._use_quant()
     assert not part._quant_rerank_device()
