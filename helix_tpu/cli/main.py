@@ -529,10 +529,38 @@ def _follow_events(project, inst) -> int:
     return 0
 
 
+def _reject_unsafe_dsl_ast(tree) -> None:
+    """Defense-in-depth gate for the ``query -e`` eval surface.
+
+    The empty-``__builtins__`` namespace alone does NOT stop the
+    classic escape (``().__class__.__mro__[1].__subclasses__()``
+    reaches arbitrary classes through dunder attribute access), so the
+    snippet AST is rejected when it contains imports or any
+    dunder-prefixed name/attribute.  The restriction is documented in
+    MIGRATION.md; the reference's analog (``helix-cli/src/ts_query.rs``
+    evaluating arbitrary TS under Node) applies no sandbox at all —
+    both are CLI-local surfaces run by the invoking user, this one just
+    refuses the obvious escape idioms an agent might be prompted into.
+    """
+    import ast
+
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            raise ValueError("imports are not allowed in DSL snippets")
+        if isinstance(node, ast.Attribute) and node.attr.startswith("__"):
+            raise ValueError(
+                f"dunder attribute access is not allowed: {node.attr}"
+            )
+        if isinstance(node, ast.Name) and node.id.startswith("__"):
+            raise ValueError(f"dunder name is not allowed: {node.id}")
+
+
 def _eval_dsl_snippet(snippet: str):
     """Evaluate a Python DSL expression into a request (the analog of the
     reference's TS-eval bridge, ``helix-cli/src/ts_query.rs``, using our
     native SDK language instead of Node)."""
+    import ast
+
     from .. import dsl as _dsl
 
     prelude = {
@@ -540,6 +568,7 @@ def _eval_dsl_snippet(snippet: str):
         for name in _dsl.__all__
         if hasattr(_dsl, name)
     }
+    _reject_unsafe_dsl_ast(ast.parse(snippet, mode="eval"))
     value = eval(snippet, {"__builtins__": {}}, prelude)  # noqa: S307
     if isinstance(value, _dsl.DynamicQueryRequest):
         return value.encode()
@@ -584,6 +613,9 @@ def _eval_dsl_file(path: str) -> dict:
             "round", "sorted", "sum", "reversed", "print",
         )
     }
+    import ast
+
+    _reject_unsafe_dsl_ast(ast.parse(source, path, mode="exec"))
     exec(  # noqa: S102
         compile(source, path, "exec"),
         {"__builtins__": safe_builtins}, scope,
@@ -616,11 +648,24 @@ def cmd_query(args) -> int:
         )
         return 2
     if args.expr or args.expr_file:
+        lang = getattr(args, "lang", "python")
         try:
-            request = (
-                _eval_dsl_snippet(args.expr) if args.expr
-                else _eval_dsl_file(args.expr_file)
-            )
+            if lang == "ts":
+                # reference surface restored (ts_query.rs): evaluate the
+                # TS DSL via Node against the in-tree zero-dep SDK —
+                # gated on Node's presence, loud error otherwise
+                from .ts_query import build_request_from_ts, \
+                    build_request_from_ts_file
+
+                request = (
+                    build_request_from_ts(args.expr) if args.expr
+                    else build_request_from_ts_file(args.expr_file)
+                )
+            else:
+                request = (
+                    _eval_dsl_snippet(args.expr) if args.expr
+                    else _eval_dsl_file(args.expr_file)
+                )
         except Exception as exc:
             print(f"invalid DSL expression: {exc}", file=sys.stderr)
             return 2
@@ -1196,7 +1241,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--file", default=None)
     p.add_argument("--json", default=None)
     p.add_argument("-e", "--expr", default=None,
-                   help="evaluate a Python DSL expression as the request")
+                   help="evaluate a DSL expression as the request "
+                        "(Python by default; --lang ts for TypeScript "
+                        "via Node)")
+    p.add_argument("--lang", default="python", choices=["python", "ts"],
+                   help="snippet language for -e/--expr-file (ts needs "
+                        "Node >= 22.6 on PATH)")
     p.add_argument("--expr-file", default=None,
                    help="evaluate a Python DSL file (reference --ts-file "
                         "analog; bind `request` or be one expression)")

@@ -1,0 +1,120 @@
+"""Node-gated TS eval bridge (``query -e --lang ts``).
+
+Round-4 verdict item 8: restore the reference's TS snippet surface
+(``helix-cli/src/ts_query.rs:147-167``) against the in-tree zero-dep TS
+SDK.  The execution test runs only when Node >= 22.6 is on PATH (like
+``sdks/verify_toolchains.sh``) and SKIPS LOUDLY otherwise; the wrapper
+generation, gating errors, and CLI wiring are always tested.
+"""
+
+import json
+import shutil
+from pathlib import Path
+
+import pytest
+
+from helix_tpu.cli import ts_query
+from helix_tpu.cli.ts_query import (
+    MIN_NODE, TsEvalError, build_request_from_ts, ensure_node, find_node,
+    node_version, sdk_dsl_path, write_wrapper,
+)
+
+_node = find_node()
+_ver = node_version(_node) if _node else None
+HAVE_NODE = _node is not None and _ver is not None and _ver >= MIN_NODE
+
+
+def test_sdk_dsl_path_exists():
+    assert sdk_dsl_path().exists()
+
+
+def test_wrapper_contains_prelude_and_snippet(tmp_path):
+    w = write_wrapper('readBatch().varAs("n", g().count())', tmp_path)
+    text = w.read_text()
+    assert "readBatch" in text and "writeBatch" in text
+    assert sdk_dsl_path().resolve().as_uri() in text
+    assert 'varAs("n", g().count())' in text
+    assert "toDynamicJson" in text
+
+
+def test_ensure_node_error_names_gap(monkeypatch):
+    monkeypatch.setattr(ts_query, "find_node", lambda: None)
+    with pytest.raises(TsEvalError, match="Node >= 22.6"):
+        ensure_node()
+
+
+def test_ensure_node_rejects_old_node(monkeypatch):
+    monkeypatch.setattr(ts_query, "find_node", lambda: "/usr/bin/node")
+    monkeypatch.setattr(ts_query, "node_version", lambda _n: (20, 11, 0))
+    with pytest.raises(TsEvalError, match="found 20.11.0"):
+        ensure_node()
+
+
+def test_cli_lang_ts_without_node_is_loud(tmp_path, monkeypatch, capsys):
+    """`query -e ... --lang ts` without Node must exit 2 with the
+    toolchain message, not crash."""
+    from helix_tpu.cli.main import main as cli_main
+
+    monkeypatch.setattr(ts_query, "find_node", lambda: None)
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "helix.toml").write_text(
+        '[project]\nname = "t"\n\n[local.dev]\nport = 6969\n'
+    )
+    rc = cli_main([
+        "query", "dev", "-e", "readBatch()", "--lang", "ts",
+    ])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "Node" in err
+
+
+@pytest.mark.skipif(
+    not HAVE_NODE,
+    reason=(
+        "SKIPPED LOUDLY: Node >= 22.6 not on PATH in this image — the TS "
+        "eval bridge execution path is untested here (wrapper generation "
+        "and gating are tested above); run on a Node-equipped machine"
+    ),
+)
+class TestWithNode:
+    def test_read_batch_snippet(self):
+        req = build_request_from_ts(
+            'readBatch().varAs("n", g().nWithLabel("User").count())'
+            '.returning(["n"])'
+        )
+        assert req["request_type"] == "read"
+        assert req["query"]["returns"] == ["n"]
+
+    def test_parity_with_python_dsl(self):
+        from helix_tpu.cli.main import _eval_dsl_snippet
+
+        ts = build_request_from_ts(
+            'readBatch().varAs("u", g().nWithLabel("User")'
+            '.where(Expr.property("age").gt(21)).limit(5).valueMap())'
+            '.returning(["u"])'
+        )
+        py = _eval_dsl_snippet(
+            'read_batch().var_as("u", g().n_with_label("User")'
+            '.where(Expr.property("age").gt(21)).limit(5).value_map())'
+            '.returning(["u"])'
+        )
+        assert json.loads(json.dumps(ts)) == json.loads(json.dumps(py))
+
+    def test_ts_file(self, tmp_path):
+        from helix_tpu.cli.ts_query import build_request_from_ts_file
+
+        f = tmp_path / "q.ts"
+        f.write_text(
+            'readBatch().varAs("n", g().count()).returning(["n"]);\n'
+        )
+        req = build_request_from_ts_file(str(f))
+        assert req["request_type"] == "read"
+
+
+def test_skip_is_loud_when_node_missing():
+    """The skip itself is the loud signal: assert the gating constant
+    reflects reality so a future image with Node flips the class on."""
+    if shutil.which("node") is None:
+        assert not HAVE_NODE
+    else:
+        assert (node_version(shutil.which("node")) or (0,)) is not None
