@@ -482,6 +482,18 @@ def cmd_status(args) -> int:
 
 
 def cmd_logs(args) -> int:
+    # Historical range queries (the reference's enterprise-logs path,
+    # helix-cli/src/commands/logs/mod.rs:21-50): ISO-8601 --start/--end
+    # against the control plane's per-cluster query-event history.
+    if getattr(args, "start", None) or getattr(args, "end", None) \
+            or getattr(args, "cluster", None):
+        if getattr(args, "follow", False):
+            # matches the reference: live-follow is unsupported for
+            # historical/enterprise log queries (logs/mod.rs:52-60)
+            print("--follow is not supported with --start/--end/--cluster",
+                  file=sys.stderr)
+            return 2
+        return _range_logs(args)
     project = find_project()
     inst = project.instance(args.instance)
     if getattr(args, "events", False):
@@ -506,6 +518,41 @@ def cmd_logs(args) -> int:
                         time.sleep(0.5)
             except KeyboardInterrupt:
                 return 0
+    return 0
+
+
+def _range_logs(args) -> int:
+    """ISO-8601 range query against the control plane's logs API."""
+    from urllib.parse import urlencode
+
+    from .cloud import _cloud_request, cloud_authority
+
+    if not getattr(args, "cluster", None):
+        print("--start/--end need --cluster <id> (the enterprise "
+              "cluster whose query history to range over)",
+              file=sys.stderr)
+        return 2
+    if not cloud_authority():
+        print("historical log queries need CLOUD_AUTHORITY set to the "
+              "control plane URL", file=sys.stderr)
+        return 2
+    params = {}
+    if args.start:
+        params["start"] = args.start
+    if args.end:
+        params["end"] = args.end
+    if getattr(args, "tail", None):
+        params["limit"] = str(args.tail)
+    qs = f"?{urlencode(params)}" if params else ""
+    try:
+        out = _cloud_request(f"/api/cli/logs/{args.cluster}{qs}")
+    except SystemExit:
+        raise
+    except Exception as exc:
+        print(f"log query failed: {exc}", file=sys.stderr)
+        return 1
+    for event in out.get("events", []):
+        print(json.dumps(event, ensure_ascii=False))
     return 0
 
 
@@ -1232,6 +1279,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("instance", nargs="?", default=None)
     p.add_argument("--tail", type=int, default=None)
     p.add_argument("-f", "--follow", action="store_true")
+    p.add_argument("--start", default=None,
+                   help="ISO-8601 (or epoch ms) range start for "
+                        "historical cluster logs (needs --cluster)")
+    p.add_argument("--end", default=None,
+                   help="ISO-8601 (or epoch ms) range end")
+    p.add_argument("--cluster", default=None,
+                   help="enterprise cluster id whose query history to "
+                        "range over (via CLOUD_AUTHORITY)")
     p.add_argument("--events", action="store_true",
                    help="stream live engine events (SSE) instead of the log file")
     p.set_defaults(fn=cmd_logs)

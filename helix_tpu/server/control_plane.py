@@ -24,8 +24,17 @@ Surface:
 - ``POST /api/cli/enterprise-clusters/<id>/deploy`` → SSE stream of
   status transitions while the bundle + source snapshot are pushed to
   the cluster's gateway
+- ``POST /api/cli/logs/<cluster_id>`` → ingest a batch of query events
+  (``{"events": [{"event", "ts_ms", ...}]}``) — the engine-side
+  analog of the reference's logs service (``metrics/src/lib.rs:50``);
+  authenticates with a user key OR the cluster's ``query_key``
+- ``GET /api/cli/logs/<cluster_id>?start=<iso8601>&end=<iso8601>`` →
+  historical range query (inclusive bounds; epoch-ms also accepted) —
+  the API behind ``helix logs`` on an enterprise instance
+  (``helix-cli/src/commands/logs/mod.rs:21-50``)
 
-State persists as JSON under ``--state-dir``.  All non-auth routes
+State persists as JSON under ``--state-dir``; per-cluster query-event
+history as JSONL under ``<state-dir>/logs/``.  All non-auth routes
 require ``Authorization: Bearer <user_key>`` of a registered user.
 """
 
@@ -79,6 +88,8 @@ class ControlPlane:
         device_timeout_s: float = 120.0,
     ):
         self.state = ControlPlaneState(state_dir)
+        self.logs_dir = Path(state_dir) / "logs"
+        self._logs_lock = threading.Lock()
         self.host = host
         self.port = port
         self.device_timeout_s = device_timeout_s
@@ -211,6 +222,11 @@ class ControlPlane:
         if path.startswith("/api/cli/auth/device/") and path.endswith("/approve"):
             self._approve(rq, path.split("/")[-2])
             return
+        if path.startswith("/api/cli/logs/"):
+            # engines push with their CLUSTER key (they hold no user
+            # credentials), so this route runs its own auth
+            self._logs_ingest(rq, path.split("/")[-1])
+            return
 
         user = self._authorized(rq.headers)
         if user is None:
@@ -331,6 +347,9 @@ class ControlPlane:
         if user is None:
             rq._json(401, {"error": "invalid or missing api key"})
             return
+        if path.startswith("/api/cli/logs/"):
+            self._logs_range(rq, path[len("/api/cli/logs/"):])
+            return
         with self.state.lock:
             if path == "/api/cli/workspaces":
                 rq._json(200, {"workspaces": sorted(self.state.data["workspaces"])})
@@ -350,6 +369,128 @@ class ControlPlane:
                 rq._json(200, {"cluster_id": cluster_id, **record})
                 return
         rq._json(404, {"error": f"unknown route {path}"})
+
+    # -- query-log history (logs/mod.rs:21-50 analog) ----------------------
+
+    LOGS_MAX_EVENTS_PER_BATCH = 4096
+    LOGS_MAX_BYTES = 64 << 20  # per-cluster history cap (oldest dropped)
+
+    def _cluster_key_authorized(self, headers, cluster_id: str) -> bool:
+        token = (
+            headers.get("Authorization") or ""
+        ).removeprefix("Bearer ").strip()
+        if not token:
+            return False
+        with self.state.lock:
+            record = self.state.data["clusters"].get(cluster_id)
+            return record is not None and record.get("query_key") == token
+
+    def _logs_path(self, cluster_id: str) -> Path:
+        # cluster ids are minted/registered server-side, but never trust
+        # them as path components
+        safe = "".join(
+            c if c.isalnum() or c in "-_" else "_" for c in cluster_id
+        )
+        return self.logs_dir / f"{safe}.jsonl"
+
+    def _logs_ingest(self, rq, cluster_id: str) -> None:
+        if not (
+            self._authorized(rq.headers)
+            or self._cluster_key_authorized(rq.headers, cluster_id)
+        ):
+            rq._json(401, {"error": "invalid or missing api key"})
+            return
+        with self.state.lock:
+            known = cluster_id in self.state.data["clusters"]
+        if not known:
+            rq._json(404, {"error": f"unknown cluster {cluster_id}"})
+            return
+        events = rq._body().get("events")
+        if not isinstance(events, list):
+            rq._json(400, {"error": "events list required"})
+            return
+        events = events[: self.LOGS_MAX_EVENTS_PER_BATCH]
+        now_ms = int(time.time() * 1000)
+        path = self._logs_path(cluster_id)
+        with self._logs_lock:
+            self.logs_dir.mkdir(parents=True, exist_ok=True)
+            with open(path, "a", encoding="utf-8") as fh:
+                for ev in events:
+                    if not isinstance(ev, dict):
+                        continue
+                    ev.setdefault("ts_ms", now_ms)
+                    fh.write(json.dumps(ev, ensure_ascii=False) + "\n")
+            self._logs_trim(path)
+        rq._json(200, {"accepted": len(events)})
+
+    def _logs_trim(self, path: Path) -> None:
+        """Drop the oldest half when the per-cluster history exceeds the
+        byte cap (bounded storage; callers hold _logs_lock)."""
+        try:
+            if path.stat().st_size <= self.LOGS_MAX_BYTES:
+                return
+            lines = path.read_text(encoding="utf-8").splitlines(True)
+            tmp = path.with_suffix(".tmp")
+            tmp.write_text("".join(lines[len(lines) // 2:]), encoding="utf-8")
+            tmp.replace(path)
+        except OSError:
+            pass
+
+    @staticmethod
+    def _parse_log_time(value: str) -> int:
+        """ISO-8601 (the reference's wire format, logs/mod.rs:21-50) or
+        epoch milliseconds -> epoch ms."""
+        from datetime import datetime, timezone
+
+        if value.isdigit():
+            return int(value)
+        dt = datetime.fromisoformat(value.replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1000)
+
+    def _logs_range(self, rq, rest: str) -> None:
+        from urllib.parse import parse_qs, urlparse
+
+        parsed = urlparse(rest)
+        cluster_id = parsed.path
+        qs = parse_qs(parsed.query)
+        with self.state.lock:
+            known = cluster_id in self.state.data["clusters"]
+        if not known:
+            rq._json(404, {"error": f"unknown cluster {cluster_id}"})
+            return
+        try:
+            start = (
+                self._parse_log_time(qs["start"][0]) if "start" in qs else 0
+            )
+            end = (
+                self._parse_log_time(qs["end"][0]) if "end" in qs
+                else (1 << 62)
+            )
+        except ValueError as exc:
+            rq._json(400, {"error": f"bad start/end timestamp: {exc}"})
+            return
+        limit = int(qs.get("limit", ["10000"])[0])
+        out: list[dict] = []
+        path = self._logs_path(cluster_id)
+        with self._logs_lock:
+            try:
+                lines = path.read_text(encoding="utf-8").splitlines()
+            except OSError:
+                lines = []
+        for line in lines:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            ts = ev.get("ts_ms")
+            if isinstance(ts, (int, float)) and start <= ts <= end:
+                out.append(ev)
+                if len(out) >= limit:
+                    break
+        rq._json(200, {"events": out, "start_ms": start,
+                       "end_ms": None if end == (1 << 62) else end})
 
     # -- deploy (SSE status transitions) ----------------------------------
 

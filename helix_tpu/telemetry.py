@@ -80,9 +80,19 @@ class Telemetry:
         sink_path: str | Path | None = None,
         level: str | None = None,
         clock=time.time,
+        remote_url: str | None = None,
+        remote_key: str | None = None,
     ):
         self.level = resolve_level(level)
         self.sink_path = Path(sink_path) if sink_path else None
+        # Remote sink (the reference's logs-service POST,
+        # metrics/src/lib.rs:50 / :220-298): batches additionally POST
+        # to ``remote_url`` as {"events": [...]} with an optional
+        # bearer.  Configured explicitly or via HELIX_TPU_LOGS_URL /
+        # HELIX_TPU_LOGS_KEY — pointed at the in-repo control plane's
+        # /api/cli/logs/<cluster_id> it feeds `logs --start/--end`.
+        self.remote_url = remote_url or os.environ.get("HELIX_TPU_LOGS_URL")
+        self.remote_key = remote_key or os.environ.get("HELIX_TPU_LOGS_KEY")
         self._clock = clock
         self._buffer: list[dict] = []
         self._lock = threading.Lock()
@@ -93,7 +103,9 @@ class Telemetry:
         self._ring: list[dict] = []
         self._ring_start = 0
         self._ring_cond = threading.Condition()
-        if self.level != LEVEL_OFF and self.sink_path is not None:
+        if self.level != LEVEL_OFF and (
+            self.sink_path is not None or self.remote_url is not None
+        ):
             self._thread = threading.Thread(target=self._run, daemon=True)
             self._thread.start()
 
@@ -154,15 +166,31 @@ class Telemetry:
         self._send(batch)
 
     def _send(self, batch: list[dict]) -> None:
-        if self.sink_path is None:
-            return
-        try:
-            self.sink_path.parent.mkdir(parents=True, exist_ok=True)
-            with open(self.sink_path, "a", encoding="utf-8") as fh:
-                for event in batch:
-                    fh.write(json.dumps(event, ensure_ascii=False) + "\n")
-        except OSError:
-            pass  # telemetry must never take the engine down
+        if self.sink_path is not None:
+            try:
+                self.sink_path.parent.mkdir(parents=True, exist_ok=True)
+                with open(self.sink_path, "a", encoding="utf-8") as fh:
+                    for event in batch:
+                        fh.write(json.dumps(event, ensure_ascii=False) + "\n")
+            except OSError:
+                pass  # telemetry must never take the engine down
+        if self.remote_url is not None:
+            import urllib.request
+
+            headers = {"Content-Type": "application/json"}
+            if self.remote_key:
+                headers["Authorization"] = f"Bearer {self.remote_key}"
+            try:
+                req = urllib.request.Request(
+                    self.remote_url,
+                    data=json.dumps(
+                        {"events": batch}, ensure_ascii=False
+                    ).encode(),
+                    headers=headers,
+                )
+                urllib.request.urlopen(req, timeout=10).read()
+            except Exception:
+                pass  # telemetry must never take the engine down
 
     def _run(self) -> None:
         while not self._stop.wait(FLUSH_INTERVAL_S):

@@ -319,3 +319,94 @@ def test_auth_create_key_rotates_cluster_key(cloud_env):
     # unknown cluster is a clean error, not a crash
     with pytest.raises(SystemExit):
         run_cli(["auth", "create-key", "nope"])
+
+
+# -- query-log history (logs/mod.rs:21-50 analog) --------------------------
+
+def _iso(ms: int) -> str:
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(ms / 1000, tz=timezone.utc).isoformat()
+
+
+def test_query_log_history_range(cloud_env):
+    """Engine pushes query events (cluster-key auth) -> `logs --cluster
+    --start --end` ranges over them with ISO-8601 bounds."""
+    from helix_tpu.telemetry import Telemetry
+
+    plane = cloud_env
+    _approve_soon(plane, "loguser")
+    assert run_cli(["auth", "login", "--device"])[0] == 0
+    assert run_cli([
+        "cluster", "add", "logc", "--gateway", "http://127.0.0.1:1",
+    ])[0] == 0
+    code, out, _ = run_cli(["auth", "create-key", "logc"])
+    assert code == 0, out
+    cluster_key = out.strip().splitlines()[-1].split(": ")[-1]
+
+    # the engine-side push: Telemetry's remote sink with the CLUSTER key
+    clock = [1_000.0]
+    tel = Telemetry(
+        level="full", clock=lambda: clock[0],
+        remote_url=(
+            f"http://127.0.0.1:{plane.port}/api/cli/logs/logc"
+        ),
+        remote_key=cluster_key,
+    )
+    for t, name in ((1_000.0, "early"), (2_000.0, "mid"), (3_000.0, "late")):
+        clock[0] = t
+        tel.query_event(True, name, "read", 123)
+    tel.close()
+
+    code, out, err = run_cli([
+        "logs", "--cluster", "logc",
+        "--start", _iso(1_500_000), "--end", _iso(2_500_000),
+    ])
+    assert code == 0, err
+    events = [json.loads(ln) for ln in out.strip().splitlines()]
+    assert [e["query_name"] for e in events] == ["mid"]
+    assert events[0]["time_taken_usec"] == 123
+
+    # open-ended range returns everything; epoch-ms bounds accepted too
+    code, out, _ = run_cli(["logs", "--cluster", "logc"])
+    assert [json.loads(ln)["query_name"] for ln in out.strip().splitlines()] \
+        == ["early", "mid", "late"]
+    code, out, _ = run_cli([
+        "logs", "--cluster", "logc", "--start", "2500000",
+    ])
+    assert [json.loads(ln)["query_name"] for ln in out.strip().splitlines()] \
+        == ["late"]
+
+
+def test_query_log_follow_rejected_and_auth(cloud_env):
+    plane = cloud_env
+    _approve_soon(plane, "loguser2")
+    assert run_cli(["auth", "login", "--device"])[0] == 0
+    assert run_cli([
+        "cluster", "add", "logd", "--gateway", "http://127.0.0.1:1",
+    ])[0] == 0
+    # reference: live-follow unsupported for historical queries
+    code, _, err = run_cli([
+        "logs", "--cluster", "logd", "--start", "0", "--follow",
+    ])
+    assert code == 2 and "--follow" in err
+    # ingest without any key is rejected
+    import urllib.error
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{plane.port}/api/cli/logs/logd",
+        data=json.dumps({"events": [{"event": "x"}]}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=10)
+    assert exc.value.code == 401
+    # unknown cluster 404s on the range query
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{plane.port}/api/cli/logs/nosuch?start=0",
+    )
+    import helix_tpu.cli.cloud as cloud
+    creds = cloud.require_auth()
+    req.add_header("Authorization", f"Bearer {creds['helix_user_key']}")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=10)
+    assert exc.value.code == 404
