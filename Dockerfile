@@ -13,7 +13,11 @@ RUN pip install --no-cache-dir "jax[cpu]" numpy
 
 WORKDIR /app
 COPY helix_tpu ./helix_tpu
+COPY tools ./tools
 COPY pyproject.toml README.md ./
+
+# lint gate (clippy_check.sh analog): a finding fails the image build
+RUN python tools/lint.py helix_tpu tools
 
 ENV PYTHONPATH=/app
 EXPOSE 8080

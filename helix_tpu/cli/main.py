@@ -1443,7 +1443,6 @@ def main(argv: list[str] | None = None) -> int:
 
     args = parser.parse_args(argv)
     if getattr(args, "quiet", False):
-        import builtins
         import contextlib
         import io
 

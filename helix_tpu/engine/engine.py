@@ -9,7 +9,6 @@ needs: :meth:`execute` (dynamic requests, ``POST /v1/query``),
 
 from __future__ import annotations
 
-import threading
 import time
 from typing import Any
 

@@ -41,7 +41,7 @@ from array import array as _pyarray
 from .. import wire
 from ..dsl import DateTime, PropertyValue, _require_finite
 from . import values as V
-from .errors import ParamError, QueryError, WriteError
+from .errors import ParamError, QueryError
 from .expr import (
     _RAW_DOCS_TAG, Element, EvalContext, eval_expr, eval_predicate,
     expr_is_static, predicate_mask,

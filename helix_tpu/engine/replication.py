@@ -21,9 +21,7 @@ re-executes the primary's record stream in order.
 from __future__ import annotations
 
 import http.client
-import json
 import threading
-import time
 import urllib.error
 import urllib.request
 import uuid

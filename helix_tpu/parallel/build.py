@@ -10,7 +10,6 @@ data-parallel update (gradients -> cluster sums).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ tests and the driver's multi-chip dry run.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ from __future__ import annotations
 import re
 
 from .core import (
-    ExtractError, TokenStream, parse_number, tokenize, unquote,
+    TokenStream, parse_number, tokenize, unquote,
 )
 
 _CASTS = {"uint64", "int64", "int", "float64", "float32", "uint32"}

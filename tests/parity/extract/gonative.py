@@ -23,7 +23,7 @@ import re
 from typing import Any
 
 from .core import (
-    ExtractError, Token, TokenStream, parse_number, tokenize, unquote,
+    ExtractError, TokenStream, parse_number, tokenize, unquote,
 )
 
 

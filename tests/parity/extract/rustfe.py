@@ -14,7 +14,7 @@ from __future__ import annotations
 import re
 
 from .core import (
-    ExtractError, Token, TokenStream, parse_number, tokenize, unquote,
+    TokenStream, parse_number, tokenize, unquote,
 )
 
 _NUM_SUFFIXES = {"u64", "i64", "u32", "i32", "f32", "f64", "usize"}

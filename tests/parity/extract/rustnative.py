@@ -1207,7 +1207,6 @@ def extract_native(src: str, sink) -> None:
     """Replay the Rust fixture generator through the interpreted DSL."""
     from pathlib import Path
 
-    from .core import Env, Interp
     from .rustfe import extract as _rust_extract  # noqa: F401 (parser reuse)
     from . import rustfe
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 import re
 
 from .core import (
-    ExtractError, TokenStream, parse_number, tokenize, unquote,
+    TokenStream, parse_number, tokenize, unquote,
 )
 
 _KEYWORD_LITS = {"true": True, "false": False, "null": None, "undefined": None}

@@ -20,7 +20,7 @@ import re
 from typing import Any
 
 from .core import ExtractError, unquote
-from .tsfe import TsParser, _KEYWORD_LITS
+from .tsfe import TsParser
 
 
 class TsThrow(Exception):

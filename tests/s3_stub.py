@@ -12,7 +12,6 @@ waved through).
 
 from __future__ import annotations
 
-import datetime
 import hashlib
 import hmac
 import threading

@@ -6,7 +6,6 @@ against the local-process runtime instead of Docker.
 
 import json
 import subprocess
-import sys
 from pathlib import Path
 
 import pytest

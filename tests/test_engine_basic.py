@@ -1,7 +1,6 @@
 """Engine end-to-end slice tests: the reference's e2e envelopes plus the
 minimum traversal/mutation surface (SURVEY.md §7 minimum slice)."""
 
-import numpy as np
 import pytest
 
 from helix_tpu.dsl import (

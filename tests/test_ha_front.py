@@ -11,7 +11,7 @@ import urllib.request
 
 import pytest
 
-from helix_tpu.client import Client, HelixError
+from helix_tpu.client import Client
 from helix_tpu.server import HelixHTTPServer
 from helix_tpu.server.ha_front import HAFront
 

@@ -17,7 +17,7 @@ import pytest
 from helix_tpu.client import Client, HelixError
 from helix_tpu.dsl import (
     Expr, define_params, define_queries, g, param, read_batch,
-    register_read, register_write, write_batch,
+    register_read, write_batch,
 )
 from helix_tpu.engine import Engine
 

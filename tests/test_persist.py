@@ -1,6 +1,5 @@
 """Durability tests: native WAL, snapshot checkpoint, crash recovery."""
 
-import json
 
 import pytest
 
@@ -160,7 +159,7 @@ def test_unique_index_survives_recovery(tmp_path):
 
 
 def test_routes_and_source_survive_recovery(tmp_path):
-    from helix_tpu.dsl import define_params, define_queries, param, register_read
+    from helix_tpu.dsl import define_params, define_queries, register_read
 
     data = tmp_path / "data"
     eng = Engine(data_dir=str(data))

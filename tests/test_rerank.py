@@ -74,8 +74,6 @@ def test_rerank_fewer_candidates_than_k():
 
 def test_rerank_threaded_matches_single(monkeypatch):
     """Query-range threading must not change a single output byte."""
-    import os
-
     rng = np.random.default_rng(7)
     n, d, b, kc, k = 20000, 32, 512, 21, 5
     data = rng.normal(size=(n, d)).astype(np.float32)

@@ -9,7 +9,6 @@ generation, gating errors, and CLI wiring are always tested.
 
 import json
 import shutil
-from pathlib import Path
 
 import pytest
 
