@@ -145,10 +145,12 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
     exact_qps = timed_qps(exact_batch, operands=(xs16, xs32, sq))
     exact_ids = np.asarray(exact_batch(q_rot[0]))
     n_pad = int(xs16.shape[0])
+    exact_rec = _recall(exact_ids, oracle, k)
     rows.append(apply_roofline({
         "tier": "exact",
         "qps": round(exact_qps, 1),
-        "recall_at_10": round(_recall(exact_ids, oracle, k), 4),
+        "recall_at_10": round(exact_rec, 4),
+        "serving": exact_rec >= 0.95,
         "resident_gb": round(n * dim_pad * 6 / (1 << 30), 3),
         "build_s": round(exact_build_s, 2),
         "detail": "bf16+f32 resident (6 B/dim), MXU scan + device re-rank",
@@ -168,9 +170,18 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
     gc.collect()
 
     # ---- quantized rungs ----------------------------------------------
-    for bits, qfn, coarse_kind, pool0, per_row in (
-        (8, quantize_rows, "int8", max(8 * k, 64), dim_pad + 4),
-        (4, quantize_rows_int4, "int4", max(32 * k, 256), dim_pad // 2 + 4),
+    from helix_tpu.ops.quant4 import INT4_MAX_POOL, recall_safe_pool_int4
+
+    for bits, qfn, coarse_kind, pool0, pool_cap, per_row in (
+        (8, quantize_rows, "int8", max(8 * k, 64), INT4_MAX_POOL,
+         dim_pad + 4),
+        # int4 starts at the engine's scale-aware serving floor (the
+        # auto-laddered ef_search analog) and ladders from there; the
+        # cap mirrors the residency gate's INT4_MAX_POOL so a rung that
+        # cannot converge inside it is marked non-serving, exactly as
+        # the gate would skip it (round-4 verdict item 1)
+        (4, quantize_rows_int4, "int4", recall_safe_pool_int4(n, k),
+         INT4_MAX_POOL, dim_pad // 2 + 4),
     ):
         log(f"# int{bits} rung (quantize + upload)...")
         t0 = time.perf_counter()
@@ -235,15 +246,20 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
             return _recall(pos, oracle, k), time.perf_counter() - t0
 
         # candidate-pool ladder (the reference's ef_search analog =
-        # ``quant_candidates``): widen until the recall target holds
-        # on this corpus
+        # ``quant_candidates``): keep DOUBLING until the recall target
+        # holds on this corpus or the serving cap is hit — a rung that
+        # cannot converge is emitted non-serving, never silently below
+        # the floor
         k_cand, rec, rerank_s = pool0, 0.0, 0.0
-        for pool in (pool0, 2 * pool0, 4 * pool0):
+        pool = min(pool0, n)
+        while True:
             k_cand = pool
             rec, rerank_s = full_recall(pool)
             log(f"# int{bits} pool={pool}: recall@10={rec:.4f}")
-            if rec >= 0.95:
+            if rec >= 0.95 or pool >= min(pool_cap, n):
                 break
+            pool = min(2 * pool, pool_cap, n)
+        serving = rec >= 0.95
         log(f"# int{bits} rung (coarse timing at pool={k_cand})...")
         coarse_qps = timed_qps(
             lambda qb, *arrs, _k=k_cand: coarse_batch(qb, _k, arrs),
@@ -301,10 +317,12 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
                 dev_clamped = True
                 dev_qps = batch / coarse_floor
             dev_ids = np.asarray(dev_batch(q_rot[0]))
+            dev_rec = _recall(dev_ids, oracle, k)
             rows.append({
                 "tier": "int8_dev",
                 "qps": round(dev_qps, 1),
-                "recall_at_10": round(_recall(dev_ids, oracle, k), 4),
+                "recall_at_10": round(dev_rec, 4),
+                "serving": dev_rec >= 0.95,
                 "resident_gb": round(n * (dim_pad * 3 + 8) / (1 << 30), 3),
                 "build_s": round(q_build_s + dev_build_s, 2),
                 **({"clamped_to_roofline": True} if dev_clamped else {}),
@@ -318,6 +336,13 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
             "tier": coarse_kind,
             "qps": round(full_qps, 1),
             "recall_at_10": round(rec, 4),
+            "serving": serving,
+            **({} if serving else {"non_serving_reason": (
+                f"candidate-pool ladder hit the serving cap "
+                f"({min(pool_cap, n)}) below the 0.95 recall floor; the "
+                "residency gate skips this rung "
+                "(engine/vector.py _quant4_recall_serving)"
+            )}),
             "resident_gb": round(n * per_row / (1 << 30), 3),
             "build_s": round(q_build_s, 2),
             "rerank_ms_per_batch": round(rerank_s * 1e3, 2),
@@ -373,6 +398,7 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
         "tier": "host_ivf",
         "qps": round(ivf_qps, 1),
         "recall_at_10": round(rec, 4),
+        "serving": rec >= 0.95,
         "resident_gb": round(
             int(ivf.centroids.shape[0]) * dim_pad * 4 / (1 << 30), 4
         ),
@@ -392,10 +418,47 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
         ),
     })
 
+    # ---- CPU HNSW baseline at THIS scale (round-4 verdict item 1):
+    # per-rung vs_baseline against the measured reference-class HNSW
+    # over the ladder's own corpus.  Prefers a committed measurement
+    # (BASELINE_MEASURED.json, built once by
+    # benchmarks/build_ladder_baseline.py); falls back to a live
+    # search-side re-measure when the cached index exists.
+    import json as _json
+    from pathlib import Path as _Path
+
+    repo = _Path(__file__).resolve().parents[1]
+    baseline = None
+    try:
+        records = _json.loads((repo / "BASELINE_MEASURED.json").read_text())
+        baseline = records.get(f"ladder:{n}x{d}")
+        if baseline is not None:
+            baseline["source"] = "cached_measurement"
+    except (OSError, ValueError):
+        pass
+    if baseline is None:
+        try:
+            from benchmarks.cpu_hnsw import measure_baseline
+
+            baseline = measure_baseline(
+                data, queries[:batch], oracle,
+                cache_dir=repo / ".bench_cache",
+                k=k, allow_build=False, log=log, cache_tag="ladder",
+            )
+            if baseline is not None:
+                baseline["source"] = "measured"
+        except Exception as exc:  # noqa: BLE001 — never sink the ladder
+            log(f"# ladder baseline unavailable: {exc!r}")
+    if baseline is not None:
+        for row in rows:
+            row["vs_baseline"] = round(row["qps"] / baseline["qps"], 2)
+
     return {
         "metric": f"residency ladder (N={n}, d={d}, k={k}, batch={batch})",
         "backend": backend,
         "rounds": rounds,
+        "recall_floor": 0.95,
+        **({"baseline_cpu_hnsw": baseline} if baseline is not None else {}),
         "rungs": rows,
     }
 

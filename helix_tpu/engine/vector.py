@@ -444,12 +444,38 @@ class Partition:
 
     # -- int4 packed residency tier ----------------------------------------
 
+    def _quant4_recall_serving(self) -> bool:
+        """Recall-safety gate for the int4 rung: the scale-aware
+        candidate pool (ops/quant4.recall_safe_pool_int4, the
+        auto-laddered ef_search analog) must stay within INT4_MAX_POOL.
+        Beyond it the rung cannot hold the 0.95 recall floor at a
+        serviceable re-rank cost, and serving BELOW the floor silently
+        is never an option (round-4 verdict: 0.8637 recall at 10M) —
+        the budget walk skips to host-IVF instead.  An explicit
+        quant_candidates override wider than the safe pool re-enables
+        the rung (the operator owns the trade)."""
+        import jax
+
+        from ..ops.quant4 import INT4_MAX_POOL, recall_safe_pool_int4
+
+        if len(jax.devices()) > 1:
+            # the mesh path serves this rung via sharded int8 (see
+            # _search_quant4), whose 8-bit noise holds the floor at the
+            # ordinary pool — the int4 pool rule does not apply
+            return True
+        need = recall_safe_pool_int4(self.matrix.n)
+        if self.quant_candidates is not None \
+                and self.quant_candidates >= need:
+            return True
+        return need <= INT4_MAX_POOL
+
     def _use_quant4(self) -> bool:
         if self.hbm_budget_bytes is None or self.matrix is None:
             return False
         return (
             self._quant_resident_bytes() > self.hbm_budget_bytes
             and self._quant4_resident_bytes() <= self.hbm_budget_bytes
+            and self._quant4_recall_serving()
         )
 
     def _search_quant4(
@@ -522,7 +548,12 @@ class Partition:
         return (
             self._exact_resident_bytes() > self.hbm_budget_bytes
             and self._quant_resident_bytes() > self.hbm_budget_bytes
-            and self._quant4_resident_bytes() > self.hbm_budget_bytes
+            and (
+                self._quant4_resident_bytes() > self.hbm_budget_bytes
+                # int4 fits but cannot hold the recall floor at a
+                # serviceable pool: fall past it, never below 0.95
+                or not self._quant4_recall_serving()
+            )
         )
 
     def _ensure_host_ivf(self) -> None:

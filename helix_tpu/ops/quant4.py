@@ -39,6 +39,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# The widest candidate pool the int4 rung will serve at.  Beyond it the
+# exact-re-rank cost dominates and the residency gate routes to the
+# host-IVF rung instead (which holds recall >= 0.99 at tiny resident
+# cost) — serving a sub-floor recall silently is never an option
+# (round-4 verdict: LADDER_r04_10M.json int4 served 0.8637 at the old
+# fixed 1280-candidate pool).
+INT4_MAX_POOL = 16384
+
+
+def recall_safe_pool_int4(n: int, k: int = 10) -> int:
+    """Scale-aware candidate floor for the int4 rung (the ef_search
+    analog, auto-laddered — reference recall discipline
+    ``helix-cli/src/config.rs:199-201``).
+
+    4-bit noise is a fixed-width score perturbation, so the number of
+    competitors within one noise-width of the true top-k boundary grows
+    ~linearly with N on clustered corpora: 640 candidates measured
+    recall@10 0.989 at N=1e6 while 1280 at N=1e7 measured only 0.864
+    (LADDER_r04 artifacts).  The floor therefore grows linearly,
+    anchored at the measured 1e6 point with 1.5x headroom:
+    N/1024 -> 977 at 1e6, 9766 at 1e7."""
+    return max(32 * k, 256, n // 1024)
+
+
 def quantize_rows_int4(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Symmetric per-row int4, column-halves packed:
     ``(packed uint8 [N, D/2], scales f32 [N])``.  D must be even
@@ -314,13 +338,18 @@ class Int4Resident:
         32*k (floor 256): 4-bit noise needs more coarse headroom than
         int8's 8*k to keep the true top-k in the re-rank set.
         ``k_cand_floor`` (the ef_search analog) widens it further for
-        dense, near-duplicate-heavy corpora (BENCH_NOTES int4 curve)."""
+        dense, near-duplicate-heavy corpora (BENCH_NOTES int4 curve);
+        the scale-aware :func:`recall_safe_pool_int4` floor keeps the
+        pool recall-safe as N grows (an explicit floor still wins when
+        wider)."""
         from ..native import rerank as native_rerank
 
         n = matrix.n
         packed, scales, sq_dev = self.arrays(matrix)
         qs = matrix.prepare_queries(queries)
-        k_cand = min(max(32 * k, 256, k_cand_floor or 0), n)
+        k_cand = min(
+            max(recall_safe_pool_int4(n, k), k_cand_floor or 0), n
+        )
         from .fused_topk import TILE as _TILE
 
         # One candidate per 64-row bucket: when the bucket count cannot
