@@ -405,9 +405,129 @@ def _gateway_bench(matrix, d: int, k: int,
             out["e2e_gateway_dyn_vsearch_qps"] = round(
                 client["dyn_vs_total"] / client["dyn_vs_elapsed"], 1
             )
+
+        # -- serving-gap decomposition (round-4 verdict item 3) --------
+        # Re-run the vector-search phase with the device dispatch
+        # replaced by an instant fake: the measured rate then covers
+        # C++ framing/parse + queue + Python batch assembly/dispatch +
+        # C++ response formatting — everything EXCEPT device + tunnel.
+        # total(real) - total(null) = device+tunnel per request; the
+        # pure-C++ lookup rate above bounds the framing/format floor.
+        from helix_tpu.engine.vector import Partition as _Part
+
+        real_async = _Part.search_many_async
+        ids_fake = np.arange(1, k + 1, dtype=np.uint64)
+
+        def null_async(self, queries, kk):
+            b = len(queries)
+            res = (
+                np.broadcast_to(ids_fake[:kk], (b, kk)).copy(),
+                np.zeros((b, kk), np.float64),
+            )
+            return lambda: res
+
+        _Part.search_many_async = null_async
+        try:
+            nproc = subprocess.run(
+                [sys.executable, "-S", "-c", _VSEARCH_CLIENT,
+                 str(gw.port), str(d), str(k)],
+                capture_output=True, timeout=300, text=True,
+            )
+            nclient: dict = {}
+            for line in nproc.stdout.strip().splitlines():
+                try:
+                    nclient.update(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+            if "search_elapsed" in nclient:
+                out["e2e_gateway_null_dispatch_qps"] = round(
+                    nclient["search_total"] / nclient["search_elapsed"], 1
+                )
+        finally:
+            _Part.search_many_async = real_async
+        if (
+            out.get("e2e_gateway_qps", 0) > 0
+            and out.get("e2e_gateway_null_dispatch_qps", 0) > 0
+        ):
+            total_us = 1e6 / out["e2e_gateway_qps"]
+            non_dev_us = 1e6 / out["e2e_gateway_null_dispatch_qps"]
+            decomp = {
+                "total_us_per_req": round(total_us, 2),
+                "non_device_us_per_req": round(non_dev_us, 2),
+                "device_plus_tunnel_us_per_req": round(
+                    max(total_us - non_dev_us, 0.0), 2
+                ),
+            }
+            if out.get("e2e_gateway_lookup_qps", 0) > 0:
+                cxx_us = 1e6 / out["e2e_gateway_lookup_qps"]
+                decomp["cxx_framing_floor_us_per_req"] = round(cxx_us, 2)
+                decomp["python_dispatch_us_per_req"] = round(
+                    max(non_dev_us - cxx_us, 0.0), 2
+                )
+            out["e2e_gateway_decomposition"] = decomp
     finally:
         gw.stop(close_engine=False)
     return out
+
+
+# Vector-search-only client: the first phase of _GATEWAY_CLIENT as a
+# standalone script, reused by the null-dispatch decomposition run.
+_VSEARCH_CLIENT = r"""
+import json, random, socket, sys, time
+
+port, d, k = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+random.seed(17)
+
+blobs = []
+for _ in range(512):
+    v = [random.gauss(0.0, 1.0) for _ in range(d)]
+    norm = max(sum(x * x for x in v) ** 0.5, 1e-9)
+    body = json.dumps({"q": [x / norm for x in v], "k": k}).encode()
+    blobs.append(
+        b"POST /v1/query/vsearch HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(body) + body
+    )
+
+
+def run_pipelined(total, window=2048):
+    s = socket.create_connection(("127.0.0.1", port), timeout=120)
+    s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    got = sent = 0
+    tail = b""
+    t0 = time.perf_counter()
+    while got < total:
+        while sent < total and sent - got < window:
+            take = min(window - (sent - got), total - sent)
+            s.sendall(b"".join(
+                blobs[(sent + j) % 512] for j in range(take)
+            ))
+            sent += take
+        chunk = tail + s.recv(1 << 20)
+        got += chunk.count(b"HTTP/1.1 200")
+        tail = chunk[-11:]
+    elapsed = time.perf_counter() - t0
+    s.close()
+    return elapsed
+
+
+def run_with_retry(total, attempts=2):
+    last = None
+    for _ in range(attempts):
+        try:
+            return run_pipelined(total)
+        except (TimeoutError, OSError) as exc:
+            last = exc
+            time.sleep(2)
+    raise last
+
+
+run_with_retry(2048)  # warm
+search_total = 20_000
+search_elapsed = run_with_retry(search_total)
+print(json.dumps({
+    "search_total": search_total, "search_elapsed": search_elapsed,
+}), flush=True)
+"""
 
 
 # stdlib-only HTTP load client (runs under ``python -S`` in its own
