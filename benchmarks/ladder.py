@@ -432,6 +432,12 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
     try:
         records = _json.loads((repo / "BASELINE_MEASURED.json").read_text())
         baseline = records.get(f"ladder:{n}x{d}")
+        # At n <= 1M the ladder corpus is byte-identical to bench.py's
+        # headline corpus (same seed-42 generator and call sequence; the
+        # chunked generation only diverges past the 1M chunk boundary),
+        # so bench.py's untagged measurement over that corpus applies.
+        if baseline is None and n <= 1_000_000:
+            baseline = records.get(f"{n}x{d}")
         if baseline is not None:
             baseline["source"] = "cached_measurement"
     except (OSError, ValueError):
