@@ -54,7 +54,9 @@ def main() -> None:
 
     from benchmarks.ladder import _corpus, _oracle, _recall
     from benchmarks.roofline import roofline_batch_seconds, timed_scan_qps
-    from helix_tpu.ops.distance import PackedMatrix, topk_resident
+    from helix_tpu.ops.distance import (
+        PackedMatrix, resident_topk_auto, topk_resident,
+    )
 
     log = lambda m: print(m, file=sys.stderr, flush=True)  # noqa: E731
     log(f"# exact sweep: N={n} d={d} batch={batch} "
@@ -85,25 +87,35 @@ def main() -> None:
         top, pos = jax.lax.top_k(exact, k)
         return jnp.take_along_axis(best_i, pos, axis=1)
 
-    # -- shipped single-shot path (reference point) ---------------------
+    # -- shipped paths (reference points) --------------------------------
+    def auto_batch(qb, a16, a32, asq):
+        _, idx = resident_topk_auto(
+            a16, a32, qb, n_valid, asq, k=k, metric="cosine"
+        )
+        return idx
+
     def single_batch(qb, a16, a32, asq):
         _, idx = topk_resident(
             a16, a32, qb, n_valid, asq, k=k, metric="cosine"
         )
         return idx
 
-    qps, diag = timed_scan_qps(
-        single_batch, batch=batch, d=d, dim_pad=dim_pad,
-        rounds=args.rounds, operands=(xs16, xs32, sq),
-    )
-    ids = np.asarray(single_batch(qs_pad, xs16, xs32, sq))
-    rows.append({
-        "variant": "single_shot_bf16 (shipped)",
-        "qps": round(qps, 1),
-        "recall_at_10": round(_recall(ids, oracle, k), 4),
-        "per_batch_ms": diag["per_batch_ms_samples"],
-    })
-    log(f"# single-shot: {qps:,.0f} QPS")
+    for name, fn in (
+        ("resident_topk_auto (shipped serving)", auto_batch),
+        ("single_shot_bf16 (XLA path)", single_batch),
+    ):
+        qps, diag = timed_scan_qps(
+            fn, batch=batch, d=d, dim_pad=dim_pad,
+            rounds=args.rounds, operands=(xs16, xs32, sq),
+        )
+        ids = np.asarray(fn(qs_pad, xs16, xs32, sq))
+        rows.append({
+            "variant": name,
+            "qps": round(qps, 1),
+            "recall_at_10": round(_recall(ids, oracle, k), 4),
+            "per_batch_ms": diag["per_batch_ms_samples"],
+        })
+        log(f"# {name}: {qps:,.0f} QPS")
 
     # -- chunked scan variants ------------------------------------------
     # map each requested target to the largest divisor of the padded row
