@@ -46,6 +46,11 @@ def main() -> None:
     ap.add_argument(
         "--chunks", default="8192,16384,32768,65536,131072,262144",
     )
+    ap.add_argument(
+        "--int8", action="store_true",
+        help="also sweep an int8 chunked-XLA coarse phase against the "
+             "shipped fused Pallas int8 kernel",
+    )
     args = ap.parse_args()
     n, d, batch, k = args.n, args.d, args.batch, args.k
 
@@ -183,6 +188,108 @@ def main() -> None:
             "per_batch_ms": diag["per_batch_ms_samples"],
         })
         log(f"# chunk {c}: {qps:,.0f} QPS")
+
+    # -- optional int8 coarse comparison ---------------------------------
+    if args.int8:
+        from helix_tpu.ops.quant import (
+            _quantize_queries, int8_coarse_topk, int8_fused_coarse,
+            quantize_rows,
+        )
+
+        values, scales = quantize_rows(np.asarray(matrix.data[: matrix.n]))
+        if n_pad > matrix.n:
+            values = np.concatenate([
+                values, np.zeros((n_pad - matrix.n, dim_pad), np.int8),
+            ])
+            scales = np.concatenate([
+                scales, np.ones(n_pad - matrix.n, np.float32),
+            ])
+        xs_i8 = PackedMatrix._upload(values)
+        sc = jnp.asarray(scales)
+        sqq = jnp.zeros((1,), jnp.float32)
+        jax.block_until_ready(xs_i8)
+        k_cand = min(max(k, 8 * k), n)
+
+        def fused_i8(qb, a_q, a_sc):
+            return int8_fused_coarse(
+                a_q, a_sc, qb, jnp.int32(matrix.n), k=k_cand
+            )[1]
+
+        def xla_i8(qb, a_q, a_sc, a_sq):
+            return int8_coarse_topk(
+                a_q, a_sc, qb, jnp.int32(matrix.n), a_sq, k=k_cand
+            )[1]
+
+        @functools.partial(jax.jit, static_argnames=("chunk",))
+        def chunk_i8(qb, a_q, a_sc, *, chunk):
+            q_i8, q_scales = _quantize_queries(qb)
+            col_base = jnp.arange(chunk, dtype=jnp.int32)
+
+            def body(carry, start):
+                cs, ci = carry
+                block = jax.lax.dynamic_slice_in_dim(a_q, start, chunk, 0)
+                bsc = jax.lax.dynamic_slice_in_dim(a_sc, start, chunk, 0)
+                dots = jax.lax.dot_general(
+                    q_i8, block,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                sims = (
+                    dots.astype(jnp.float32)
+                    * q_scales[:, None] * bsc[None, :]
+                )
+                cols = start + col_base
+                sims = jnp.where((cols < n_valid)[None, :], sims, -jnp.inf)
+                s_chunk, i_local = jax.lax.approx_max_k(
+                    sims, k_cand, recall_target=0.99
+                )
+                cat_s = jnp.concatenate([cs, s_chunk], axis=1)
+                cat_i = jnp.concatenate([ci, cols[i_local]], axis=1)
+                new_s, pos = jax.lax.top_k(cat_s, k_cand)
+                return (
+                    new_s, jnp.take_along_axis(cat_i, pos, axis=1)
+                ), None
+
+            init = (
+                jnp.full((batch, k_cand), -jnp.inf, jnp.float32),
+                jnp.zeros((batch, k_cand), jnp.int32),
+            )
+            starts = jnp.arange(n_pad // chunk, dtype=jnp.int32) * chunk
+            (_, best_i), _ = jax.lax.scan(body, init, starts)
+            return best_i
+
+        i8_variants = []
+        if jax.default_backend() == "tpu":
+            i8_variants.append(
+                ("int8_fused_pallas (shipped)", fused_i8, (xs_i8, sc))
+            )
+        i8_variants.append(
+            ("int8_single_shot_xla", xla_i8, (xs_i8, sc, sqq))
+        )
+        for c in sorted(seen):
+            i8_variants.append((
+                f"int8_chunked_xla c={c}",
+                functools.partial(chunk_i8, chunk=c),
+                (xs_i8, sc),
+            ))
+        for name, fn, ops in i8_variants:
+            try:
+                qps, diag = timed_scan_qps(
+                    fn, batch=batch, d=d, dim_pad=dim_pad,
+                    rounds=args.rounds, operands=ops,
+                )
+                cand = np.asarray(fn(qs_pad, *ops), np.int64)
+            except Exception as exc:  # noqa: BLE001
+                log(f"# {name}: failed ({exc!r})")
+                continue
+            cand = np.where(cand < matrix.n, cand, -1)
+            rows.append({
+                "variant": f"{name} (coarse-only, k_cand={k_cand})",
+                "qps": round(qps, 1),
+                "coarse_recall_at_10": round(_recall(cand, oracle, k), 4),
+                "per_batch_ms": diag["per_batch_ms_samples"],
+            })
+            log(f"# {name}: {qps:,.0f} QPS")
 
     out = {
         "metric": f"exact coarse sweep (N={n}, d={d}, batch={batch}, "
