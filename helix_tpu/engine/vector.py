@@ -453,7 +453,14 @@ class Partition:
         is never an option (round-4 verdict: 0.8637 recall at 10M) —
         the budget walk skips to host-IVF instead.  An explicit
         quant_candidates override wider than the safe pool re-enables
-        the rung (the operator owns the trade)."""
+        the rung (the operator owns the trade).
+
+        Within the cap the rung is recall-safe but not always the
+        throughput winner: at 10M the safe pool's host re-rank bill
+        makes int4 slower than host-IVF (LADDER_r05_10M.json — 249 vs
+        362 QPS, both >= 0.95 recall); its value there is the 0.63
+        GB/chip footprint.  See BENCH_NOTES "Round-5" for the
+        crossover analysis."""
         import jax
 
         from ..ops.quant4 import INT4_MAX_POOL, recall_safe_pool_int4
