@@ -84,7 +84,9 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
         apply_roofline, roofline_batch_seconds, timed_scan_qps,
     )
     from helix_tpu.native import rerank as native_rerank
-    from helix_tpu.ops.distance import PackedMatrix, resident_topk_auto
+    from helix_tpu.ops.distance import (
+        SINGLE_SHOT_BYTES, PackedMatrix, resident_topk_auto,
+    )
     from helix_tpu.ops.ivf import HostIVFIndex
     from helix_tpu.ops.quant import (
         int8_coarse_topk, int8_fused_coarse, quantize_rows,
@@ -186,10 +188,14 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
         log(f"# int{bits} rung (quantize + upload)...")
         t0 = time.perf_counter()
         rows_n = matrix.n
-        # both quantized rungs time the kernels SERVING runs on TPU:
-        # the fused Pallas coarse (QuantizedResident/_use_fused gate) —
-        # the XLA path would materialize a [B, N] f32 score buffer
-        # (10.2 GB at 10M x 256-batch, next to the resident arrays)
+        # both quantized rungs time the kernels SERVING runs on TPU.
+        # int8 mirrors QuantizedResident.search's measured routing:
+        # XLA single-shot while the [B, N] f32 score buffer fits the
+        # budget (229k vs 150k fused coarse QPS at 1M x 256,
+        # benchmarks/exact_sweep.py --int8), fused Pallas past it
+        # (10.2 GB of scores at 10M x 256-batch next to the resident
+        # arrays).  int4 always serves fused on TPU (its XLA path
+        # materializes the unpacked int8 matrix per call).
         use_fused = backend == "tpu"
         if use_fused:
             from helix_tpu.ops.fused_topk import pad_rows_for_fused
@@ -217,6 +223,10 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
         jax.block_until_ready(xs_q)
         q_build_s = time.perf_counter() - t0
 
+        # serving-route mirror: int8 single-shot while the score buffer
+        # fits (QuantizedResident.search's gate, same operand shapes)
+        i8_single_shot = batch * len(values) * 4 <= SINGLE_SHOT_BYTES
+
         def coarse_batch(qb, k_cand, arrs=None):
             a_q, a_sc, a_sq = (xs_q, sc, sqq) if arrs is None else arrs
             if bits == 4:
@@ -227,7 +237,7 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
                 return int4_coarse_topk(
                     a_q, a_sc, qb, jnp.int32(matrix.n), a_sq, k=k_cand
                 )[1]
-            if use_fused:
+            if use_fused and not i8_single_shot:
                 return int8_fused_coarse(
                     a_q, a_sc, qb, jnp.int32(matrix.n), k=k_cand
                 )[1]
@@ -296,7 +306,7 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
                     (xs_q, sc, sqq, xs16d, sq16d, live_dev)
                     if not arrs else arrs
                 )
-                if use_fused:
+                if use_fused and not i8_single_shot:
                     cand = int8_fused_coarse(
                         a_q, a_sc, qb, jnp.int32(matrix.n), k=_k
                     )[1]

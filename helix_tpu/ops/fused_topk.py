@@ -7,22 +7,27 @@ tile on the MXU, and immediately reduces it to one winner per
 ~16 MB candidate write instead of the ~1 GB score-matrix round trip the
 XLA path (``distance.topk_resident``) pays.
 
-The trick that makes the tail cheap: the within-bucket argmax is PACKED
-into the low mantissa bits of the winning score (``log2(BUCKET)`` bits),
-so the kernel emits a single f32 output and the caller recovers the row
-id as ``bucket_id * BUCKET + low_bits`` with no index matrix and no
+The trick that makes the tail cheap: each row's WITHIN-BUCKET index is
+PACKED into its score's low mantissa bits (``log2(BUCKET)`` bits)
+BEFORE the reduction, so a single ``max`` over the bucket axis selects
+the winner and carries its index along — one VPU pass over the score
+tile instead of the max+argmax pair an index output would need.  The
+kernel emits a single f32 output and the caller recovers the row id as
+``bucket_id * BUCKET + low_bits`` with no index matrix and no
 ``take_along_axis`` gather.  Packing perturbs scores by <= 2^-17
-relative — selection-only noise, erased by the exact f32 re-rank.
+relative — selection-only noise, erased by the exact f32 re-rank (ties
+within the noise window break toward the higher in-bucket index for
+positive scores, lower for negative; the re-rank erases that too).
 
 Measured on a tunneled v5e (1M x 128-d cosine, batch 256, k=10, timings
 amortized over a 64-step on-device scan so the ~30 ms tunnel RPC is
-noise): fused 1.08 ms/batch (~237k QPS) at recall@10 0.995 vs the XLA
-single-shot path's 1.40 ms/batch (~183k QPS) at 0.997 — a 1.3x speedup
-at matched recall.  Kernel alone: 0.78 ms (HBM matrix-read floor is
-~0.31 ms); candidate selection via ``approx_max_k`` +0.08 ms; 80-way
-f32 re-rank +0.21 ms.  An earlier two-output variant measured +0.52 ms
-for selection (the ``take_along_axis`` on the index matrix) — that cost
-is what the mantissa packing removes.
+noise; benchmarks/onepass_sweep.py, round 5): one-pass at tile 8192 =
+0.63 ms/batch (~409k QPS) at recall@10 0.996 vs the two-pass
+(max+argmax) variant's 0.69 ms (~372k) at the same tile and 0.75 ms
+(~342k) at tile 4096; the XLA single-shot path serves ~237k at matched
+recall.  HBM matrix-read floor is ~0.31 ms.  An earlier two-output
+variant measured +0.52 ms for selection (the ``take_along_axis`` on
+the index matrix) — that cost is what the mantissa packing removes.
 
 Selection recall model (same as ``approx_max_k``'s windowing): a true
 top-k item is lost only when two top-k items share a 64-row bucket; on
@@ -57,7 +62,10 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 8192
 BUCKET = 64
 MAX_TILE_BYTES = 4 * 1024 * 1024
-SCORE_TILE_BYTES = 4 * 1024 * 1024
+# Combined VMEM working-set cap: f32 score tile + the double-buffered
+# matrix tiles must fit here, leaving ~4 MB of the v5e's ~16 MB VMEM
+# for the query block, outputs, and Mosaic scratch.
+VMEM_WORKING_BYTES = 12 * 1024 * 1024
 
 
 def tile_rows_for(row_bytes: int, query_block: int | None = None) -> int:
@@ -69,20 +77,23 @@ def tile_rows_for(row_bytes: int, query_block: int | None = None) -> int:
     packed-int4 kernels; callers gate on ``budget >= 512`` via
     ``supports_fused``/``_use_fused`` before reaching here.
 
-    ``query_block`` additionally bounds the f32 score tile
-    (``tile_rows x B x 4`` bytes) to ``SCORE_TILE_BYTES``: at batch 256
-    the previous 8192-row tile held an 8 MB score buffer, which with
-    double-buffered 2 MB matrix tiles filled the v5e's ~16 MB VMEM
-    outright.  A round-4 sweep (benchmarks/tile_sweep.py) read tile
-    4096 ~20% faster (0.70 vs 0.92 ms/batch at 1M x 128), though this
-    dev tunnel's ±30% CPU-steal noise overlaps the effect; the cap is
-    kept primarily for the VMEM headroom argument."""
+    ``query_block`` additionally bounds the combined VMEM working set —
+    the f32 score tile (``tile_rows x B x 4``) plus the double-buffered
+    matrix tiles (``2 x tile_rows x row_bytes``) — to
+    ``VMEM_WORKING_BYTES``.  At batch 256 / 128-d bf16 that admits the
+    full 8192-row tile (8 MB scores + 4 MB tiles), which the round-5
+    one-pass sweep measured ~10% faster than tile 4096
+    (benchmarks/onepass_sweep.py: 0.63 vs 0.75 ms/batch at 1M x 128);
+    wider rows halve the tile until the working set fits."""
     budget = MAX_TILE_BYTES // max(row_bytes, 1)
     t = 512
     while t * 2 <= min(budget, TILE):
         t *= 2
     if query_block:
-        while t > 512 and t * query_block * 4 > SCORE_TILE_BYTES:
+        while (
+            t > 512
+            and t * query_block * 4 + 2 * t * row_bytes > VMEM_WORKING_BYTES
+        ):
             t //= 2
     return t
 
@@ -99,9 +110,24 @@ MIN_QUERY_BLOCK = 128
 MAX_QUERY_BLOCK = 256
 
 
-def _make_kernel(tile_rows: int):
-    buckets_per_tile = tile_rows // BUCKET
+def bucket_reduce_packed(sims: jax.Array, tile_rows: int) -> jax.Array:
+    """One-pass packed bucket reduction shared by the bf16/int8/int4
+    kernels: OR each row's within-bucket index into its score's low
+    mantissa bits, then a single ``max`` over the bucket axis — the
+    winner's index rides along in the winning value (see module
+    docstring for the tie-break/noise model).  ``sims`` is the masked
+    [tile_rows, B] f32 score tile; returns [tile_rows // BUCKET, B]."""
+    in_bucket = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_rows, 1), 0
+    ) & jnp.int32(BUCKET - 1)
+    bits = jax.lax.bitcast_convert_type(sims, jnp.int32)
+    packed = (bits & jnp.int32(~(BUCKET - 1))) | in_bucket
+    packed_f = jax.lax.bitcast_convert_type(packed, jnp.float32)
+    grouped = packed_f.reshape(tile_rows // BUCKET, BUCKET, sims.shape[1])
+    return jnp.max(grouped, axis=1)
 
+
+def _make_kernel(tile_rows: int):
     def _kernel(n_valid_ref, q_ref, x_ref, vals_ref):
         tile_id = pl.program_id(0)
         # [tile, B] scores: contract feature dims, no transpose
@@ -117,14 +143,7 @@ def _make_kernel(tile_rows: int):
             jnp.int32, (tile_rows, 1), 0
         )
         sims = jnp.where(rows < n_valid_ref[0, 0], sims, NEG_SENTINEL)
-        grouped = sims.reshape(buckets_per_tile, BUCKET, sims.shape[1])
-        vals = jnp.max(grouped, axis=1)
-        arg = jnp.argmax(grouped, axis=1).astype(jnp.int32)
-        # Pack the within-bucket winner into the score's low mantissa
-        # bits.
-        bits = jax.lax.bitcast_convert_type(vals, jnp.int32)
-        packed = (bits & jnp.int32(~(BUCKET - 1))) | arg
-        vals_ref[:] = jax.lax.bitcast_convert_type(packed, jnp.float32)
+        vals_ref[:] = bucket_reduce_packed(sims, tile_rows)
 
     return _kernel
 

@@ -273,14 +273,27 @@ class QuantizedResident:
         xs_i8, scales, sq_dev = self.arrays(matrix)
         qs = matrix.prepare_queries(queries)
         k_cand = min(max(8 * k, 64, k_cand_floor or 0), n)
+        from .distance import SINGLE_SHOT_BYTES
         from .fused_topk import BUCKET as _BUCKET, TILE as _TILE
+
+        # Coarse-phase routing, measured (benchmarks/exact_sweep.py
+        # --int8, 1M x 128 / batch 256 on a v5e): when the [B, N] f32
+        # score buffer fits the single-shot budget, the XLA matmul +
+        # approx_max_k path serves 229k QPS coarse vs the fused Pallas
+        # kernel's 150k — the int8 kernel's per-row de-scale multiply
+        # eats the bandwidth win that makes fused the right call for
+        # bf16.  Past the budget (e.g. 10M rows x 256 queries = 10 GB
+        # of scores) the fused kernel is the only resident path — its
+        # HBM traffic stays at the 1-byte/dim matrix read.
+        single_shot = len(qs) * xs_i8.shape[0] * 4 <= SINGLE_SHOT_BYTES
 
         # The fused kernel yields one candidate per 64-row bucket; when
         # that cannot supply the requested pool (small corpus or a wide
         # k_cand_floor), the XLA path serves the full pool instead of
         # silently shrinking it below the recall target.
         if (
-            self._use_fused(matrix)
+            not single_shot
+            and self._use_fused(matrix)
             and xs_i8.shape[0] % _TILE == 0
             and k_cand <= xs_i8.shape[0] // _BUCKET
         ):
@@ -481,7 +494,14 @@ class ShardedInt8Search:
 # 10M rows is ~40x the matrix bytes.  int8 tiles also fit 2x the rows
 # of bf16 per VMEM block.
 
-from .fused_topk import BUCKET, MAX_QUERY_BLOCK, MIN_QUERY_BLOCK, NEG_SENTINEL, TILE
+from .fused_topk import (
+    BUCKET,
+    MAX_QUERY_BLOCK,
+    MIN_QUERY_BLOCK,
+    NEG_SENTINEL,
+    TILE,
+    bucket_reduce_packed,
+)
 
 _I8_MAX_TILE_BYTES = 4 * 1024 * 1024
 
@@ -494,8 +514,6 @@ def _i8_tile_rows(d: int, query_block: int | None = None) -> int:
 
 def _make_i8_kernel(tile_rows: int):
     from jax.experimental import pallas as pl
-
-    buckets_per_tile = tile_rows // BUCKET
 
     def _kernel(n_valid_ref, q_ref, qscale_ref, x_ref, xscale_ref, vals_ref):
         tile_id = pl.program_id(0)
@@ -513,12 +531,7 @@ def _make_i8_kernel(tile_rows: int):
             jnp.int32, (tile_rows, 1), 0
         )
         sims = jnp.where(rows < n_valid_ref[0, 0], sims, NEG_SENTINEL)
-        grouped = sims.reshape(buckets_per_tile, BUCKET, sims.shape[1])
-        vals = jnp.max(grouped, axis=1)
-        arg = jnp.argmax(grouped, axis=1).astype(jnp.int32)
-        bits = jax.lax.bitcast_convert_type(vals, jnp.int32)
-        packed = (bits & jnp.int32(~(BUCKET - 1))) | arg
-        vals_ref[:] = jax.lax.bitcast_convert_type(packed, jnp.float32)
+        vals_ref[:] = bucket_reduce_packed(sims, tile_rows)
 
     return _kernel
 

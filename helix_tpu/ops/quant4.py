@@ -130,7 +130,14 @@ def int4_coarse_topk(
 # reading the PACKED nibbles from HBM and unpacking in VMEM.  The dot
 # splits over column halves so no lane interleave or concat is needed.
 
-from .fused_topk import BUCKET, MAX_QUERY_BLOCK, MIN_QUERY_BLOCK, NEG_SENTINEL, TILE
+from .fused_topk import (
+    BUCKET,
+    MAX_QUERY_BLOCK,
+    MIN_QUERY_BLOCK,
+    NEG_SENTINEL,
+    TILE,
+    bucket_reduce_packed,
+)
 
 _I4_MAX_TILE_BYTES = 4 * 1024 * 1024  # packed bytes per x-tile in VMEM
 
@@ -153,8 +160,6 @@ def _i4_tile_rows(d_half: int, query_block: int | None = None) -> int:
 def _make_i4_kernel(tile_rows: int, d_half: int):
     from jax.experimental import pallas as pl
 
-    buckets_per_tile = tile_rows // BUCKET
-
     def _kernel(n_valid_ref, q_ref, qscale_ref, x_ref, xscale_ref, vals_ref):
         tile_id = pl.program_id(0)
         p32 = x_ref[:].astype(jnp.int32)            # [tile, D/2]
@@ -175,12 +180,7 @@ def _make_i4_kernel(tile_rows: int, d_half: int):
             jnp.int32, (tile_rows, 1), 0
         )
         sims = jnp.where(rows < n_valid_ref[0, 0], sims, NEG_SENTINEL)
-        grouped = sims.reshape(buckets_per_tile, BUCKET, sims.shape[1])
-        vals = jnp.max(grouped, axis=1)
-        arg = jnp.argmax(grouped, axis=1).astype(jnp.int32)
-        bits = jax.lax.bitcast_convert_type(vals, jnp.int32)
-        packed = (bits & jnp.int32(~(BUCKET - 1))) | arg
-        vals_ref[:] = jax.lax.bitcast_convert_type(packed, jnp.float32)
+        vals_ref[:] = bucket_reduce_packed(sims, tile_rows)
 
     return _kernel
 

@@ -153,7 +153,7 @@ def test_supports_fused_gates():
 
 
 def test_tile_rows_shared_helper():
-    from helix_tpu.ops.fused_topk import TILE, tile_rows_for
+    from helix_tpu.ops.fused_topk import TILE, _tile_rows, tile_rows_for
     from helix_tpu.ops.quant import _i8_tile_rows
     from helix_tpu.ops.quant4 import _i4_tile_rows
 
@@ -170,9 +170,15 @@ def test_tile_rows_shared_helper():
     assert _i4_tile_rows(4096 // 2) == tile_rows_for(
         _I4_ROW_VMEM_FACTOR * 2048
     )
-    # at serving width (128-d, d_half=64) the factor changes nothing:
-    # the score-tile cap binds first
-    assert _i4_tile_rows(64, 256) == _i8_tile_rows(128, 256)
+    # at serving width (128-d) the combined VMEM working-set cap
+    # (score tile + double-buffered matrix tiles <= 12 MB) admits the
+    # full tile for int8 (8 MB + 2 MB) but halves int4, whose unpack
+    # working set is 7x its packed bytes (8 MB + 7 MB would not fit)
+    assert _i8_tile_rows(128, 256) == TILE
+    assert _i4_tile_rows(64, 256) == TILE // 2
+    # bf16 at 128-d / batch 256: exactly at the cap (8 MB + 4 MB) —
+    # the round-5 sweep's measured-fastest config
+    assert _tile_rows(128, 256) == TILE
     # every result divides TILE (non-divisors would drop tail rows)
     for rb in (64, 128, 999, 4096, 8192, 100_000):
         assert TILE % tile_rows_for(rb) == 0
