@@ -354,8 +354,9 @@ class Partition:
 
         Re-rank runs per-shard on device when the f16 copy fits the
         per-chip budget (rows re-score where they live; the all-gather
-        then carries exact scores and the host re-rank drops out) and
-        falls back to the host f32 path otherwise."""
+        then carries f32-accumulated f16 re-rank scores — see
+        device_rerank_topk's precision note — and the host re-rank
+        drops out) and falls back to the host f32 path otherwise."""
         from ..ops.quant import ShardedInt8Search, quantize_rows
         from ..parallel import make_mesh
 
