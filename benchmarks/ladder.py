@@ -360,7 +360,9 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
             **({"coarse_clamped_to_roofline": True} if coarse_clamped else {}),
             "detail": (
                 f"coarse k_cand={k_cand} on device "
-                f"({'fused Pallas' if use_fused else 'XLA'}) + exact f32 "
+                f"({'XLA single-shot'
+                    if (bits == 8 and i8_single_shot) or not use_fused
+                    else 'fused Pallas'}) + exact f32 "
                 f"host re-rank; coarse-only {coarse_qps:,.0f} QPS"
             ),
         })
