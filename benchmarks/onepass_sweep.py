@@ -67,6 +67,45 @@ def _make_kernel_onepass(tile_rows: int):
     return _kernel
 
 
+def _make_kernel_lastmask(tile_rows: int):
+    """One-pass variant that applies the n_valid junk-row mask only in
+    tiles that actually CONTAIN junk rows: rows pad past the high-water
+    mark (up to a full 8192-row TILE of junk, possibly spanning several
+    smaller grid tiles — hence a containment test, not ==last), and
+    tombstones are a separate post-filter, so the interior tiles'
+    per-element select — ~25% of the reduction's VPU ops — is waste."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import helix_tpu.ops.fused_topk as ft
+
+    def _kernel(n_valid_ref, q_ref, x_ref, vals_ref):
+        tile_id = pl.program_id(0)
+        sims = jax.lax.dot_general(
+            x_ref[:], q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        has_junk = (tile_id + 1) * tile_rows > n_valid_ref[0, 0]
+
+        @pl.when(jnp.logical_not(has_junk))
+        def _interior():
+            vals_ref[:] = ft.bucket_reduce_packed(sims, tile_rows)
+
+        @pl.when(has_junk)
+        def _mask_tail():
+            rows = tile_id * tile_rows + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_rows, 1), 0
+            )
+            masked = jnp.where(
+                rows < n_valid_ref[0, 0], sims, ft.NEG_SENTINEL
+            )
+            vals_ref[:] = ft.bucket_reduce_packed(masked, tile_rows)
+
+    return _kernel
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
@@ -75,10 +114,22 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--tiles", default="4096,8192")
     ap.add_argument("--rounds", type=int, default=64)
+    ap.add_argument(
+        "--interpret", action="store_true",
+        help="run kernels in Pallas interpret mode (CPU correctness smoke)",
+    )
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    if args.interpret:
+        from jax.experimental import pallas as pl
+
+        _orig_call = pl.pallas_call
+        pl.pallas_call = (
+            lambda *a, **kw: _orig_call(*a, **{**kw, "interpret": True})
+        )
 
     from benchmarks.ladder import _corpus, _oracle, _recall
     from benchmarks.roofline import roofline_batch_seconds, timed_scan_qps
@@ -116,6 +167,7 @@ def main() -> None:
     try:
         for kernel_name, make in (
             ("shipped", orig_make), ("onepass", _make_kernel_onepass),
+            ("lastmask", _make_kernel_lastmask),
         ):
             ft._make_kernel = make
             for tile in (int(t) for t in args.tiles.split(",") if t):
