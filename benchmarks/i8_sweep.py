@@ -45,7 +45,6 @@ Usage: python benchmarks/i8_sweep.py [--n 1000000] [--k-cand 80]
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import sys
 from pathlib import Path
