@@ -192,18 +192,17 @@ def main() -> None:
     # -- optional int8 coarse comparison ---------------------------------
     if args.int8:
         from helix_tpu.ops.quant import (
-            _quantize_queries, int8_coarse_topk, int8_fused_coarse,
-            quantize_rows,
+            GLOBAL_SCALE, _quantize_queries, int8_coarse_topk,
+            int8_fused_coarse, quantize_rows_unit,
         )
 
-        values, scales = quantize_rows(np.asarray(matrix.data[: matrix.n]))
+        # serving mirror: global-scale codes (ops/quant.py docstring)
+        values = quantize_rows_unit(np.asarray(matrix.data[: matrix.n]))
         if n_pad > matrix.n:
             values = np.concatenate([
                 values, np.zeros((n_pad - matrix.n, dim_pad), np.int8),
             ])
-            scales = np.concatenate([
-                scales, np.ones(n_pad - matrix.n, np.float32),
-            ])
+        scales = np.full(n_pad, GLOBAL_SCALE, np.float32)
         xs_i8 = PackedMatrix._upload(values)
         sc = jnp.asarray(scales)
         sqq = jnp.zeros((1,), jnp.float32)
@@ -211,8 +210,9 @@ def main() -> None:
         k_cand = min(max(k, 8 * k), n)
 
         def fused_i8(qb, a_q, a_sc):
+            del a_sc
             return int8_fused_coarse(
-                a_q, a_sc, qb, jnp.int32(matrix.n), k=k_cand
+                a_q, qb, jnp.int32(matrix.n), k=k_cand
             )[1]
 
         def xla_i8(qb, a_q, a_sc, a_sq):

@@ -85,11 +85,12 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
     )
     from helix_tpu.native import rerank as native_rerank
     from helix_tpu.ops.distance import (
-        SINGLE_SHOT_BYTES, PackedMatrix, resident_topk_auto,
+        PackedMatrix, resident_topk_auto,
     )
     from helix_tpu.ops.ivf import HostIVFIndex
     from helix_tpu.ops.quant import (
-        int8_coarse_topk, int8_fused_coarse, quantize_rows,
+        GLOBAL_SCALE, int8_coarse_topk, int8_fused_coarse,
+        quantize_rows_unit,
     )
     from helix_tpu.ops.quant4 import (
         int4_coarse_topk, int4_fused_coarse, quantize_rows_int4,
@@ -174,8 +175,15 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
     # ---- quantized rungs ----------------------------------------------
     from helix_tpu.ops.quant4 import INT4_MAX_POOL, recall_safe_pool_int4
 
+    def _qfn_i8(x):
+        # serving mirror: QuantizedResident.arrays quantizes cosine
+        # rows with one global scale (ops/quant.py module docstring)
+        return quantize_rows_unit(x), np.full(
+            len(x), GLOBAL_SCALE, np.float32
+        )
+
     for bits, qfn, coarse_kind, pool0, pool_cap, per_row in (
-        (8, quantize_rows, "int8", max(8 * k, 64), INT4_MAX_POOL,
+        (8, _qfn_i8, "int8", max(8 * k, 64), INT4_MAX_POOL,
          dim_pad + 4),
         # int4 starts at the engine's scale-aware serving floor (the
         # auto-laddered ef_search analog) and ladders from there; the
@@ -189,13 +197,13 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
         t0 = time.perf_counter()
         rows_n = matrix.n
         # both quantized rungs time the kernels SERVING runs on TPU.
-        # int8 mirrors QuantizedResident.search's measured routing:
-        # XLA single-shot while the [B, N] f32 score buffer fits the
-        # budget (229k vs 150k fused coarse QPS at 1M x 256,
-        # benchmarks/exact_sweep.py --int8), fused Pallas past it
-        # (10.2 GB of scores at 10M x 256-batch next to the resident
-        # arrays).  int4 always serves fused on TPU (its XLA path
-        # materializes the unpacked int8 matrix per call).
+        # int8 mirrors QuantizedResident.search's measured routing: the
+        # scale-free fused Pallas kernel at every scale (568k vs the
+        # XLA single-shot path's 229k coarse QPS at 1M x 256,
+        # benchmarks/i8_sweep.py), with the XLA path only when the
+        # bucket supply cannot cover the pool.  int4 always serves
+        # fused on TPU (its XLA path materializes the unpacked int8
+        # matrix per call).
         use_fused = backend == "tpu"
         if use_fused:
             from helix_tpu.ops.fused_topk import pad_rows_for_fused
@@ -223,9 +231,10 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
         jax.block_until_ready(xs_q)
         q_build_s = time.perf_counter() - t0
 
-        # serving-route mirror: int8 single-shot while the score buffer
-        # fits (QuantizedResident.search's gate, same operand shapes)
-        i8_single_shot = batch * len(values) * 4 <= SINGLE_SHOT_BYTES
+        # serving-route mirror: fused whenever the 64-row bucket supply
+        # covers the pool (QuantizedResident.search's gate)
+        def i8_fused_ok(k_cand):
+            return use_fused and k_cand <= len(values) // 64
 
         def coarse_batch(qb, k_cand, arrs=None):
             a_q, a_sc, a_sq = (xs_q, sc, sqq) if arrs is None else arrs
@@ -237,9 +246,9 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
                 return int4_coarse_topk(
                     a_q, a_sc, qb, jnp.int32(matrix.n), a_sq, k=k_cand
                 )[1]
-            if use_fused and not i8_single_shot:
+            if i8_fused_ok(k_cand):
                 return int8_fused_coarse(
-                    a_q, a_sc, qb, jnp.int32(matrix.n), k=k_cand
+                    a_q, qb, jnp.int32(matrix.n), k=k_cand
                 )[1]
             return int8_coarse_topk(
                 a_q, a_sc, qb, jnp.int32(matrix.n), a_sq, k=k_cand
@@ -306,9 +315,9 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
                     (xs_q, sc, sqq, xs16d, sq16d, live_dev)
                     if not arrs else arrs
                 )
-                if use_fused and not i8_single_shot:
+                if i8_fused_ok(_k):
                     cand = int8_fused_coarse(
-                        a_q, a_sc, qb, jnp.int32(matrix.n), k=_k
+                        a_q, qb, jnp.int32(matrix.n), k=_k
                     )[1]
                 else:
                     cand = int8_coarse_topk(
@@ -360,9 +369,9 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
             **({"coarse_clamped_to_roofline": True} if coarse_clamped else {}),
             "detail": (
                 f"coarse k_cand={k_cand} on device "
-                f"({'XLA single-shot'
-                    if (bits == 8 and i8_single_shot) or not use_fused
-                    else 'fused Pallas'}) + exact f32 "
+                f"({'fused Pallas'
+                    if (use_fused if bits == 4 else i8_fused_ok(k_cand))
+                    else 'XLA single-shot'}) + exact f32 "
                 f"host re-rank; coarse-only {coarse_qps:,.0f} QPS"
             ),
         })

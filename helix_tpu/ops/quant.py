@@ -6,19 +6,30 @@ tier — a ~90x QPS cliff (BENCH_NOTES round 2).  This tier sits between
 them (reference capacity envelope: ``db_max_size_gb=20``,
 ``helix-cli/src/config.rs:203-205``):
 
-- Rows quantize to **int8 with a per-row symmetric scale** (1 byte/dim
-  + 4 bytes/row resident — 6x the exact tier's capacity).
+- Cosine rows (unit-norm at ingest) quantize to **int8 with one global
+  scale** (``rint(127 x)`` is always in range): 1 byte/dim resident —
+  6x the exact tier's capacity.  l2 rows keep per-row symmetric scales
+  (their norms vary, so a global scale would starve small-norm rows).
 - The coarse phase is an **int8 x int8 MXU matmul** (``dot_general``
   with ``preferred_element_type=int32`` — the MXU runs int8 at 2x bf16
-  throughput), de-scaled to f32 scores, then ``approx_max_k``.
+  throughput), then ``approx_max_k``.  With a global scale the raw
+  integer dots already rank correctly per query; de-scaling moves to
+  the tiny ``[B, k]`` output.
 - Candidates re-rank **exactly in f32 against the host-resident
   matrix** (the same native C++ re-rank the sharded tier uses), so
   quantization noise only has to keep the true top-k inside the
   candidate set, not rank it.
 
-Per-row scales matter: cosine rows are unit-norm but their max |x|
-varies ~3x across rows; a global scale costs ~2 bits of effective
-precision on the flattest rows.
+Global vs per-row scales is a measured trade (benchmarks/i8_sweep.py,
+1M x 128 / batch 256 on a v5e): per-row scales sharpen the flattest
+rows (containment 0.9957 vs 0.9926 at pool 80) but feeding them to the
+fused kernel costs a ``[tile_rows, 1]`` f32 operand that Mosaic
+lane-pads to 128 — 4 MB of VMEM per 8192-row tile buffer, measured as
+~0.64 ms/batch of the epilogue (``ep_astype`` 307k QPS vs ``dot_i8``
+1,306k with the only difference being that operand).  Dropping the
+operand entirely (global scale) serves 568k QPS vs 276k; the exact
+re-rank plus the auto-laddered candidate pool absorb the containment
+difference.
 """
 
 from __future__ import annotations
@@ -49,6 +60,19 @@ def quantize_rows(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         np.rint(rows / scales[:, None]), -127, 127
     ).astype(np.int8)
     return values, scales
+
+
+# One quantization step for unit-norm rows: every |x| <= 1, so
+# ``rint(127 x)`` is always a valid int8 and the de-scale is this
+# single constant (see the module docstring for the measured
+# global-vs-per-row trade).
+GLOBAL_SCALE = np.float32(1.0 / 127.0)
+
+
+def quantize_rows_unit(rows: np.ndarray) -> np.ndarray:
+    """Global-scale symmetric int8 for unit-norm (cosine) rows.
+    De-scale with :data:`GLOBAL_SCALE`."""
+    return np.clip(np.rint(rows * 127.0), -127, 127).astype(np.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
@@ -186,7 +210,13 @@ class QuantizedResident:
             padded = np.zeros((n_rows, matrix.data.shape[1]), np.float32)
             padded[: matrix.n] = matrix.data[: matrix.n]
             rows = padded
-        values, scales = quantize_rows(rows)
+        if matrix.metric == "cosine":
+            # unit-norm rows: one global scale (module docstring); the
+            # uniform array keeps the XLA path's [N] signature
+            values = quantize_rows_unit(rows)
+            scales = np.full(n_rows, GLOBAL_SCALE, np.float32)
+        else:
+            values, scales = quantize_rows(rows)
         from .distance import PackedMatrix
 
         xs_i8 = PackedMatrix._upload(values)  # chunked H2D (see _upload)
@@ -273,32 +303,30 @@ class QuantizedResident:
         xs_i8, scales, sq_dev = self.arrays(matrix)
         qs = matrix.prepare_queries(queries)
         k_cand = min(max(8 * k, 64, k_cand_floor or 0), n)
-        from .distance import SINGLE_SHOT_BYTES
         from .fused_topk import BUCKET as _BUCKET, TILE as _TILE
 
-        # Coarse-phase routing, measured (benchmarks/exact_sweep.py
-        # --int8, 1M x 128 / batch 256 on a v5e): when the [B, N] f32
-        # score buffer fits the single-shot budget, the XLA matmul +
-        # approx_max_k path serves 229k QPS coarse vs the fused Pallas
-        # kernel's 150k — the int8 kernel's per-row de-scale multiply
-        # eats the bandwidth win that makes fused the right call for
-        # bf16.  Past the budget (e.g. 10M rows x 256 queries = 10 GB
-        # of scores) the fused kernel is the only resident path — its
-        # HBM traffic stays at the 1-byte/dim matrix read.
-        single_shot = len(qs) * xs_i8.shape[0] * 4 <= SINGLE_SHOT_BYTES
-
+        # Coarse-phase routing, measured (benchmarks/i8_sweep.py,
+        # 1M x 128 / batch 256 on a v5e): the scale-free fused kernel
+        # serves 568k QPS coarse vs the XLA matmul + approx_max_k
+        # path's 229k — and unlike the XLA path its HBM traffic stays
+        # at the 1-byte/dim matrix read instead of a [B, N] f32 score
+        # buffer (10 GB at 10M rows x 256 queries), so it wins at every
+        # scale.  (Round-5 history: with per-row scale operands the
+        # fused kernel measured 150-276k and the routing preferred
+        # single-shot under the score-buffer budget; the module
+        # docstring has the operand-layout decomposition.)
+        #
         # The fused kernel yields one candidate per 64-row bucket; when
         # that cannot supply the requested pool (small corpus or a wide
         # k_cand_floor), the XLA path serves the full pool instead of
         # silently shrinking it below the recall target.
         if (
-            not single_shot
-            and self._use_fused(matrix)
+            self._use_fused(matrix)
             and xs_i8.shape[0] % _TILE == 0
             and k_cand <= xs_i8.shape[0] // _BUCKET
         ):
             _, cand = int8_fused_coarse(
-                xs_i8, scales, jnp.asarray(qs), jnp.int32(n), k=k_cand
+                xs_i8, jnp.asarray(qs), jnp.int32(n), k=k_cand
             )
         else:
             _, cand = int8_coarse_topk(
@@ -515,18 +543,23 @@ def _i8_tile_rows(d: int, query_block: int | None = None) -> int:
 def _make_i8_kernel(tile_rows: int):
     from jax.experimental import pallas as pl
 
-    def _kernel(n_valid_ref, q_ref, qscale_ref, x_ref, xscale_ref, vals_ref):
+    # No scale operands: rows carry one global scale (and the per-query
+    # scale is a positive constant per column), so the raw integer dots
+    # already rank correctly — de-scaling happens on the [B, k] output.
+    # This is not a convenience: ANY per-row f32 operand arrives as a
+    # [tile_rows, 1] block that Mosaic lane-pads to 128 (4 MB of VMEM
+    # per 8192-row buffer), measured at ~0.64 ms/batch of pure epilogue
+    # (benchmarks/i8_sweep.py, ep_astype vs dot_i8).  The int32 -> f32
+    # astype itself is nearly free (dot_i8 runs at 86% of the int8-MXU
+    # roofline with it fused in).
+    def _kernel(n_valid_ref, q_ref, x_ref, vals_ref):
         tile_id = pl.program_id(0)
         dots = jax.lax.dot_general(
             x_ref[:], q_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )                                               # [tile, B]
-        sims = (
-            dots.astype(jnp.float32)
-            * xscale_ref[:]                              # [tile, 1]
-            * qscale_ref[:]                              # [1, B]
-        )
+        sims = dots.astype(jnp.float32)
         rows = tile_id * tile_rows + jax.lax.broadcasted_iota(
             jnp.int32, (tile_rows, 1), 0
         )
@@ -538,10 +571,8 @@ def _make_i8_kernel(tile_rows: int):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _i8_bucket_scores(
-    xs_i8: jax.Array,       # [N, D] int8, N padded to TILE
-    x_scales: jax.Array,    # [N, 1] f32
+    xs_i8: jax.Array,       # [N, D] int8, N padded to TILE (global scale)
     q_i8: jax.Array,        # [B, D] int8 (B lane-aligned)
-    q_scales: jax.Array,    # [1, B] f32
     n_valid: jax.Array,
     interpret: bool = False,
 ):
@@ -559,12 +590,8 @@ def _i8_bucket_scores(
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (tile_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
@@ -587,15 +614,14 @@ def _i8_bucket_scores(
         interpret=interpret,
     )(
         n_valid.reshape(1, 1).astype(jnp.int32),
-        q_i8, q_scales, xs_i8, x_scales,
+        q_i8, xs_i8,
     )
     return vals
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def int8_fused_coarse(
-    xs_i8: jax.Array,       # [N, D] int8, rows padded to TILE
-    x_scales: jax.Array,    # [N] f32
+    xs_i8: jax.Array,       # [N, D] int8 (global scale), rows padded to TILE
     qs: jax.Array,          # [B, D] f32
     n_valid: jax.Array,
     *,
@@ -604,8 +630,11 @@ def int8_fused_coarse(
 ) -> tuple[jax.Array, jax.Array]:
     """Fused int8 coarse candidates: (packed scores [B, k], row ids).
 
-    Cosine only (scores are de-scaled dot products).  Candidates feed
-    the exact f32 host re-rank like the XLA coarse path.
+    Cosine only; ``xs_i8`` must be :func:`quantize_rows_unit` codes
+    (one global scale — see the module docstring for why the kernel
+    refuses per-row scale operands).  Scores are de-scaled dot
+    products; candidates feed the exact f32 host re-rank like the XLA
+    coarse path.
     """
     b_in = qs.shape[0]
     total_buckets = xs_i8.shape[0] // BUCKET
@@ -620,14 +649,17 @@ def int8_fused_coarse(
             chunk = jnp.pad(chunk, ((0, b_pad - b), (0, 0)))
         q_i8, q_scales = _quantize_queries(chunk)
         vals = _i8_bucket_scores(
-            xs_i8, x_scales.reshape(-1, 1), q_i8,
-            q_scales.reshape(1, -1), n_valid, interpret=interpret,
+            xs_i8, q_i8, n_valid, interpret=interpret,
         ).T                                             # [b_pad, buckets]
         best_s, pos = jax.lax.approx_max_k(vals, k_cand, recall_target=0.95)
         arg = jax.lax.bitcast_convert_type(best_s, jnp.int32) & jnp.int32(
             BUCKET - 1
         )
-        out_s.append(best_s[:b])
+        # De-scale on the [B, k] output (the in-bucket index bits ride
+        # in the mantissa, so extract BEFORE the multiply; the product
+        # keeps the documented <= 2^-17 relative packing noise).
+        sims_k = best_s * (jnp.float32(GLOBAL_SCALE) * q_scales[:, None])
+        out_s.append(sims_k[:b])
         out_i.append((pos * BUCKET + arg)[:b])
     sims = out_s[0] if len(out_s) == 1 else jnp.concatenate(out_s, axis=0)
     ids = out_i[0] if len(out_i) == 1 else jnp.concatenate(out_i, axis=0)

@@ -188,20 +188,22 @@ def test_int8_fused_kernel_interpret_matches_oracle():
     from helix_tpu.ops.fused_topk import TILE
     from helix_tpu.ops.quant import int8_fused_coarse
 
+    from helix_tpu.ops.quant import quantize_rows_unit
+
     rng = np.random.default_rng(8)
     n, d, k = TILE, 128, 10
     n_live = n - 300  # padding rows must never win
     data, centers = clustered(rng, n_live, d)
     padded = np.zeros((n, d), np.float32)
     padded[:n_live] = data
-    values, scales = quantize_rows(padded)
+    values = quantize_rows_unit(padded)
     qs = centers[rng.integers(0, 50, size=4)] + 0.3 * rng.normal(
         size=(4, d)
     ).astype(np.float32)
     qs /= np.linalg.norm(qs, axis=1, keepdims=True)
 
     sims, ids = int8_fused_coarse(
-        jnp.asarray(values), jnp.asarray(scales), jnp.asarray(qs),
+        jnp.asarray(values), jnp.asarray(qs),
         jnp.int32(n_live), k=64, interpret=True,
     )
     ids = np.asarray(ids)
