@@ -94,6 +94,7 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
     )
     from helix_tpu.ops.quant4 import (
         int4_coarse_topk, int4_fused_coarse, quantize_rows_int4,
+        quantize_rows_int4_bucketed,
     )
 
     backend = jax.default_backend()
@@ -209,21 +210,34 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
             from helix_tpu.ops.fused_topk import pad_rows_for_fused
 
             rows_n = pad_rows_for_fused(matrix.n)
-        vparts, sparts = [], []
-        for s0 in range(0, matrix.n, 1_000_000):
-            e0 = min(matrix.n, s0 + 1_000_000)
-            vp, sp = qfn(np.asarray(matrix.data[s0:e0]))
-            vparts.append(vp)
-            sparts.append(sp)
-        if rows_n > matrix.n:
-            vp, sp = qfn(np.zeros((rows_n - matrix.n, dim_pad), np.float32))
-            vparts.append(vp)
-            sparts.append(sp)
-        values = np.concatenate(vparts)
-        scales = np.concatenate(sparts)
-        del vparts, sparts
+        perm = None
+        if bits == 4 and use_fused:
+            # serving mirror: Int4Resident quantizes cosine rows
+            # scale-sorted with per-bucket scales (the fused kernel
+            # takes no per-row operand — ops/fused_topk.descale_packed)
+            rows_all = matrix._rows_view(matrix.data, rows_n)
+            values, bsc_np, scales, perm = quantize_rows_int4_bucketed(
+                rows_all, n_live=matrix.n
+            )
+            sc = jnp.asarray(bsc_np)       # fused kernel operand
+        else:
+            vparts, sparts = [], []
+            for s0 in range(0, matrix.n, 1_000_000):
+                e0 = min(matrix.n, s0 + 1_000_000)
+                vp, sp = qfn(np.asarray(matrix.data[s0:e0]))
+                vparts.append(vp)
+                sparts.append(sp)
+            if rows_n > matrix.n:
+                vp, sp = qfn(
+                    np.zeros((rows_n - matrix.n, dim_pad), np.float32)
+                )
+                vparts.append(vp)
+                sparts.append(sp)
+            values = np.concatenate(vparts)
+            scales = np.concatenate(sparts)
+            del vparts, sparts
+            sc = jnp.asarray(scales)
         xs_q = PackedMatrix._upload(values)
-        sc = jnp.asarray(scales)
         # cosine never reads the sq-norm operand — a 1-element dummy
         # avoids an N x 4-byte H2D per rung (40 MB at 10M over this
         # tunnel's ~25 MB/s), matching QuantizedResident.arrays
@@ -256,6 +270,8 @@ def run_ladder(n: int = 1_000_000, d: int = 128, batch: int = 256,
 
         def full_recall(k_cand):
             cand = np.asarray(coarse_batch(q_rot[0], k_cand), np.int64)
+            if perm is not None:   # sorted positions -> original rows
+                cand = perm[np.clip(cand, 0, len(perm) - 1)]
             cand = np.where(cand < matrix.n, cand, -1)
             t0 = time.perf_counter()
             _, pos = native_rerank(

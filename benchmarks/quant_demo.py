@@ -113,6 +113,7 @@ def main() -> None:
     # Quantize in 1M-row chunks: one monolithic numpy pass over a 5 GB
     # corpus churns five 5 GB temporaries and thrashes for 10+ minutes
     # on this box; chunked it is ~150 s (BENCH_NOTES int4 staging note).
+    perm = None
     if args.bits == 4:
         rows_n = mat.n
         if use_fused:
@@ -125,22 +126,32 @@ def main() -> None:
         rows_n = mat.n
         qfn = quantize_rows
         k_cand = max(8 * k, 64)
-    vparts, sparts = [], []
-    for s0 in range(0, mat.n, chunk):
-        e0 = min(mat.n, s0 + chunk)
-        vp, sp = qfn(np.asarray(mat.data[s0:e0]))
-        vparts.append(vp)
-        sparts.append(sp)
-    if rows_n > mat.n:
-        pad_rows = np.zeros((rows_n - mat.n, mat.dim_pad), np.float32)
-        vp, sp = qfn(pad_rows)
-        vparts.append(vp)
-        sparts.append(sp)
-    values = np.concatenate(vparts)
-    scales = np.concatenate(sparts)
-    del vparts, sparts
+    if args.bits == 4 and use_fused:
+        # serving mirror: scale-sorted per-bucket quantization
+        # (chunks internally; ops/quant4.quantize_rows_int4_bucketed)
+        from helix_tpu.ops.quant4 import quantize_rows_int4_bucketed
+
+        values, bsc_np, scales, perm = quantize_rows_int4_bucketed(
+            mat._rows_view(mat.data, rows_n), n_live=mat.n, chunk=chunk,
+        )
+        sc = jnp.asarray(bsc_np)
+    else:
+        vparts, sparts = [], []
+        for s0 in range(0, mat.n, chunk):
+            e0 = min(mat.n, s0 + chunk)
+            vp, sp = qfn(np.asarray(mat.data[s0:e0]))
+            vparts.append(vp)
+            sparts.append(sp)
+        if rows_n > mat.n:
+            pad_rows = np.zeros((rows_n - mat.n, mat.dim_pad), np.float32)
+            vp, sp = qfn(pad_rows)
+            vparts.append(vp)
+            sparts.append(sp)
+        values = np.concatenate(vparts)
+        scales = np.concatenate(sparts)
+        del vparts, sparts
+        sc = jnp.asarray(scales)
     xs_q = PackedMatrix._upload(values)
-    sc = jnp.asarray(scales)
     sq = jnp.asarray(mat.sq_norms[: len(values)])
     jax.block_until_ready(xs_q)
     upload_s = time.perf_counter() - t0
@@ -172,6 +183,8 @@ def main() -> None:
     # Full tier: coarse + exact f32 host re-rank.
     t0 = time.perf_counter()
     cand_h = np.asarray(cand, np.int64)
+    if perm is not None:   # sorted positions -> original rows
+        cand_h = perm[np.clip(cand_h, 0, len(perm) - 1)]
     cand_h = np.where(cand_h < mat.n, cand_h, -1)
     dists, pos = native_rerank(
         mat.data[: mat.n], mat.sq_norms[: mat.n], qs_pad, cand_h, k, "cosine"

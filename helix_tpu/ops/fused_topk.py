@@ -127,6 +127,27 @@ def bucket_reduce_packed(sims: jax.Array, tile_rows: int) -> jax.Array:
     return jnp.max(grouped, axis=1)
 
 
+def descale_packed(winners: jax.Array, scales: jax.Array) -> jax.Array:
+    """Multiply packed bucket winners ``[buckets, B]`` by positive
+    per-bucket ``scales [buckets, 1]`` while preserving the in-bucket
+    index riding in the low mantissa bits: extract the index, multiply
+    the cleaned score, re-pack.  The re-pack re-introduces the same
+    <= 2^-17 relative noise the packing model already documents.
+
+    This is how per-bucket de-scaling stays OUT of the [tile_rows, B]
+    domain: a per-ROW scale operand would be a [tile_rows, 1] block
+    that Mosaic lane-pads to 128 (4 MB of VMEM per buffer — the
+    measured int8 epilogue catastrophe, benchmarks/i8_sweep.py), while
+    the [buckets, 1] winner-domain multiply touches 1/64th of the data
+    behind a 32 KB operand."""
+    mask = jnp.int32(BUCKET - 1)
+    bits = jax.lax.bitcast_convert_type(winners, jnp.int32)
+    idx = bits & mask
+    clean = jax.lax.bitcast_convert_type(bits & ~mask, jnp.float32)
+    scaled = jax.lax.bitcast_convert_type(clean * scales, jnp.int32)
+    return jax.lax.bitcast_convert_type((scaled & ~mask) | idx, jnp.float32)
+
+
 def _make_kernel(tile_rows: int):
     def _kernel(n_valid_ref, q_ref, x_ref, vals_ref):
         tile_id = pl.program_id(0)

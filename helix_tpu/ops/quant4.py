@@ -79,6 +79,55 @@ def quantize_rows_int4(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lo | (hi << 4), scales
 
 
+def quantize_rows_int4_bucketed(
+    rows: np.ndarray, n_live: int | None = None, chunk: int = 1_000_000,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Scale-sorted per-BUCKET int4 quantization for the fused kernel:
+    ``(packed uint8 [N, D/2], bucket_scales f32 [N/64],
+    row_scales f32 [N], perm int64 [N])``.
+
+    Live rows sort by peak magnitude so each 64-row reduction bucket
+    holds near-identical peaks — the shared bucket scale then costs
+    almost nothing vs per-row scales, and because every row in a bucket
+    shares its scale, the bucket max commutes with de-scaling: the
+    kernel reduces in the raw-dot domain and multiplies only the
+    [buckets, B] winners (see ops/fused_topk.descale_packed for why a
+    per-row scale operand is off the table).  ``perm[sorted_pos] =
+    original_pos``; callers map candidates back through it.
+    ``row_scales`` is the bucket scale broadcast per row — the SAME
+    de-scale values, shaped for the XLA fallback path.  Rows past
+    ``n_live`` (padding) keep their positions so the kernel's
+    ``n_valid`` mask stays valid."""
+    n, d = rows.shape
+    assert d % 2 == 0, "packed int4 needs an even (padded) dim"
+    assert n % 64 == 0, "bucketed int4 needs 64-row-aligned row padding"
+    if n_live is None:
+        n_live = n
+    peaks = np.empty(n, np.float32)
+    for s0 in range(0, n, chunk):
+        e0 = min(n, s0 + chunk)
+        peaks[s0:e0] = np.abs(rows[s0:e0]).max(axis=1)
+    perm = np.arange(n, dtype=np.int64)
+    perm[:n_live] = np.argsort(peaks[:n_live], kind="stable")
+    bucket_peak = peaks[perm].reshape(-1, 64).max(axis=1)
+    bucket_scales = np.where(
+        bucket_peak > 0, bucket_peak / 7.0, 1.0
+    ).astype(np.float32)
+    row_scales = np.repeat(bucket_scales, 64)
+    h = d // 2
+    packed = np.empty((n, h), np.uint8)
+    for s0 in range(0, n, chunk):
+        e0 = min(n, s0 + chunk)
+        block = rows[perm[s0:e0]]
+        q = np.clip(
+            np.rint(block / row_scales[s0:e0, None]), -7, 7
+        ).astype(np.int8)
+        packed[s0:e0] = (q[:, :h] & 0x0F).astype(np.uint8) | (
+            (q[:, h:] & 0x0F).astype(np.uint8) << 4
+        )
+    return packed, bucket_scales, row_scales, perm
+
+
 def unpack_int4(packed: np.ndarray | jax.Array):
     """Inverse of the packing layout: int8 ``[N, D]`` in original
     column order (numpy or jax, matching the input)."""
@@ -160,7 +209,16 @@ def _i4_tile_rows(d_half: int, query_block: int | None = None) -> int:
 def _make_i4_kernel(tile_rows: int, d_half: int):
     from jax.experimental import pallas as pl
 
-    def _kernel(n_valid_ref, q_ref, qscale_ref, x_ref, xscale_ref, vals_ref):
+    from .fused_topk import descale_packed
+
+    # Per-BUCKET scales (rows scale-sorted at quantization time, so
+    # every 64-row bucket shares its scale): the reduction runs in the
+    # raw-dot f32 domain and only the [buckets, B] winners de-scale,
+    # behind a tiny [buckets, 1] operand.  A per-row [tile_rows, 1]
+    # operand lane-pads to 4 MB of VMEM per buffer — the measured int8
+    # epilogue catastrophe (benchmarks/i8_sweep.py; ops/quant.py module
+    # docstring).  The per-query scale moves to the [B, k] output.
+    def _kernel(n_valid_ref, q_ref, x_ref, bscale_ref, vals_ref):
         tile_id = pl.program_id(0)
         p32 = x_ref[:].astype(jnp.int32)            # [tile, D/2]
         lo = ((p32 << 28) >> 28).astype(jnp.int8)   # sign-extended nibble
@@ -175,12 +233,14 @@ def _make_i4_kernel(tile_rows: int, d_half: int):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )                                           # [tile, B]
-        sims = dots.astype(jnp.float32) * xscale_ref[:] * qscale_ref[:]
+        sims = dots.astype(jnp.float32)
         rows = tile_id * tile_rows + jax.lax.broadcasted_iota(
             jnp.int32, (tile_rows, 1), 0
         )
         sims = jnp.where(rows < n_valid_ref[0, 0], sims, NEG_SENTINEL)
-        vals_ref[:] = bucket_reduce_packed(sims, tile_rows)
+        vals_ref[:] = descale_packed(
+            bucket_reduce_packed(sims, tile_rows), bscale_ref[:]
+        )
 
     return _kernel
 
@@ -188,9 +248,8 @@ def _make_i4_kernel(tile_rows: int, d_half: int):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _i4_bucket_scores(
     packed: jax.Array,      # [N, D/2] uint8, N padded to TILE
-    x_scales: jax.Array,    # [N, 1] f32
+    bucket_scales: jax.Array,  # [N / 64, 1] f32 (scale-sorted buckets)
     q_i8: jax.Array,        # [B, D] int8 (B lane-aligned)
-    q_scales: jax.Array,    # [1, B] f32
     n_valid: jax.Array,
     interpret: bool = False,
 ):
@@ -209,10 +268,9 @@ def _i4_bucket_scores(
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((b, 2 * d_half), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_rows, d_half), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, 1), lambda i: (i, 0),
+            pl.BlockSpec((buckets_per_tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -233,23 +291,28 @@ def _i4_bucket_scores(
         interpret=interpret,
     )(
         n_valid.reshape(1, 1).astype(jnp.int32),
-        q_i8, q_scales, packed, x_scales,
+        q_i8, packed, bucket_scales,
     )
     return vals
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def int4_fused_coarse(
-    packed: jax.Array,      # [N, D/2] uint8, rows padded to TILE
-    x_scales: jax.Array,    # [N] f32
-    qs: jax.Array,          # [B, D] f32
+    packed: jax.Array,        # [N, D/2] uint8, rows padded to TILE,
+                              # scale-sorted (quantize_rows_int4_bucketed)
+    bucket_scales: jax.Array,  # [N / 64] f32
+    qs: jax.Array,            # [B, D] f32
     n_valid: jax.Array,
     *,
     k: int,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused int4 coarse candidates: (packed scores [B, k], row ids).
-    Cosine only, like ``int8_fused_coarse``."""
+
+    Cosine only, like ``int8_fused_coarse``.  Row ids are SORTED
+    positions — map them through the quantizer's ``perm`` before
+    touching original-order state (live masks, re-rank operands).
+    """
     b_in = qs.shape[0]
     total_buckets = packed.shape[0] // BUCKET
     k_cand = min(k, total_buckets)
@@ -263,14 +326,17 @@ def int4_fused_coarse(
             chunk = jnp.pad(chunk, ((0, b_pad - b), (0, 0)))
         q_i8, q_scales = _quantize_queries(chunk)
         vals = _i4_bucket_scores(
-            packed, x_scales.reshape(-1, 1), q_i8,
-            q_scales.reshape(1, -1), n_valid, interpret=interpret,
+            packed, bucket_scales.reshape(-1, 1), q_i8,
+            n_valid, interpret=interpret,
         ).T                                             # [b_pad, buckets]
         best_s, pos = jax.lax.approx_max_k(vals, k_cand, recall_target=0.95)
         arg = jax.lax.bitcast_convert_type(best_s, jnp.int32) & jnp.int32(
             BUCKET - 1
         )
-        out_s.append(best_s[:b])
+        # per-query de-scale on the [B, k] output (extract the packed
+        # index FIRST; the product keeps the <= 2^-17 packing noise)
+        sims_k = best_s * q_scales[:, None]
+        out_s.append(sims_k[:b])
         out_i.append((pos * BUCKET + arg)[:b])
     sims = out_s[0] if len(out_s) == 1 else jnp.concatenate(out_s, axis=0)
     ids = out_i[0] if len(out_i) == 1 else jnp.concatenate(out_i, axis=0)
@@ -282,16 +348,21 @@ class Int4Resident:
     by version (mirrors ``ops/quant.py`` QuantizedResident)."""
 
     def __init__(self):
-        # (version, packed, scales, sq_dev) — sq_dev caches the l2
-        # de-scale operand on device (cosine gets a 1-element dummy)
+        # (version, packed, row_scales, sq_dev, bucket_scales, perm) —
+        # sq_dev caches the l2 de-scale operand on device (cosine gets
+        # a 1-element dummy).  For cosine, rows are scale-sorted and
+        # ``perm`` maps sorted -> original positions (bsc feeds the
+        # fused kernel, row_scales the XLA fallback); l2 keeps the
+        # original order (perm identity, bsc dummy, fused is
+        # cosine-only anyway).
         self._cached: tuple | None = None
 
-    def arrays(self, matrix) -> tuple[jax.Array, jax.Array, jax.Array]:
+    def arrays(self, matrix):
         from .distance import PackedMatrix, _round_up
 
         cached = self._cached
         if cached is not None and cached[0] == matrix.version:
-            return cached[1], cached[2], cached[3]
+            return cached[1:]
         n_rows = _round_up(max(matrix.n, 1), matrix.ROW_PAD)
         if self._use_fused(matrix):
             from .fused_topk import pad_rows_for_fused
@@ -302,7 +373,15 @@ class Int4Resident:
             padded = np.zeros((n_rows, matrix.data.shape[1]), np.float32)
             padded[: matrix.n] = matrix.data[: matrix.n]
             rows = padded
-        packed, scales = quantize_rows_int4(rows)
+        if matrix.metric == "cosine":
+            packed, bsc, scales, perm = quantize_rows_int4_bucketed(
+                np.asarray(rows), n_live=matrix.n
+            )
+            bsc_dev = jnp.asarray(bsc)
+        else:
+            packed, scales = quantize_rows_int4(rows)
+            perm = np.arange(n_rows, dtype=np.int64)
+            bsc_dev = jnp.ones((1,), jnp.float32)
         xs = PackedMatrix._upload(packed)  # chunked H2D
         sc = jnp.asarray(scales)
         if matrix.metric == "l2":
@@ -312,8 +391,8 @@ class Int4Resident:
         else:
             sq_dev = jnp.zeros((1,), jnp.float32)
         xs.block_until_ready()
-        self._cached = (matrix.version, xs, sc, sq_dev)
-        return xs, sc, sq_dev
+        self._cached = (matrix.version, xs, sc, sq_dev, bsc_dev, perm)
+        return xs, sc, sq_dev, bsc_dev, perm
 
     @staticmethod
     def _use_fused(matrix) -> bool:
@@ -345,7 +424,7 @@ class Int4Resident:
         from ..native import rerank as native_rerank
 
         n = matrix.n
-        packed, scales, sq_dev = self.arrays(matrix)
+        packed, scales, sq_dev, bsc, perm = self.arrays(matrix)
         qs = matrix.prepare_queries(queries)
         k_cand = min(
             max(recall_safe_pool_int4(n, k), k_cand_floor or 0), n
@@ -362,14 +441,17 @@ class Int4Resident:
             and k_cand <= packed.shape[0] // BUCKET
         ):
             _, cand = int4_fused_coarse(
-                packed, scales, jnp.asarray(qs), jnp.int32(n), k=k_cand
+                packed, bsc, jnp.asarray(qs), jnp.int32(n), k=k_cand
             )
         else:
             _, cand = int4_coarse_topk(
                 packed, scales, jnp.asarray(qs), jnp.int32(n),
                 sq_dev, k=k_cand, metric=metric,
             )
-        cand = np.asarray(cand, np.int64)
+        # candidates are SORTED positions (scale-sorted quantization);
+        # map back to original row positions before any original-order
+        # state is touched
+        cand = perm[np.clip(np.asarray(cand, np.int64), 0, len(perm) - 1)]
         cand = np.where(
             (cand < n) & live_mask[np.clip(cand, 0, n - 1)], cand, -1
         )

@@ -219,13 +219,17 @@ def test_int4_fused_kernel_interpret_matches_oracle():
     from helix_tpu.ops.fused_topk import TILE
     from helix_tpu.ops.quant4 import int4_fused_coarse
 
+    from helix_tpu.ops.quant4 import quantize_rows_int4_bucketed
+
     rng = np.random.default_rng(8)
     n, d, k = TILE, 128, 10
     n_live = n - 300
     data, centers = clustered(rng, n_live, d)
     padded = np.zeros((n, d), np.float32)
     padded[:n_live] = data
-    packed, scales = quantize_rows_int4(padded)
+    packed, bsc, scales, perm = quantize_rows_int4_bucketed(
+        padded, n_live=n_live
+    )
     qs = centers[rng.integers(0, 50, size=4)] + 0.3 * rng.normal(
         size=(4, d)
     ).astype(np.float32)
@@ -235,12 +239,14 @@ def test_int4_fused_kernel_interpret_matches_oracle():
     # buckets are only ever returned past the live ones (the serving
     # path drops them via the ``cand < n`` filter)
     sims, ids = int4_fused_coarse(
-        jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(qs),
+        jnp.asarray(packed), jnp.asarray(bsc), jnp.asarray(qs),
         jnp.int32(n_live), k=96, interpret=True,
     )
-    ids = np.asarray(ids)
-    assert np.all((ids >= 0) & (ids < n))
-    assert np.all(ids < n_live)
+    ids_sorted = np.asarray(ids)
+    assert np.all((ids_sorted >= 0) & (ids_sorted < n))
+    assert np.all(ids_sorted < n_live)
+    ids = perm[ids_sorted]       # sorted positions -> original rows
+    assert np.all(ids < n_live)  # live rows map to live rows
     oracle = np.argsort(-(qs @ data.T), axis=1)[:, :k]
     containment = np.mean([
         len(set(oracle[i]) & set(ids[i])) / k for i in range(len(qs))
@@ -253,6 +259,8 @@ def test_int4_fused_kernel_interpret_matches_oracle():
     # exact per-bucket oracle: every fused candidate must be its
     # bucket's argmax of the de-scaled quantized scores (the kernel's
     # column-halves split must reproduce the plain int4 dot)
+    # (the oracle works in SORTED space — scales is the sorted per-row
+    # broadcast of the bucket scales, matching the kernel's de-scale)
     vals4 = unpack_int4(packed).astype(np.float32) * scales[:, None]
     q_peak = np.abs(qs).max(axis=1)
     q_sc = np.where(q_peak > 0, q_peak / 127.0, 1.0)
@@ -262,7 +270,7 @@ def test_int4_fused_kernel_interpret_matches_oracle():
     grouped = sims_np.reshape(len(qs), -1, 64)
     bucket_arg = grouped.argmax(axis=2) + np.arange(grouped.shape[1]) * 64
     match = np.mean([
-        np.isin(ids[i], bucket_arg[i]).mean() for i in range(len(qs))
+        np.isin(ids_sorted[i], bucket_arg[i]).mean() for i in range(len(qs))
     ])
     assert match >= 0.98, match
 
@@ -280,3 +288,37 @@ def test_tile_sizes_divide_padded_rows():
         assert TILE % _tile_rows(d) == 0, d
         assert TILE % _i8_tile_rows(d) == 0, d
         assert TILE % _i4_tile_rows(max(d // 2, 1)) == 0, d
+
+
+def test_quantize_rows_int4_bucketed_precision_and_perm():
+    """Scale-sorted per-bucket quantization: perm is a valid permutation
+    keeping padding rows in place, the reconstruction error is bounded
+    by the BUCKET scale, and sorting keeps the bucket scale within a
+    hair of each row's own peak (the per-row-precision claim)."""
+    from helix_tpu.ops.quant4 import (
+        quantize_rows_int4_bucketed, unpack_int4,
+    )
+
+    rng = np.random.default_rng(5)
+    n, n_live, d = 1024, 900, 64
+    rows = np.zeros((n, d), np.float32)
+    rows[:n_live] = rng.normal(size=(n_live, d)).astype(np.float32)
+    rows[:n_live] /= np.linalg.norm(rows[:n_live], axis=1, keepdims=True)
+    packed, bsc, rsc, perm = quantize_rows_int4_bucketed(rows, n_live=n_live)
+    assert sorted(perm.tolist()) == list(range(n))
+    assert np.all(perm[n_live:] == np.arange(n_live, n))  # padding fixed
+    assert np.all(perm[:n_live] < n_live)                 # live stays live
+    np.testing.assert_array_equal(rsc, np.repeat(bsc, 64))
+    # reconstruction in sorted order matches rows[perm] within scale/2
+    recon = unpack_int4(packed).astype(np.float32) * rsc[:, None]
+    err = np.abs(recon - rows[perm]).max(axis=1)
+    assert np.all(err <= rsc / 2 + 1e-7)
+    # sorting makes per-bucket ~ per-row: every live row's bucket scale
+    # is within 25% of its own per-row scale on iid unit-norm data
+    peaks = np.abs(rows[perm]).max(axis=1)
+    live_sorted = perm < n_live
+    ratio = (rsc * 7.0)[live_sorted] / np.maximum(peaks[live_sorted], 1e-9)
+    assert ratio.max() <= 1.25, ratio.max()
+    # scales commute with the reduction: every row in a bucket shares
+    # its bucket's scale exactly (what descale_packed relies on)
+    assert np.all(rsc.reshape(-1, 64) == bsc[:, None])
